@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.Engine
+
+/** CLI + interactive SQL REPL — the Spark analogue of the reference's
+  * driver (reference: src/main.rs:11-78):
+  *
+  *  - one-shot mode: `Main "<sql>" [-l <types_len>]` runs a single query
+  *    and prints wall-clock timing (src/main.rs:36-43);
+  *  - no args: interactive REPL with history persisted to `.history.txt`,
+  *    `q`/`exit`/`quit` to leave, per-query `Total execution time`
+  *    (src/main.rs:45-78). Planning errors print and the loop continues
+  *    (src/main.rs:56-59).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    var sql: Option[String] = None
+    var len = 1024L // reference default (src/main.rs:16-17)
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-l" | "--types-table-length" => len = args(i + 1).toLong; i += 2
+        case s => sql = Some(s); i += 1
+      }
+    }
+    val spark = Engine.build(Engine.Options(typesTableLength = len))
+    sql match {
+      case Some(q) => runOne(spark, q)
+      case None => repl(spark)
+    }
+    spark.stop()
+  }
+
+  private def runOne(spark: SparkSession, sql: String): Unit = {
+    val t0 = System.nanoTime()
+    try {
+      spark.sql(sql).show(20, truncate = false)
+      println(f"Total execution time: ${(System.nanoTime() - t0) / 1e3}%.0fµs")
+    } catch {
+      case e: Exception => println(e.getMessage)
+    }
+  }
+
+  private def repl(spark: SparkSession): Unit = {
+    val historyPath = java.nio.file.Paths.get(".history.txt")
+    var line: String = null
+    print(">> ")
+    while ({ line = scala.io.StdIn.readLine(); line != null }) {
+      val trimmed = line.trim
+      if (Set("q", "exit", "quit").contains(trimmed)) return
+      if (trimmed.nonEmpty) {
+        java.nio.file.Files.writeString(
+          historyPath, trimmed + "\n",
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+        runOne(spark, trimmed)
+      }
+      print(">> ")
+    }
+  }
+}

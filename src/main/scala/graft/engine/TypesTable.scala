@@ -1,0 +1,36 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, IntegerType}
+
+/** The reference's in-memory random `types` table (reference:
+  * src/lib.rs:36-52, generators :62-75): schema
+  * `(string Utf8, float Float32, int Int32)`, all non-nullable;
+  * `string` is one random lowercase letter, `float` is uniform f32 in
+  * [0,1), `int` is a full-range random i32.
+  *
+  * The reference generates with an unseeded `rand::thread_rng`
+  * (src/lib.rs:63,73); we generate with Spark's seeded `rand()` so golden
+  * and property tests are reproducible. Generation is fully distributed:
+  * `spark.range(n)` partitions the id space across executors and every
+  * column derives from codegen'd expressions — no driver-side data, so the
+  * same code generates a 10^6-row table locally or a 10^11-row table on a
+  * cluster.
+  */
+object TypesTable {
+
+  private val Letters = "abcdefghijklmnopqrstuvwxyz"
+
+  def generate(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    spark.range(n).select(
+      // one uniform lowercase letter (reference: src/lib.rs:62-67)
+      lit(Letters).substr((floor(rand(seed) * 26) + 1).cast(IntegerType), lit(1))
+        .alias("string"),
+      // uniform f32 in [0,1) (reference: src/lib.rs:69-75)
+      rand(seed + 1).cast(FloatType).alias("float"),
+      // full-range i32 (reference: rand::Standard over i32, src/lib.rs:69-75)
+      (floor(rand(seed + 2) * 4294967296L) - 2147483648L).cast(IntegerType).alias("int")
+    )
+  }
+}

@@ -1,0 +1,210 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** Deduplication operators for training-data pipelines, designed for
+  * 100 TB corpora:
+  *
+  *  - exact dedup: hash-groupBy on a 128-bit content hash — the shuffle
+  *    carries (hash, doc_id) pairs only, never the document text;
+  *  - MinHash + LSH near-dup: per-row signature computation (no shuffle)
+  *    via codegen'd higher-order functions, then banding so only documents
+  *    sharing a band bucket are ever paired — candidate generation is
+  *    O(docs × bands), not O(docs²); oversized buckets (degenerate/common
+  *    content) are capped to bound worst-case skew;
+  *  - SimHash: 64-bit fingerprint per document, Hamming-ball candidates
+  *    via 4×16-bit band exact match (any pair within Hamming distance 3
+  *    shares at least one of 4 bands by pigeonhole);
+  *  - n-gram Jaccard: the exact verifier applied to LSH candidates (and,
+  *    as its own oracle-checked query, to a deterministic blocked sample).
+  *
+  * All signature math uses Spark built-ins (xxhash64, transform,
+  * aggregate, array_*) so everything stays inside whole-stage codegen —
+  * no UDF serialization on the hot path.
+  */
+object Dedup {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  /** Lowercased word tokens of `text`. */
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => length(x) > 0)
+
+  /** Word n-gram shingles (default 3) as a distinct array. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+  }
+
+  /** 64-slot MinHash signature over the shingle set: sig[j] =
+    * min_s xxhash64(j, s). Computed per-row — no shuffle. */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleCol, s => xxhash64(j, s))))
+
+  /** LSH band keys: hash r consecutive signature slots per band. Two
+    * documents with Jaccard ~s collide in ≥1 of b bands with probability
+    * 1-(1-s^r)^b; with b=16, r=4 the S-curve threshold is ≈0.5. */
+  def bandKeys(sig: Column, bands: Int = 16, rows: Int = 4): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rows + 1, lit(rows))))
+
+  /** 64-bit SimHash over token hashes: bit j is set iff the sum of
+    * (±1 per token, + when bit j of xxhash64(token) is set) is positive. */
+  def simhash(c: Column): Column = {
+    val toks = tokens(c)
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) => acc + when(
+        aggregate(toks, lit(0L),
+          (a, tok) => a + (call_function("shiftright", xxhash64(tok), j)
+            .bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+  }
+
+  /** Exact near-dup verifier: Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** Candidate pairs from MinHash-LSH banding: explode band keys, bucket
+    * by (band, key), self-join inside buckets. `maxBucket` caps degenerate
+    * buckets (skew guard — at corpus scale a boilerplate bucket with 10^6
+    * docs would otherwise produce 10^12 pairs). */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig"))
+    val banded = sig.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "bkey")))
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = bucketed.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val b = bucketed.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: one survivor (min doc_id) per md5(text) group
+    "dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))),
+
+    // per-doc MinHash signature summary + LSH candidate/duplicate verdict
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = docs
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig"))
+      val cands = minhashCandidates(docs)
+      val shA = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val shB = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val verified = cands
+        .join(shA, "doc_a").join(shB, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("j"))
+        .filter(col("j") >= 0.7)
+      // verdict per document: min partner id marks the cluster
+      val dupOf = verified.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"))
+        .union(verified.select(col("doc_a").as("doc_id"), col("doc_b").as("partner")))
+        .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_partner"))
+      sig.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+          element_at(col("sig"), 1).as("minhash_0"))
+        .join(dupOf, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("minhash_0"),
+          coalesce(col("dup_partner") < col("doc_id"), lit(false)).as("is_near_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // 64-bit SimHash fingerprints + Hamming-band near-dup flag
+    "dedup_simhash" -> ((s, dir) => {
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), simhash(col("text")).as("fp"))
+      // 4 bands of 16 bits: Hamming distance ≤3 guarantees a shared band
+      val banded = fp.select(col("doc_id"), col("fp"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("fp"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)))).as(Seq("band", "bkey")))
+      val a = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      val b = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+      val near = a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_near_dup", lit(true))
+      fp.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("fp"),
+          coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact word-3-gram Jaccard over a deterministic blocked sample —
+    // the oracle-checkable ground truth for the LSH path above
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sample = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+      val a = sample.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+      val b = sample.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
+      a.join(b, "lang") // language blocking bounds the pair space
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("j_raw"))
+        .filter(col("j_raw") >= 0.05) // filter BEFORE rounding (oracle does too)
+        .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 4).as("j"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // dedup_minhash_lsh / dedup_simhash: xxhash64-based signatures are not
+    // expressible in DuckDB SQL → rows-only check.
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM toks
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 4) AS j
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

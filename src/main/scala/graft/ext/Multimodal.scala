@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Engine
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed by a per-partition
+  * batch "decoder".
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (see [[FakeCodec.decode]]) — what is
+  * real and tested is the Spark-side plumbing a 100 TB pipeline needs:
+  *
+  *  - the schema contract (`binary` payload + struct metadata);
+  *  - `mapPartitions` batch shape: the decoder is initialized once per
+  *    partition (the expensive part for a real codec — model/codec init
+  *    amortizes over the whole partition, the same pattern as a Pandas
+  *    `mapInPandas` batch UDF);
+  *  - partition sizing: payloads are capped per batch so a partition of
+  *    large blobs cannot OOM an executor;
+  *  - feature extraction output as a typed Dataset ready for downstream
+  *    relational ops.
+  */
+object Multimodal {
+
+  /** DETERMINISTIC FAKE of a media codec. A real deployment swaps this
+    * object for JNI/codec bindings; everything downstream is unchanged. */
+  object FakeCodec {
+    /** STUB: "decode" a payload into (width, height, n_frames, checksum).
+      * Real decode is impossible in this container — this fake derives
+      * deterministic pseudo-metadata from the bytes themselves. */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Long) = {
+      var h = 1125899906842597L // deterministic FNV-ish roll
+      var i = 0
+      while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      val frames = 1 + math.floorMod(h >> 20, 300).toInt
+      (w, ht, frames, h)
+    }
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  /** Documents re-cast as a multimodal table: payload = utf-8 bytes of the
+    * text (stand-in for image bytes), metadata struct alongside. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(col("source").as("uri"), col("lang").as("codec"),
+        col("n_chars").as("n_bytes_claimed")).as("meta"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // binary-column plumbing, expression side: sizes + hashes on blobs
+    "mm_binary_meta" -> ((s, dir) =>
+      mediaTable(s, dir)
+        .select(col("media_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          col("meta.uri").as("uri"),
+          col("meta.codec").as("codec"),
+          (octet_length(col("payload")) === col("meta.n_bytes_claimed")).as("size_ok"))
+        .orderBy(col("media_id"))),
+
+    // batch "decode" via mapPartitions: codec init once per partition,
+    // rows streamed through — the real pattern, a stubbed codec
+    "mm_decode_features" -> ((s, dir) => {
+      val media = mediaTable(s, dir).select(col("media_id"), col("payload"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("checksum", LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      media.mapPartitions { rows =>
+        // per-partition init happens HERE for a real codec (load model,
+        // open decoder context); the stub needs none
+        rows.map { r =>
+          val (w, h, f, c) = FakeCodec.decode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), w, h, f, c)
+        }
+      }(enc).orderBy(col("media_id"))
+    }),
+
+    // frame-sampling plumbing: deterministic frame indices per media row,
+    // exploded to (media_id, frame_no) — the shape a video pipeline fans
+    // out to before per-frame decode
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = mediaTable(s, dir)
+        .select(col("media_id"),
+          (pmod(xxhash64(col("payload")), lit(30)) + lit(2)).as("n_frames"))
+      media
+        .select(col("media_id"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(7))).as("frame_no"))
+        .orderBy(col("media_id"), col("frame_no"))
+    })
+  )
+
+  // Decode/frame ops hash stubbed bytes → rows-only checks, except the
+  // pure-binary metadata query which DuckDB can mirror exactly.
+  val oracleSql: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  source AS uri, lang AS codec,
+        |  octet_length(CAST(text AS BLOB)) = n_chars AS size_ok
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

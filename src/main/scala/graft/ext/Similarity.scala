@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** Similarity search over an embedding column (`Array[Float]`, dim 64).
+  *
+  *  - Brute-force cosine top-k: the baseline. The (small) query set is
+  *    broadcast so the corpus side never shuffles — at 100 TB the corpus
+  *    streams through map tasks once, each holding only the broadcast
+  *    queries and a per-query k-heap (here expressed as window top-k,
+  *    which AQE executes after a shuffle only of the tiny
+  *    (query × corpus-partition) partial results).
+  *  - LSH-bucketed ANN: random-hyperplane signatures computed per-row
+  *    (codegen'd, no shuffle); candidates must share the bucket key, so
+  *    comparisons drop from O(|Q|·N) to O(|Q|·N/2^bits) per probe. The
+  *    hyperplanes are pseudo-random ±1 vectors derived from xxhash64 so
+  *    they are identical on every executor without any broadcast state.
+  *
+  * Dot products run through `aggregate`/`zip_with` over the float arrays
+  * with double accumulation — built-in higher-order functions, fully
+  * codegen'd, no UDF.
+  */
+object Similarity {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  /** Cosine similarity of two float-array columns, accumulated in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Random-hyperplane LSH signature: bit j = sign of <v, h_j> where
+    * h_j[i] = ±1 derived from xxhash64(j, i). Deterministic everywhere. */
+  def hyperplaneSig(vec: Column, bits: Int): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+      (acc, j) => acc + when(
+        aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") *
+            (xxhash64(j, i).bitwiseAND(lit(1L)).cast("double") * 2 - 1)),
+          lit(0.0), (a2, x) => a2 + x) > 0,
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // brute-force cosine top-k (k=5) for a broadcast query set
+    "ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      val scored = emb.filter(col("vec_id") >= 10)
+        .crossJoin(q)
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("q_vec"), col("embedding")).as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), round(col("sim"), 5).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // LSH-bucketed ANN: 8-bit hyperplane signature, exact rerank in-bucket
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          hyperplaneSig(col("embedding"), 8).as("bucket"))
+      val q = broadcast(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("bucket")))
+      val cands = emb.filter(col("vec_id") >= 10)
+        .join(q, Seq("bucket")) // bucket-equality join prunes the corpus
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("q_vec"), col("embedding")).as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      cands.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), round(col("sim"), 5).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // embedding near-dup detection: all pairs above a cosine threshold,
+    // LSH-bucketed so the pair space never materializes at corpus scale
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          hyperplaneSig(col("embedding"), 4).as("bucket"))
+      val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("v_a"))
+      val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("v_b"))
+      val pairs = a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
+        .filter(col("sim") >= 0.45)
+      val flagged = pairs.select(col("id_b").as("vec_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .join(flagged, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("near_dup"), lit(false)).as("near_dup"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // per-vector norm stats — sanity surface for the embedding column
+    "emb_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 5).as("l2"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 5).as("sum"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy(col("vec_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 10
+        |), ranked AS (
+        |  SELECT q_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(sim, 5) AS sim
+        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // ann_lsh / dedup_embedding: xxhash64-derived hyperplanes not
+    // expressible in DuckDB → rows-only check.
+
+    "emb_norms" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x))), 5) AS l2,
+        |  round(list_sum(CAST(embedding AS DOUBLE[])), 5) AS sum,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

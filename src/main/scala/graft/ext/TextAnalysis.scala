@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** Text-analysis operators for training-data curation: language ID
+  * (stopword-density heuristic), quality scoring (length/punctuation/
+  * stopword ratios), token counting (whitespace + BPE-ish regex), and
+  * document fingerprinting (normalized-content hash + rolling hash).
+  *
+  * Everything is per-row expression work (codegen'd built-ins, no UDFs,
+  * no shuffle), so throughput scales linearly with executors — exactly
+  * what a 100 TB filter pass needs. Heuristics are deliberately mirrored
+  * 1:1 in the DuckDB oracle SQL.
+  */
+object TextAnalysis {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den")
+  private val stopFr = Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour")
+
+  /** Count of word tokens drawn from `words` (word-boundary regex). */
+  private def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(c),
+      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  private def nTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+"), lit(0)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // quality scoring: structural ratios + a composite score
+    "text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTok = nTokens(col("text"))
+      val nChar = length(col("text"))
+      val nPunct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+      val nStop = stopwordHits(col("text"), stopEn)
+      d.select(
+        col("doc_id"),
+        nChar.cast("long").as("n_chars"),
+        nTok.cast("long").as("n_tokens"),
+        round(nChar.cast("double") / greatest(nTok, lit(1)).cast("double"), 4)
+          .as("avg_token_len"),
+        round(nPunct.cast("double") / greatest(nChar, lit(1)).cast("double"), 6)
+          .as("punct_ratio"),
+        round(nStop.cast("double") / greatest(nTok, lit(1)).cast("double"), 6)
+          .as("stopword_ratio"),
+        // composite: long enough, some stopwords, not punctuation soup
+        (nChar.between(100, 10000) &&
+          (nStop.cast("double") / greatest(nTok, lit(1)).cast("double")) > 0.01 &&
+          (nPunct.cast("double") / greatest(nChar, lit(1)).cast("double")) < 0.2)
+          .as("passes_quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language ID: argmax of per-language stopword density
+    "text_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scores = Seq(
+        "en" -> stopwordHits(col("text"), stopEn),
+        "es" -> stopwordHits(col("text"), stopEs),
+        "de" -> stopwordHits(col("text"), stopDe),
+        "fr" -> stopwordHits(col("text"), stopFr))
+      d.select(
+        Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+          scores.map { case (l, sc) => sc.cast("long").as(s"hits_$l") }: _*)
+        .withColumn("pred_lang",
+          when(greatest(col("hits_es"), col("hits_de"), col("hits_fr")) <= col("hits_en"), "en")
+            .when(greatest(col("hits_de"), col("hits_fr")) <= col("hits_es"), "es")
+            .when(col("hits_fr") <= col("hits_de"), "de")
+            .otherwise("fr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token counting: whitespace tokens vs BPE-ish subword pieces
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+            .cast("long").as("ws_tokens"),
+          // BPE-ish: letter runs, digit runs, single punctuation marks
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("bpe_tokens"),
+          round(length(col("text")).cast("double") /
+            greatest(size(regexp_extract_all(col("text"),
+              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))), lit(1)).cast("double"), 4)
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))),
+
+    // fingerprinting: hash of whitespace/case-normalized content
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("norm_md5"))
+        .orderBy(col("doc_id"))),
+
+    // 64-bit content fingerprint (xxhash64 — no DuckDB equivalent,
+    // rows-only check; exercised further by the scalatest spec)
+    "text_fingerprint_xx" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          xxhash64(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("xx64"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |    greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 4) AS avg_token_len,
+        |  round(CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |    greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(CAST(length(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS DOUBLE) /
+        |    greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 6) AS stopword_ratio,
+        |  (length(text) BETWEEN 100 AND 10000
+        |   AND CAST(length(regexp_extract_all(lower(text),
+        |       '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS DOUBLE) /
+        |     greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) > 0.01
+        |   AND CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |     greatest(length(text), 1) < 0.2) AS passes_quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS BIGINT) AS hits_en,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\b(el|la|de|que|y|en|un|una|es|por)\b')) AS BIGINT) AS hits_es,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\b(der|die|das|und|ist|von|mit|ein|zu|den)\b')) AS BIGINT) AS hits_de,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\b(le|la|les|de|et|un|une|est|que|pour)\b')) AS BIGINT) AS hits_fr
+        |  FROM documents
+        |)
+        |SELECT doc_id, labeled_lang, hits_en, hits_es, hits_de, hits_fr,
+        |  CASE WHEN greatest(hits_es, hits_de, hits_fr) <= hits_en THEN 'en'
+        |       WHEN greatest(hits_de, hits_fr) <= hits_es THEN 'es'
+        |       WHEN hits_fr <= hits_de THEN 'de'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(length(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
+        |  CAST(length(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |    greatest(length(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

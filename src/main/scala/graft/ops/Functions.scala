@@ -1,0 +1,342 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** SURVEY §2.8 scalar function families — string, math, date/time, regex,
+  * conditional/null, array, struct/map, crypto/encoding, unnest — each
+  * family as one projection query with a DuckDB oracle. All expressions
+  * are Spark built-ins (codegen'd, whole-stage-compatible).
+  */
+object Functions {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_str_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          length(col("p_name")).cast("long").as("len"),
+          substring(col("p_name"), 1, 5).as("sub"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("catws"),
+          trim(lit("  pad  ")).as("trimmed"),
+          lpad(col("p_brand"), 12, "*").as("lpadded"),
+          rpad(col("p_brand"), 12, "*").as("rpadded"),
+          regexp_replace(col("p_name"), " ", "_").as("replaced"),
+          reverse(col("p_brand")).as("rev"),
+          repeat(lit("ab"), 3).as("rep"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("first_word"),
+          instr(col("p_name"), "a").cast("long").as("pos_a"),
+          translate(col("p_brand"), "#", "№").as("trans"),
+          ascii(col("p_brand")).cast("long").as("asc"),
+          left(col("p_type"), lit(3)).as("l3"),
+          right(col("p_type"), lit(3)).as("r3"),
+          col("p_name").startsWith("a").as("starts_a"),
+          col("p_name").endsWith("e").as("ends_e"),
+          col("p_name").contains("or").as("has_or"))
+        .orderBy(col("p_partkey"))),
+
+    "q_math_funcs" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          abs(col("s_acctbal")).as("a"),
+          // Spark ceil/floor(double)→long, DuckDB →double: align on double
+          ceil(col("s_acctbal")).cast("double").as("c"),
+          floor(col("s_acctbal")).cast("double").as("f"),
+          round(sqrt(abs(col("s_acctbal"))), 6).as("sq"),
+          round(pow(col("s_suppkey").cast("double"), 2.0), 2).as("p2"),
+          round(exp(col("s_suppkey") % 5), 6).as("e"),
+          round(log(abs(col("s_acctbal")) + 1), 6).as("lnv"),
+          round(log10(abs(col("s_acctbal")) + 1), 6).as("l10"),
+          round(log2(col("s_suppkey") + 1), 6).as("l2"),
+          round(sin(col("s_suppkey")), 6).as("sn"),
+          round(cos(col("s_suppkey")), 6).as("cs"),
+          round(atan2(col("s_suppkey"), lit(7)), 6).as("at2"),
+          round(degrees(col("s_suppkey") % 4), 6).as("deg"),
+          round(radians(col("s_suppkey") % 360), 6).as("rad"),
+          signum(col("s_acctbal")).as("sgn"),
+          round(cbrt(abs(col("s_acctbal"))), 6).as("cb"),
+          (col("s_suppkey") % 10).cast("long").as("m10"),
+          pmod(col("s_suppkey"), lit(3)).cast("long").as("pm3"),
+          greatest(col("s_acctbal"), lit(0.0)).as("g0"),
+          least(col("s_acctbal"), lit(0.0)).as("l0"))
+        .orderBy(col("s_suppkey"))),
+
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          // date-typed outputs rendered as strings: parquet DATE vs
+          // DuckDB DATE pandas-roundtrip differently; strings are stable
+          date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("as_date"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_end"),
+          unix_timestamp(date_trunc("second", col("o_orderdate"))).as("epoch_s"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_regex_funcs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("text").rlike("data").as("has_data"),
+          regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+          regexp_replace(col("text"), "[aeiou]", "").as("novowel"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+            .cast("long").as("n_words"))
+        .filter(col("doc_id") < 200)
+        .orderBy(col("doc_id"))),
+
+    "q_cond_null" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          coalesce(when(col("c_acctbal") < 0, col("c_acctbal")), lit(0.0)).as("neg_or_zero"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+          when(col("c_acctbal").isNull, lit("?")).otherwise(lit("ok")).as("nullcheck"),
+          greatest(col("c_acctbal"), col("c_custkey").cast("double")).as("g"),
+          least(col("c_acctbal"), col("c_custkey").cast("double")).as("l"))
+        .orderBy(col("c_custkey"))),
+
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          // widen f32→f64 BEFORE rounding, or round() happens in float
+          // space where e.g. 0.05425 is unrepresentable
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+          round(element_at(col("embedding"), -1).cast("double"), 6).as("last_elem"),
+          round(array_max(col("embedding")).cast("double"), 6).as("mx"),
+          round(array_min(col("embedding")).cast("double"), 6).as("mn"),
+          slice(col("embedding"), 1, 3).as("head3"),
+          sort_array(slice(col("embedding"), 1, 4)).as("sorted4"),
+          array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
+          round(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x), 5).as("vec_sum"))
+        .filter(col("vec_id") < 100)
+        .orderBy(col("vec_id"))),
+
+    "q_array_ops" -> ((s, _) =>
+      s.sql(
+        """SELECT k,
+          |  array_sort(array_distinct(a)) AS dist,
+          |  array_sort(array_union(a, b)) AS un,
+          |  array_sort(array_intersect(a, b)) AS inter,
+          |  array_sort(array_except(a, b)) AS ex,
+          |  flatten(array(a, b)) AS flat,
+          |  sequence(1, k) AS seq,
+          |  array_position(a, 2) AS pos2,
+          |  array_sort(array_remove(a, 1)) AS no1
+          |FROM VALUES
+          |  (1, array(1, 2, 2, 3), array(2, 3, 4)),
+          |  (2, array(5, 5, 6), array(6, 7)),
+          |  (3, array(1, 1, 1), array(1))
+          | AS t(k, a, b)
+          |ORDER BY k""".stripMargin)
+        .selectExpr("CAST(k AS BIGINT) AS k",
+          "CAST(dist AS ARRAY<BIGINT>) AS dist", "CAST(un AS ARRAY<BIGINT>) AS un",
+          "CAST(inter AS ARRAY<BIGINT>) AS inter", "CAST(ex AS ARRAY<BIGINT>) AS ex",
+          "CAST(flat AS ARRAY<BIGINT>) AS flat", "CAST(seq AS ARRAY<BIGINT>) AS seq",
+          "CAST(pos2 AS BIGINT) AS pos2", "CAST(no1 AS ARRAY<BIGINT>) AS no1")),
+
+    "q_struct_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("info"))
+        .select(
+          col("c_custkey"),
+          col("info.name").as("name"),
+          col("info.bal").as("bal"))
+        .orderBy(col("c_custkey"))),
+
+    "q_crypto_funcs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"),
+          // Spark base64 emits MIME 76-char line wraps; strip for the
+          // canonical unwrapped form
+          regexp_replace(base64(col("text").cast("binary")), "\r\n", "").as("b64"),
+          hex(col("doc_id")).as("hx"))
+        .filter(col("doc_id") < 200)
+        .orderBy(col("doc_id"))),
+
+    // crc32 has no DuckDB counterpart → rows-only check (+ spec test)
+    "q_crc32" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), crc32(col("text").cast("binary")).as("crc"))
+        .orderBy(col("doc_id"))),
+
+    "q_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+        .orderBy(col("word"))),
+
+    "q_posexplode" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("idx"),
+          round(col("col").cast("double"), 6).as("val"))
+        .orderBy(col("vec_id"), col("idx")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  substring(p_name, 1, 5) AS sub,
+        |  p_brand || '#' || p_type AS cat,
+        |  concat_ws('-', p_brand, p_type) AS catws,
+        |  trim('  pad  ') AS trimmed,
+        |  lpad(p_brand, 12, '*') AS lpadded,
+        |  rpad(p_brand, 12, '*') AS rpadded,
+        |  replace(p_name, ' ', '_') AS replaced,
+        |  reverse(p_brand) AS rev,
+        |  repeat('ab', 3) AS rep,
+        |  split_part(p_type, ' ', 1) AS first_word,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+        |  translate(p_brand, '#', '№') AS trans,
+        |  CAST(ascii(p_brand) AS BIGINT) AS asc,
+        |  left(p_type, 3) AS l3, right(p_type, 3) AS r3,
+        |  starts_with(p_name, 'a') AS starts_a,
+        |  suffix(p_name, 'e') AS ends_e,
+        |  contains(p_name, 'or') AS has_or
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT s_suppkey,
+        |  abs(s_acctbal) AS a,
+        |  ceil(s_acctbal) AS c,
+        |  floor(s_acctbal) AS f,
+        |  round(sqrt(abs(s_acctbal)), 6) AS sq,
+        |  round(pow(CAST(s_suppkey AS DOUBLE), 2.0), 2) AS p2,
+        |  round(exp(s_suppkey % 5), 6) AS e,
+        |  round(ln(abs(s_acctbal) + 1), 6) AS lnv,
+        |  round(log10(abs(s_acctbal) + 1), 6) AS l10,
+        |  round(log2(s_suppkey + 1), 6) AS l2,
+        |  round(sin(s_suppkey), 6) AS sn,
+        |  round(cos(s_suppkey), 6) AS cs,
+        |  round(atan2(s_suppkey, 7), 6) AS at2,
+        |  round(degrees(s_suppkey % 4), 6) AS deg,
+        |  round(radians(s_suppkey % 360), 6) AS rad,
+        |  CAST(sign(s_acctbal) AS DOUBLE) AS sgn,
+        |  round(cbrt(abs(s_acctbal)), 6) AS cb,
+        |  CAST(s_suppkey % 10 AS BIGINT) AS m10,
+        |  CAST(((s_suppkey % 3) + 3) % 3 AS BIGINT) AS pm3,
+        |  greatest(s_acctbal, 0.0) AS g0,
+        |  least(s_acctbal, 0.0) AS l0
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS as_date,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end,
+        |  CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+        |  regexp_matches(text, 'data') AS has_data,
+        |  regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+        |  regexp_replace(text, '[aeiou]', '', 'g') AS novowel,
+        |  CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q_cond_null" ->
+      """SELECT c_custkey,
+        |  coalesce(CASE WHEN c_acctbal < 0 THEN c_acctbal END, 0.0) AS neg_or_zero,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+        |  CASE WHEN c_acctbal IS NULL THEN '?' ELSE 'ok' END AS nullcheck,
+        |  greatest(c_acctbal, CAST(c_custkey AS DOUBLE)) AS g,
+        |  least(c_acctbal, CAST(c_custkey AS DOUBLE)) AS l
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+        |  round(CAST(embedding[-1] AS DOUBLE), 6) AS last_elem,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+        |  embedding[1:3] AS head3,
+        |  list_sort(embedding[1:4]) AS sorted4,
+        |  list_contains(embedding, 0.0) AS has_zero,
+        |  round(list_sum(CAST(embedding AS DOUBLE[])), 5) AS vec_sum
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q_array_ops" ->
+      """SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(list_sort(list_distinct(a)) AS BIGINT[]) AS dist,
+        |  CAST(list_sort(list_distinct(list_concat(a, b))) AS BIGINT[]) AS un,
+        |  CAST(list_sort(list_intersect(a, b)) AS BIGINT[]) AS inter,
+        |  CAST(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS BIGINT[]) AS ex,
+        |  CAST(flatten([a, b]) AS BIGINT[]) AS flat,
+        |  CAST(generate_series(1, k) AS BIGINT[]) AS seq,
+        |  CAST(list_position(a, 2) AS BIGINT) AS pos2,
+        |  CAST(list_sort(list_filter(a, x -> x != 1)) AS BIGINT[]) AS no1
+        |FROM (VALUES
+        |  (1, [1, 2, 2, 3], [2, 3, 4]),
+        |  (2, [5, 5, 6], [6, 7]),
+        |  (3, [1, 1, 1], [1])) AS t(k, a, b)
+        |ORDER BY k""".stripMargin,
+
+    "q_struct_funcs" ->
+      """SELECT c_custkey, c_name AS name, c_acctbal AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_crypto_funcs" ->
+      """SELECT doc_id,
+        |  md5(text) AS h_md5,
+        |  sha256(text) AS h_sha256,
+        |  to_base64(CAST(text AS BLOB)) AS b64,
+        |  CASE WHEN doc_id = 0 THEN '0' ELSE ltrim(hex(doc_id), '0') END AS hx
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 50
+        |) WHERE length(word) > 0
+        |GROUP BY word HAVING count(*) >= 20 ORDER BY word""".stripMargin,
+
+    "q_posexplode" ->
+      """SELECT vec_id, CAST(idx AS BIGINT) AS idx,
+        |  round(CAST(embedding[idx] AS DOUBLE), 6) AS val
+        |FROM embeddings, unnest(generate_series(1, 8)) AS t(idx)
+        |WHERE vec_id < 5 ORDER BY vec_id, idx""".stripMargin
+  )
+}

@@ -1,0 +1,706 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** SURVEY §2 relational operator inventory — scans, predicates, joins,
+  * aggregations, windows, sorts, set ops, subqueries/CTEs — each as a
+  * named deterministic query over the testdata star schema with a DuckDB
+  * oracle.
+  *
+  * Scale notes (100 TB mindset), applied throughout:
+  *  - dimension tables (`region`, `nation`, and `customer`/`supplier`/
+  *    `part` at TPC-H proportions) are explicitly `broadcast()` so fact
+  *    joins never shuffle the big side;
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key only
+  *    after filters/projections have been pushed to the parquet scan;
+  *  - aggregates are declarative (map-side partial agg for free);
+  *  - every query orders by a unique key so results are deterministic
+  *    under any partitioning.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  /** TPC-H Q1-style pricing summary — partial→final hash aggregation. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+
+    // projection + predicate pushdown: BETWEEN, IN, LIKE all reach the scan
+    "q_scan_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20) &&
+          col("l_returnflag").isin("A", "R") &&
+          col("l_linestatus").like("F%"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata —
+        // order by every output column for full determinism
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))),
+
+    // CASE WHEN / arithmetic / cast / null handling
+    "q_pred_case" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, lit("big"))
+            .when(col("o_totalprice") > 100000, lit("mid"))
+            .otherwise(lit("small")).as("bucket"),
+          // round at 4: price*0.9 is exact at 3 decimals, so scale-4
+          // rounding never sits on a half-way boundary (scale-2 does)
+          round(col("o_totalprice") * lit(0.9) + lit(1), 4).as("adj"),
+          col("o_orderkey").cast("string").as("key_str"),
+          (col("o_orderkey") % 7).cast("long").as("key_mod"))
+        .orderBy(col("o_orderkey"))),
+
+    // fact⋈fact shuffle join + broadcast dimension join
+    "q_join_inner" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_full" -> ((s, dir) => {
+      // full outer across keyspaces that only partially overlap
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey")).distinct()
+      val topCust = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      topCust.join(bigOrders, topCust("c_custkey") === bigOrders("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), lit(-1)).as("ck"),
+          coalesce(col("o_custkey"), lit(-1)).as("ok"))
+        .orderBy(col("ck"), col("ok"))
+    }),
+
+    // left-semi ≡ EXISTS: no row duplication, right side only probed
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // left-anti ≡ NOT EXISTS
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_cross" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      r.crossJoin(n)
+        .select(col("r_regionkey"), col("n_nationkey"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    // non-equi theta join → BroadcastNestedLoopJoin (tiny side broadcast)
+    "q_join_nonequi" -> ((s, dir) => {
+      val r1 = t(s, dir, "region").select(col("r_regionkey").as("a"))
+      val r2 = broadcast(t(s, dir, "region").select(col("r_regionkey").as("b")))
+      r1.join(r2, col("a") < col("b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // sort + limit → TakeOrderedAndProject (top-k heap, no full sort)
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)),
+
+    "q_limit_offset" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+        .offset(5).limit(10)),
+
+    "q_setop_union_all" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .select(col("s_suppkey").as("k"))
+      a.union(b).groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+    }),
+
+    "q_setop_intersect" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val b = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("k"))
+      a.intersect(b).orderBy(col("k"))
+    }),
+
+    "q_setop_except" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      a.except(b).orderBy(col("k"))
+    }),
+
+    // ranking windows: row_number / rank / dense_rank, deterministic tiebreak
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("l_returnflag"), col("rn"))
+    }),
+
+    "q_window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // aggregate-over-window with ROWS frames (running + moving)
+    "q_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"),
+          round(avg(col("o_totalprice"))
+            .over(w.rowsBetween(-2, Window.currentRow)), 4).as("mov_avg3"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("n_in_part"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
+    // distinct aggregates
+    "q_agg_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          count_distinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+          round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // statistical aggregate family
+    "q_agg_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_samp"),
+          round(stddev_pop(col("l_extendedprice")), 4).as("sd_pop"),
+          round(var_samp(col("l_extendedprice")), 4).as("v_samp"),
+          round(var_pop(col("l_extendedprice")), 4).as("v_pop"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_p"))
+        .orderBy(col("l_linestatus"))),
+
+    "q_agg_regr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_agg_minmax" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min(col("o_totalprice")).as("min_p"),
+          max(col("o_totalprice")).as("max_p"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_key"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("dearest_key"),
+          first(col("o_orderkey")).as("first_key_unused"))
+        .drop("first_key_unused")
+        .orderBy(col("o_orderpriority"))),
+
+    // array_agg / collect with deterministic ordering
+    "q_agg_collect" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          sort_array(collect_list(col("n_name"))).as("nations"),
+          sort_array(collect_set(col("n_nationkey"))).as("keys"))
+        .orderBy(col("n_regionkey"))),
+
+    "q_agg_stringagg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+        .orderBy(col("n_regionkey"))),
+
+    "q_agg_bitbool" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bit_and(col("l_linenumber")).cast("long").as("band"),
+          bit_or(col("l_linenumber")).cast("long").as("bor"),
+          bit_xor(col("l_linenumber")).cast("long").as("bxor"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.05).as("any_disc"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_agg_median" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(median(col("o_totalprice")), 4).as("med"),
+          round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"))
+        .orderBy(col("o_orderstatus"))),
+
+    // HLL sketch — algorithm-specific, no cross-engine oracle (rows-only)
+    "q_agg_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
+
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("long").as("g_s"),
+          grouping(col("o_orderpriority")).cast("long").as("g_p"))
+        .orderBy(col("g_s"), col("g_p"), col("o_orderstatus"), col("o_orderpriority"))),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 2) AS sum_qty,
+          |       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // scalar subquery + IN subquery + correlated EXISTS
+    "q_subquery_scalar" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS price
+          |FROM orders
+          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    "q_subquery_in" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name
+          |FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q_subquery_exists" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """SELECT s_suppkey, s_name
+          |FROM supplier
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    "q_cte" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """WITH cust_orders AS (
+          |  SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+          |  FROM orders GROUP BY o_custkey
+          |), big AS (
+          |  SELECT * FROM cust_orders WHERE n >= 3
+          |)
+          |SELECT b.o_custkey AS custkey, b.n, round(b.total, 2) AS total
+          |FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+          |ORDER BY custkey""".stripMargin)
+    }),
+
+    "q_values_inline" -> ((s, _) =>
+      s.sql(
+        """SELECT k, v FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(k, v)
+          |WHERE k > 1 ORDER BY k""".stripMargin)
+          .select(col("k").cast("long").as("k"), col("v"))),
+
+    // tumbling event-time bucket aggregation (batch analogue of the
+    // streaming pipeline; see graft.streaming for the readStream variant).
+    // ts arrives as Long nanos (see Engine.table); integer DIV keeps
+    // microsecond exactness that double division would lose at 1e18.
+    "q_events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))),
+
+    // JSON-ish extraction from the props payload (regex, engine-portable)
+    "q_events_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+        .filter(col("k") > 80)
+        .orderBy(col("event_id"))),
+
+    // sort with explicit null placement
+    "q_sort_nulls" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, col("c_acctbal")).as("neg_bal"))
+        .orderBy(col("neg_bal").asc_nulls_first, col("c_custkey"))
+        .limit(2000)),
+
+    // pivot (conditional aggregation)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy(col("o_orderpriority")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_returnflag IN ('A', 'R') AND l_linestatus LIKE 'F%'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+
+    "q_pred_case" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  round(o_totalprice * 0.9 + 1, 4) AS adj,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(o_orderkey % 7 AS BIGINT) AS key_mod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(c_custkey, -1) AS ck, coalesce(o_custkey, -1) AS ok
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) tc
+        |FULL JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000) bo
+        |  ON tc.c_custkey = bo.o_custkey
+        |ORDER BY ck, ok""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q_join_nonequi" ->
+      """SELECT r1.r_regionkey AS a, r2.r_regionkey AS b
+        |FROM region r1 JOIN region r2 ON r1.r_regionkey < r2.r_regionkey
+        |ORDER BY a, b""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |ORDER BY o_orderkey LIMIT 10 OFFSET 5""".stripMargin,
+
+    "q_setop_union_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        |  UNION ALL
+        |  SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 9000
+        |) GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_setop_intersect" ->
+      """SELECT o_custkey AS k FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+        |ORDER BY k""".stripMargin,
+
+    "q_setop_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rk,
+        |    CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |) WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+        |  count(*) OVER (PARTITION BY o_custkey) AS n_in_part
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prk,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        |  round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_linestatus,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_samp,
+        |  round(stddev_pop(l_extendedprice), 4) AS sd_pop,
+        |  round(var_samp(l_extendedprice), 4) AS v_samp,
+        |  round(var_pop(l_extendedprice), 4) AS v_pop,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_minmax" ->
+      """SELECT o_orderpriority,
+        |  min(o_totalprice) AS min_p, max(o_totalprice) AS max_p,
+        |  arg_min(o_orderkey, o_totalprice) AS cheapest_key,
+        |  arg_max(o_orderkey, o_totalprice) AS dearest_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT n_regionkey,
+        |  list_sort(list(n_name)) AS nations,
+        |  list_sort(list(DISTINCT n_nationkey)) AS keys
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_agg_stringagg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_agg_bitbool" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.05) AS any_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT o_orderstatus,
+        |  round(median(o_totalprice), 4) AS med,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_cte" ->
+      """WITH cust_orders AS (
+        |  SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+        |  FROM orders GROUP BY o_custkey
+        |), big AS (SELECT * FROM cust_orders WHERE n >= 3)
+        |SELECT b.o_custkey AS custkey, b.n, round(b.total, 2) AS total
+        |FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_values_inline" ->
+      """SELECT CAST(k AS BIGINT) AS k, v
+        |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(k, v)
+        |WHERE k > 1 ORDER BY k""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) > 80
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sort_nulls" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN c_acctbal END AS neg_bal
+        |FROM customer
+        |ORDER BY neg_bal ASC NULLS FIRST, c_custkey LIMIT 2000""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+import graft.udaf.Udafs
+
+/** The reference's signature capability: the two custom 32-bit sum
+  * aggregates (SURVEY §2.4), exercised over testdata.
+  *
+  * Oracle note: the inputs chosen (`l_quantity`, `l_linenumber`) are
+  * integer-valued, and their sums stay below 2^24, so Float32/Int32
+  * accumulation is EXACT regardless of partitioning order — the oracle can
+  * hash-match bit-for-bit despite the 32-bit arithmetic.
+  */
+object Udaf {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  private def withUdafs(spark: SparkSession): SparkSession = {
+    Udafs.registerAll(spark); spark
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sum_cudarc semantics: everything coerced to Float32, result Float32
+    "q_sum_custom" -> ((s, dir) => {
+      withUdafs(s)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Udafs.sum_custom(col("l_quantity").cast("float")).as("sum_qty_f32"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // sum_cubecl semantics, signed-int path: Int32 accumulation → Float32
+    "q_sum_coercing_int" -> ((s, dir) => {
+      withUdafs(s)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(Udafs.sum_coercing(col("l_linenumber")).as("sum_ln_f32"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // sum_cubecl semantics, float path: Float32 accumulation
+    "q_sum_coercing_float" -> ((s, dir) => {
+      withUdafs(s)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Udafs.sum_coercing(col("l_quantity")).as("sum_qty_f32"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // reference quirk preserved: sum over zero rows → 0.0f, NOT NULL
+    // (reference: src/cubecl_sum_udaf.rs:105,207-209)
+    "q_sum_empty" -> ((s, dir) => {
+      withUdafs(s)
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 0)
+        .agg(Udafs.sum_custom(col("l_quantity").cast("float")).as("sum_empty"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sum_custom" ->
+      """SELECT l_returnflag, CAST(sum(l_quantity) AS REAL) AS sum_qty_f32
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_sum_coercing_int" ->
+      """SELECT l_linestatus, CAST(CAST(sum(l_linenumber) AS INT) AS REAL) AS sum_ln_f32
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_sum_coercing_float" ->
+      """SELECT l_returnflag, CAST(sum(l_quantity) AS REAL) AS sum_qty_f32
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_sum_empty" ->
+      """SELECT CAST(coalesce(sum(l_quantity), 0) AS REAL) AS sum_empty
+        |FROM lineitem WHERE l_quantity < 0""".stripMargin
+  )
+}

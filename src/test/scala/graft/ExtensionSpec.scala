@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity}
+
+/** Behavioral tests of the LLM-pipeline operators on literal fixtures
+  * with known ground truth (the oracle checks cover the testdata path). */
+class ExtensionSpec extends SparkSpecBase {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val nearDup = base.replace("lazy", "sleepy")
+    val other = "completely different content about spark catalyst optimizer rules " * 4
+    val docs = docsDf(1L -> base, 2L -> nearDup, 3L -> other)
+    val cands = Dedup.minhashCandidates(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.contains((1L, 2L)), s"expected (1,2) in ${cands.toSeq}")
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("jaccard verifier: identical=1, disjoint=0") {
+    val docs = docsDf(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
+      3L -> "x1 y2 z3 w4 v5 u6 t7 s8")
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = sh.filter(col("doc_id") === 1).select(col("sh").as("sa"))
+    val b = sh.filter(col("doc_id") === 2).select(col("sh").as("sb"))
+    val c = sh.filter(col("doc_id") === 3).select(col("sh").as("sc"))
+    val j12 = a.crossJoin(b).select(Dedup.jaccard(col("sa"), col("sb"))).head().getDouble(0)
+    val j13 = a.crossJoin(c).select(Dedup.jaccard(col("sa"), col("sc"))).head().getDouble(0)
+    assert(j12 == 1.0 && j13 == 0.0)
+  }
+
+  test("simhash: near-identical docs land within small Hamming distance") {
+    val base = "spark catalyst tungsten shuffle partition broadcast join aggregate " * 8
+    val near = base.replace("broadcast", "multicast")
+    val far = "totally unrelated words about cooking pasta recipes tomato basil " * 8
+    val fps = docsDf(1L -> base, 2L -> near, 3L -> far)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(1L), fps(2L)) < hamming(fps(1L), fps(3L)))
+    assert(hamming(fps(1L), fps(2L)) <= 16)
+  }
+
+  test("cosine similarity: orthogonal=0, identical=1, known neighbor ranks first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 1).select($"embedding".as("q"))
+    val sims = vecs.crossJoin(q)
+      .select($"vec_id", Similarity.cosine($"q", $"embedding").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sims(1L) - 1.0) < 1e-9)
+    assert(math.abs(sims(2L)) < 1e-9)
+    assert(sims(3L) > 0.9 && sims(3L) < 1.0)
+  }
+
+  test("hyperplane LSH: identical vectors share a bucket") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => math.sin(i).toFloat)),
+      (2L, Array.tabulate(64)(i => math.sin(i).toFloat)),
+      (3L, Array.tabulate(64)(i => math.cos(i * 3).toFloat))).toDF("vec_id", "embedding")
+    val sigs = vecs.select($"vec_id", Similarity.hyperplaneSig($"embedding", 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+  }
+
+  test("exact dedup keeps one survivor per duplicated text") {
+    val docs = docsDf(5L -> "same text", 9L -> "same text", 7L -> "unique text")
+    val out = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(5L) == 2L && out(7L) == 1L)
+  }
+}

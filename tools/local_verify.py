@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate: read Verify.scala's
+parquet dumps, run each oracle_sql.json entry in DuckDB over the same
+testdata parquet tables, and compare row counts, schemas and values.
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    # driver sorts columns by name before hashing values
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, (list, tuple)) or str(type(a)).find("ndarray") >= 0:
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(values_equal(x, y) for x, y in zip(la, lb))
+    return a == b or str(a) == str(b)
+
+def compare(name, spark_df, duck_df):
+    problems = []
+    if list(sorted(spark_df.columns)) != list(sorted(duck_df.columns)):
+        problems.append(f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+        return problems
+    s, d = norm(spark_df), norm(duck_df)
+    # dtypes (loose: compare kind after pyarrow roundtrip)
+    for c in s.columns:
+        ks, kd = s[c].dtype.kind, d[c].dtype.kind
+        if ks != kd and {ks, kd} - {"O"}:
+            problems.append(f"dtype[{c}]: spark={s[c].dtype} duck={d[c].dtype}")
+    bad = 0
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            an, bn = a is None or (isinstance(a, float) and math.isnan(a)), \
+                     b is None or (isinstance(b, float) and math.isnan(b))
+            if an and bn:
+                continue
+            if an != bn or not values_equal(a, b):
+                if bad < 3:
+                    problems.append(f"value[{c}][row {i}]: spark={a!r} duck={b!r}")
+                bad += 1
+    if bad:
+        problems.append(f"... {bad} mismatched values total")
+    return problems
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, fail, rows_only = [], [], []
+    import glob, os
+    produced = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)}
+    for name in sorted(produced):
+        try:
+            spark_df = pq.read_table(f"{out_dir}/{name}").to_pandas()
+        except Exception as e:
+            fail.append((name, [f"cannot read spark output: {e}"]))
+            continue
+        if name not in oracle:
+            rows_only.append((name, len(spark_df)))
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).arrow().to_pandas()
+        except Exception as e:
+            fail.append((name, [f"oracle SQL error: {e}"]))
+            continue
+        problems = compare(name, spark_df, duck_df)
+        (fail if problems else ok).append((name, problems))
+    missing = set(oracle) - produced
+    print(f"== OK ({len(ok)}): " + " ".join(n for n, _ in ok))
+    print(f"== ROWS-ONLY ({len(rows_only)}): " + " ".join(f"{n}({r})" for n, r in rows_only))
+    if missing:
+        print(f"== MISSING SPARK OUTPUT ({len(missing)}): " + " ".join(sorted(missing)))
+    print(f"== FAIL ({len(fail)}):")
+    for name, problems in fail:
+        print(f"-- {name}")
+        for p in problems[:6]:
+            print(f"   {p}")
+    sys.exit(1 if fail or missing else 0)
+
+if __name__ == "__main__":
+    main()
