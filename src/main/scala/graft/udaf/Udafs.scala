@@ -2,7 +2,7 @@ package graft.udaf
 
 import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.dsl.expressions._
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Coalesce, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, Cast, Coalesce, EvalMode, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions
@@ -85,14 +85,19 @@ case class SumCoercingAgg(child: Expression) extends DeclarativeAggregate {
     case IntegerType => Literal(0)
   })
 
+  // LEGACY eval mode: the reference's device arithmetic is wrapping i32
+  // (src/sum.cu adds in 32-bit); ANSI Add would throw on overflow instead
+  private def wrapAdd(l: Expression, r: Expression): Expression =
+    Add(l, r, EvalMode.LEGACY)
+
   override lazy val updateExpressions: Seq[Expression] = Seq(
-    sum + Coalesce(Seq(Cast(child, sumType), sumType match {
+    wrapAdd(sum, Coalesce(Seq(Cast(child, sumType, None, EvalMode.LEGACY), sumType match {
       case FloatType => Literal(0.0f)
       case IntegerType => Literal(0)
-    }))
+    })))
   )
 
-  override lazy val mergeExpressions: Seq[Expression] = Seq(sum.left + sum.right)
+  override lazy val mergeExpressions: Seq[Expression] = Seq(wrapAdd(sum.left, sum.right))
 
   // result always Float32 (reference: src/cubecl_sum_udaf.rs:40-42,195-199)
   override lazy val evaluateExpression: Expression = Cast(sum, FloatType)
