@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** SURVEY §2 inventory, continued: value-window functions, RANGE frames,
+  * distinct set ops + ALL variants, null-semantics predicates, try_cast,
+  * recursive CTE, map functions, approx percentiles, HAVING/DISTINCT. */
+object Relational2 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // first_value / last_value / nth_value over a running frame
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // RANGE frame over a numeric ordering key
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderkey")).rangeBetween(-1000, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_in_range"),
+          round(sum(col("o_totalprice")).over(w), 2).as("sum_in_range"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // UNION with distinct semantics
+    "q_setop_union" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_orderpriority").as("v"))
+      val b = t(s, dir, "orders").select(col("o_orderstatus").as("v"))
+      a.union(b).distinct().orderBy(col("v"))
+    }),
+
+    "q_setop_intersect_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").select(col("l_quantity").as("q"))
+        .filter(col("l_quantity") <= 5)
+      val b = t(s, dir, "lineitem").select(col("l_quantity").as("q"))
+        .filter(col("l_returnflag") === "A" && col("l_quantity") <= 5)
+      a.intersectAll(b).groupBy(col("q")).agg(count(lit(1)).as("n")).orderBy(col("q"))
+    }),
+
+    "q_setop_except_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").select(col("l_linenumber").as("ln"))
+        .filter(col("l_quantity") <= 3)
+      val b = t(s, dir, "lineitem").select(col("l_linenumber").as("ln"))
+        .filter(col("l_quantity") <= 1)
+      a.exceptAll(b).groupBy(col("ln")).agg(count(lit(1)).as("n"))
+        .select(col("ln").cast("long").as("ln"), col("n")).orderBy(col("ln"))
+    }),
+
+    // IS [NOT] DISTINCT FROM (null-safe equality), try_cast, ||, BETWEEN
+    "q_pred_misc" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """SELECT c_custkey,
+          |  (CASE WHEN c_acctbal < 0 THEN c_mktsegment END IS DISTINCT FROM c_mktsegment) AS d,
+          |  (c_mktsegment IS NOT DISTINCT FROM c_mktsegment) AS nd,
+          |  try_cast(c_name AS DOUBLE) AS bad_cast,
+          |  try_cast(CAST(c_custkey AS STRING) AS BIGINT) AS good_cast,
+          |  c_name || '/' || c_mktsegment AS joined
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // recursive CTE (Spark 4 WITH RECURSIVE)
+    "q_cte_recursive" -> ((s, _) =>
+      s.sql(
+        """WITH RECURSIVE seq(n) AS (
+          |  SELECT 1
+          |  UNION ALL
+          |  SELECT n + 1 FROM seq WHERE n < 25
+          |)
+          |SELECT CAST(n AS BIGINT) AS n, CAST(n * n AS BIGINT) AS sq
+          |FROM seq ORDER BY n""".stripMargin)),
+
+    // map construction + access functions
+    "q_map_funcs" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(map_from_arrays(
+          sort_array(collect_list(col("n_name"))),
+          sort_array(collect_list(col("n_name")))).as("m"))
+        .select(col("n_regionkey"),
+          map_keys(col("m")).as("ks"),
+          size(col("m")).cast("long").as("m_size"),
+          element_at(map_values(col("m")), 1).as("first_v"))
+        .orderBy(col("n_regionkey"))),
+
+    // t-digest style approx percentile — algorithm-specific, rows-only
+    "q_agg_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          round(median(col("o_totalprice")), 4).as("p50_exact"))
+        .orderBy(col("o_orderstatus"))),
+
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total"), count(lit(1)).as("n"))
+        .filter(col("n") > 550)
+        .orderBy(col("l_suppkey"))),
+
+    "q_select_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  count(*) OVER w AS n_in_range,
+        |  round(sum(o_totalprice) OVER w, 2) AS sum_in_range
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_setop_union" ->
+      """SELECT o_orderpriority AS v FROM orders
+        |UNION
+        |SELECT o_orderstatus AS v FROM orders
+        |ORDER BY v""".stripMargin,
+
+    "q_setop_intersect_all" ->
+      """SELECT q, count(*) AS n FROM (
+        |  SELECT l_quantity AS q FROM lineitem WHERE l_quantity <= 5
+        |  INTERSECT ALL
+        |  SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'A' AND l_quantity <= 5
+        |) GROUP BY q ORDER BY q""".stripMargin,
+
+    "q_setop_except_all" ->
+      """SELECT CAST(ln AS BIGINT) AS ln, count(*) AS n FROM (
+        |  SELECT l_linenumber AS ln FROM lineitem WHERE l_quantity <= 3
+        |  EXCEPT ALL
+        |  SELECT l_linenumber AS ln FROM lineitem WHERE l_quantity <= 1
+        |) GROUP BY ln ORDER BY ln""".stripMargin,
+
+    "q_pred_misc" ->
+      """SELECT c_custkey,
+        |  (CASE WHEN c_acctbal < 0 THEN c_mktsegment END IS DISTINCT FROM c_mktsegment) AS d,
+        |  (c_mktsegment IS NOT DISTINCT FROM c_mktsegment) AS nd,
+        |  try_cast(c_name AS DOUBLE) AS bad_cast,
+        |  try_cast(CAST(c_custkey AS VARCHAR) AS BIGINT) AS good_cast,
+        |  c_name || '/' || c_mktsegment AS joined
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_cte_recursive" ->
+      """WITH RECURSIVE seq(n) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT n + 1 FROM seq WHERE n < 25
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n * n AS BIGINT) AS sq
+        |FROM seq ORDER BY n""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH m AS (
+        |  SELECT n_regionkey, list_sort(list(n_name)) AS names
+        |  FROM nation GROUP BY n_regionkey
+        |)
+        |SELECT n_regionkey, names AS ks,
+        |  CAST(len(names) AS BIGINT) AS m_size,
+        |  names[1] AS first_v
+        |FROM m ORDER BY n_regionkey""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total, count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 550
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q_select_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+  )
+}

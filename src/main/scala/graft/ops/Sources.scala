@@ -1,0 +1,89 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** SURVEY §2.1 sources & sinks beyond parquet scan: CSV and NDJSON
+  * read/write roundtrips (header + schema inference, the reference's CSV
+  * contract, src/lib.rs:57-58), a CTAS-style parquet sink, and EXPLAIN.
+  *
+  * Roundtrip queries write a deterministic extract of a testdata table to
+  * a scratch dir, read it back through the other format's reader, and
+  * reduce — so the oracle is simply the equivalent query over the
+  * original table. Sinks use a single scratch location per format,
+  * overwritten on each run (idempotent).
+  */
+object Sources {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  private def scratch(tag: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_scratch", tag)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CSV sink → CSV scan with header + inferSchema (reference contract)
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = scratch("csv_nation")
+      t(s, dir, "nation").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").option("inferSchema", "true").csv(out)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+        .select(col("n_regionkey").cast("int").as("n_regionkey"), col("n"),
+          col("key_sum").cast("long").as("key_sum"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // NDJSON sink → NDJSON scan
+    "q_json_roundtrip" -> ((s, dir) => {
+      val out = scratch("json_customer")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .coalesce(1).write.mode("overwrite").json(out)
+      s.read.json(out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // CTAS-shaped parquet sink → scan (predicate applied pre-sink)
+    "q_parquet_ctas" -> ((s, dir) => {
+      val out = scratch("pq_bigorders")
+      t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // EXPLAIN surfaces the plan through SQL (rows-only: plan text is
+    // engine-specific by nature)
+    "q_explain" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql("EXPLAIN FORMATTED SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY l_returnflag")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_parquet_ctas" ->
+      """SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders WHERE o_totalprice > 200000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}
