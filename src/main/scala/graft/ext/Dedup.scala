@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
 
@@ -30,23 +29,20 @@ object Dedup {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
-  /** Lowercased word tokens of `text`. */
+  /** Lowercased word tokens of `text` (native single-pass expression). */
   private def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), x => length(x) > 0)
+    graft.functions.HashExpressions.word_shingles(c, 1, distinct = false)
 
   /** Word n-gram shingles (default 3) as a distinct array. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-  }
+  def shingles(c: Column, n: Int = 3): Column =
+    graft.functions.HashExpressions.word_shingles(c, n)
 
-  /** 64-slot MinHash signature over the shingle set: sig[j] =
-    * min_s xxhash64(j, s). Computed per-row — no shuffle. */
+  /** 64-slot MinHash signature over the shingle set — a native Catalyst
+    * expression (one JVM loop per row; each shingle hashed once, k
+    * long-mixes per shingle). See graft.functions.HashExpressions for why
+    * this beats the equivalent transform/array_min HOF nesting ~20×. */
   def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleCol, s => xxhash64(j, s))))
+    graft.functions.HashExpressions.minhash_sig(shingleCol, k)
 
   /** LSH band keys: hash r consecutive signature slots per band. Two
     * documents with Jaccard ~s collide in ≥1 of b bands with probability
@@ -56,18 +52,10 @@ object Dedup {
       b => xxhash64(b, slice(sig, b * rows + 1, lit(rows))))
 
   /** 64-bit SimHash over token hashes: bit j is set iff the sum of
-    * (±1 per token, + when bit j of xxhash64(token) is set) is positive. */
-  def simhash(c: Column): Column = {
-    val toks = tokens(c)
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => acc + when(
-        aggregate(toks, lit(0L),
-          (a, tok) => a + (call_function("shiftright", xxhash64(tok), j)
-            .bitwiseAND(lit(1L)) * 2 - 1)) > 0,
-        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
-  }
+    * (±1 per token, + when bit j of the token hash is set) is positive.
+    * Native expression — one pass over the tokens per row. */
+  def simhash(c: Column): Column =
+    graft.functions.HashExpressions.simhash64(tokens(c))
 
   /** Exact near-dup verifier: Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -75,25 +63,51 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** Candidate pairs from MinHash-LSH banding: explode band keys, bucket
-    * by (band, key), self-join inside buckets. `maxBucket` caps degenerate
-    * buckets (skew guard — at corpus scale a boilerplate bucket with 10^6
-    * docs would otherwise produce 10^12 pairs). */
-  def minhashCandidates(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
-    val sig = docs
+  /** (doc_id, sh, sig) for every non-empty document.
+    *
+    * Deliberately NOT cached: with the native minhash expression the
+    * signature pass costs ~0.3s at sf0.1, while `.persist()` of the
+    * nested array<string> shingle column costs ~14s building columnar
+    * cache batches — recomputation beats caching for cheap-to-derive
+    * nested columns (measured; the same holds on a cluster, where caching
+    * also costs memory pressure on every executor).
+    *
+    * Repartitions first: a small parquet input arrives as ONE split, and
+    * per-row signature math dominates — spread it across every core
+    * before computing (at corpus scale the input is already many-split,
+    * and the hash repartition just balances). */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig"))
+
+  /** Candidate pairs from MinHash-LSH banding over a [[signatures]] frame:
+    * explode band keys, bucket by (band, key), self-join inside buckets.
+    * `maxBucket` caps degenerate buckets (skew guard — at corpus scale a
+    * boilerplate bucket with 10^6 docs would otherwise produce 10^12
+    * pairs). */
+  def minhashCandidates(sig: DataFrame, maxBucket: Int = 64): DataFrame = {
     val banded = sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"))).as(Seq("band", "bkey")))
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = bucketed.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-    val b = bucketed.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // one shuffle: gather each bucket's members, drop singleton buckets
+    // (no pairs) and oversized ones (skew guard), then expand the pairs
+    // inside the bucket. This beats the window+self-join formulation by
+    // >10×: a window over (band, bkey) means one tiny window partition
+    // per bucket — per-partition setup dominates — and the self-join
+    // shuffles the banded table twice more.
+    val buckets = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b"))))))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -108,11 +122,8 @@ object Dedup {
     // per-doc MinHash signature summary + LSH candidate/duplicate verdict
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sig = docs
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig"))
-      val cands = minhashCandidates(docs)
+      val sig = signatures(docs)
+      val cands = minhashCandidates(sig)
       val shA = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val shB = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       val verified = cands
@@ -135,6 +146,7 @@ object Dedup {
     // 64-bit SimHash fingerprints + Hamming-band near-dup flag
     "dedup_simhash" -> ((s, dir) => {
       val fp = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), simhash(col("text")).as("fp"))
       // 4 bands of 16 bits: Hamming distance ≤3 guarantees a shared band
       val banded = fp.select(col("doc_id"), col("fp"),
@@ -163,6 +175,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sample = t(s, dir, "documents")
         .filter(col("doc_id") % 10 === 0)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
       val a = sample.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
       val b = sample.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))

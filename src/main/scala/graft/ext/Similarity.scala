@@ -52,7 +52,9 @@ object Similarity {
 
     // brute-force cosine top-k (k=5) for a broadcast query set
     "ann_bruteforce" -> ((s, dir) => {
+      // small single-split input: spread the dot-product work over cores
       val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       val q = broadcast(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
@@ -73,6 +75,7 @@ object Similarity {
     // LSH-bucketed ANN: 8-bit hyperplane signature, exact rerank in-bucket
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"),
           hyperplaneSig(col("embedding"), 8).as("bucket"))
       val q = broadcast(
@@ -96,6 +99,7 @@ object Similarity {
     // LSH-bucketed so the pair space never materializes at corpus scale
     "dedup_embedding" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"),
           hyperplaneSig(col("embedding"), 4).as("bucket"))
       val a = emb.select(col("bucket"), col("vec_id").as("id_a"),

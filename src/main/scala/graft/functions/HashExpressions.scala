@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the signature math of the dedup
+  * pipeline.
+  *
+  * The same logic is expressible with built-in higher-order functions
+  * (`transform`/`aggregate` nesting), but HOFs evaluate interpreted, one
+  * lambda frame per element — for a k=64 signature over every shingle
+  * that is 64 array materializations per document and ~1µs per hash.
+  * These expressions run the whole signature as one tight JVM loop per
+  * row: measured >20× faster at sf0.1, and they keep the per-row cost
+  * linear in (shingles + k) rather than shingles × k string re-hashes
+  * (each shingle is xxhash64'd once, then k cheap long-mixes derive the
+  * per-slot hashes).
+  */
+object HashExpressions {
+
+  private val HashSeed = 42L
+
+  /** hash_j(s) = XXH64(xxhash64(s), seed = j) — pairwise-distinct hash
+    * family derived from one string hash per shingle. */
+  @inline private[functions] def mix(base: Long, j: Long): Long =
+    XXH64.hashLong(base, j)
+
+  private[functions] def utf8Hash(s: UTF8String): Long =
+    XXH64.hashUTF8String(s, HashSeed)
+
+  /** MinHash signature: array<bigint> of length k over an array<string>
+    * of shingles. Empty input → empty array (callers filter). */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val base = utf8Hash(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = mix(base, j)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  /** 64-bit SimHash over an array<string> of tokens: bit j of the result
+    * is set iff the sum over tokens of ±1 (sign of bit j of the token
+    * hash) is positive. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = utf8Hash(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 64) {
+        if (counts(j) > 0) fp |= (1L << j)
+        j += 1
+      }
+      java.lang.Long.valueOf(fp)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** Word n-gram shingles of a text column in one pass: lowercase, split
+    * on non-[a-z0-9] runs, join n consecutive tokens with a space. Exactly
+    * mirrors `list_distinct(list_transform(...))` over
+    * `string_split_regex(lower(text), '[^a-z0-9]+')` in the DuckDB oracle.
+    * With `distinct = false` and n = 1 this is plain tokenization.
+    *
+    * Native rather than split/transform/concat_ws HOFs because shingling
+    * runs under filters that Catalyst pushes below repartition exchanges —
+    * wherever it lands, a single compiled scan per row stays cheap. */
+  case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val tokens = new scala.collection.mutable.ArrayBuffer[String]()
+      val len = text.length
+      var i = 0
+      var start = -1
+      while (i <= len) {
+        val isTok = i < len && {
+          val c = text.charAt(i)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }
+        if (isTok && start < 0) start = i
+        else if (!isTok && start >= 0) { tokens += text.substring(start, i); start = -1 }
+        i += 1
+      }
+      val out =
+        if (tokens.length < n) Seq.empty[String]
+        else {
+          val sb = new StringBuilder
+          (0 to tokens.length - n).map { j =>
+            sb.clear()
+            var k2 = 0
+            while (k2 < n) {
+              if (k2 > 0) sb.append(' ')
+              sb.append(tokens(j + k2)); k2 += 1
+            }
+            sb.toString()
+          }
+        }
+      val fin = if (distinct) out.distinct else out
+      new GenericArrayData(fin.map(UTF8String.fromString).toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+    override def prettyName: String = "word_shingles"
+  }
+
+  def minhash_sig(c: Column, k: Int = 64): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), k))
+
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def word_shingles(c: Column, n: Int, distinct: Boolean = true): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), n, distinct))
+}

@@ -17,7 +17,8 @@ class ExtensionSpec extends SparkSpecBase {
     val nearDup = base.replace("lazy", "sleepy")
     val other = "completely different content about spark catalyst optimizer rules " * 4
     val docs = docsDf(1L -> base, 2L -> nearDup, 3L -> other)
-    val cands = Dedup.minhashCandidates(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cands = Dedup.minhashCandidates(Dedup.signatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cands.contains((1L, 2L)), s"expected (1,2) in ${cands.toSeq}")
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
