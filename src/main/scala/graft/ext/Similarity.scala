@@ -28,14 +28,25 @@ object Similarity {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
-  /** Cosine similarity of two float-array columns, accumulated in double. */
+  import graft.functions.HashExpressions.dot_f32
+
+  /** L2 norm of a float-array column (double accumulation). */
+  def l2norm(a: Column): Column = sqrt(dot_f32(a, a))
+
+  /** Cosine similarity of two float-array columns, accumulated in double
+    * (native fused dot — see HashExpressions.DotF32). Prefer the
+    * norm-hoisted form in joins: compute [[l2norm]] per side BEFORE the
+    * join so each row's norm is computed once, not once per pair. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val dot = dot_f32(a, b)
+    val na = l2norm(a)
+    val nb = l2norm(b)
     when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
   }
+
+  /** Cosine from a precomputed-norm pair: dot/(na*nb). */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot_f32(a, b) / (na * nb))
 
   /** Random-hyperplane LSH signature: bit j = sign of <v, h_j> where
     * h_j[i] = ±1 derived from xxhash64(j, i). Deterministic everywhere. */
@@ -52,16 +63,20 @@ object Similarity {
 
     // brute-force cosine top-k (k=5) for a broadcast query set
     "ann_bruteforce" -> ((s, dir) => {
-      // small single-split input: spread the dot-product work over cores
+      // small single-split input: spread the dot-product work over cores;
+      // norms computed once per row on each side, never per pair
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .withColumn("nrm", l2norm(col("embedding")))
       val q = broadcast(
         emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("nrm").as("q_nrm")))
       val scored = emb.filter(col("vec_id") >= 10)
         .crossJoin(q)
         .select(col("q_id"), col("vec_id"),
-          cosine(col("q_vec"), col("embedding")).as("sim"))
+          cosineWithNorms(col("q_vec"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("sim"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id"))
       scored
@@ -77,15 +92,17 @@ object Similarity {
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"),
-          hyperplaneSig(col("embedding"), 8).as("bucket"))
+          hyperplaneSig(col("embedding"), 8).as("bucket"),
+          l2norm(col("embedding")).as("nrm"))
       val q = broadcast(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-            col("bucket")))
+            col("bucket"), col("nrm").as("q_nrm")))
       val cands = emb.filter(col("vec_id") >= 10)
         .join(q, Seq("bucket")) // bucket-equality join prunes the corpus
         .select(col("q_id"), col("vec_id"),
-          cosine(col("q_vec"), col("embedding")).as("sim"))
+          cosineWithNorms(col("q_vec"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("sim"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id"))
       cands.withColumn("rk", row_number().over(w))
@@ -101,14 +118,16 @@ object Similarity {
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"),
-          hyperplaneSig(col("embedding"), 4).as("bucket"))
+          hyperplaneSig(col("embedding"), 4).as("bucket"),
+          l2norm(col("embedding")).as("nrm"))
       val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
-        col("embedding").as("v_a"))
+        col("embedding").as("v_a"), col("nrm").as("n_a"))
       val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
-        col("embedding").as("v_b"))
+        col("embedding").as("v_b"), col("nrm").as("n_b"))
       val pairs = a.join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
+        .select(col("id_a"), col("id_b"),
+          cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("sim"))
         .filter(col("sim") >= 0.45)
       val flagged = pairs.select(col("id_b").as("vec_id")).distinct()
         .withColumn("near_dup", lit(true))
@@ -123,8 +142,7 @@ object Similarity {
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
-          round(sqrt(aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast("double") * x.cast("double"))), 5).as("l2"),
+          round(l2norm(col("embedding")), 5).as("l2"),
           round(aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast("double")), 5).as("sum"),
           size(col("embedding")).cast("long").as("dim"))

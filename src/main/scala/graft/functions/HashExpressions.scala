@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -143,6 +143,30 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
     override def prettyName: String = "word_shingles"
   }
+
+  /** Dot product of two float-array columns, accumulated in double — one
+    * fused loop per pair instead of zip_with + aggregate HOF frames.
+    * Mismatched lengths evaluate over the common prefix. */
+  case class DotF32(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32 =
+      copy(left = l, right = r)
+    override def prettyName: String = "dot_f32"
+  }
+
+  def dot_f32(a: Column, b: Column): Column =
+    Bridge.column(DotF32(Bridge.expression(a), Bridge.expression(b)))
 
   def minhash_sig(c: Column, k: Int = 64): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k))
