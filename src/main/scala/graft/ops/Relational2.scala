@@ -118,7 +118,62 @@ object Relational2 {
     "q_select_distinct" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
-        .orderBy(col("o_orderstatus"), col("o_orderpriority")))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    "q_join_right" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // DataFusion's date_bin ≡ floor((ts-origin)/stride)*stride+origin —
+    // composed from integer epoch arithmetic (exact; SURVEY §2.8 mapping)
+    "q_date_bin" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("bin", timestamp_seconds(
+          (unix_timestamp(col("tsx")) - pmod(unix_timestamp(col("tsx")), lit(900)))))
+        .groupBy(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin15m"))
+        // integer cents: avg-of-decimals rounding sits on tie boundaries
+        // whenever |bin| is a power of two — sums in cents are exact
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) * 100).cast("long").as("sum_cents"))
+        .orderBy(col("bin15m"))),
+
+    // catalog DDL surface: CREATE OR REPLACE TEMP VIEW + query-through
+    "q_ddl_view" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW big_suppliers AS
+          |SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 5000""".stripMargin)
+      s.sql(
+        """SELECT count(*) AS n, round(sum(s_acctbal), 2) AS total
+          |FROM big_suppliers""".stripMargin)
+    }),
+
+    // union by column NAME, inputs with different column order
+    "q_union_byname" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val b = t(s, dir, "supplier").select(col("s_acctbal").as("bal"), col("s_suppkey").as("k"))
+      a.unionByName(b)
+        .groupBy(col("k")).agg(round(sum(col("bal")), 2).as("bal_sum"))
+        .orderBy(col("k"))
+    }),
+
+    // correlated LATERAL subquery: top order per customer
+    "q_lateral" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """SELECT c.c_custkey, t.best_price
+          |FROM customer c,
+          |LATERAL (SELECT max(o_totalprice) AS best_price
+          |         FROM orders WHERE o_custkey = c.c_custkey) t
+          |WHERE t.best_price IS NOT NULL
+          |ORDER BY c.c_custkey""".stripMargin)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -196,6 +251,37 @@ object Relational2 {
 
     "q_select_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 100000) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_date_bin" ->
+      """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS bin15m,
+        |  count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY bin15m""".stripMargin,
+
+    "q_ddl_view" ->
+      """SELECT count(*) AS n, round(sum(s_acctbal), 2) AS total
+        |FROM (SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |      WHERE s_acctbal > 5000)""".stripMargin,
+
+    "q_union_byname" ->
+      """SELECT k, round(sum(bal), 2) AS bal_sum FROM (
+        |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS k, s_acctbal AS bal FROM supplier
+        |) GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, t.best_price
+        |FROM customer c,
+        |LATERAL (SELECT max(o_totalprice) AS best_price
+        |         FROM orders WHERE o_custkey = c.c_custkey) t
+        |WHERE t.best_price IS NOT NULL
+        |ORDER BY c.c_custkey""".stripMargin
   )
 }
