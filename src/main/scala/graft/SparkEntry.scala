@@ -26,12 +26,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Sources.queries ++
-      ops.Functions.queries ++ ops.Udaf.queries ++ ext.Extensions.queries
+      ops.Functions.queries ++ ops.Udaf.queries ++ ops.Scale.queries ++
+      ext.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.Sources.oracleSql ++
-      ops.Functions.oracleSql ++ ops.Udaf.oracleSql ++ ext.Extensions.oracleSql
+      ops.Functions.oracleSql ++ ops.Udaf.oracleSql ++ ops.Scale.oracleSql ++
+      ext.Extensions.oracleSql
 }

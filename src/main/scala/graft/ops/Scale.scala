@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.nio.file.Paths
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** Scale-oriented join strategies, exercised as oracle-checked queries so
+  * the rewrites are proven value-preserving:
+  *
+  *  - **salted join**: when one join key is pathologically hot, a plain
+  *    shuffle join puts the whole hot key in one task. Salting splits the
+  *    skewed (left) side into S sub-keys and explodes the build (right)
+  *    side S×, so the hot key spreads over S tasks. AQE's skew-join
+  *    handles moderate skew automatically; explicit salting is the tool
+  *    for the extreme tail (one key = 10% of 100 TB).
+  *  - **bucketed join**: pre-bucketing both fact tables on the join key
+  *    at write time makes every future join on that key exchange-free —
+  *    the physical plan must contain NO shuffle for the join itself.
+  */
+object Scale {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  /** Equi-join `left ⋈ right` on `key`, with the left side salted S ways.
+    * Result is identical to a plain inner join — verified by oracle. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+    val explodedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
+    saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // salted join ≡ plain join (oracle proves value preservation)
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      saltedJoin(li, o, "l_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // bucketed tables: join must be exchange-free (asserted in spec)
+    "q_bucketed_join" -> ((s, dir) => {
+      val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse").toString
+      val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val liTbl = s"li_b_$sfTag"
+      val oTbl = s"o_b_$sfTag"
+      if (!s.catalog.tableExists(liTbl)) {
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").option("path", s"$wh/$liTbl")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liTbl)
+      }
+      if (!s.catalog.tableExists(oTbl)) {
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+          .write.mode("overwrite").option("path", s"$wh/$oTbl")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(oTbl)
+      }
+      val li = s.table(liTbl)
+      val o = s.table(oTbl)
+      li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderstatus"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

@@ -120,6 +120,7 @@ object Udafs {
       "sum_coercing",
       exprs => SumCoercingAgg(exprs.head).toAggregateExpression(),
       "scala_udf")
+    graft.functions.Registry.registerAll(spark)
   }
 
   /** Column-API forms. */

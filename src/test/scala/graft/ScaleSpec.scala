@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Sessionize
+
+/** Scale strategies + stateful streaming behavior. */
+class ScaleSpec extends SparkSpecBase {
+
+  test("bucketed join plan has no shuffle between the bucketed scans and the join") {
+    val df = ops.Scale.queries("q_bucketed_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected SortMergeJoin in:\n$plan")
+    // the only exchange allowed is ABOVE the join (for the final groupBy)
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle its inputs:\n$plan")
+  }
+
+  test("salted join equals plain join") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = ops.Scale.saltedJoin(li, o, "l_orderkey", 4).count()
+    val plain = li.join(o, "l_orderkey").count()
+    assert(salted == plain)
+  }
+
+  test("sql surface exposes native functions (minhash_sig, word_shingles, dot_f32)") {
+    graft.udaf.Udafs.registerAll(spark)
+    val r = spark.sql(
+      """SELECT size(minhash_sig(word_shingles('a b c d e', 3), 16)) AS k,
+        |       size(word_shingles('x y z w', 1, false)) AS toks,
+        |       dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |       simhash64(word_shingles('hello world hello', 1, false)) AS fp
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 16)
+    assert(r.getInt(1) == 4)
+    assert(r.getDouble(2) == 11.0)
+  }
+
+  test("sessionization: pure fold splits on gap and counts events") {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val us = 1000L * 1000
+    val evs = Iterator(
+      Sessionize.Event(1, 0 * us, "a"),
+      Sessionize.Event(1, 60 * us, "b"),           // same session
+      Sessionize.Event(1, 4000 * us, "c"),         // > 30 min later: new session
+      Sessionize.Event(1, 4010 * us, "d"))
+    val sessions = Sessionize.sessionize(evs, gapUs).toSeq
+    assert(sessions.map(_.n_events) == Seq(2, 2))
+  }
+
+  test("streaming sessionization emits sessions for every active user") {
+    val q = Sessionize.run(spark, sfDir, "sess_test")
+    try {
+      val sessions = spark.sql("SELECT count(*) AS n, count(DISTINCT user_id) AS u FROM sess_test").head()
+      val users = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(countDistinct(col("user_id"))).head().getLong(0)
+      assert(sessions.getLong(1) == users, s"sessions for ${sessions.getLong(1)} of $users users")
+      assert(sessions.getLong(0) >= users)
+      // event conservation: session event counts sum to the event count
+      val total = spark.sql("SELECT sum(n_events) AS t FROM sess_test").head().getLong(0)
+      assert(total == 1000L)
+    } finally q.stop()
+  }
+}
