@@ -50,6 +50,20 @@ object Udaf {
         .orderBy(col("l_returnflag"))
     }),
 
+    // the reference's headline benchmark (README.md:57-75): the sum trio
+    // over a 1,000,000-row `types` table — built-in sum vs both custom
+    // aggregates. Rows-only (generated table, no oracle parquet).
+    "q_types_1m_trio" -> ((s, _) => {
+      withUdafs(s)
+      graft.engine.TypesTable.generate(s, 1000000L, seed = 42)
+        .createOrReplaceTempView("types_1m")
+      s.sql(
+        """SELECT round(sum(float), 1) AS builtin_sum,
+          |       round(CAST(sum_custom(float) AS DOUBLE), 1) AS custom_sum,
+          |       round(CAST(sum_coercing(float) AS DOUBLE), 1) AS coercing_sum
+          |FROM types_1m""".stripMargin)
+    }),
+
     // reference quirk preserved: sum over zero rows → 0.0f, NOT NULL
     // (reference: src/cubecl_sum_udaf.rs:105,207-209)
     "q_sum_empty" -> ((s, dir) => {
