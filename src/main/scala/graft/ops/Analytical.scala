@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** Full analytical pipelines in the TPC-H mold — multi-table joins +
+  * aggregation + top-k, the shapes Catalyst's join planning exists for.
+  * These exercise join reorder, broadcast selection, partial aggregation
+  * and top-k pushdown together rather than operator-by-operator. */
+object Analytical {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q3 shape: shipping-priority — 3-way join, agg, top-10
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        // order by the RAW revenue (1e-9-scale engine divergence) rather
+        // than the rounded one (1e-2-scale collision window at the limit
+        // boundary); output the rounded value
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_raw"))
+        .orderBy(col("rev_raw").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("odate"), round(col("rev_raw"), 2).as("revenue"))
+    }),
+
+    // TPC-H Q5 shape: regional volume — 6-table join through dims
+    "q_tpch_q5" -> ((s, dir) => {
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val n = broadcast(t(s, dir, "nation"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val sup = broadcast(t(s, dir, "supplier"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // TPC-H Q10 shape: returned-item losses per customer, top-20
+    "q_tpch_q10" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = broadcast(t(s, dir, "nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_raw"))
+        .orderBy(col("rev_raw").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("rev_raw"), 2).as("lost_revenue"))
+    }),
+
+    // batch sessionization (gaps-and-islands) — the oracle-checkable twin
+    // of streaming/Sessionize (30-minute inactivity gap)
+    "q_sessionize" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000 * 1000
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val sessions = ev
+        .withColumn("prev", lag(col("ts_us"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1).otherwise(0))
+        .withColumn("sess_no", sum(col("new_sess")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      sessions
+        .select(col("user_id"), col("sess_no").cast("long").as("sess_no"),
+          col("n_events"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("sess_no"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), numbered AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM numbered GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin
+  )
+}

@@ -69,6 +69,19 @@ class ScaleSpec extends SparkSpecBase {
     assert(sessions.map(_.n_events) == Seq(2, 2))
   }
 
+  test("streaming sessionization matches batch gaps-and-islands sessionize") {
+    val q = Sessionize.run(spark, sfDir, "sess_xcheck")
+    try {
+      val streamed = spark.sql(
+        "SELECT count(*) AS sessions, sum(n_events) AS events FROM sess_xcheck").head()
+      val batch = SparkEntry.queries("q_sessionize")(spark, sfDir)
+        .agg(count(lit(1)), sum(col("n_events"))).head()
+      assert(streamed.getLong(0) == batch.getLong(0),
+        s"session counts differ: stream=${streamed.getLong(0)} batch=${batch.getLong(0)}")
+      assert(streamed.getLong(1) == batch.getLong(1))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits sessions for every active user") {
     val q = Sessionize.run(spark, sfDir, "sess_test")
     try {
