@@ -102,6 +102,36 @@ object TextAnalysis {
           md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("norm_md5"))
         .orderBy(col("doc_id"))),
 
+    // end-to-end curation pipeline: the composite a training-data run
+    // executes per shard — exact-dedup survivors → quality gate →
+    // per-language corpus stats. One pass, no driver-side loops; every
+    // stage is a pushdown-friendly expression or a single hash shuffle.
+    "curation_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTok = nTokens(col("text"))
+      val nStop = stopwordHits(col("text"), stopEn)
+      // stage 1: exact dedup — keep min doc_id per normalized-content hash
+      val survivors = d
+        .withColumn("h", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+        .withColumn("keep", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("keep") === 1)
+      // stage 2: quality gate
+      val curated = survivors
+        .withColumn("n_tok", nTok)
+        .withColumn("stop_ratio",
+          nStop.cast("double") / greatest(nTok, lit(1)).cast("double"))
+        .filter(col("n_chars").between(50, 5000) && col("n_tok") >= 10)
+      // stage 3: per-language corpus stats
+      curated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"))
+        .orderBy(col("lang"))
+    }),
+
     // 64-bit content fingerprint (xxhash64 — no DuckDB equivalent,
     // rows-only check; exercised further by the scalatest spec)
     "text_fingerprint_xx" -> ((s, dir) =>
@@ -165,6 +195,30 @@ object TextAnalysis {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline" ->
+      """WITH hashed AS (
+        |  SELECT *, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+        |    row_number() OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |                       ORDER BY doc_id) AS keep
+        |  FROM documents
+        |), survivors AS (
+        |  SELECT * FROM hashed WHERE keep = 1
+        |), curated AS (
+        |  SELECT *,
+        |    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |        '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS DOUBLE) /
+        |      greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS stop_ratio
+        |  FROM survivors
+        |  WHERE n_chars BETWEEN 50 AND 5000
+        |    AND length(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 10
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(stop_ratio), 6) AS avg_stop_ratio
+        |FROM curated GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
