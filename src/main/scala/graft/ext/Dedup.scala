@@ -170,6 +170,34 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // near-dup clusters via label propagation (the distributed
+    // connected-components algorithm): every doc starts as its own
+    // cluster; each round, labels flow across candidate edges and each
+    // node keeps the minimum. Converges in O(cluster diameter) rounds —
+    // near-dup clusters are shallow, so a fixed small round count is the
+    // scalable choice (no driver-side union-find, no collect).
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = signatures(docs)
+      val cand = minhashCandidates(sig)
+      val edges = cand.union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      var labels = sig.select(col("doc_id"), col("doc_id").as("label"))
+      for (_ <- 1 to 3) {
+        val prop = edges
+          .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
+          .groupBy(col("doc_a")).agg(min(col("label")).as("nbr_label"))
+        labels = labels
+          .join(prop.select(col("doc_a").as("doc_id"), col("nbr_label")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      }
+      labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // exact word-3-gram Jaccard over a deterministic blocked sample —
     // the oracle-checkable ground truth for the LSH path above
     "dedup_ngram_jaccard" -> ((s, dir) => {

@@ -153,12 +153,32 @@ object Similarity {
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .withColumn("nrm", l2norm(col("embedding")))
-      // deterministic coarse centroids: the first C corpus vectors
-      // (a k-means refinement would slot in here unchanged)
-      val centroids = broadcast(
+      // coarse centroids: deterministic seed (first C vectors) refined by
+      // one Lloyd iteration — assign every vector to its nearest seed,
+      // then average each cell (posexplode → (cell, dim) partial means →
+      // rebuild). One extra map+shuffle pass; at corpus scale this is the
+      // classic scalable k-means step (never collects vectors).
+      val seeds = broadcast(
         emb.filter(col("vec_id") < nCells)
           .select(col("vec_id").as("cell"), col("embedding").as("c_vec"),
             col("nrm").as("c_nrm")))
+      val wSeed = Window.partitionBy(col("vec_id")).orderBy(col("__ssim").desc, col("cell"))
+      val assigned0 = emb.crossJoin(seeds)
+        .withColumn("__ssim", cosineWithNorms(col("embedding"), col("c_vec"),
+          col("nrm"), col("c_nrm")))
+        .withColumn("__srk", row_number().over(wSeed))
+        .filter(col("__srk") === 1)
+        .select(col("cell"), col("vec_id"), col("embedding"))
+      val refined = assigned0
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          transform(col("dm"), x => x.getField("m").cast("float")).as("c_vec"))
+        .withColumn("c_nrm", l2norm(col("c_vec")))
+      val centroids = broadcast(refined)
       def nearestCells(df: DataFrame, vecCol: String, nrmCol: String, keep: Int) = {
         val w = Window.partitionBy(col("__id")).orderBy(col("__csim").desc, col("cell"))
         df.crossJoin(centroids)
