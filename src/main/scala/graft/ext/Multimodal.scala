@@ -88,6 +88,32 @@ object Multimodal {
       }(enc).orderBy(col("media_id"))
     }),
 
+    // resize plumbing: decoded dimensions → letterboxed target geometry
+    // (pure arithmetic on the decode output — the real resize kernel
+    // would run inside the same mapPartitions as FakeCodec.decode)
+    "mm_resize_plan" -> ((s, dir) => {
+      val target = 224
+      val media = mediaTable(s, dir).select(col("media_id"), col("payload"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("src_w", IntegerType, nullable = false),
+        StructField("src_h", IntegerType, nullable = false),
+        StructField("dst_w", IntegerType, nullable = false),
+        StructField("dst_h", IntegerType, nullable = false),
+        StructField("pad_x", IntegerType, nullable = false),
+        StructField("pad_y", IntegerType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, _, _) = FakeCodec.decode(r.getAs[Array[Byte]]("payload"))
+          val scale = target.toDouble / math.max(w, h)
+          val dw = math.max(1, math.round(w * scale).toInt)
+          val dh = math.max(1, math.round(h * scale).toInt)
+          Row(r.getLong(0), w, h, dw, dh, (target - dw) / 2, (target - dh) / 2)
+        }
+      }(enc).orderBy(col("media_id"))
+    }),
+
     // frame-sampling plumbing: deterministic frame indices per media row,
     // exploded to (media_id, frame_no) — the shape a video pipeline fans
     // out to before per-frame decode

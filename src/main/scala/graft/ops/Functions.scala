@@ -196,6 +196,18 @@ object Functions {
         .filter(col("n") >= 20)
         .orderBy(col("word"))),
 
+    // JSON functions over the events props payload
+    "q_json_funcs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k_int"),
+          to_json(struct(col("event_id").as("id"))).as("as_json"))
+        .filter(col("event_id") < 2000)
+        .orderBy(col("event_id"))),
+
     "q_posexplode" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .filter(col("vec_id") < 5)
@@ -332,6 +344,13 @@ object Functions {
         |  FROM documents WHERE doc_id < 50
         |) WHERE length(word) > 0
         |GROUP BY word HAVING count(*) >= 20 ORDER BY word""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  props->>'k' AS k_str,
+        |  CAST(props->>'k' AS BIGINT) AS k_int,
+        |  '{"id":' || event_id || '}' AS as_json
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
 
     "q_posexplode" ->
       """SELECT vec_id, CAST(idx AS BIGINT) AS idx,
