@@ -23,7 +23,12 @@ object TypesTable {
   private val Letters = "abcdefghijklmnopqrstuvwxyz"
 
   def generate(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
-    spark.range(n).select(
+    // fixed partition count: rand(seed) seeds PER PARTITION, so letting
+    // spark.range default to the core count would make the generated
+    // data depend on the machine — 64 partitions keeps the table
+    // identical everywhere while still parallelizing generation
+    val parts = 64
+    spark.range(0L, n, 1L, parts).select(
       // one uniform lowercase letter (reference: src/lib.rs:62-67)
       lit(Letters).substr((floor(rand(seed) * 26) + 1).cast(IntegerType), lit(1))
         .alias("string"),
