@@ -64,6 +64,24 @@ object Udaf {
           |FROM types_1m""".stripMargin)
     }),
 
+    // window-frame usage of the custom aggregate — the reference's
+    // create_sliding_accumulator path (src/cudarc_sum_udaf.rs:59-62):
+    // running 32-bit sums over an ordered frame. Input values are
+    // integral, so Float32/Int32 accumulation stays exact and the
+    // DuckDB oracle hash-matches.
+    "q_udaf_window" -> ((s, dir) => {
+      withUdafs(s)
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  sum_coercing(CAST(o_orderkey % 100 AS INT)) OVER w AS running_mod,
+          |  sum_custom(CAST(o_orderkey % 7 AS FLOAT)) OVER w AS running_mod7
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
+
     // reference quirk preserved: sum over zero rows → 0.0f, NOT NULL
     // (reference: src/cubecl_sum_udaf.rs:105,207-209)
     "q_sum_empty" -> ((s, dir) => {
@@ -89,6 +107,15 @@ object Udaf {
 
     "q_sum_empty" ->
       """SELECT CAST(coalesce(sum(l_quantity), 0) AS REAL) AS sum_empty
-        |FROM lineitem WHERE l_quantity < 0""".stripMargin
+        |FROM lineitem WHERE l_quantity < 0""".stripMargin,
+
+    "q_udaf_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(sum(o_orderkey % 100) OVER w AS INT) AS REAL) AS running_mod,
+        |  CAST(sum(o_orderkey % 7) OVER w AS REAL) AS running_mod7
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
