@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries ++ AsOf.queries
   def oracleSql: Map[String, String] =
-    Dedup.oracleSql ++ Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Multimodal.oracleSql
+    Dedup.oracleSql ++ Similarity.oracleSql ++ TextAnalysis.oracleSql ++
+      Multimodal.oracleSql ++ AsOf.oracleSql
 }
