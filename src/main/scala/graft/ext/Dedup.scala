@@ -180,7 +180,12 @@ object Dedup {
       val docs = t(s, dir, "documents")
       val sig = signatures(docs)
       val cand = minhashCandidates(sig)
-      val edges = cand.union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      // edge list is tiny (candidate pairs only) and referenced every
+      // propagation round — cache it (flat longs, cheap to materialize,
+      // unlike the nested shingle columns; see `signatures` note)
+      val edges = cand
+        .union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .persist()
       var labels = sig.select(col("doc_id"), col("doc_id").as("label"))
       for (_ <- 1 to 3) {
         val prop = edges

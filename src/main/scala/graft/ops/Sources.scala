@@ -64,6 +64,20 @@ object Sources {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // DML: INSERT INTO an external table, then read the union back
+    "q_insert_into" -> ((s, dir) => {
+      val out = scratch("ins_region")
+      val tbl = "ins_region_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      t(s, dir, "region").write.mode("overwrite")
+        .option("path", out).saveAsTable(tbl)
+      s.sql(s"INSERT INTO $tbl VALUES (100, 'NEWLAND'), (101, 'OLDLAND')")
+      s.table(tbl)
+        .groupBy(lit(1).as("g"))
+        .agg(count(lit(1)).as("n"), max(col("r_regionkey")).as("max_key"))
+        .select(col("n"), col("max_key"))
+    }),
+
     // EXPLAIN surfaces the plan through SQL (rows-only: plan text is
     // engine-specific by nature)
     "q_explain" -> ((s, dir) => {
@@ -84,6 +98,9 @@ object Sources {
     "q_parquet_ctas" ->
       """SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
         |FROM orders WHERE o_totalprice > 200000
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_insert_into" ->
+      """SELECT count(*) + 2 AS n, CAST(101 AS INT) AS max_key FROM region""".stripMargin
   )
 }
