@@ -31,10 +31,11 @@ object AsOf {
       .withColumn("__bval", lit(null).cast("double"))
     val b = build.select(col(key), col(ts), col(ts).as("__bts"),
       col(valueCol).cast("double").as("__bval"), lit(0).as("__side"))
+    val probeCols = probe.columns.toIndexedSeq.map(col)
     val unioned = p.select(col(key), col(ts), col("__bts"), col("__bval"),
-        col("__side"), struct(probe.columns.map(col): _*).as("__probe"))
+        col("__side"), struct(probeCols: _*).as("__probe"))
       .unionByName(b.withColumn("__probe",
-        lit(null).cast(p.select(struct(probe.columns.map(col): _*)).schema.head.dataType)),
+        lit(null).cast(p.select(struct(probeCols: _*)).schema.head.dataType)),
         allowMissingColumns = false)
     // build rows sort BEFORE probe rows at equal ts (__side 0 < 1), so a
     // same-instant build row is visible to the probe — ASOF (<=) semantics
