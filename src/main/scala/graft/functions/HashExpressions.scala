@@ -144,6 +144,45 @@ object HashExpressions {
     override def prettyName: String = "word_shingles"
   }
 
+  /** gcd/lcm — scalar functions DataFusion ships (SURVEY §2.8 math
+    * family) that Spark lacks; trivial codegen-fallback expressions. */
+  case class Gcd(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    @annotation.tailrec
+    private def gcd(a: Long, b: Long): Long = if (b == 0) math.abs(a) else gcd(b, a % b)
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(gcd(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Gcd =
+      copy(left = l, right = r)
+    override def prettyName: String = "num_gcd"
+  }
+
+  case class Lcm(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    @annotation.tailrec
+    private def gcd(a: Long, b: Long): Long = if (b == 0) math.abs(a) else gcd(b, a % b)
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[Long], b.asInstanceOf[Long])
+      java.lang.Long.valueOf(if (x == 0 || y == 0) 0L else math.abs(x / gcd(x, y) * y))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Lcm =
+      copy(left = l, right = r)
+    override def prettyName: String = "num_lcm"
+  }
+
+  def num_gcd(a: Column, b: Column): Column =
+    Bridge.column(Gcd(Bridge.expression(a), Bridge.expression(b)))
+  def num_lcm(a: Column, b: Column): Column =
+    Bridge.column(Lcm(Bridge.expression(a), Bridge.expression(b)))
+
   /** Dot product of two float-array columns, accumulated in double — one
     * fused loop per pair instead of zip_with + aggregate HOF frames.
     * Mismatched lengths evaluate over the common prefix. */

@@ -38,5 +38,9 @@ object Registry {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("dot_f32",
       exprs => DotF32(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("num_gcd",
+      exprs => Gcd(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("num_lcm",
+      exprs => Lcm(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -70,6 +70,24 @@ object Functions {
           least(col("s_acctbal"), lit(0.0)).as("l0"))
         .orderBy(col("s_suppkey"))),
 
+    // math family round-out: factorial, gcd/lcm (custom expressions —
+    // DataFusion has them, Spark doesn't), pi, isnan/nanvl, trunc
+    "q_math_funcs2" -> ((s, dir) => {
+      import graft.functions.HashExpressions.{num_gcd, num_lcm}
+      t(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          factorial((col("s_suppkey") % 10).cast("int")).as("fact"),
+          num_gcd(col("s_suppkey"), lit(36L)).as("g"),
+          num_lcm(col("s_suppkey") % 12, lit(8L)).as("l"),
+          round(lit(math.Pi), 6).as("pi_v"),
+          isnan(lit(Double.NaN) * col("s_acctbal")).as("nan_chk"),
+          nanvl(lit(Double.NaN), col("s_acctbal")).as("nv"),
+          col("s_acctbal").cast("long").as("tr")) // toward-zero truncation
+        .filter(col("s_suppkey") > 0)
+        .orderBy(col("s_suppkey"))
+    }),
+
     "q_date_funcs" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(
@@ -264,6 +282,17 @@ object Functions {
         |  greatest(s_acctbal, 0.0) AS g0,
         |  least(s_acctbal, 0.0) AS l0
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_math_funcs2" ->
+      """SELECT s_suppkey,
+        |  CAST(factorial(CAST(s_suppkey % 10 AS INT)) AS BIGINT) AS fact,
+        |  CAST(gcd(s_suppkey, 36) AS BIGINT) AS g,
+        |  CAST(lcm(s_suppkey % 12, 8) AS BIGINT) AS l,
+        |  round(pi(), 6) AS pi_v,
+        |  isnan(CAST('nan' AS DOUBLE) * s_acctbal) AS nan_chk,
+        |  s_acctbal AS nv,
+        |  CAST(trunc(s_acctbal) AS BIGINT) AS tr
+        |FROM supplier WHERE s_suppkey > 0 ORDER BY s_suppkey""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT o_orderkey,
