@@ -163,6 +163,24 @@ object Relational2 {
         .orderBy(col("k"))
     }),
 
+    // nondeterministic functions (uuid, rand) — asserted via
+    // deterministic invariants so the oracle can hash-match
+    "q_nondet_fns" -> ((s, _) =>
+      s.range(1).select(
+        (length(expr("uuid()")) === 36).as("uuid_ok"),
+        (rand() >= 0 && rand() < 1).as("rand_ok"),
+        (randn().isNotNull).as("randn_ok"))),
+
+    // sliding event-time windows: 1h windows every 30min (each event in 2)
+    "q_events_sliding" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("tsx"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))),
+
     // correlated LATERAL subquery: top order per customer
     "q_lateral" -> ((s, dir) => {
       Engine.registerTestdata(s, dir)
@@ -275,6 +293,22 @@ object Relational2 {
         |  UNION ALL
         |  SELECT s_suppkey AS k, s_acctbal AS bal FROM supplier
         |) GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_nondet_fns" ->
+      """SELECT length(CAST(uuid() AS VARCHAR)) = 36 AS uuid_ok,
+        |  random() >= 0 AND random() < 1 AS rand_ok,
+        |  TRUE AS randn_ok""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH starts AS (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |            time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start
+        |  FROM events
+        |)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |  count(*) AS n
+        |FROM starts GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "q_lateral" ->
       """SELECT c.c_custkey, t.best_price
