@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
 
@@ -132,6 +133,55 @@ object TextAnalysis {
         .orderBy(col("lang"))
     }),
 
+    // TF-IDF: classic two-pass term weighting — tf per (doc, term), df
+    // per term (one shuffle each), top-3 terms per doc. The document
+    // frequency table is small (vocabulary-sized) and broadcast back.
+    "text_tfidf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nDocs = d.count() // corpus size: one cheap metadata-only job
+      val terms = d
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0)).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_raw").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("tfidf_raw",
+          col("tf") * log(lit(nDocs.toDouble) / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+          round(col("tfidf_raw"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // fuzzy dedup by edit distance: Levenshtein ≤ 5 on a deterministic
+    // sample, blocked by (lang, length bucket) to bound the pair space —
+    // the string-similarity cousin of the Jaccard verifier
+    "dedup_levenshtein" -> ((s, dir) => {
+      val sample = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("head40"),
+          // integer DIV, not cast(double): DuckDB's double→int cast
+          // rounds to nearest while Spark truncates
+          expr("n_chars DIV 100").as("len_bucket"))
+      val a = sample.select(col("doc_id").as("doc_a"), col("lang"),
+        col("len_bucket"), col("head40").as("h_a"))
+      val b = sample.select(col("doc_id").as("doc_b"), col("lang"),
+        col("len_bucket"), col("head40").as("h_b"))
+      a.join(b, Seq("lang", "len_bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("h_a"), col("h_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // 64-bit content fingerprint (xxhash64 — no DuckDB equivalent,
     // rows-only check; exercised further by the scalatest spec)
     "text_fingerprint_xx" -> ((s, dir) =>
@@ -196,6 +246,40 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(tfidf_raw, 6) AS tfidf
+        |FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf_raw,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term) AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "dedup_levenshtein" ->
+      """WITH sample AS (
+        |  SELECT doc_id, lang, substring(text, 1, 40) AS head40,
+        |    n_chars // 100 AS len_bucket
+        |  FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.head40, b.head40) AS BIGINT) AS dist
+        |FROM sample a JOIN sample b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head40, b.head40) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "curation_pipeline" ->
       """WITH hashed AS (
