@@ -108,6 +108,18 @@ object Functions {
           unix_timestamp(date_trunc("second", col("o_orderdate"))).as("epoch_s"))
         .orderBy(col("o_orderkey"))),
 
+    "q_date_funcs2" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_format(make_date(lit(2024), lit(3), lit(17)), "yyyy-MM-dd").as("md"),
+          date_format(to_date(lit("2024-03-17")), "yyyy-MM-dd").as("td"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow_sun1"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          weekofyear(col("o_orderdate")).cast("long").as("woy"))
+        .filter(col("o_orderkey") < 3000)
+        .orderBy(col("o_orderkey"))),
+
     "q_regex_funcs" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(
@@ -308,6 +320,15 @@ object Functions {
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end,
         |  CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  strftime(make_date(2024, 3, 17), '%Y-%m-%d') AS md,
+        |  strftime(CAST('2024-03-17' AS DATE), '%Y-%m-%d') AS td,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS woy
+        |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
 
     "q_regex_funcs" ->
       """SELECT doc_id,
