@@ -185,6 +185,24 @@ object Functions {
           "CAST(flat AS ARRAY<BIGINT>) AS flat", "CAST(seq AS ARRAY<BIGINT>) AS seq",
           "CAST(pos2 AS BIGINT) AS pos2", "CAST(no1 AS ARRAY<BIGINT>) AS no1")),
 
+    // higher-order array functions as user surface (transform / filter /
+    // aggregate / exists / forall / zip_with)
+    "q_higher_order" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") < 50)
+        .select(
+          col("vec_id"),
+          round(aggregate(transform(col("embedding"), x => x.cast("double") * 2),
+            lit(0.0), (acc, x) => acc + x), 5).as("sum2x"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          exists(col("embedding"), x => x > 0.3).as("any_big"),
+          forall(col("embedding"), x => abs(x) < 1).as("all_small"),
+          round(aggregate(
+            zip_with(slice(col("embedding"), 1, 8), slice(col("embedding"), 9, 8),
+              (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 6).as("dot8"))
+        .orderBy(col("vec_id"))),
+
     "q_struct_funcs" -> ((s, dir) =>
       t(s, dir, "customer")
         .select(
@@ -375,6 +393,16 @@ object Functions {
         |  (2, [5, 5, 6], [6, 7]),
         |  (3, [1, 1, 1], [1])) AS t(k, a, b)
         |ORDER BY k""".stripMargin,
+
+    "q_higher_order" ->
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)), 5) AS sum2x,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  len(list_filter(embedding, x -> x > 0.3)) > 0 AS any_big,
+        |  len(list_filter(embedding, x -> abs(x) >= 1)) = 0 AS all_small,
+        |  round(list_sum(list_transform(generate_series(1, 8),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i + 8] AS DOUBLE))), 6) AS dot8
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
 
     "q_struct_funcs" ->
       """SELECT c_custkey, c_name AS name, c_acctbal AS bal
