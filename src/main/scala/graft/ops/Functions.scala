@@ -154,8 +154,15 @@ object Functions {
           round(element_at(col("embedding"), -1).cast("double"), 6).as("last_elem"),
           round(array_max(col("embedding")).cast("double"), 6).as("mx"),
           round(array_min(col("embedding")).cast("double"), 6).as("mn"),
-          slice(col("embedding"), 1, 3).as("head3"),
-          sort_array(slice(col("embedding"), 1, 4)).as("sorted4"),
+          // nested outputs serialized: quantize f32→micro-int (exact — no
+          // .5 tie is representable as (2k+1)/2e6 in binary) then join,
+          // so both engines hash the identical canonical string
+          array_join(transform(slice(col("embedding"), 1, 3),
+            x => round(x.cast("double") * 1e6).cast("long").cast("string")), ",")
+            .as("head3"),
+          array_join(transform(sort_array(slice(col("embedding"), 1, 4)),
+            x => round(x.cast("double") * 1e6).cast("long").cast("string")), ",")
+            .as("sorted4"),
           array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
           round(aggregate(col("embedding"), lit(0.0d),
             (acc, x) => acc + x), 5).as("vec_sum"))
@@ -179,11 +186,16 @@ object Functions {
           |  (3, array(1, 1, 1), array(1))
           | AS t(k, a, b)
           |ORDER BY k""".stripMargin)
+        // serialize array outputs (driver's comparer can't sort nested cols)
         .selectExpr("CAST(k AS BIGINT) AS k",
-          "CAST(dist AS ARRAY<BIGINT>) AS dist", "CAST(un AS ARRAY<BIGINT>) AS un",
-          "CAST(inter AS ARRAY<BIGINT>) AS inter", "CAST(ex AS ARRAY<BIGINT>) AS ex",
-          "CAST(flat AS ARRAY<BIGINT>) AS flat", "CAST(seq AS ARRAY<BIGINT>) AS seq",
-          "CAST(pos2 AS BIGINT) AS pos2", "CAST(no1 AS ARRAY<BIGINT>) AS no1")),
+          "array_join(CAST(dist AS ARRAY<STRING>), ',') AS dist",
+          "array_join(CAST(un AS ARRAY<STRING>), ',') AS un",
+          "array_join(CAST(inter AS ARRAY<STRING>), ',') AS inter",
+          "array_join(CAST(ex AS ARRAY<STRING>), ',') AS ex",
+          "array_join(CAST(flat AS ARRAY<STRING>), ',') AS flat",
+          "array_join(CAST(seq AS ARRAY<STRING>), ',') AS seq",
+          "CAST(pos2 AS BIGINT) AS pos2",
+          "array_join(CAST(no1 AS ARRAY<STRING>), ',') AS no1")),
 
     // higher-order array functions as user surface (transform / filter /
     // aggregate / exists / forall / zip_with)
@@ -372,22 +384,24 @@ object Functions {
         |  round(CAST(embedding[-1] AS DOUBLE), 6) AS last_elem,
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
         |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
-        |  embedding[1:3] AS head3,
-        |  list_sort(embedding[1:4]) AS sorted4,
+        |  array_to_string(CAST(list_transform(CAST(embedding[1:3] AS DOUBLE[]),
+        |    x -> CAST(round(x * 1e6) AS BIGINT)) AS VARCHAR[]), ',') AS head3,
+        |  array_to_string(CAST(list_transform(CAST(list_sort(embedding[1:4]) AS DOUBLE[]),
+        |    x -> CAST(round(x * 1e6) AS BIGINT)) AS VARCHAR[]), ',') AS sorted4,
         |  list_contains(embedding, 0.0) AS has_zero,
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 5) AS vec_sum
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
 
     "q_array_ops" ->
       """SELECT CAST(k AS BIGINT) AS k,
-        |  CAST(list_sort(list_distinct(a)) AS BIGINT[]) AS dist,
-        |  CAST(list_sort(list_distinct(list_concat(a, b))) AS BIGINT[]) AS un,
-        |  CAST(list_sort(list_intersect(a, b)) AS BIGINT[]) AS inter,
-        |  CAST(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS BIGINT[]) AS ex,
-        |  CAST(flatten([a, b]) AS BIGINT[]) AS flat,
-        |  CAST(generate_series(1, k) AS BIGINT[]) AS seq,
+        |  array_to_string(CAST(list_sort(list_distinct(a)) AS VARCHAR[]), ',') AS dist,
+        |  array_to_string(CAST(list_sort(list_distinct(list_concat(a, b))) AS VARCHAR[]), ',') AS un,
+        |  coalesce(array_to_string(CAST(list_sort(list_intersect(a, b)) AS VARCHAR[]), ','), '') AS inter,
+        |  coalesce(array_to_string(CAST(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS VARCHAR[]), ','), '') AS ex,
+        |  array_to_string(CAST(flatten([a, b]) AS VARCHAR[]), ',') AS flat,
+        |  array_to_string(CAST(generate_series(1, k) AS VARCHAR[]), ',') AS seq,
         |  CAST(list_position(a, 2) AS BIGINT) AS pos2,
-        |  CAST(list_sort(list_filter(a, x -> x != 1)) AS BIGINT[]) AS no1
+        |  coalesce(array_to_string(CAST(list_sort(list_filter(a, x -> x != 1)) AS VARCHAR[]), ','), '') AS no1
         |FROM (VALUES
         |  (1, [1, 2, 2, 3], [2, 3, 4]),
         |  (2, [5, 5, 6], [6, 7]),

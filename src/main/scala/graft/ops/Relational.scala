@@ -270,13 +270,16 @@ object Relational {
         .drop("first_key_unused")
         .orderBy(col("o_orderpriority"))),
 
-    // array_agg / collect with deterministic ordering
+    // array_agg / collect with deterministic ordering. The collected
+    // arrays are serialized to canonical comma-joined strings so the
+    // driver's pandas sorter can hash them (nested columns throw there).
     "q_agg_collect" -> ((s, dir) =>
       t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
         .agg(
-          sort_array(collect_list(col("n_name"))).as("nations"),
-          sort_array(collect_set(col("n_nationkey"))).as("keys"))
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          array_join(sort_array(collect_set(col("n_nationkey"))).cast("array<string>"), ",")
+            .as("keys"))
         .orderBy(col("n_regionkey"))),
 
     "q_agg_stringagg" -> ((s, dir) =>
@@ -599,8 +602,8 @@ object Relational {
 
     "q_agg_collect" ->
       """SELECT n_regionkey,
-        |  list_sort(list(n_name)) AS nations,
-        |  list_sort(list(DISTINCT n_nationkey)) AS keys
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  array_to_string(CAST(list_sort(list(DISTINCT n_nationkey)) AS VARCHAR[]), ',') AS keys
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q_agg_stringagg" ->

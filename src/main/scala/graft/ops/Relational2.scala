@@ -94,7 +94,8 @@ object Relational2 {
           sort_array(collect_list(col("n_name"))),
           sort_array(collect_list(col("n_name")))).as("m"))
         .select(col("n_regionkey"),
-          map_keys(col("m")).as("ks"),
+          // serialize the key list (driver's comparer can't sort nested cols)
+          array_join(map_keys(col("m")), ",").as("ks"),
           size(col("m")).cast("long").as("m_size"),
           element_at(map_values(col("m")), 1).as("first_v"))
         .orderBy(col("n_regionkey"))),
@@ -257,7 +258,7 @@ object Relational2 {
         |  SELECT n_regionkey, list_sort(list(n_name)) AS names
         |  FROM nation GROUP BY n_regionkey
         |)
-        |SELECT n_regionkey, names AS ks,
+        |SELECT n_regionkey, array_to_string(names, ',') AS ks,
         |  CAST(len(names) AS BIGINT) AS m_size,
         |  names[1] AS first_v
         |FROM m ORDER BY n_regionkey""".stripMargin,
