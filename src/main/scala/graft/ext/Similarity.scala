@@ -48,16 +48,23 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na === 0 || nb === 0, lit(0.0)).otherwise(dot_f32(a, b) / (na * nb))
 
-  /** Random-hyperplane LSH signature: bit j = sign of <v, h_j> where
-    * h_j[i] = ±1 derived from xxhash64(j, i). Deterministic everywhere. */
+  /** Random-hyperplane LSH signature: bit j = sign of <round(v*1000),
+    * h_j> where h_j[i] = ±1 derived from md5 parity. Native Catalyst
+    * expression (one compiled loop per row — the interpreted HOF version
+    * this replaces paid ~bits×dim lambda frames per row), deterministic
+    * on every executor, and exactly mirrored by the DuckDB oracle
+    * (see HashExpressions.HyperplaneSig). */
   def hyperplaneSig(vec: Column, bits: Int): Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, j) => acc + when(
-        aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            (xxhash64(j, i).bitwiseAND(lit(1L)).cast("double") * 2 - 1)),
-          lit(0.0), (a2, x) => a2 + x) > 0,
-        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    graft.functions.HashExpressions.hyperplane_sig(vec, bits)
+
+  /** DuckDB mirror of [[hyperplaneSig]] for oracle SQL (same md5-parity
+    * hyperplanes, same integer quantization — exact in both engines). */
+  def hyperplaneSigDuck(vecExpr: String, bits: Int): String =
+    s"""list_sum(list_transform(range(0, $bits), j ->
+       |    CASE WHEN list_sum(list_transform(range(0, len($vecExpr)), i ->
+       |      CAST(round(CAST($vecExpr[i+1] AS DOUBLE)*1000) AS BIGINT) *
+       |      (CASE WHEN substr(md5(concat(j, '_', i)),1,1) IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)
+       |    )) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -238,8 +245,45 @@ object Similarity {
         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(sim, 5) AS sim
         |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
-    // ann_lsh / dedup_embedding: xxhash64-derived hyperplanes not
-    // expressible in DuckDB → rows-only check.
+    // ann_lsh / dedup_embedding gained real oracles once the signature
+    // moved to md5-parity hyperplanes + integer quantization (exactly
+    // expressible in DuckDB — see hyperplaneSigDuck).
+    "ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |  ${hyperplaneSigDuck("embedding", 8)} AS bucket
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM e WHERE vec_id < 10
+         |), cands AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[])) AS sim
+         |  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id >= 10
+         |), ranked AS (
+         |  SELECT q_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |  FROM cands
+         |)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(sim, 5) AS sim
+         |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |  ${hyperplaneSigDuck("embedding", 4)} AS bucket
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                           CAST(b.embedding AS DOUBLE[])) AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |), flagged AS (
+         |  SELECT DISTINCT id_b AS vec_id FROM pairs WHERE sim >= 0.45
+         |)
+         |SELECT e.vec_id, e.label, (f.vec_id IS NOT NULL) AS near_dup
+         |FROM e LEFT JOIN flagged f ON e.vec_id = f.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
 
     "emb_norms" ->
       """SELECT vec_id, label,

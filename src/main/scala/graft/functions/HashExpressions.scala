@@ -207,6 +207,61 @@ object HashExpressions {
   def dot_f32(a: Column, b: Column): Column =
     Bridge.column(DotF32(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Random-hyperplane LSH signature over an array<float>: bit j is set
+    * iff `sum_i round(v_i * 1000) * h_ji > 0`, where h_ji = +1 iff the
+    * first hex digit of md5("j_i") is even. Replaces a nested interpreted
+    * HOF (one lambda frame per (bit × dim) per row) with one compiled
+    * loop. Two deliberate choices make it oracle-checkable:
+    *  - quantizing to integers makes the sign decision exact — no
+    *    float-summation-order divergence between engines (and v*1000
+    *    cannot sit on a rounding tie: (2k+1)/2000 has a factor 125 in the
+    *    denominator, unrepresentable in binary floating point);
+    *  - md5 (unlike xxhash64) exists in DuckDB, so the same hyperplanes
+    *    are expressible in the oracle SQL.
+    * The sign matrix is derived, not broadcast — identical on every
+    * executor. Dims beyond 256 fold back onto the first 256 signs. */
+  case class HyperplaneSig(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bits >= 1 && bits <= 63)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val signs: Array[Array[Byte]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(bits, MaxDims) { (j, i) =>
+        val d = md.digest(s"${j}_${i}".getBytes("UTF-8"))
+        if ((((d(0) >> 4) & 0xf) & 1) == 0) 1.toByte else (-1).toByte
+      }
+    }
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val quant = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        quant(i) = math.rint(arr.getFloat(i).toDouble * 1000).toLong
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < bits) {
+        val hs = signs(j)
+        var acc = 0L
+        i = 0
+        while (i < n) { acc += quant(i) * hs(i % MaxDims); i += 1 }
+        if (acc > 0) fp |= (1L << j)
+        j += 1
+      }
+      java.lang.Long.valueOf(fp)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+    override def prettyName: String = "hyperplane_sig"
+  }
+
+  private val MaxDims = 256
+
+  def hyperplane_sig(c: Column, bits: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(c), bits))
+
   def minhash_sig(c: Column, k: Int = 64): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k))
 

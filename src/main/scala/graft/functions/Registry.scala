@@ -38,6 +38,11 @@ object Registry {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("dot_f32",
       exprs => DotF32(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_sig", exprs => exprs match {
+      case Seq(c) => HyperplaneSig(c, 8)
+      case Seq(c, b) => HyperplaneSig(c, intArg(b, "hyperplane_sig bits"))
+      case _ => throw new IllegalArgumentException("hyperplane_sig(vec[, bits])")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("num_gcd",
       exprs => Gcd(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("num_lcm",
