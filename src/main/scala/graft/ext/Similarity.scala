@@ -165,17 +165,28 @@ object Similarity {
       // then average each cell (posexplode → (cell, dim) partial means →
       // rebuild). One extra map+shuffle pass; at corpus scale this is the
       // classic scalable k-means step (never collects vectors).
+      //
+      // The tiny frames (seeds / centroids / probes — O(nCells) and
+      // O(queries×nProbe) rows) are localCheckpoint'ed before broadcast:
+      // broadcast() re-executes its subplan at every reference, and these
+      // sit on top of the full scan→repartition→norm(→Lloyd) chain. On a
+      // real cluster the same call is a reliable checkpoint.
       val seeds = broadcast(
         emb.filter(col("vec_id") < nCells)
           .select(col("vec_id").as("cell"), col("embedding").as("c_vec"),
-            col("nrm").as("c_nrm")))
-      val wSeed = Window.partitionBy(col("vec_id")).orderBy(col("__ssim").desc, col("cell"))
+            col("nrm").as("c_nrm"))
+          .localCheckpoint(true))
+      // nearest seed per vector via groupBy + max_by: map-side partial
+      // aggregation, where the row_number window this replaces built one
+      // window partition (sort + state) per corpus row
       val assigned0 = emb.crossJoin(seeds)
         .withColumn("__ssim", cosineWithNorms(col("embedding"), col("c_vec"),
           col("nrm"), col("c_nrm")))
-        .withColumn("__srk", row_number().over(wSeed))
-        .filter(col("__srk") === 1)
-        .select(col("cell"), col("vec_id"), col("embedding"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell"), col("embedding")),
+          struct(col("__ssim"), negate(col("cell")))).as("best"))
+        .select(col("best.cell").as("cell"), col("vec_id"),
+          col("best.embedding").as("embedding"))
       val refined = assigned0
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
@@ -185,15 +196,23 @@ object Similarity {
         .select(col("cell"),
           transform(col("dm"), x => x.getField("m").cast("float")).as("c_vec"))
         .withColumn("c_nrm", l2norm(col("c_vec")))
+        .localCheckpoint(true)
       val centroids = broadcast(refined)
+      // top-`keep` cells per row: aggregate the (nCells-long) scored list
+      // per row and slice — no per-row window partitions; every column of
+      // `df` is constant per __id so first() is exact
       def nearestCells(df: DataFrame, vecCol: String, nrmCol: String, keep: Int) = {
-        val w = Window.partitionBy(col("__id")).orderBy(col("__csim").desc, col("cell"))
-        df.crossJoin(centroids)
+        val keepCols = df.columns.filter(_ != "__id").toSeq
+        val scored = df.crossJoin(centroids)
           .withColumn("__csim", cosineWithNorms(col(vecCol), col("c_vec"),
             col(nrmCol), col("c_nrm")))
-          .withColumn("__crk", row_number().over(w))
-          .filter(col("__crk") <= keep)
-          .drop("c_vec", "c_nrm", "__csim", "__crk")
+        val aggs = keepCols.map(c => first(col(c)).as(c)) :+
+          slice(array_sort(collect_list(struct(negate(col("__csim")).as("ns"),
+            col("cell")))), 1, keep).as("__top")
+        scored.groupBy(col("__id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select((col("__id") +: keepCols.map(col)) :+
+            explode(col("__top.cell")).as("cell"): _*)
       }
       val corpus = emb.filter(col("vec_id") >= 10)
         .withColumn("__id", col("vec_id"))
@@ -203,7 +222,8 @@ object Similarity {
           col("nrm").as("q_nrm"))
         .withColumn("__id", col("q_id"))
       val probes = broadcast(nearestCells(queries, "q_vec", "q_nrm", nProbe)
-        .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell")))
+        .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+        .localCheckpoint(true))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id"))
       assigned.join(probes, Seq("cell")) // probe only matching cells
