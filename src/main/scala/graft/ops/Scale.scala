@@ -24,10 +24,21 @@ object Scale {
     Engine.table(spark, dir, name)
 
   /** Equi-join `left ⋈ right` on `key`, with the left side salted S ways.
-    * Result is identical to a plain inner join — verified by oracle. */
-  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    * Result is identical to a plain inner join — verified by oracle.
+    *
+    * The salt MUST be a pure function of row content (`saltCols`), never
+    * of `monotonically_increasing_id()` or `rand()`: under stage retry a
+    * recomputed row would draw a different salt and be dropped or
+    * duplicated — exactly in the executor-loss regime salting exists
+    * for. Content-derived salts are also deterministic, so Catalyst can
+    * optimize across them. `saltCols` defaults to every non-key column
+    * of `left`; pass one cheap discriminating column when available. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int,
+      saltCols: Seq[Column] = Nil): DataFrame = {
+    val src = if (saltCols.nonEmpty) saltCols
+      else left.columns.filterNot(_ == key).map(col).toSeq
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(src: _*), lit(salts)))
     val explodedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
@@ -40,7 +51,7 @@ object Scale {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      saltedJoin(li, o, "l_orderkey", 8)
+      saltedJoin(li, o, "l_orderkey", 8, Seq(col("l_linenumber")))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
         .orderBy(col("o_orderpriority"))
