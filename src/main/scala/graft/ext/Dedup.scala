@@ -46,10 +46,14 @@ object Dedup {
 
   /** LSH band keys: hash r consecutive signature slots per band. Two
     * documents with Jaccard ~s collide in ≥1 of b bands with probability
-    * 1-(1-s^r)^b; with b=16, r=4 the S-curve threshold is ≈0.5. */
-  def bandKeys(sig: Column, bands: Int = 16, rows: Int = 4): Column =
+    * 1-(1-s^r)^b; with b=16, r=4 the S-curve threshold is ≈0.5.
+    * Keyed by md5 over the fixed-width-hex slot values so the DuckDB
+    * oracle reproduces the buckets bit-for-bit. */
+  def bandKeys(sig: Column, bands: Int = 16, rows: Int = 4): Column = {
+    val hx = transform(sig, x => lower(lpad(hex(x), 16, "0")))
     transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(sig, b * rows + 1, lit(rows))))
+      b => md5(concat_ws(",", slice(hx, b * rows + 1, lit(rows)))))
+  }
 
   /** 64-bit SimHash over token hashes: bit j is set iff the sum of
     * (±1 per token, + when bit j of the token hash is set) is positive.
@@ -136,7 +140,7 @@ object Dedup {
         .union(verified.select(col("doc_a").as("doc_id"), col("doc_b").as("partner")))
         .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_partner"))
       sig.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-          element_at(col("sig"), 1).as("minhash_0"))
+          lower(lpad(hex(element_at(col("sig"), 1)), 16, "0")).as("minhash_0"))
         .join(dupOf, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_shingles"), col("minhash_0"),
           coalesce(col("dup_partner") < col("doc_id"), lit(false)).as("is_near_dup"))
@@ -164,8 +168,11 @@ object Dedup {
         .filter(col("hamming") <= 3)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("is_near_dup", lit(true))
+      // fp rendered as fixed-width hex: DuckDB's mirror is an UBIGINT
+      // while Spark's is a signed long — the hex string is the common form
       fp.join(near, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("fp"),
+        .select(col("doc_id"),
+          lower(lpad(hex(col("fp")), 16, "0")).as("fp_hex"),
           coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
         .orderBy(col("doc_id"))
     }),
@@ -240,8 +247,95 @@ object Dedup {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
-    // dedup_minhash_lsh / dedup_simhash: xxhash64-based signatures are not
-    // expressible in DuckDB SQL → rows-only check.
+    // dedup_minhash_lsh: full pipeline mirror — md5-xor signature family,
+    // md5 band keys, [2,64] bucket guard, exact-Jaccard verification
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), shng AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM toks
+        |), mh AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s2 -> ('0x' || substr(md5(s2),1,16))::UBIGINT) AS hv
+        |  FROM shng WHERE len(sh) > 0
+        |), sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 64), j ->
+        |      list_min(list_transform(hv, h ->
+        |        xor(h, ('0x' || substr(md5(concat('seed_', j)),1,16))::UBIGINT)))) AS sg
+        |  FROM mh
+        |), hexsig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sg, x -> lower(lpad(hex(x), 16, '0'))) AS hx
+        |  FROM sig
+        |), banded AS (
+        |  SELECT doc_id, t.band,
+        |    md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')) AS bkey
+        |  FROM hexsig, range(0, 16) t(band)
+        |), okbuckets AS (
+        |  SELECT band, bkey FROM banded
+        |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 64
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a
+        |  JOIN okbuckets ok ON a.band = ok.band AND a.bkey = ok.bkey
+        |  JOIN banded b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b FROM cands
+        |  JOIN hexsig sa ON sa.doc_id = doc_a
+        |  JOIN hexsig sb ON sb.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.7
+        |), dup AS (
+        |  SELECT doc_id, min(partner) AS dup_partner FROM (
+        |    SELECT doc_b AS doc_id, doc_a AS partner FROM verified
+        |    UNION ALL SELECT doc_a AS doc_id, doc_b AS partner FROM verified
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_shingles,
+        |  s.hx[1] AS minhash_0,
+        |  coalesce(d.dup_partner < s.doc_id, false) AS is_near_dup
+        |FROM hexsig s LEFT JOIN dup d ON s.doc_id = d.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // dedup_simhash: exact fingerprint + banded Hamming near-dup mirror —
+    // token hash is the first 8 bytes of md5, expressible in both engines
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    list_transform(tk, t -> ('0x' || substr(md5(t),1,16))::UBIGINT) AS th
+        |  FROM toks
+        |), fp AS (
+        |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 64), j ->
+        |    CASE WHEN coalesce(list_sum(list_transform(th, h ->
+        |        CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+        |    THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END)), 0) AS UBIGINT) AS f
+        |  FROM hs
+        |), banded AS (
+        |  SELECT doc_id, f, t.band, (f >> (t.band * 16)) & 65535 AS bkey
+        |  FROM fp, range(0, 4) t(band)
+        |), near AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 3
+        |)
+        |SELECT fp.doc_id, lower(lpad(hex(f), 16, '0')) AS fp_hex,
+        |  (n.doc_id IS NOT NULL) AS is_near_dup
+        |FROM fp LEFT JOIN near n ON fp.doc_id = n.doc_id
+        |ORDER BY fp.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (

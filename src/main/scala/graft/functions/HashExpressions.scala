@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -23,34 +23,48 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashExpressions {
 
-  private val HashSeed = 42L
-
-  /** hash_j(s) = XXH64(xxhash64(s), seed = j) — pairwise-distinct hash
-    * family derived from one string hash per shingle. */
-  @inline private[functions] def mix(base: Long, j: Long): Long =
-    XXH64.hashLong(base, j)
-
-  private[functions] def utf8Hash(s: UTF8String): Long =
-    XXH64.hashUTF8String(s, HashSeed)
+  /** First 8 bytes of md5, big-endian — the same value DuckDB computes
+    * as ('0x' || substr(md5(s), 1, 16))::UBIGINT, which is what makes
+    * md5-hashed signatures oracle-checkable. MessageDigest is not
+    * thread-safe → one per thread. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private[functions] def md5Hash64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    java.nio.ByteBuffer.wrap(md.digest(s.getBytes)).getLong
+  }
 
   /** MinHash signature: array<bigint> of length k over an array<string>
-    * of shingles. Empty input → empty array (callers filter). */
+    * of shingles. Empty input → empty array (callers filter).
+    *
+    * Hash family: slot j of a shingle is `md5_64(shingle) XOR
+    * md5_64("seed_j")`, compared UNSIGNED (slot values are longs holding
+    * unsigned bit patterns; mins start at -1 = unsigned max). The md5-XOR
+    * family — one string hash per shingle, k cheap xors — keeps the
+    * per-row cost linear in (shingles + k) like the previous XXH64
+    * remix, and is exactly reproducible in the DuckDB oracle
+    * (xor over ('0x'||substr(md5(s),1,16))::UBIGINT). */
   case class MinHashSig(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
+    @transient private lazy val rands: Array[Long] =
+      Array.tabulate(k)(j => md5Hash64(UTF8String.fromString(s"seed_$j")))
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (n == 0) return new GenericArrayData(Array.emptyLongArray)
-      val mins = Array.fill(k)(Long.MaxValue)
+      val mins = Array.fill(k)(-1L) // unsigned max
       var i = 0
       while (i < n) {
-        val base = utf8Hash(arr.getUTF8String(i))
+        val base = md5Hash64(arr.getUTF8String(i))
         var j = 0
         while (j < k) {
-          val h = mix(base, j)
-          if (h < mins(j)) mins(j) = h
+          val h = base ^ rands(j)
+          if (java.lang.Long.compareUnsigned(h, mins(j)) < 0) mins(j) = h
           j += 1
         }
         i += 1
@@ -63,7 +77,9 @@ object HashExpressions {
 
   /** 64-bit SimHash over an array<string> of tokens: bit j of the result
     * is set iff the sum over tokens of ±1 (sign of bit j of the token
-    * hash) is positive. */
+    * hash) is positive. Token hash is md5-derived (see [[md5Hash64]])
+    * rather than xxhash64 so the DuckDB oracle can reproduce the exact
+    * fingerprints — the sign decisions are integer-exact either way. */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -74,7 +90,7 @@ object HashExpressions {
       val counts = new Array[Int](64)
       var i = 0
       while (i < n) {
-        val h = utf8Hash(arr.getUTF8String(i))
+        val h = md5Hash64(arr.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
