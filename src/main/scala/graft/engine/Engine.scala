@@ -24,8 +24,18 @@ object Engine {
       typesTableLength: Long = 1024L, // reference default: src/main.rs:16-17
       seed: Long = 42L, // reference is unseeded (rand::thread_rng); we seed for test stability
       shufflePartitions: Int = 32,
-      csvPath: Option[String] = None // reference registers datasets/test.csv (src/lib.rs:57-58)
+      // reference registers datasets/test.csv unconditionally (src/lib.rs:57-58);
+      // we bundle the public Apache Arrow aggregate_test_100 fixture and default
+      // to it when present so `SELECT * FROM test` works out of the box
+      csvPath: Option[String] = Options.defaultCsvPath
   )
+
+  object Options {
+    def defaultCsvPath: Option[String] = {
+      val p = java.nio.file.Paths.get("datasets", "test.csv")
+      if (java.nio.file.Files.exists(p)) Some(p.toString) else None
+    }
+  }
 
   /** Build (or reuse) the session and register tables + UDAFs. */
   def build(opts: Options = Options()): SparkSession = {

@@ -41,6 +41,18 @@ class GoldenSpec extends SparkSpecBase {
     assert(sch("c3").dataType.typeName == "double")
   }
 
+  test("bundled aggregate_test_100 fixture registers as `test` by default") {
+    // reference parity: datasets/test.csv is always queryable (src/lib.rs:57-58)
+    assert(Engine.Options.defaultCsvPath.isDefined,
+      "datasets/test.csv fixture missing from repo")
+    Engine.configure(spark)
+    assert(spark.sql("SELECT count(*) AS n FROM test").head().getLong(0) == 100L)
+    val agg = spark.sql(
+      "SELECT c1, count(*) AS n FROM test GROUP BY c1 ORDER BY c1").collect()
+    assert(agg.map(_.getString(0)).toSeq == Seq("a", "b", "c", "d", "e"))
+    assert(agg.map(_.getLong(1)).sum == 100L)
+  }
+
   test("golden scalar results through spark.sql") {
     Engine.configure(spark)
     val r = spark.sql(
