@@ -274,7 +274,34 @@ object Functions {
         .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("idx"),
           round(col("col").cast("double"), 6).as("val"))
-        .orderBy(col("vec_id"), col("idx")))
+        .orderBy(col("vec_id"), col("idx"))),
+
+    // §2.8 long tail (reference inherits these from datafusion-functions,
+    // Cargo.lock:1404): find_in_set, chr, initcap, btrim, to_char numeric
+    // formatting, to_timestamp_{micros,millis,seconds}, to_local_time
+    // (→ from_utc_timestamp), iszero. uuid is covered by q_nondet_fns.
+    "q_fn_longtail" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          expr("find_in_set(CAST(s_nationkey AS STRING), '0,5,10,15,20')")
+            .cast("long").as("fis"),
+          expr("chr(65 + s_suppkey % 26)").as("ch"),
+          initcap(lower(col("s_name"))).as("ini"),
+          expr("btrim(concat('xx', s_name, 'xx'), 'x')").as("bt"),
+          expr("to_char(abs(s_acctbal), '00000.00')").as("tc"),
+          date_format(timestamp_micros(lit(1700000000000000L) + col("s_suppkey") * 1234567L),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("tmu"),
+          date_format(timestamp_millis(lit(1700000000000L) + col("s_suppkey") * 98765L),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("tms"),
+          date_format(timestamp_seconds(lit(1700000000L) + col("s_suppkey") * 3600L),
+            "yyyy-MM-dd HH:mm:ss").as("tse"),
+          // DataFusion to_local_time analogue: shift UTC instant into a zone
+          date_format(from_utc_timestamp(
+            timestamp_seconds(lit(1700000000L) + col("s_suppkey") * 3600L),
+            "Asia/Kolkata"), "yyyy-MM-dd HH:mm:ss").as("loc"),
+          (pmod(col("s_suppkey"), lit(5)).cast("double") === 0.0).as("isz"))
+        .orderBy(col("s_suppkey")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -448,6 +475,26 @@ object Functions {
       """SELECT vec_id, CAST(idx AS BIGINT) AS idx,
         |  round(CAST(embedding[idx] AS DOUBLE), 6) AS val
         |FROM embeddings, unnest(generate_series(1, 8)) AS t(idx)
-        |WHERE vec_id < 5 ORDER BY vec_id, idx""".stripMargin
+        |WHERE vec_id < 5 ORDER BY vec_id, idx""".stripMargin,
+
+    "q_fn_longtail" ->
+      """SELECT s_suppkey,
+        |  CAST(coalesce(list_position(string_split('0,5,10,15,20', ','),
+        |                              CAST(s_nationkey AS VARCHAR)), 0) AS BIGINT) AS fis,
+        |  chr(CAST(65 + s_suppkey % 26 AS INTEGER)) AS ch,
+        |  upper(substr(lower(s_name), 1, 1)) || substr(lower(s_name), 2) AS ini,
+        |  trim('xx' || s_name || 'xx', 'x') AS bt,
+        |  printf('%08.2f', CAST(abs(s_acctbal) AS DOUBLE)) AS tc,
+        |  strftime(make_timestamp(1700000000000000 + s_suppkey * 1234567),
+        |           '%Y-%m-%d %H:%M:%S.%f') AS tmu,
+        |  strftime(epoch_ms(1700000000000 + s_suppkey * 98765),
+        |           '%Y-%m-%d %H:%M:%S.%f') AS tms,
+        |  strftime(to_timestamp(1700000000 + s_suppkey * 3600)::TIMESTAMP,
+        |           '%Y-%m-%d %H:%M:%S') AS tse,
+        |  strftime(timezone('Asia/Kolkata',
+        |           to_timestamp(1700000000 + s_suppkey * 3600)),
+        |           '%Y-%m-%d %H:%M:%S') AS loc,
+        |  (s_suppkey % 5 = 0) AS isz
+        |FROM supplier ORDER BY s_suppkey""".stripMargin
   )
 }
