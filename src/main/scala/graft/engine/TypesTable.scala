@@ -28,14 +28,19 @@ object TypesTable {
     // data depend on the machine — 64 partitions keeps the table
     // identical everywhere while still parallelizing generation
     val parts = 64
+    // rand(s) draws from stream (s + partitionIndex), so adjacent column
+    // seeds alias across partitions (column k, partition p == column k+1,
+    // partition p-1). Space the seeds far beyond any partition count so
+    // the three columns are statistically independent streams.
+    val colSeed = (k: Int) => seed + k.toLong * 0x100000L
     spark.range(0L, n, 1L, parts).select(
       // one uniform lowercase letter (reference: src/lib.rs:62-67)
-      lit(Letters).substr((floor(rand(seed) * 26) + 1).cast(IntegerType), lit(1))
+      lit(Letters).substr((floor(rand(colSeed(0)) * 26) + 1).cast(IntegerType), lit(1))
         .alias("string"),
       // uniform f32 in [0,1) (reference: src/lib.rs:69-75)
-      rand(seed + 1).cast(FloatType).alias("float"),
+      rand(colSeed(1)).cast(FloatType).alias("float"),
       // full-range i32 (reference: rand::Standard over i32, src/lib.rs:69-75)
-      (floor(rand(seed + 2) * 4294967296L) - 2147483648L).cast(IntegerType).alias("int")
+      (floor(rand(colSeed(2)) * 4294967296L) - 2147483648L).cast(IntegerType).alias("int")
     )
   }
 }

@@ -38,9 +38,11 @@ object AsOf {
         lit(null).cast(p.select(struct(probeCols: _*)).schema.head.dataType)),
         allowMissingColumns = false)
     // build rows sort BEFORE probe rows at equal ts (__side 0 < 1), so a
-    // same-instant build row is visible to the probe — ASOF (<=) semantics
+    // same-instant build row is visible to the probe — ASOF (<=) semantics.
+    // __bval breaks ties among build rows sharing (key, ts): the max value
+    // deterministically wins (DuckDB ASOF leaves this unspecified)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__bval").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("m_ts", last(col("__bts"), ignoreNulls = true).over(w))

@@ -18,8 +18,10 @@ import graft.engine.Engine
   *    partition (the expensive part for a real codec — model/codec init
   *    amortizes over the whole partition, the same pattern as a Pandas
   *    `mapInPandas` batch UDF);
-  *  - partition sizing: payloads are capped per batch so a partition of
-  *    large blobs cannot OOM an executor;
+  *  - bounded memory: rows stream through the partition iterator (never
+  *    materialized as a batch), and [[FakeCodec.decode]] reads at most
+  *    [[FakeCodec.MaxDecodeBytes]] of any payload, so one oversized blob
+  *    cannot OOM an executor;
   *  - feature extraction output as a typed Dataset ready for downstream
   *    relational ops.
   */
@@ -28,13 +30,20 @@ object Multimodal {
   /** DETERMINISTIC FAKE of a media codec. A real deployment swaps this
     * object for JNI/codec bindings; everything downstream is unchanged. */
   object FakeCodec {
+    /** Decode window cap: bytes of payload a single decode may touch.
+      * Real codecs sniff headers/keyframes in a bounded window; enforcing
+      * the bound here keeps per-row memory/cpu independent of blob size. */
+    val MaxDecodeBytes: Int = 64 << 20
+
     /** STUB: "decode" a payload into (width, height, n_frames, checksum).
       * Real decode is impossible in this container — this fake derives
-      * deterministic pseudo-metadata from the bytes themselves. */
+      * deterministic pseudo-metadata from the bytes themselves (reading at
+      * most [[MaxDecodeBytes]] of the payload). */
     def decode(payload: Array[Byte]): (Int, Int, Int, Long) = {
       var h = 1125899906842597L // deterministic FNV-ish roll
       var i = 0
-      while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+      val end = math.min(payload.length, MaxDecodeBytes)
+      while (i < end) { h = 31 * h + (payload(i) & 0xff); i += 1 }
       val w = 64 + math.floorMod(h, 1024).toInt
       val ht = 64 + math.floorMod(h >> 10, 1024).toInt
       val frames = 1 + math.floorMod(h >> 20, 300).toInt

@@ -40,8 +40,13 @@ object Sessionize {
   }
 
   /** Streaming sessionization over the finite events parquet: groups by
-    * user, folds with flatMapGroupsWithState, emits closed sessions (and
-    * open ones at timeout). */
+    * user, folds with flatMapGroupsWithState. Finite-input variant: the
+    * whole group arrives in one micro-batch, so every session (including
+    * the trailing open one) is emitted immediately and state is dropped —
+    * no timeout is registered (`GroupStateTimeout.NoTimeout`). An unbounded
+    * deployment would instead keep `SessionState` across batches, set
+    * `EventTimeTimeout` against a watermark, and emit the open session when
+    * the timeout fires. */
   def run(spark: SparkSession, dir: String, name: String, gapMinutes: Int = 30): StreamingQuery = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -69,7 +69,6 @@ case class SumCoercingAgg(child: Expression) extends DeclarativeAggregate {
   private lazy val sumType: DataType = child.dataType match {
     case FloatType | DoubleType => FloatType
     case ByteType | ShortType | IntegerType | LongType => IntegerType
-    case _: DecimalType => FloatType
     case NullType => FloatType
     case other =>
       throw new IllegalArgumentException(

@@ -50,12 +50,23 @@ class UdafSpec extends SparkSpecBase {
 
   test("sum_coercing float path returns Float32 and empty→0.0f") {
     withSession {
+      // decimal literals must go through an explicit cast: the reference's
+      // coerce_types rejects Decimal input (src/cubecl_sum_udaf.rs)
       val r = spark.sql(
-        "SELECT sum_coercing(x) AS s FROM VALUES (1.5), (2.25) AS t(x)").head()
+        "SELECT sum_coercing(CAST(x AS DOUBLE)) AS s FROM VALUES (1.5), (2.25) AS t(x)").head()
       assert(r.getFloat(0) == 3.75f)
       val e = spark.sql(
-        "SELECT sum_coercing(x) AS s FROM (SELECT 1.0 AS x WHERE 1=0)").head()
+        "SELECT sum_coercing(CAST(1.0 AS DOUBLE)) AS s FROM (SELECT 1 WHERE 1=0)").head()
       assert(!e.isNullAt(0) && e.getFloat(0) == 0.0f)
+    }
+  }
+
+  test("sum_coercing rejects Decimal input like the reference's coerce_types") {
+    withSession {
+      val ex = intercept[Exception] {
+        spark.sql("SELECT sum_coercing(x) FROM VALUES (1.5), (2.25) AS t(x)").head()
+      }
+      assert(ex.getMessage.contains("sum_coercing: unsupported input type"))
     }
   }
 
