@@ -36,7 +36,14 @@ object Main {
   private def runOne(spark: SparkSession, sql: String): Unit = {
     val t0 = System.nanoTime()
     try {
-      spark.sql(sql).show(20, truncate = false)
+      // EXPLAIN ANALYZE parity: DataFusion executes the plan and prints
+      // per-operator metrics; Spark SQL has no such statement, so
+      // intercept it here and route through Explain.analyze
+      val analyzePrefix = "(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.*)$".r
+      sql match {
+        case analyzePrefix(inner) => Explain.analyze(spark.sql(inner)).show(200, truncate = false)
+        case _ => spark.sql(sql).show(20, truncate = false)
+      }
       println(f"Total execution time: ${(System.nanoTime() - t0) / 1e3}%.0fµs")
     } catch {
       case e: Exception => println(e.getMessage)

@@ -83,6 +83,14 @@ object Sources {
     "q_explain" -> ((s, dir) => {
       Engine.registerTestdata(s, dir)
       s.sql("EXPLAIN FORMATTED SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY l_returnflag")
+    }),
+
+    // EXPLAIN ANALYZE analogue: executed-plan SQLMetrics, one row per
+    // (operator, metric) (rows-only: metric values are run-specific)
+    "q_explain_analyze" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      graft.Explain.analyze(s.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem GROUP BY l_returnflag"))
     })
   )
 

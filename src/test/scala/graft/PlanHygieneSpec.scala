@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import graft.engine.Engine
 
 /** Physical-plan assertions for the headline queries — the "would this
   * survive a 100× scale-up" checks made executable: predicate pushdown
@@ -57,5 +58,17 @@ class PlanHygieneSpec extends SparkSpecBase {
   test("aggregations are two-phase (partial then final)") {
     val p = plan("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("EXPLAIN ANALYZE analogue reports executed metrics per operator") {
+    val df = Engine.table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").count()
+    val m = Explain.analyze(df).collect()
+    assert(m.nonEmpty, "no metrics reported")
+    val byOp = m.groupBy(_.getString(2))
+    assert(byOp.keys.exists(_.contains("HashAggregate")), s"ops: ${byOp.keys}")
+    // the scan must report a positive numOutputRows after execution
+    val outRows = m.filter(r => r.getString(3) == "numOutputRows" && r.getLong(5) > 0)
+    assert(outRows.nonEmpty, "no populated numOutputRows metric")
   }
 }
