@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ AsOf.queries
+      Multimodal.queries ++ AsOf.queries ++ Pipeline.queries
   def oracleSql: Map[String, String] =
     Dedup.oracleSql ++ Similarity.oracleSql ++ TextAnalysis.oracleSql ++
-      Multimodal.oracleSql ++ AsOf.oracleSql
+      Multimodal.oracleSql ++ AsOf.oracleSql ++ Pipeline.oracleSql
 }

@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** Training-data pipeline primitives beyond the reference's own surface:
+  * deterministic split, sequence packing, and weighted mixture sampling —
+  * the operations that turn a deduped corpus into model-ready shards.
+  *
+  * All three are hash-deterministic (md5-bucket, not `rand()`), so they
+  * are reproducible across runs/retries — a stage retry at 100 TB must
+  * not re-roll the dice on which documents land in the eval split — and
+  * exactly mirrorable in the DuckDB oracle.
+  */
+object Pipeline {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  /** md5-derived bucket in [0, mod): first 8 hex chars of md5 as a long.
+    * DuckDB mirror: ('0x' || substr(md5(x), 1, 8))::BIGINT % mod. */
+  private def md5Bucket(c: org.apache.spark.sql.Column, mod: Int) =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(mod))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // deterministic train/val/test split: pure per-row map — no shuffle,
+    // no RNG state; the split of a document is a function of its id alone
+    "pipe_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5Bucket(col("doc_id").cast("string"), 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))),
+
+    // sequence packing: concatenate documents in deterministic order and
+    // cut at a fixed context length — each doc gets (shard, bin, offset).
+    // Partitioned by (lang, shard): the running sum is a window per
+    // shard, so parallelism scales with shard count, not language count
+    "pipe_pack" -> ((s, dir) => {
+      val ctxLen = 512L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5Bucket(col("doc_id").cast("string"), 16).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("tok_end", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          (col("tok_end") - col("n_tokens")).as("tok_start"),
+          floor((col("tok_end") - col("n_tokens")) / ctxLen).cast("long").as("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // weighted mixture sampling: per-source keep-rates applied via the
+    // doc's own hash bucket — deterministic, retry-safe, no shuffle; the
+    // sampled mixture is then summarized per source
+    "pipe_mixture" -> ((s, dir) => {
+      val rate = Map("src0" -> 30, "src1" -> 90, "src2" -> 100, "src3" -> 60)
+      val docs = t(s, dir, "documents")
+        .withColumn("bucket", md5Bucket(col("doc_id").cast("string"), 100))
+      val keep = rate.foldLeft(lit(80)) { case (acc, (src, r)) =>
+        when(col("source") === src, lit(r)).otherwise(acc)
+      }
+      docs.filter(col("bucket") < keep)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("chars_kept"))
+        .orderBy(col("source"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pipe_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "pipe_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+        |  FROM d)
+        |SELECT doc_id, lang, shard, n_tokens,
+        |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+        |  CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS bin
+        |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "pipe_mixture" ->
+      """WITH b AS (
+        |  SELECT *,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+        |    CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 90
+        |                WHEN 'src2' THEN 100 WHEN 'src3' THEN 60
+        |                ELSE 80 END AS keep
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM b WHERE bucket < keep
+        |GROUP BY source ORDER BY source""".stripMargin
+  )
+}

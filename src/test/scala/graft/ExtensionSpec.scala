@@ -108,4 +108,30 @@ class ExtensionSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(out(5L) == 2L && out(7L) == 1L)
   }
+
+  test("pipeline split is deterministic and ~80/10/10") {
+    val a = ext.Pipeline.queries("pipe_split")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = ext.Pipeline.queries("pipe_split")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "split not reproducible across runs")
+    val total = a.values.sum.toDouble
+    assert(a("train") / total > 0.6 && a("train") / total < 0.95, a.toString)
+    assert(a.keySet == Set("train", "val", "test"))
+  }
+
+  test("sequence packing: offsets contiguous within (lang, shard), bins honor context length") {
+    val rows = ext.Pipeline.queries("pipe_pack")(spark, sfDir).collect()
+    val byShard = rows.groupBy(r => (r.getString(1), r.getLong(2)))
+    byShard.values.foreach { docs =>
+      val sorted = docs.sortBy(_.getLong(0)) // doc_id order
+      var expectedStart = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(4) == expectedStart,
+          s"gap in packed offsets at doc ${r.getLong(0)}")
+        assert(r.getLong(5) == r.getLong(4) / 512, "bin != tok_start / ctxLen")
+        expectedStart += r.getLong(3)
+      }
+    }
+  }
 }
