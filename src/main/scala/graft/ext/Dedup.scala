@@ -198,14 +198,27 @@ object Dedup {
         .localCheckpoint(true)
       var labels = sig.select(col("doc_id"), col("doc_id").as("label"))
         .localCheckpoint(true)
-      for (_ <- 1 to 3) {
+      // propagate to FIXPOINT (true connected components, matching the
+      // oracle's transitive closure), not a fixed round count: each round
+      // checkpoints the new labels and counts changes — an aggregate
+      // action, no collect of data. Near-dup clusters are shallow, so
+      // this converges in a handful of rounds; the cap is a runaway guard
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < 20) {
         val prop = edges
           .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
           .groupBy(col("doc_a")).agg(min(col("label")).as("nbr_label"))
-        labels = labels
+        val next = labels
           .join(prop.select(col("doc_a").as("doc_id"), col("nbr_label")), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
+          .filter(col("label") =!= col("old_label")).count()
+        labels = next
+        round += 1
       }
       labels.groupBy(col("label"))
         .agg(count(lit(1)).as("cluster_size"))
@@ -360,6 +373,62 @@ object Dedup {
         |WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END >= 0.05
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // dedup_clusters: same LSH candidate edges as dedup_minhash_lsh,
+    // then TRUE connected components via recursive transitive closure —
+    // the fixpoint the Spark label propagation converges to
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), shng AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM toks
+        |), mh AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s2 -> ('0x' || substr(md5(s2),1,16))::UBIGINT) AS hv
+        |  FROM shng WHERE len(sh) > 0
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), j ->
+        |      list_min(list_transform(hv, h ->
+        |        xor(h, ('0x' || substr(md5(concat('seed_', j)),1,16))::UBIGINT)))) AS sg
+        |  FROM mh
+        |), hexsig AS (
+        |  SELECT doc_id, list_transform(sg, x -> lower(lpad(hex(x), 16, '0'))) AS hx
+        |  FROM sig
+        |), banded AS (
+        |  SELECT doc_id, t.band,
+        |    md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')) AS bkey
+        |  FROM hexsig, range(0, 16) t(band)
+        |), okbuckets AS (
+        |  SELECT band, bkey FROM banded
+        |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 64
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a
+        |  JOIN okbuckets ok ON a.band = ok.band AND a.bkey = ok.bkey
+        |  JOIN banded b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM cands
+        |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM cands
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM mh
+        |  UNION
+        |  SELECT e.doc_a AS node, r.label
+        |  FROM edges e JOIN reach r ON r.node = e.doc_b
+        |), comp AS (
+        |  SELECT node, min(label) AS label FROM reach GROUP BY node
+        |), sizes AS (
+        |  SELECT label, count(*) AS cluster_size FROM comp GROUP BY label
+        |)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
   )
 }
