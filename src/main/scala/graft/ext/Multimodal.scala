@@ -129,7 +129,10 @@ object Multimodal {
     "mm_frame_sample" -> ((s, dir) => {
       val media = mediaTable(s, dir)
         .select(col("media_id"),
-          (pmod(xxhash64(col("payload")), lit(30)) + lit(2)).as("n_frames"))
+          // md5-derived frame count (not xxhash64): bit-identical in
+          // DuckDB, so the fan-out is oracle-checkable
+          (pmod(conv(substring(md5(col("payload")), 1, 8), 16, 10).cast("long"),
+            lit(30)) + lit(2)).as("n_frames"))
       media
         .select(col("media_id"),
           explode(sequence(lit(0), col("n_frames") - 1, lit(7))).as("frame_no"))
@@ -146,6 +149,14 @@ object Multimodal {
         |  md5(text) AS payload_md5,
         |  source AS uri, lang AS codec,
         |  octet_length(CAST(text AS BLOB)) = n_chars AS size_ok
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 30 + 2 AS n_frames
+        |  FROM documents)
+        |SELECT media_id, unnest(range(0, n_frames, 7)) AS frame_no
+        |FROM m ORDER BY media_id, frame_no""".stripMargin
   )
 }
