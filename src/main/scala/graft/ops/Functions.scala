@@ -301,7 +301,26 @@ object Functions {
             timestamp_seconds(lit(1700000000L) + col("s_suppkey") * 3600L),
             "Asia/Kolkata"), "yyyy-MM-dd HH:mm:ss").as("loc"),
           (pmod(col("s_suppkey"), lit(5)).cast("double") === 0.0).as("isz"))
-        .orderBy(col("s_suppkey")))
+        .orderBy(col("s_suppkey"))),
+
+    // §2.8 long tail, part 2: bit_length, char_length, ltrim/rtrim with
+    // trim-set, to_hex, nvl2, ifnull, regexp_count, typeof, version
+    "q_fn_longtail2" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .select(
+          col("n_nationkey"),
+          bit_length(col("n_name")).cast("long").as("bl"),
+          char_length(col("n_name")).cast("long").as("cl"),
+          // Spark's 2-arg [lr]trim is (trimStr, src) — reversed vs DuckDB
+          expr("ltrim('xy', concat('xy', n_name))").as("lt"),
+          expr("rtrim('xy', concat(n_name, 'yx'))").as("rt"),
+          lower(hex(col("n_nationkey") + 255)).as("hx"),
+          expr("nvl2(nullif(n_regionkey, 0), 'has_region', 'region_zero')").as("nv2"),
+          expr("ifnull(nullif(n_regionkey, 0), -1)").cast("long").as("ifn"),
+          expr("regexp_count(n_name, '[AEIOU]+')").cast("long").as("rc"),
+          lower(expr("typeof(CAST(n_nationkey AS BIGINT))")).as("ty"),
+          expr("version() IS NOT NULL").as("ver_ok"))
+        .orderBy(col("n_nationkey")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -495,6 +514,21 @@ object Functions {
         |           to_timestamp(1700000000 + s_suppkey * 3600)),
         |           '%Y-%m-%d %H:%M:%S') AS loc,
         |  (s_suppkey % 5 = 0) AS isz
-        |FROM supplier ORDER BY s_suppkey""".stripMargin
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_fn_longtail2" ->
+      """SELECT n_nationkey,
+        |  CAST(bit_length(n_name) AS BIGINT) AS bl,
+        |  CAST(length(n_name) AS BIGINT) AS cl,
+        |  ltrim('xy' || n_name, 'xy') AS lt,
+        |  rtrim(n_name || 'yx', 'xy') AS rt,
+        |  lower(to_hex(n_nationkey + 255)) AS hx,
+        |  CASE WHEN nullif(n_regionkey, 0) IS NOT NULL
+        |       THEN 'has_region' ELSE 'region_zero' END AS nv2,
+        |  CAST(ifnull(nullif(n_regionkey, 0), -1) AS BIGINT) AS ifn,
+        |  CAST(len(regexp_extract_all(n_name, '[AEIOU]+')) AS BIGINT) AS rc,
+        |  'bigint' AS ty,
+        |  version() IS NOT NULL AS ver_ok
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }
