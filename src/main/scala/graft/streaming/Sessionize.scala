@@ -39,14 +39,69 @@ object Sessionize {
     out.iterator
   }
 
+  /** Event arriving on the incremental path: real timestamp column so the
+    * watermark (and event-time timeout) can track it. */
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** TRUE unbounded sessionization: state survives across micro-batches,
+    * closed sessions are emitted as soon as a same-user event breaks the
+    * gap, and the trailing open session is emitted when the EVENT-TIME
+    * TIMEOUT fires — i.e. when the watermark passes `last + gap`, which is
+    * exactly "no event for `gapMinutes` of event time". State per user is
+    * one (start, last, n) triple — bounded regardless of stream length,
+    * and evicted by the timeout, so a 100 TB/day ingest holds state only
+    * for currently-active users. */
+  def incremental(events: Dataset[TimedEvent], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
+    val gapMs = gapMinutes.toLong * 60 * 1000
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, batch: Iterator[TimedEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new event: close the
+            // open session and evict the state
+            val st = state.get
+            state.remove()
+            Iterator(Session(user, st.start, st.last, st.n))
+          } else {
+            val evs = batch.toSeq
+              .map(e => e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L)
+              .sorted
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption
+            evs.foreach { us =>
+              cur match {
+                case Some(st) if us - st.last <= gapUs =>
+                  cur = Some(st.copy(last = us, n = st.n + 1))
+                case Some(st) =>
+                  out += Session(user, st.start, st.last, st.n)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // fire once the watermark passes the gap; clamp above the
+              // current watermark (required when replaying old data)
+              state.setTimeoutTimestamp(
+                math.max(st.last / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+        })
+  }
+
   /** Streaming sessionization over the finite events parquet: groups by
     * user, folds with flatMapGroupsWithState. Finite-input variant: the
     * whole group arrives in one micro-batch, so every session (including
     * the trailing open one) is emitted immediately and state is dropped —
-    * no timeout is registered (`GroupStateTimeout.NoTimeout`). An unbounded
-    * deployment would instead keep `SessionState` across batches, set
-    * `EventTimeTimeout` against a watermark, and emit the open session when
-    * the timeout fires. */
+    * no timeout is registered (`GroupStateTimeout.NoTimeout`). For the
+    * unbounded form see [[incremental]]. */
   def run(spark: SparkSession, dir: String, name: String, gapMinutes: Int = 30): StreamingQuery = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -6,6 +6,53 @@ import graft.streaming.EventsStream
   * equivalent batch computation when the finite input is fully drained. */
 class StreamingSpec extends SparkSpecBase {
 
+  test("incremental sessionization across micro-batches matches the pure fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{Event, Session, TimedEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def tsUs(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val min = 60L * 1000 * 1000 // µs
+    // user 1: two sessions (gap 30min, break at 90min); user 2: one session
+    val u1 = Seq(0L, 5 * min, 20 * min, 120 * min, 130 * min)
+    val u2 = Seq(10 * min, 15 * min)
+    val base = 1700000000L * 1000000
+
+    val input = MemoryStream[TimedEvent]
+    val q = Sessionize.incremental(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_inc_test").start()
+    try {
+      // batch 1: first session's events; batch 2: the rest (state carries
+      // over); batch 3+4: watermark-advancing sentinels close open sessions
+      input.addData(
+        (u1.take(3).map(us => TimedEvent(1L, tsUs(base + us), "e")) ++
+          u2.map(us => TimedEvent(2L, tsUs(base + us), "e"))): _*)
+      q.processAllAvailable()
+      input.addData(u1.drop(3).map(us => TimedEvent(1L, tsUs(base + us), "e")): _*)
+      q.processAllAvailable()
+      input.addData(TimedEvent(99L, tsUs(base + 1000 * min), "sentinel"))
+      q.processAllAvailable()
+      input.addData(TimedEvent(99L, tsUs(base + 2000 * min), "sentinel"))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_inc_test").as[Session].collect()
+        .filter(_.user_id != 99L).map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
+        .toSet
+      val want = (
+        Sessionize.sessionize(u1.map(us => Event(1L, base + us, "e")).iterator, 30 * min).map(s => (1L, s.start_us, s.end_us, s.n_events)) ++
+        Sessionize.sessionize(u2.map(us => Event(2L, base + us, "e")).iterator, 30 * min).map(s => (2L, s.start_us, s.end_us, s.n_events))
+      ).toSet
+      assert(got == want, s"got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("streaming hourly agg matches batch q1 shape and totals") {
     val q = EventsStream.runToMemory(spark, sfDir, "ev_stream_test")
     try {
