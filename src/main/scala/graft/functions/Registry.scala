@@ -20,32 +20,37 @@ object Registry {
       s"$what must be an integer literal, got $other")
   }
 
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_sig", exprs => exprs match {
+  /** (name, builder) for every native expression — shared by the
+    * in-session registration below and the `SparkSessionExtensions`
+    * injection path ([[graft.GraftExtensions]]). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => MinHashSig(c, 64)
       case Seq(c, k) => MinHashSig(c, intArg(k, "minhash_sig k"))
       case _ => throw new IllegalArgumentException("minhash_sig(arr[, k])")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles", exprs => exprs match {
+    }},
+    "simhash64" -> { exprs: Seq[Expression] => SimHash64(exprs.head) },
+    "word_shingles" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => WordShingles(c, 3, distinct = true)
       case Seq(c, n) => WordShingles(c, intArg(n, "word_shingles n"), distinct = true)
       case Seq(c, n, d) => WordShingles(c, intArg(n, "word_shingles n"),
         d match { case Literal(b: Boolean, _) => b; case _ => true })
       case _ => throw new IllegalArgumentException("word_shingles(text[, n[, distinct]])")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("dot_f32",
-      exprs => DotF32(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("hyperplane_sig", exprs => exprs match {
+    }},
+    "dot_f32" -> { exprs: Seq[Expression] => DotF32(exprs(0), exprs(1)) },
+    "hyperplane_sig" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => HyperplaneSig(c, 8)
       case Seq(c, b) => HyperplaneSig(c, intArg(b, "hyperplane_sig bits"))
       case _ => throw new IllegalArgumentException("hyperplane_sig(vec[, bits])")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("num_gcd",
-      exprs => Gcd(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("num_lcm",
-      exprs => Lcm(exprs(0), exprs(1)), "scala_udf")
+    }},
+    "num_gcd" -> { exprs: Seq[Expression] => Gcd(exprs(0), exprs(1)) },
+    "num_lcm" -> { exprs: Seq[Expression] => Lcm(exprs(0), exprs(1)) }
+  )
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** `spark.sql.extensions` deployment path: a session built with
+  * [[GraftExtensions]] can call every native expression from plain SQL
+  * with no programmatic registration call. */
+class ExtensionInjectionSpec extends SparkSpecBase {
+
+  test("GraftExtensions injects native functions at session build time") {
+    val shared = spark // force the shared session (and its context) first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val d = s2.sql(
+        "SELECT dot_f32(array(float(1.0), float(2.0)), array(float(3.0), float(4.0))) AS d")
+        .head().getAs[Number](0).doubleValue()
+      assert(math.abs(d - 11.0) < 1e-6, s"dot=$d")
+      val sig = s2.sql("SELECT minhash_sig(word_shingles('a b c d e', 2), 4) AS s")
+        .head().getSeq[Long](0)
+      assert(sig.length == 4)
+      assert(s2.sql("SELECT simhash64(word_shingles('hello world', 1)) AS h")
+        .head().get(0) != null)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
