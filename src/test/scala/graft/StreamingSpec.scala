@@ -53,6 +53,19 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark matches batch distinct") {
+    import org.apache.spark.sql.functions._
+    val q = graft.streaming.DedupStream.runToMemory(spark, sfDir, "dedup_stream_test")
+    try {
+      val streamed = spark.table("dedup_stream_test").count()
+      val batch = graft.engine.Engine.table(spark, sfDir, "events")
+        .select(md5(concat_ws("|", col("user_id"), col("event_type"), col("props"))).as("h"))
+        .distinct().count()
+      // finite input arrives within one watermark window → exact dedup
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming hourly agg matches batch q1 shape and totals") {
     val q = EventsStream.runToMemory(spark, sfDir, "ev_stream_test")
     try {
