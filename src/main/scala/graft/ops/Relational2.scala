@@ -38,6 +38,32 @@ object Relational2 {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // GROUPS frames (absent from Spark) EMULATED exactly: a GROUPS frame
+    // over the ORDER BY peer-groups equals a RANGE frame over dense_rank
+    // (consecutive ints, one per peer group). Pre-aggregate per peer
+    // group (map-side partial), window the tiny per-group frame, join
+    // back — two narrow shuffles, no row explosion. The oracle is
+    // DuckDB's NATIVE `GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING`.
+    "q_window_groups" -> ((s, dir) => {
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"),
+          col("o_totalprice"))
+      val drw = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate"))
+      val ranked = rows.withColumn("dr", dense_rank().over(drw))
+      val perGroup = ranked.groupBy(col("o_orderpriority"), col("dr"))
+        .agg(count(lit(1)).as("grp_n"), sum(col("o_totalprice")).as("grp_sum"))
+      val gw = Window.partitionBy(col("o_orderpriority")).orderBy(col("dr"))
+        .rangeBetween(-1, 1)
+      val framed = perGroup
+        .select(col("o_orderpriority"), col("dr"),
+          sum(col("grp_n")).over(gw).as("g_n"),
+          sum(col("grp_sum")).over(gw).as("g_sum_raw"))
+      ranked.join(framed, Seq("o_orderpriority", "dr"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("g_n"), round(col("g_sum_raw"), 2).as("g_sum"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // UNION with distinct semantics
     "q_setop_union" -> ((s, dir) => {
       val a = t(s, dir, "orders").select(col("o_orderpriority").as("v"))
@@ -294,6 +320,23 @@ object Relational2 {
         |  UNION ALL
         |  SELECT s_suppkey AS k, s_acctbal AS bal FROM supplier
         |) GROUP BY k ORDER BY k""".stripMargin,
+
+    // (this DuckDB build lacks native GROUPS frames too, so the oracle
+    // computes the same semantics by an INDEPENDENT shape: a range
+    // self-join on dense_rank distance, not a window)
+    "q_window_groups" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority AS pri, o_totalprice,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_orderdate) AS dr
+        |  FROM orders)
+        |SELECT a.o_orderkey, a.pri AS o_orderpriority,
+        |  count(b.o_orderkey) AS g_n,
+        |  round(sum(b.o_totalprice), 2) AS g_sum
+        |FROM r a JOIN r b
+        |  ON b.pri = a.pri AND b.dr BETWEEN a.dr - 1 AND a.dr + 1
+        |GROUP BY a.o_orderkey, a.pri
+        |ORDER BY a.o_orderkey""".stripMargin,
 
     "q_nondet_fns" ->
       """SELECT length(CAST(uuid() AS VARCHAR)) = 36 AS uuid_ok,
