@@ -428,7 +428,16 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(round(sum(col("o_totalprice")), 2))
-        .orderBy(col("o_orderpriority")))
+        .orderBy(col("o_orderpriority"))),
+
+    // unpivot / melt (wide → long); oracle is the UNION ALL formulation
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast("double").as("c_nation_d"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_nation_d")), "metric", "value")
+        .orderBy(col("c_custkey"), col("metric")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -704,6 +713,13 @@ object Relational {
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
         |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nation_d' AS metric,
+        |  CAST(c_nationkey AS DOUBLE) AS value FROM customer
+        |ORDER BY c_custkey, metric""".stripMargin
   )
 }
