@@ -29,7 +29,10 @@ object Explain {
     * observed metric value — the machine-readable EXPLAIN ANALYZE. */
   def analyze(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    df.queryExecution.executedPlan.executeCollect() // run, populating metrics
+    // execute WITHOUT collecting: metrics populate from the distributed
+    // run; collecting would pull the full result onto the driver —
+    // exactly the query class EXPLAIN ANALYZE exists to diagnose
+    df.queryExecution.toRdd.foreach(_ => ())
     val rows = walk(df.queryExecution.executedPlan, 0).zipWithIndex.flatMap {
       case ((depth, node), ord) =>
         node.metrics.toSeq.sortBy(_._1).map { case (key, m) =>

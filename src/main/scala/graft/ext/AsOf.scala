@@ -59,8 +59,13 @@ object AsOf {
           expr("ts DIV 1000").as("ts_us"), col("value"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts_us"))
+      // dedupe build rows at (user, ts) keeping the max value: makes the
+      // tie semantics explicit on BOTH sides (DuckDB ASOF leaves the pick
+      // among equal-ts rows unspecified); map-side partial agg, no extra
+      // shuffle beyond the aggregation's own
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), col("value"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("value"))
       asofJoin(views, purchases, "user_id", "ts_us", "value")
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("m_ts").as("purchase_ts_us"),
@@ -75,7 +80,8 @@ object AsOf {
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
         |  FROM events
         |), v AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'view'),
-        |p AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'purchase')
+        |p AS (SELECT user_id, ts_us, max(value) AS value
+        |     FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_us)
         |SELECT v.event_id, v.user_id, v.ts_us,
         |  p.ts_us AS purchase_ts_us, round(p.value, 2) AS purchase_value
         |FROM v ASOF LEFT JOIN p

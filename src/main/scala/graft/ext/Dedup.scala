@@ -20,9 +20,10 @@ import graft.engine.Engine
   *  - n-gram Jaccard: the exact verifier applied to LSH candidates (and,
   *    as its own oracle-checked query, to a deterministic blocked sample).
   *
-  * All signature math uses Spark built-ins (xxhash64, transform,
-  * aggregate, array_*) so everything stays inside whole-stage codegen —
-  * no UDF serialization on the hot path.
+  * All signature math runs in native Catalyst expressions over the
+  * md5-derived hash family (see graft.functions.HashExpressions) — one
+  * fused JVM loop per row, no UDF serialization, and bit-reproducible
+  * in the DuckDB oracle.
   */
 object Dedup {
 
@@ -227,14 +228,16 @@ object Dedup {
         .orderBy(col("cluster_size"))
     }),
 
-    // exact word-3-gram Jaccard over a deterministic blocked sample —
-    // the oracle-checkable ground truth for the LSH path above.
+    // exact word-3-gram Jaccard over a deterministic blocked sample.
     // Blocking key is (lang, shingle-count ÷ 16): language blocks alone
     // leave a quadratic pair space within the dominant language; size
     // bucketing (integer-exact in both engines — no float log) cuts it
-    // ~5× more. A cross-bucket pair needs a large size gap, which itself
-    // bounds the Jaccard it could have had; the oracle mirrors the block
-    // exactly so the check stays a hash-compare.
+    // ~5× more. KNOWN APPROXIMATION: a near-dup pair straddling a bucket
+    // boundary (e.g. 15 vs 16 shingles, Jaccard up to 15/16) is missed —
+    // acceptable for a bounded verifier (the LSH path above has no such
+    // blind spot; production blocking would use overlapping buckets).
+    // The oracle mirrors the block exactly so the check stays a
+    // hash-compare; zero pairs are lost on the current testdata.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sample = t(s, dir, "documents")
         .filter(col("doc_id") % 10 === 0)

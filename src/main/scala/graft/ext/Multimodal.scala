@@ -18,10 +18,13 @@ import graft.engine.Engine
   *    partition (the expensive part for a real codec — model/codec init
   *    amortizes over the whole partition, the same pattern as a Pandas
   *    `mapInPandas` batch UDF);
-  *  - bounded memory: rows stream through the partition iterator (never
+  *  - bounded work: rows stream through the partition iterator (never
   *    materialized as a batch), and [[FakeCodec.decode]] reads at most
-  *    [[FakeCodec.MaxDecodeBytes]] of any payload, so one oversized blob
-  *    cannot OOM an executor;
+  *    [[FakeCodec.MaxDecodeBytes]] of any payload, bounding per-row
+  *    decode CPU. NOTE the payload bytes themselves are materialized by
+  *    the scan before decode sees them — a hard MEMORY bound needs
+  *    scan-side truncation (substring on the binary column) or a
+  *    max-blob-size filter at ingest, which a real deployment applies;
   *  - feature extraction output as a typed Dataset ready for downstream
   *    relational ops.
   */
@@ -32,7 +35,7 @@ object Multimodal {
   object FakeCodec {
     /** Decode window cap: bytes of payload a single decode may touch.
       * Real codecs sniff headers/keyframes in a bounded window; enforcing
-      * the bound here keeps per-row memory/cpu independent of blob size. */
+      * the bound here keeps per-row decode CPU independent of blob size. */
     val MaxDecodeBytes: Int = 64 << 20
 
     /** STUB: "decode" a payload into (width, height, n_frames, checksum).
@@ -131,8 +134,8 @@ object Multimodal {
         .select(col("media_id"),
           // md5-derived frame count (not xxhash64): bit-identical in
           // DuckDB, so the fan-out is oracle-checkable
-          (pmod(conv(substring(md5(col("payload")), 1, 8), 16, 10).cast("long"),
-            lit(30)) + lit(2)).as("n_frames"))
+          (graft.functions.HashExpressions.md5Bucket(col("payload"), 30) + lit(2))
+            .as("n_frames"))
       media
         .select(col("media_id"),
           explode(sequence(lit(0), col("n_frames") - 1, lit(7))).as("frame_no"))

@@ -19,10 +19,8 @@ object Pipeline {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
-  /** md5-derived bucket in [0, mod): first 8 hex chars of md5 as a long.
-    * DuckDB mirror: ('0x' || substr(md5(x), 1, 8))::BIGINT % mod. */
   private def md5Bucket(c: org.apache.spark.sql.Column, mod: Int) =
-    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(mod))
+    graft.functions.HashExpressions.md5Bucket(c, mod)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -16,12 +16,13 @@ import graft.engine.Engine
   *  - LSH-bucketed ANN: random-hyperplane signatures computed per-row
   *    (codegen'd, no shuffle); candidates must share the bucket key, so
   *    comparisons drop from O(|Q|·N) to O(|Q|·N/2^bits) per probe. The
-  *    hyperplanes are pseudo-random ±1 vectors derived from xxhash64 so
-  *    they are identical on every executor without any broadcast state.
+  *    hyperplanes are pseudo-random ±1 vectors derived from md5 parities so
+  *    they are identical on every executor without any broadcast state
+  *    (and bit-reproducible in the DuckDB oracle).
   *
-  * Dot products run through `aggregate`/`zip_with` over the float arrays
-  * with double accumulation — built-in higher-order functions, fully
-  * codegen'd, no UDF.
+  * Dot products run through the native `dot_f32` expression (one fused
+  * JVM loop per row, double accumulation) — no per-element lambda
+  * frames, no UDF.
   */
 object Similarity {
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -18,8 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * These expressions run the whole signature as one tight JVM loop per
   * row: measured >20× faster at sf0.1, and they keep the per-row cost
   * linear in (shingles + k) rather than shingles × k string re-hashes
-  * (each shingle is xxhash64'd once, then k cheap long-mixes derive the
-  * per-slot hashes).
+  * (each shingle is md5-hashed once, then k cheap xors derive the
+  * per-slot hashes — the md5 family is bit-reproducible in DuckDB).
   */
 object HashExpressions {
 
@@ -48,7 +48,8 @@ object HashExpressions {
     * remix, and is exactly reproducible in the DuckDB oracle
     * (xor over ('0x'||substr(md5(s),1,16))::UBIGINT). */
   case class MinHashSig(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     @transient private lazy val rands: Array[Long] =
@@ -81,7 +82,8 @@ object HashExpressions {
     * rather than xxhash64 so the DuckDB oracle can reproduce the exact
     * fingerprints — the sign decisions are integer-exact either way. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(input: Any): Any = {
@@ -120,7 +122,8 @@ object HashExpressions {
     * runs under filters that Catalyst pushes below repartition exchanges —
     * wherever it lands, a single compiled scan per row stays cheap. */
   case class WordShingles(child: Expression, n: Int, distinct: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     require(n >= 1)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -203,7 +206,9 @@ object HashExpressions {
     * fused loop per pair instead of zip_with + aggregate HOF frames.
     * Mismatched lengths evaluate over the common prefix. */
   case class DotF32(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -235,9 +240,11 @@ object HashExpressions {
     *  - md5 (unlike xxhash64) exists in DuckDB, so the same hyperplanes
     *    are expressible in the oracle SQL.
     * The sign matrix is derived, not broadcast — identical on every
-    * executor. Dims beyond 256 fold back onto the first 256 signs. */
+    * executor. Dims beyond [[MaxDims]] REJECT loudly: a silent fold-back
+    * would diverge from the (unfolded) DuckDB mirror. */
   case class HyperplaneSig(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     require(bits >= 1 && bits <= 63)
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -251,6 +258,8 @@ object HashExpressions {
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      require(n <= MaxDims,
+        s"hyperplane_sig supports up to $MaxDims dims, got $n (the DuckDB mirror is unfolded)")
       val quant = new Array[Long](n)
       var i = 0
       while (i < n) {
@@ -263,7 +272,7 @@ object HashExpressions {
         val hs = signs(j)
         var acc = 0L
         i = 0
-        while (i < n) { acc += quant(i) * hs(i % MaxDims); i += 1 }
+        while (i < n) { acc += quant(i) * hs(i); i += 1 }
         if (acc > 0) fp |= (1L << j)
         j += 1
       }
@@ -273,7 +282,15 @@ object HashExpressions {
     override def prettyName: String = "hyperplane_sig"
   }
 
-  private val MaxDims = 256
+  private val MaxDims = 1024
+
+  /** md5-derived bucket in [0, mod): first 8 hex chars of md5 as a long —
+    * the canonical cross-engine bucket family. DuckDB mirror:
+    * ('0x' || substr(md5(x), 1, 8))::BIGINT % mod. */
+  def md5Bucket(c: Column, mod: Int): Column = {
+    import org.apache.spark.sql.functions._
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(mod))
+  }
 
   def hyperplane_sig(c: Column, bits: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(c), bits))

@@ -32,11 +32,18 @@ object Scale {
     * duplicated — exactly in the executor-loss regime salting exists
     * for. Content-derived salts are also deterministic, so Catalyst can
     * optimize across them. `saltCols` defaults to every non-key column
-    * of `left`; pass one cheap discriminating column when available. */
+    * of `left` (falling back to the key itself when there are none);
+    * pass one cheap HIGH-CARDINALITY column when available — if every
+    * row of a hot key carries identical salt-column content (e.g. exact
+    * replays), all of them draw the same salt and the hot partition is
+    * NOT split; a per-row discriminator (line number, offset) restores
+    * the spread. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int,
       saltCols: Seq[Column] = Nil): DataFrame = {
+    val nonKey = left.columns.filterNot(_ == key).map(col).toSeq
     val src = if (saltCols.nonEmpty) saltCols
-      else left.columns.filterNot(_ == key).map(col).toSeq
+      else if (nonKey.nonEmpty) nonKey
+      else Seq(col(key)) // degenerate but defined: single-column frame
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(src: _*), lit(salts)))
     val explodedRight = right.withColumn("__salt",

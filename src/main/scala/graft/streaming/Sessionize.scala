@@ -76,7 +76,11 @@ object Sessionize {
             evs.foreach { us =>
               cur match {
                 case Some(st) if us - st.last <= gapUs =>
-                  cur = Some(st.copy(last = us, n = st.n + 1))
+                  // min/max, not overwrite: a late-but-in-watermark event
+                  // from an earlier batch may sort BEFORE the open
+                  // session's bounds — it must extend, never rewind them
+                  cur = Some(SessionState(
+                    math.min(st.start, us), math.max(st.last, us), st.n + 1))
                 case Some(st) =>
                   out += Session(user, st.start, st.last, st.n)
                   cur = Some(SessionState(us, us, 1))
