@@ -19,8 +19,12 @@ class StreamingSpec extends SparkSpecBase {
       t
     }
     val min = 60L * 1000 * 1000 // µs
-    // user 1: two sessions (gap 30min, break at 90min); user 2: one session
-    val u1 = Seq(0L, 5 * min, 20 * min, 120 * min, 130 * min)
+    // user 1: two sessions (gap 30min, break at 90min); the 10min event
+    // arrives LATE (in batch 2, within watermark) — it must extend the
+    // open session's count without rewinding its end (regression: a
+    // merge that overwrote last with the late ts split the session).
+    // user 2: one session
+    val u1 = Seq(0L, 5 * min, 10 * min, 20 * min, 120 * min, 130 * min)
     val u2 = Seq(10 * min, 15 * min)
     val base = 1700000000L * 1000000
 
@@ -29,13 +33,15 @@ class StreamingSpec extends SparkSpecBase {
       .writeStream.outputMode("append").format("memory")
       .queryName("sess_inc_test").start()
     try {
-      // batch 1: first session's events; batch 2: the rest (state carries
-      // over); batch 3+4: watermark-advancing sentinels close open sessions
+      // batch 1: session 1 minus the late event; batch 2: late 10min
+      // event + session 2 (state carries over); batch 3+4:
+      // watermark-advancing sentinels close open sessions
       input.addData(
-        (u1.take(3).map(us => TimedEvent(1L, tsUs(base + us), "e")) ++
+        (Seq(0L, 5 * min, 20 * min).map(us => TimedEvent(1L, tsUs(base + us), "e")) ++
           u2.map(us => TimedEvent(2L, tsUs(base + us), "e"))): _*)
       q.processAllAvailable()
-      input.addData(u1.drop(3).map(us => TimedEvent(1L, tsUs(base + us), "e")): _*)
+      input.addData(Seq(10 * min, 120 * min, 130 * min)
+        .map(us => TimedEvent(1L, tsUs(base + us), "e")): _*)
       q.processAllAvailable()
       input.addData(TimedEvent(99L, tsUs(base + 1000 * min), "sentinel"))
       q.processAllAvailable()
