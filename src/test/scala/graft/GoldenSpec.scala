@@ -53,6 +53,15 @@ class GoldenSpec extends SparkSpecBase {
     assert(agg.map(_.getLong(1)).sum == 100L)
   }
 
+  test("catalog statements work through the REPL surface (SHOW TABLES / DESCRIBE)") {
+    Engine.configure(spark)
+    val tables = spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert(tables.contains("types") && tables.contains("test"), tables.toString)
+    val desc = spark.sql("DESCRIBE types").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("string") == "string" && desc("float") == "float" && desc("int") == "int")
+  }
+
   test("golden scalar results through spark.sql") {
     Engine.configure(spark)
     val r = spark.sql(
