@@ -60,6 +60,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // benchmark decontamination: flag corpus documents sharing any word
+    // 8-gram with a benchmark set (stand-in: every 50th doc). The
+    // benchmark gram set is tiny relative to the corpus → broadcast; the
+    // corpus explodes its grams ONCE and semi-joins — no shuffle of the
+    // corpus, work linear in total grams. Standard eval-leakage guard.
+    "pipe_decontam" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.HashExpressions.word_shingles(col("text"), 8).as("sh"))
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("sh")).as("gram")).distinct()
+      val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+      val flagged = corpus.select(col("doc_id"), explode(col("sh")).as("gram"))
+        .join(broadcast(bench), "gram")
+        .select(col("doc_id")).distinct()
+        .withColumn("contaminated", lit(true))
+      corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // weighted mixture sampling: per-source keep-rates applied via the
     // doc's own hash bucket — deterministic, retry-safe, no shuffle; the
     // sampled mixture is then summarized per source
@@ -104,6 +127,34 @@ object Pipeline {
         |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
         |  CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS bin
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "pipe_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |           || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+        |           || ' ' || tk[i+7])) AS sh
+        |  FROM toks
+        |), bench AS (
+        |  SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 50 = 0
+        |), corpus AS (
+        |  SELECT * FROM sh WHERE doc_id % 50 != 0
+        |), flagged AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS gram FROM corpus) g
+        |  JOIN bench USING (gram)
+        |)
+        |SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_grams,
+        |  (f.doc_id IS NOT NULL) AS contaminated
+        |FROM corpus c LEFT JOIN flagged f USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
 
     "pipe_mixture" ->
       """WITH b AS (

@@ -60,6 +60,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("pipe_decontam broadcasts the benchmark gram set (corpus never shuffles for the flag)") {
+    val p = plan("pipe_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+  }
+
   test("EXPLAIN ANALYZE analogue reports executed metrics per operator") {
     val df = Engine.table(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count()
