@@ -25,6 +25,8 @@ class ExtensionInjectionSpec extends SparkSpecBase {
       assert(sig.length == 4)
       assert(s2.sql("SELECT simhash64(word_shingles('hello world', 1)) AS h")
         .head().get(0) != null)
+      // DuckDB-checked constant: ('0x'||substr(md5('42'),1,8))::BIGINT % 100 = 84
+      assert(s2.sql("SELECT md5_bucket(42, 100) AS b").head().getLong(0) == 84L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
