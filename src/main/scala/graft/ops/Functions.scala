@@ -197,6 +197,32 @@ object Functions {
           "CAST(pos2 AS BIGINT) AS pos2",
           "array_join(CAST(no1 AS ARRAY<STRING>), ',') AS no1")),
 
+    // array family round-out: repeat/reverse/prepend/append/compact/
+    // cardinality/contains (datafusion-functions-nested parity)
+    "q_array_ops2" -> ((s, _) =>
+      s.sql(
+        """SELECT k,
+          |  array_repeat(k, 3) AS rep,
+          |  reverse(a) AS rev,
+          |  array_prepend(a, 0) AS pre,
+          |  array_append(a, 9) AS app,
+          |  array_compact(array(k, CAST(NULL AS INT), k + 1)) AS cmp,
+          |  cardinality(a) AS card,
+          |  array_contains(a, 2) AS has2
+          |FROM VALUES
+          |  (1, array(1, 2, 2, 3)),
+          |  (2, array(5, 5, 6)),
+          |  (3, array(1, 1, 1))
+          | AS t(k, a)
+          |ORDER BY k""".stripMargin)
+        .selectExpr("CAST(k AS BIGINT) AS k",
+          "array_join(CAST(rep AS ARRAY<STRING>), ',') AS rep",
+          "array_join(CAST(rev AS ARRAY<STRING>), ',') AS rev",
+          "array_join(CAST(pre AS ARRAY<STRING>), ',') AS pre",
+          "array_join(CAST(app AS ARRAY<STRING>), ',') AS app",
+          "array_join(CAST(cmp AS ARRAY<STRING>), ',') AS cmp",
+          "CAST(card AS BIGINT) AS card", "has2")),
+
     // higher-order array functions as user surface (transform / filter /
     // aggregate / exists / forall / zip_with)
     "q_higher_order" -> ((s, dir) =>
@@ -495,6 +521,21 @@ object Functions {
         |  round(CAST(embedding[idx] AS DOUBLE), 6) AS val
         |FROM embeddings, unnest(generate_series(1, 8)) AS t(idx)
         |WHERE vec_id < 5 ORDER BY vec_id, idx""".stripMargin,
+
+    "q_array_ops2" ->
+      """SELECT CAST(k AS BIGINT) AS k,
+        |  array_to_string(list_transform(range(1, 4), i -> CAST(k AS VARCHAR)), ',') AS rep,
+        |  array_to_string(list_reverse(a), ',') AS rev,
+        |  array_to_string(list_prepend(0, a), ',') AS pre,
+        |  array_to_string(list_append(a, 9), ',') AS app,
+        |  array_to_string(list_filter([k, NULL, k + 1], x -> x IS NOT NULL), ',') AS cmp,
+        |  CAST(len(a) AS BIGINT) AS card,
+        |  list_contains(a, 2) AS has2
+        |FROM (VALUES
+        |  (1, [1, 2, 2, 3]),
+        |  (2, [5, 5, 6]),
+        |  (3, [1, 1, 1])) AS t(k, a)
+        |ORDER BY k""".stripMargin,
 
     "q_fn_longtail" ->
       """SELECT s_suppkey,
