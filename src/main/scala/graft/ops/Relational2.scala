@@ -126,6 +126,20 @@ object Relational2 {
           element_at(map_values(col("m")), 1).as("first_v"))
         .orderBy(col("n_regionkey"))),
 
+    // map family round-out: concat / filter / transform_values / entries
+    // (serialized as sorted "k:v" strings — the nested-output rule)
+    "q_map_funcs2" -> ((s, _) =>
+      s.sql(
+        """SELECT k,
+          |  map_concat(map('a', k, 'b', k * 2), map('c', k * 3)) AS mc
+          |FROM VALUES (1), (2), (3) AS t(k)""".stripMargin)
+        .selectExpr("CAST(k AS BIGINT) AS k",
+          "array_join(transform(array_sort(map_entries(mc)), e -> concat(e.key, ':', e.value)), ',') AS me",
+          "array_join(transform(array_sort(map_entries(map_filter(mc, (mk, v) -> v > k))), e -> concat(e.key, ':', e.value)), ',') AS mf",
+          "array_join(transform(array_sort(map_entries(transform_values(mc, (mk, v) -> v + 1))), e -> concat(e.key, ':', e.value)), ',') AS tv",
+          "array_join(array_sort(map_keys(mc)), ',') AS mk")
+        .orderBy(col("k"))),
+
     // t-digest style approx percentile — algorithm-specific, rows-only
     "q_agg_approx_percentile" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -337,6 +351,22 @@ object Relational2 {
         |  ON b.pri = a.pri AND b.dr BETWEEN a.dr - 1 AND a.dr + 1
         |GROUP BY a.o_orderkey, a.pri
         |ORDER BY a.o_orderkey""".stripMargin,
+
+    "q_map_funcs2" ->
+      """WITH t(k) AS (VALUES (1), (2), (3)),
+        |e AS (
+        |  SELECT k,
+        |    [struct_pack(ky := 'a', v := k),
+        |     struct_pack(ky := 'b', v := k * 2),
+        |     struct_pack(ky := 'c', v := k * 3)] AS ent
+        |  FROM t)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  array_to_string(list_transform(ent, x -> x.ky || ':' || x.v), ',') AS me,
+        |  array_to_string(list_transform(list_filter(ent, x -> x.v > k),
+        |    x -> x.ky || ':' || x.v), ',') AS mf,
+        |  array_to_string(list_transform(ent, x -> x.ky || ':' || (x.v + 1)), ',') AS tv,
+        |  'a,b,c' AS mk
+        |FROM e ORDER BY k""".stripMargin,
 
     "q_nondet_fns" ->
       """SELECT length(CAST(uuid() AS VARCHAR)) = 36 AS uuid_ok,
