@@ -45,4 +45,44 @@ class PropertySpec extends SparkSpecBase {
       assert(got == want, s"got=$got want=$want parts=$parts")
     }
   }
+
+  test("minhash signature agreement estimates Jaccard (the property LSH relies on)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sets with known overlap: A = w0..w99, B = wk..w(k+99) → J = (100-k)/(100+k)
+    val overlaps = Seq(0, 10, 25, 50, 75, 90)
+    val errs = overlaps.map { k =>
+      val a = (0 until 100).map(i => s"w$i")
+      val b = (k until (k + 100)).map(i => s"w$i")
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(
+          graft.functions.HashExpressions.minhash_sig(col("a"), 64).as("sa"),
+          graft.functions.HashExpressions.minhash_sig(col("b"), 64).as("sb"))
+        .select(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          x => x)).as("agree"))
+      val agree = df.head().getInt(0)
+      val est = agree / 64.0
+      val j = (100.0 - k) / (100.0 + k)
+      math.abs(est - j)
+    }
+    // per-pair binomial noise ~ sqrt(J(1-J)/64) ≈ 0.06; allow 3σ per pair
+    errs.zip(overlaps).foreach { case (e, k) =>
+      assert(e < 0.2, s"overlap shift $k: |est - J| = $e")
+    }
+    assert(errs.sum / errs.size < 0.08, s"mean estimation error ${errs.sum / errs.size}")
+  }
+
+  test("md5_bucket is uniform and stable") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 10000)
+      .select(graft.functions.HashExpressions.md5Bucket(col("id").cast("string"), 10).as("b"))
+    val counts = df.groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L until 10L).toSet, counts.toString)
+    counts.foreach { case (b, n) =>
+      assert(n > 800 && n < 1200, s"bucket $b skewed: $n/10000")
+    }
+    // determinism across evaluations (retry-safety contract)
+    val again = df.groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == again)
+  }
 }
