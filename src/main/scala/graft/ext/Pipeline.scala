@@ -71,15 +71,19 @@ object Pipeline {
           graft.functions.HashExpressions.word_shingles(col("text"), 8).as("sh"))
       val bench = sh.filter(col("doc_id") % 50 === 0)
         .select(explode(col("sh")).as("gram")).distinct()
-      val corpus = sh.filter(col("doc_id") % 50 =!= 0)
-      val flagged = corpus.select(col("doc_id"), explode(col("sh")).as("gram"))
-        .join(broadcast(bench), "gram")
-        .select(col("doc_id")).distinct()
-        .withColumn("contaminated", lit(true))
-      corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
-        .join(flagged, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .withColumn("hit", lit(true))
+      // single pass over the corpus grams: explode_outer keeps empty/null
+      // docs (n_grams = 0, matching the oracle's len([]) = 0), the tiny
+      // bench set broadcasts, and the groupBy partial-aggregates map-side
+      // so the shuffle carries one row per document, not per gram
+      t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          explode_outer(graft.functions.HashExpressions.word_shingles(col("text"), 8))
+            .as("gram"))
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("gram")).as("n_grams"),
+          coalesce(max(col("hit")), lit(false)).as("contaminated"))
         .orderBy(col("doc_id"))
     }),
 

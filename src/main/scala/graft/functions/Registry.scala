@@ -46,14 +46,20 @@ object Registry {
     "num_gcd" -> { exprs: Seq[Expression] => Gcd(exprs(0), exprs(1)) },
     "num_lcm" -> { exprs: Seq[Expression] => Lcm(exprs(0), exprs(1)) },
     // deterministic sampling/splitting primitive, SQL form of
-    // HashExpressions.md5Bucket: md5_bucket(x, mod) ∈ [0, mod) — same
-    // value as DuckDB ('0x' || substr(md5(x), 1, 8))::BIGINT % mod
+    // HashExpressions.md5Bucket (single shared definition): md5_bucket(x,
+    // mod) ∈ [0, mod) — same value as DuckDB ('0x' || substr(md5(CAST(x
+    // AS VARCHAR)), 1, 8))::BIGINT % mod for STRING and INTEGER keys.
+    // Fractional keys are NOT oracle-portable (Spark renders 1e7 as
+    // "1.0E7", DuckDB as "10000000.0") — cast or format them first.
+    // NOTE: must stay value-identical to HashExpressions.md5Bucket (the
+    // Column form); both are pinned to the same DuckDB-checked constant
+    // (md5_bucket(42,100)=84) by ExtensionInjectionSpec + PropertySpec.
+    // (A Bridge round-trip cannot be used here: column-node wrappers are
+    // Unevaluable inside a function-registry builder.)
     "md5_bucket" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c, m) =>
         import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Md5, Pmod, Substring}
         import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
-        // via string: numeric keys render identically to DuckDB's
-        // CAST(x AS VARCHAR) (binary cast is string-only in Spark anyway)
         Pmod(Cast(Conv(Substring(Md5(Cast(Cast(c, StringType), BinaryType)),
           Literal(1), Literal(8)), Literal(16), Literal(10)), LongType), m)
       case _ => throw new IllegalArgumentException("md5_bucket(x, mod)")

@@ -365,7 +365,7 @@ object Relational2 {
         |  array_to_string(list_transform(list_filter(ent, x -> x.v > k),
         |    x -> x.ky || ':' || x.v), ',') AS mf,
         |  array_to_string(list_transform(ent, x -> x.ky || ':' || (x.v + 1)), ',') AS tv,
-        |  'a,b,c' AS mk
+        |  array_to_string(list_sort(list_transform(ent, x -> x.ky)), ',') AS mk
         |FROM e ORDER BY k""".stripMargin,
 
     "q_nondet_fns" ->

@@ -60,9 +60,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
-  test("pipe_decontam broadcasts the benchmark gram set (corpus never shuffles for the flag)") {
+  test("pipe_decontam broadcasts the benchmark gram set and partial-aggregates map-side") {
     val p = plan("pipe_decontam")
-    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") &&
+      "Left keys \\[1\\]: \\[gram".r.findFirstIn(p).isDefined,
+      s"gram join not broadcast:\n$p")
+    // the shuffle after the gram join must be the doc-level aggregation
+    // (partial HashAggregate below the Exchange), not raw gram rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
   test("EXPLAIN ANALYZE analogue reports executed metrics per operator") {
