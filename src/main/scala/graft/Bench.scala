@@ -1,19 +1,40 @@
 package graft
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
   * Each query runs 3× and reports the MEDIAN — single-shot timing at
   * local[32] in a shared sandbox cannot distinguish a real regression
   * from GC/JIT/contention noise (round-2 verdict saw 7× swings on
-  * unchanged code). The JSON is written to BENCH_LOCAL.json as well as
-  * printed, because the driver's stdout tail-capture truncated the
-  * (formerly ~4.5 KB) line; timings are rounded to ms to keep the
-  * printed line itself short.
+  * unchanged code). All 3 raw times are emitted per query so a
+  * contention-contaminated window is self-evident in the artifact.
+  *
+  * Execution is forced with the `noop` sink, not `.count()`: under a
+  * count, Catalyst prunes projections and eliminates sorts, so pure
+  * per-row-expression queries would be timed as bare scans. The noop
+  * sink materializes every output column through the full plan.
+  *
+  * The full JSON (medians + raw runs) is written to BENCH_LOCAL.json;
+  * stdout gets a SHORT single line (total + slowest-10 medians + file
+  * pointer) because the driver captures only a ~2,000-char stdout tail
+  * and the full 125-query line was getting truncated mid-line.
   */
 object Bench {
   private val Runs = 3
+
+  /** Forces full materialization of every column; -1.0 = query failed. */
+  private def timeOnce(df: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        -1.0
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,32 +51,40 @@ object Bench {
     // the bucketed tables once — bucketing is a write-once layout whose
     // cost amortizes across every later co-located join (its query then
     // measures the join, not the one-time layout)
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    catch { case _: Throwable => }
-    try SparkEntry.queries("q_bucketed_join")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    timeOnce(SparkEntry.queries("q1_agg")(spark, sfDir))
+    timeOnce(SparkEntry.queries("q_bucketed_join")(spark, sfDir))
     // optional name filter for local iteration (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to Runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(Runs / 2) // median
-    }
+        val times = (1 to Runs).map(_ => timeOnce(fn(spark, sfDir)))
+        // any failed run poisons the median: report -1, never a
+        // healthy-looking near-zero exception time
+        val median =
+          if (times.contains(-1.0)) -1.0 else times.sorted.apply(Runs / 2)
+        (name, median, times)
+      }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$Runs,"stat":"median"}"""
-    try Files.writeString(Paths.get(outFile), line + "\n")
-    catch { case _: Throwable => } // stdout line below is the contract
-    println(line)
+    def obj(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val medians = obj(results.map { case (k, m, _) => k -> r3(m).toString })
+    val runs = obj(results.map { case (k, _, ts) =>
+      k -> ts.map(r3).mkString("[", ",", "]")
+    })
+    val ok = results.filter(_._2 >= 0)
+    val failed = results.collect { case (k, m, _) if m < 0 => "\"" + k + "\"" }
+    val total = r3(ok.map(_._2).sum)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"runs":$runs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median"}"""
+    try Files.writeString(Paths.get(outFile), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    // stdout: short + complete beats long + truncated
+    val top = obj(
+      ok.sortBy(-_._2).take(10).sortBy(_._1).map { case (k, m, _) => k -> r3(m).toString })
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"n":${results.size},"sf":"$sfDir","stat":"median_of_$Runs","file":"$outFile"}""")
     spark.stop()
   }
 }

@@ -31,10 +31,40 @@ object Engine {
   )
 
   object Options {
+    /** Resolve the bundled fixture from a repo-root anchor so launching
+      * from any working directory still registers the `test` table (the
+      * reference registers datasets/test.csv unconditionally,
+      * src/lib.rs:57-58). Search order: -Dgraft.home / $GRAFT_HOME, the
+      * JVM working directory, then ancestors of the compiled classes'
+      * location (target/scala-2.13/classes → repo root). Warns instead of
+      * silently dropping the table when the fixture is absent. */
     def defaultCsvPath: Option[String] = {
-      val p = java.nio.file.Paths.get("datasets", "test.csv")
-      if (java.nio.file.Files.exists(p)) Some(p.toString) else None
+      import java.nio.file.{Files, Path, Paths}
+      val rel = Paths.get("datasets", "test.csv")
+      val anchors: Seq[Path] =
+        (sys.props.get("graft.home") ++ sys.env.get("GRAFT_HOME"))
+          .map(Paths.get(_)).toSeq ++ Seq(Paths.get(".")) ++ codeAnchors
+      val hit = anchors.map(_.resolve(rel)).find(Files.exists(_))
+      if (hit.isEmpty)
+        System.err.println(
+          "[graft] warning: datasets/test.csv fixture not found (searched " +
+            s"${anchors.map(_.toAbsolutePath.normalize).distinct.mkString(", ")}); " +
+            "the `test` table will not be registered — set -Dgraft.home=<repo root> " +
+            "or $GRAFT_HOME")
+      hit.map(_.toAbsolutePath.normalize.toString)
     }
+
+    /** Ancestors of wherever this class was loaded from (classes dir or
+      * jar), so a REPL launched outside the repo still finds the repo. */
+    private def codeAnchors: Seq[java.nio.file.Path] =
+      try {
+        val src = Engine.getClass.getProtectionDomain.getCodeSource
+        if (src == null) Nil
+        else {
+          val loc = java.nio.file.Paths.get(src.getLocation.toURI)
+          Iterator.iterate(loc)(_.getParent).takeWhile(_ != null).take(6).toSeq
+        }
+      } catch { case _: Throwable => Nil }
   }
 
   /** Build (or reuse) the session and register tables + UDAFs. */

@@ -49,8 +49,10 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na === 0 || nb === 0, lit(0.0)).otherwise(dot_f32(a, b) / (na * nb))
 
-  /** Random-hyperplane LSH signature: bit j = sign of <round(v*1000),
-    * h_j> where h_j[i] = ±1 derived from md5 parity. Native Catalyst
+  /** Random-hyperplane LSH signature: bit j = sign of
+    * <floor(v*1000 + 0.5), h_j> where h_j[i] = ±1 derived from md5
+    * parity (half-toward-+∞ tie rule spelled out identically in both
+    * engines — their default round() disagrees on .5 ties). Native Catalyst
     * expression (one compiled loop per row — the interpreted HOF version
     * this replaces paid ~bits×dim lambda frames per row), deterministic
     * on every executor, and exactly mirrored by the DuckDB oracle
@@ -63,7 +65,7 @@ object Similarity {
   def hyperplaneSigDuck(vecExpr: String, bits: Int): String =
     s"""list_sum(list_transform(range(0, $bits), j ->
        |    CASE WHEN list_sum(list_transform(range(0, len($vecExpr)), i ->
-       |      CAST(round(CAST($vecExpr[i+1] AS DOUBLE)*1000) AS BIGINT) *
+       |      CAST(floor(CAST($vecExpr[i+1] AS DOUBLE)*1000 + 0.5) AS BIGINT) *
        |      (CASE WHEN substr(md5(concat(j, '_', i)),1,1) IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)
        |    )) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))""".stripMargin
 
@@ -190,8 +192,17 @@ object Similarity {
           col("best.embedding").as("embedding"))
       val refined = assigned0
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        // centroid mean over integer-quantized components
+        // (floor(v*1000+0.5), the hyperplane_sig tie rule): the BIGINT sum
+        // is associative — immune to partition/accumulation order — and
+        // one double division follows, so the refined centroids are
+        // bit-identical in DuckDB and the whole IVF pipeline is
+        // hash-comparable. 1/1000 granularity moves centroids ~1e-4,
+        // irrelevant to cell shapes (recall spec unchanged).
+        .withColumn("q",
+          floor(col("v").cast("double") * lit(1000) + lit(0.5)))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("v")).as("m"))
+        .agg((sum(col("q")).cast("double") / count(lit(1)) / lit(1000.0)).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"),
@@ -258,6 +269,63 @@ object Similarity {
         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
         |                           CAST(e.embedding AS DOUBLE[])) AS sim
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 10
+        |), ranked AS (
+        |  SELECT q_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(sim, 5) AS sim
+        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // Full-pipeline IVF mirror. Every stage is engine-exact or
+    // precedent-validated: seed assignment + probe ranking are cosine
+    // argmaxes (double accumulation both sides — the same comparison the
+    // ann_bruteforce oracle already hash-validates), and the one
+    // order-dependent float step, the Lloyd centroid average, is an
+    // integer-quantized mean (BIGINT sum + single double division), so
+    // refined centroids are bit-identical across engines.
+    "ann_ivf" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c_vec
+        |  FROM embeddings WHERE vec_id < 16
+        |), a0 AS (
+        |  SELECT vec_id, cell, embedding FROM (
+        |    SELECT e.vec_id, s.cell, e.embedding,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        s.c_vec) DESC, s.cell) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1
+        |), expl AS (
+        |  SELECT cell,
+        |    unnest(range(len(embedding))) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM a0
+        |), means AS (
+        |  SELECT cell, dim,
+        |    CAST(sum(CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 1000.0 AS m
+        |  FROM expl GROUP BY cell, dim
+        |), cent AS (
+        |  SELECT cell, CAST(list(CAST(m AS REAL) ORDER BY dim) AS DOUBLE[]) AS c_vec
+        |  FROM means GROUP BY cell
+        |), corpus AS (
+        |  SELECT vec_id, cell, embedding FROM (
+        |    SELECT e.vec_id, c.cell, e.embedding,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        c.c_vec) DESC, c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 10) WHERE rn = 1
+        |), probes AS (
+        |  SELECT q_id, q_vec, cell FROM (
+        |    SELECT e.vec_id AS q_id, CAST(e.embedding AS DOUBLE[]) AS q_vec, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        c.c_vec) DESC, c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= 6
+        |), scored AS (
+        |  SELECT p.q_id, a.vec_id,
+        |    list_cosine_similarity(p.q_vec, CAST(a.embedding AS DOUBLE[])) AS sim
+        |  FROM corpus a JOIN probes p USING (cell)
         |), ranked AS (
         |  SELECT q_id, vec_id, sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk

@@ -111,18 +111,26 @@ object TextAnalysis {
       val d = t(s, dir, "documents")
       val nTok = nTokens(col("text"))
       val nStop = stopwordHits(col("text"), stopEn)
+      // narrow pre-shuffle projection: the content hash AND every quality
+      // stat the later stages need are computed in the scan stage, so the
+      // document text never enters the dedup exchange — at 100 TB the
+      // shuffle carries ~50 bytes/doc (h, doc_id, lang, n_chars, n_tok,
+      // stop_ratio) instead of the corpus bodily
+      val narrow = d.select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"),
+        nTok.as("n_tok"),
+        (nStop.cast("double") / greatest(nTok, lit(1)).cast("double"))
+          .as("stop_ratio"))
       // stage 1: exact dedup — keep min doc_id per normalized-content hash
-      val survivors = d
-        .withColumn("h", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      val survivors = narrow
         .withColumn("keep", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("h")).orderBy(col("doc_id"))))
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
         .filter(col("keep") === 1)
-      // stage 2: quality gate
+      // stage 2: quality gate (must follow dedup: same h ≠ same raw text —
+      // normalization can erase whitespace/case differences — so the kept
+      // copy's stats, not an arbitrary copy's, are what's gated)
       val curated = survivors
-        .withColumn("n_tok", nTok)
-        .withColumn("stop_ratio",
-          nStop.cast("double") / greatest(nTok, lit(1)).cast("double"))
         .filter(col("n_chars").between(50, 5000) && col("n_tok") >= 10)
       // stage 3: per-language corpus stats
       curated.groupBy(col("lang"))
@@ -138,7 +146,10 @@ object TextAnalysis {
     // frequency table is small (vocabulary-sized) and broadcast back.
     "text_tfidf" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val nDocs = d.count() // corpus size: one cheap metadata-only job
+      // corpus size as a lazy broadcast scalar frame — no driver-side
+      // d.count() at plan-build time (that forced an eager job per
+      // invocation and baked the scalar into the plan)
+      val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = d
         .select(col("doc_id"),
           explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
@@ -150,8 +161,9 @@ object TextAnalysis {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf_raw").desc, col("term"))
       tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf_raw",
-          col("tf") * log(lit(nDocs.toDouble) / col("df")))
+          col("tf") * log(col("n_docs") / col("df")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),

@@ -229,14 +229,16 @@ object HashExpressions {
     Bridge.column(DotF32(Bridge.expression(a), Bridge.expression(b)))
 
   /** Random-hyperplane LSH signature over an array<float>: bit j is set
-    * iff `sum_i round(v_i * 1000) * h_ji > 0`, where h_ji = +1 iff the
-    * first hex digit of md5("j_i") is even. Replaces a nested interpreted
-    * HOF (one lambda frame per (bit × dim) per row) with one compiled
-    * loop. Two deliberate choices make it oracle-checkable:
+    * iff `sum_i floor(v_i * 1000 + 0.5) * h_ji > 0`, where h_ji = +1 iff
+    * the first hex digit of md5("j_i") is even. Replaces a nested
+    * interpreted HOF (one lambda frame per (bit × dim) per row) with one
+    * compiled loop. Two deliberate choices make it oracle-checkable:
     *  - quantizing to integers makes the sign decision exact — no
-    *    float-summation-order divergence between engines (and v*1000
-    *    cannot sit on a rounding tie: (2k+1)/2000 has a factor 125 in the
-    *    denominator, unrepresentable in binary floating point);
+    *    float-summation-order divergence between engines. The tie rule is
+    *    floor(x + 0.5) (half-toward-+∞) SPELLED OUT on both sides, because
+    *    v*1000 CAN sit exactly on a .5 tie (0.0625f*1000 = 62.5 is
+    *    representable) and the engines' default round() disagree there
+    *    (JVM rint = half-to-even, DuckDB round = half-away-from-zero);
     *  - md5 (unlike xxhash64) exists in DuckDB, so the same hyperplanes
     *    are expressible in the oracle SQL.
     * The sign matrix is derived, not broadcast — identical on every
@@ -263,7 +265,7 @@ object HashExpressions {
       val quant = new Array[Long](n)
       var i = 0
       while (i < n) {
-        quant(i) = math.rint(arr.getFloat(i).toDouble * 1000).toLong
+        quant(i) = math.floor(arr.getFloat(i).toDouble * 1000 + 0.5).toLong
         i += 1
       }
       var fp = 0L

@@ -63,7 +63,8 @@ class SumCustomAgg extends Aggregator[java.lang.Float, Float, Float] {
   * so plain addition here is observationally equivalent (SURVEY §7
   * deviation 4 — documented, not replicated).
   */
-case class SumCoercingAgg(child: Expression) extends DeclarativeAggregate {
+case class SumCoercingAgg(child: Expression, name: String = "sum_coercing")
+    extends DeclarativeAggregate {
 
   // lazy: child.dataType is unavailable until the plan is resolved
   private lazy val sumType: DataType = child.dataType match {
@@ -72,7 +73,7 @@ case class SumCoercingAgg(child: Expression) extends DeclarativeAggregate {
     case NullType => FloatType
     case other =>
       throw new IllegalArgumentException(
-        s"sum_coercing: unsupported input type $other (reference coerce_types rejects it)")
+        s"$name: unsupported input type $other (reference coerce_types rejects it)")
   }
 
   private lazy val sum = AttributeReference("sum", sumType, nullable = false)()
@@ -106,19 +107,29 @@ case class SumCoercingAgg(child: Expression) extends DeclarativeAggregate {
   override def children: Seq[Expression] = child :: Nil
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
-  override def prettyName: String = "sum_coercing"
+  // registered under both our name and the reference's (`sum_cubecl`);
+  // carrying the invoked name keeps REPL output headers verbatim
+  override def prettyName: String = name
 }
 
 object Udafs {
 
   /** Register both custom aggregates in the session's function registry,
-    * the analogue of `ctx.register_udaf(...)` (reference: src/lib.rs:53-55). */
+    * the analogue of `ctx.register_udaf(...)` (reference: src/lib.rs:53-55).
+    * Each is registered under BOTH our descriptive name and the
+    * reference's published name (`sum_cudarc` / `sum_cubecl`,
+    * reference: src/lib.rs:53-55), so the README's REPL transcript
+    * (reference: README.md:71-75) replays verbatim. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("sum_custom", functions.udaf(new SumCustomAgg, Encoders.FLOAT))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sum_coercing",
-      exprs => SumCoercingAgg(exprs.head).toAggregateExpression(),
-      "scala_udf")
+    Seq("sum_custom", "sum_cudarc").foreach { name =>
+      spark.udf.register(name, functions.udaf(new SumCustomAgg, Encoders.FLOAT))
+    }
+    Seq("sum_coercing", "sum_cubecl").foreach { name =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        exprs => SumCoercingAgg(exprs.head, name).toAggregateExpression(),
+        "scala_udf")
+    }
     graft.functions.Registry.registerAll(spark)
   }
 

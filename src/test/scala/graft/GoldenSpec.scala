@@ -23,6 +23,22 @@ class GoldenSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(2) - b) < 0.5)
   }
 
+  test("reference README queries replay VERBATIM under the reference's names") {
+    // the three queries published in the reference's README benchmark
+    // table (reference: README.md:71-75), names and all — sum_cudarc /
+    // sum_cubecl are registered as aliases of sum_custom / sum_coercing
+    Engine.configure(spark, Engine.Options(typesTableLength = 1024, seed = 42))
+    val builtin = spark.sql("SELECT sum(float) FROM types").head().getDouble(0)
+    val cudarc = spark.sql("SELECT sum_cudarc(float) FROM types").head().getFloat(0)
+    val cubecl = spark.sql("SELECT sum_cubecl(float) FROM types").head().getFloat(0)
+    assert(math.abs(cudarc - builtin) < 0.5, s"sum_cudarc=$cudarc vs sum=$builtin")
+    assert(math.abs(cubecl - builtin) < 0.5, s"sum_cubecl=$cubecl vs sum=$builtin")
+    // alias and primary name resolve to the same aggregate
+    val c1 = spark.sql("SELECT sum_custom(float) FROM types").head().getFloat(0)
+    val c2 = spark.sql("SELECT sum_coercing(float) FROM types").head().getFloat(0)
+    assert(cudarc == c1 && cubecl == c2)
+  }
+
   test("CSV `test` table registration (reference datasets/test.csv contract)") {
     val csv = java.nio.file.Files.createTempDirectory("graft_csv").resolve("test.csv")
     java.nio.file.Files.writeString(csv,
