@@ -8,7 +8,11 @@ import graft.engine.Engine
   *
   *  - one-shot mode: `Main "<sql>" [-l <types_len>]` runs a single query
   *    and prints wall-clock timing (src/main.rs:36-43);
-  *  - no args: interactive REPL with history persisted to `.history.txt`,
+  *  - no args: interactive SQL REPL. On a real terminal it is
+  *    JLine-backed with arrow-key history recall persisted to
+  *    `.history.txt` — parity with the reference's rustyline editor and
+  *    history file (src/main.rs:31-34); on piped stdin (specs, driver
+  *    smoke) it falls back to a plain line loop with the same contract.
   *    `q`/`exit`/`quit` to leave, per-query `Total execution time`
   *    (src/main.rs:45-78). Planning errors print and the loop continues
   *    (src/main.rs:56-59).
@@ -21,7 +25,7 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "-l" | "--types-table-length" => len = args(i + 1).toLong; i += 2
+        case "-l" | "--len" | "--types-table-length" => len = args(i + 1).toLong; i += 2
         case s => sql = Some(s); i += 1
       }
     }
@@ -50,8 +54,46 @@ object Main {
     }
   }
 
-  private def repl(spark: SparkSession): Unit = {
-    val historyPath = java.nio.file.Paths.get(".history.txt")
+  private val historyPath = java.nio.file.Paths.get(".history.txt")
+
+  private def repl(spark: SparkSession): Unit =
+    if (System.console() == null) replPlain(spark) else replJline(spark)
+
+  /** Interactive path: JLine line editor (bundled with Spark's jars) —
+    * up/down recalls history across sessions from `.history.txt`, the
+    * same file and semantics as the reference's rustyline REPL
+    * (src/main.rs:31-34, 76-77). */
+  private def replJline(spark: SparkSession): Unit = {
+    import org.jline.reader.{EndOfFileException, LineReader, LineReaderBuilder, UserInterruptException}
+    import org.jline.terminal.TerminalBuilder
+    val terminal = TerminalBuilder.builder().system(true).build()
+    val reader = LineReaderBuilder.builder()
+      .terminal(terminal)
+      .variable(LineReader.HISTORY_FILE, historyPath)
+      .build()
+    try {
+      while (true) {
+        // reference exits on both (src/main.rs:67-75)
+        val line =
+          try reader.readLine(">> ")
+          catch {
+            case _: EndOfFileException => println("CTRL-D"); return
+            case _: UserInterruptException => println("CTRL-C"); return
+          }
+        val trimmed = line.trim
+        if (Set("q", "exit", "quit").contains(trimmed)) return
+        if (trimmed.nonEmpty) {
+          try reader.getHistory.save()
+          catch { case _: java.io.IOException => } // history is best-effort
+          runOne(spark, trimmed)
+        }
+      }
+    } finally terminal.close()
+  }
+
+  /** Piped-stdin path (specs, driver smoke): plain line loop, history
+    * appended to the same file. */
+  private def replPlain(spark: SparkSession): Unit = {
     var line: String = null
     print(">> ")
     while ({ line = scala.io.StdIn.readLine(); line != null }) {

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** End-to-end scale probe: replicate the sf0.1 documents table Nx on
+  * disk (default 100x → ~500k docs, an sf10-ish shard) and run the
+  * dedup/curation pipelines over it once, reporting wall time and
+  * SHUFFLE BYTES per query — measured evidence that the bucketed LSH
+  * and narrow-projection designs hold beyond the driver's sf0.1.
+  *
+  * Replica 0 keeps each document verbatim; every other replica appends
+  * a distinct tail token, so the shard is a 100-way NEAR-dup corpus —
+  * the adversarial shape for MinHash banding (every bucket is hot; the
+  * bucket cap is what keeps candidate generation non-quadratic).
+  *
+  * Usage: tools/run.sh graft.ScaleProbe [factor]   (writes a README row)
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft_scale_probe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
+      val t0 = System.nanoTime()
+      val docs = Engine.table(spark, base, "documents")
+      val reps = spark.range(factor).select(col("id").as("k"))
+      val text = when(col("k") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v"), col("k")))
+      docs.crossJoin(reps)
+        .select(
+          (col("doc_id") * factor + col("k")).as("doc_id"),
+          text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(f"generated ${factor}x shard in ${(System.nanoTime() - t0) / 1e9}%.1fs -> $out")
+    }
+    val nDocs = Engine.table(spark, out, "documents").count()
+    println(s"shard: $nDocs documents")
+
+    // shuffle volume = sum of per-operator "shuffle bytes written"
+    // SQLMetrics over the executed (post-AQE) plan, via Explain.analyze
+    Seq("dedup_exact", "dedup_minhash_lsh", "curation_pipeline").foreach { name =>
+      val t0 = System.nanoTime()
+      val m = Explain.analyze(SparkEntry.queries(name)(spark, out))
+        .filter(col("metric").isin("shuffleBytesWritten", "dataSize") ||
+          col("metric_desc").contains("shuffle bytes written"))
+        .groupBy(col("metric")).agg(sum(col("value")).as("bytes"))
+        .collect() // O(#metric kinds) rows — diagnostic main, not an operator
+      val secs = (System.nanoTime() - t0) / 1e9
+      val shuffleMb = m.collectFirst {
+        case r if r.getString(0) == "shuffleBytesWritten" => r.getLong(1) / 1e6
+      }.getOrElse(0.0)
+      println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB")
+    }
+    spark.stop()
+  }
+}

@@ -68,6 +68,13 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
+  // NOTE (measured, 100× shard + sf0.1): hashing each shingle to a
+  // 60-bit long via md5 (the oracle-portable hash) to shrink the
+  // verification join payload is a 2× LOSS — Spark's Md5+conv per
+  // shingle costs more than the string payload it saves. String
+  // shingles stay; the verification sides are narrow dedicated frames
+  // (below) so no minhash pass is wasted on them.
+
   /** (doc_id, sh, sig) for every non-empty document.
     *
     * Deliberately NOT cached: with the native minhash expression the
@@ -129,8 +136,15 @@ object Dedup {
       val docs = t(s, dir, "documents")
       val sig = signatures(docs)
       val cands = minhashCandidates(sig)
-      val shA = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val shB = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      // verification sides are a DEDICATED narrow frame derived straight
+      // from the scan — reusing `sig` here would re-execute its
+      // (unneeded for verification) 64-slot minhash pass once per side
+      val shH = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), shingles(col("text")).as("shv"))
+        .filter(size(col("shv")) > 0)
+      val shA = shH.select(col("doc_id").as("doc_a"), col("shv").as("sh_a"))
+      val shB = shH.select(col("doc_id").as("doc_b"), col("shv").as("sh_b"))
       val verified = cands
         .join(shA, "doc_a").join(shB, "doc_b")
         .select(col("doc_a"), col("doc_b"),

@@ -78,6 +78,29 @@ class GoldenSpec extends SparkSpecBase {
     assert(desc("string") == "string" && desc("float") == "float" && desc("int") == "int")
   }
 
+  test("golden checksums pin crc32/xxhash64 exactly (no DuckDB mirror exists)") {
+    // q_crc32 / text_fingerprint_xx are rows-only in the driver gate
+    // because DuckDB has no in-query crc32/xxhash64; these pins are the
+    // substitute oracle. crc32 is cross-checked in-test against
+    // java.util.zip.CRC32 (an independent implementation of the same
+    // IEEE 802.3 polynomial as zlib); the xxhash64 values pin Spark's
+    // seed-42 xxHash64 as exact-constant drift guards.
+    Engine.configure(spark)
+    val r = spark.sql(
+      """SELECT crc32(CAST('graft' AS BINARY)) AS c1,
+        |       crc32(CAST('' AS BINARY)) AS c2,
+        |       xxhash64('graft') AS x1,
+        |       xxhash64('') AS x2,
+        |       xxhash64('The quick brown fox') AS x3""".stripMargin).head()
+    val ind = new java.util.zip.CRC32()
+    ind.update("graft".getBytes("UTF-8"))
+    assert(r.getLong(0) == ind.getValue)
+    assert(r.getLong(0) == 31255620L && r.getLong(1) == 0L)
+    assert(r.getLong(2) == -4815631219266125053L)
+    assert(r.getLong(3) == -7444071767201028348L)
+    assert(r.getLong(4) == -3617261401988713833L)
+  }
+
   test("golden scalar results through spark.sql") {
     Engine.configure(spark)
     val r = spark.sql(

@@ -70,6 +70,24 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("curation_pipeline: document text never enters the dedup shuffle") {
+    // the 100 TB scale guarantee made executable: the window's input —
+    // everything that rides the hashpartitioning(h) exchange — must be
+    // the narrow (doc_id, lang, n_chars, h, n_tok, stop_ratio) frame,
+    // with the text column consumed in the scan-stage projection
+    val df = SparkEntry.queries("curation_pipeline")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected a dedup window in curation_pipeline")
+    windows.foreach { w =>
+      val names = w.child.output.map(_.name)
+      assert(!names.contains("text"),
+        s"dedup window input carries full document text: $names")
+      assert(names.length <= 8, s"window input wider than the narrow frame: $names")
+    }
+  }
+
   test("EXPLAIN ANALYZE analogue reports executed metrics per operator") {
     val df = Engine.table(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count()
