@@ -70,6 +70,10 @@ object Main {
     val reader = LineReaderBuilder.builder()
       .terminal(terminal)
       .variable(LineReader.HISTORY_FILE, historyPath)
+      // plain-line history format: rustyline's (and replPlain's) files
+      // are untimestamped, and JLine's timestamped default REJECTS plain
+      // lines at load ("bad history file syntax" → empty history)
+      .option(LineReader.Option.HISTORY_TIMESTAMPED, false)
       .build()
     try {
       while (true) {

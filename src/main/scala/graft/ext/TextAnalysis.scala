@@ -171,6 +171,66 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // repetition quality signals (the Gopher/C4-style filters): duplicate
+    // word mass and top-word concentration per document. One explode +
+    // two hash aggregations; the per-doc window runs over vocabulary-sized
+    // partitions (distinct words), not raw tokens.
+    "text_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => length(x) > 0)).as("w"))
+      val wc = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      wc.withColumn("n_words", sum(col("cnt")).over(byDoc))
+        .withColumn("n_distinct", count(lit(1)).over(byDoc))
+        .withColumn("rn", row_number().over(
+          byDoc.orderBy(col("cnt").desc, col("w"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          col("n_words"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_words").cast("double"), 6).as("dup_word_ratio"),
+          col("w").as("top_word"), col("cnt").as("top_cnt"),
+          round(col("cnt").cast("double") / col("n_words").cast("double"), 6)
+            .as("top_word_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing: count + redact emails / phone numbers / IPv4
+    // addresses (pure per-row regex work — linear scan shape, no
+    // shuffle). The synthetic corpus carries no PII, so a deterministic
+    // doc_id-derived injection gives the scrubber real work; the
+    // redacted text is fingerprinted (md5) rather than returned bodily.
+    "text_pii_scrub" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" host 10.0.0.1"))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("t0"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t0"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t0"), lit(phone), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("t0"), lit(ip), lit(0)))
+            .cast("long").as("n_ips"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t0"), email, "<EMAIL>"),
+              phone, "<PHONE>"),
+            ip, "<IP>")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // fuzzy dedup by edit distance: Levenshtein ≤ 5 on a deterministic
     // sample, blocked by (lang, length bucket) to bound the pair space —
     // the string-similarity cousin of the Jaccard verifier
@@ -279,6 +339,52 @@ object TextAnalysis {
         |  FROM tf JOIN df USING (term) CROSS JOIN n
         |)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0)) AS w
+        |  FROM documents
+        |), wc AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY 1, 2
+        |), r AS (
+        |  SELECT doc_id, w, cnt,
+        |    sum(cnt) OVER (PARTITION BY doc_id) AS n_words,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_distinct,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, w) AS rn
+        |  FROM wc
+        |)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_ratio,
+        |  w AS top_word, CAST(cnt AS BIGINT) AS top_cnt,
+        |  round(CAST(cnt AS DOUBLE) / n_words, 6) AS top_word_frac
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact u' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.0.1' ELSE '' END AS t0
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "dedup_levenshtein" ->
       """WITH sample AS (

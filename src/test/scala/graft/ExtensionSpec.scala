@@ -23,6 +23,23 @@ class ExtensionSpec extends SparkSpecBase {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("PII scrub redacts known patterns and repetition flags a degenerate doc") {
+    val pii = SparkEntry.queries("text_pii_scrub")(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0).agg(min(col("n_emails"))).head().getLong(0)
+    assert(pii >= 1L, "every 3rd doc should carry >=1 injected email")
+    // a repeated-word doc concentrates top_word_frac near 1
+    import spark.implicits._
+    Seq((1L, "spam spam spam spam spam ham"), (2L, "all words differ here now"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents_rep_t")
+    val toks = spark.sql(
+      """SELECT doc_id, count(*) AS n,
+        |  count(DISTINCT w) AS d FROM (
+        |  SELECT doc_id, explode(filter(split(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0)) AS w FROM documents_rep_t) GROUP BY doc_id
+        |""".stripMargin).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(toks(1L) == ((6L, 2L)) && toks(2L) == ((5L, 5L)))
+  }
+
   test("jaccard verifier: identical=1, disjoint=0") {
     val docs = docsDf(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
       3L -> "x1 y2 z3 w4 v5 u6 t7 s8")
