@@ -25,7 +25,17 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "-l" | "--len" | "--types-table-length" => len = args(i + 1).toLong; i += 2
+        case "-l" | "--len" | "--types-table-length" =>
+          if (i + 1 >= args.length) {
+            System.err.println(s"error: ${args(i)} requires a value"); sys.exit(2)
+          }
+          len = try args(i + 1).toLong
+          catch {
+            case _: NumberFormatException =>
+              System.err.println(s"error: ${args(i)} expects a number, got '${args(i + 1)}'")
+              sys.exit(2)
+          }
+          i += 2
         case s => sql = Some(s); i += 1
       }
     }
@@ -56,8 +66,19 @@ object Main {
 
   private val historyPath = java.nio.file.Paths.get(".history.txt")
 
+  /** True only when stdin is a real terminal. `System.console() != null`
+    * alone breaks on JDK 22+ (JLine-backed java.io.Console exists even
+    * with redirected stdin); `Console.isTerminal` is the JDK 22+ check,
+    * absent on 17 — probe it reflectively. */
+  private def stdinIsTty: Boolean = {
+    val c = System.console()
+    c != null && (try c.getClass.getMethod("isTerminal").invoke(c)
+      .asInstanceOf[Boolean]
+    catch { case _: ReflectiveOperationException => true })
+  }
+
   private def repl(spark: SparkSession): Unit =
-    if (System.console() == null) replPlain(spark) else replJline(spark)
+    if (stdinIsTty) replJline(spark) else replPlain(spark)
 
   /** Interactive path: JLine line editor (bundled with Spark's jars) —
     * up/down recalls history across sessions from `.history.txt`, the

@@ -23,7 +23,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft_scale_probe")
+    // factor-specific default dir: a 10x and a 100x probe must never
+    // silently share (and mis-report) one cached shard
+    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
+      s"/tmp/graft_scale_probe_${factor}x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +36,9 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
+    // _SUCCESS marker, not the directory: a generation run killed
+    // mid-write must regenerate, not get probed as a complete shard
+    if (!Files.exists(Paths.get(s"$out/documents.parquet/_SUCCESS"))) {
       val t0 = System.nanoTime()
       val docs = Engine.table(spark, base, "documents")
       val reps = spark.range(factor).select(col("id").as("k"))
@@ -56,14 +61,12 @@ object ScaleProbe {
     Seq("dedup_exact", "dedup_minhash_lsh", "curation_pipeline").foreach { name =>
       val t0 = System.nanoTime()
       val m = Explain.analyze(SparkEntry.queries(name)(spark, out))
-        .filter(col("metric").isin("shuffleBytesWritten", "dataSize") ||
-          col("metric_desc").contains("shuffle bytes written"))
-        .groupBy(col("metric")).agg(sum(col("value")).as("bytes"))
-        .collect() // O(#metric kinds) rows — diagnostic main, not an operator
+        .filter(col("metric") === "shuffleBytesWritten")
+        .agg(sum(col("value")).as("bytes"))
+        .collect() // 1 row — diagnostic main, not an operator
       val secs = (System.nanoTime() - t0) / 1e9
-      val shuffleMb = m.collectFirst {
-        case r if r.getString(0) == "shuffleBytesWritten" => r.getLong(1) / 1e6
-      }.getOrElse(0.0)
+      val shuffleMb = m.headOption.filterNot(_.isNullAt(0))
+        .map(_.getLong(0) / 1e6).getOrElse(0.0)
       println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB")
     }
     spark.stop()

@@ -27,17 +27,21 @@ class ExtensionSpec extends SparkSpecBase {
     val pii = SparkEntry.queries("text_pii_scrub")(spark, sfDir)
       .filter(col("doc_id") % 3 === 0).agg(min(col("n_emails"))).head().getLong(0)
     assert(pii >= 1L, "every 3rd doc should carry >=1 injected email")
-    // a repeated-word doc concentrates top_word_frac near 1
+    // drive the REAL text_repetition operator over a fixture shard: a
+    // degenerate repeated-word doc vs an all-distinct doc (the all-1
+    // counts also pin the tie-break: top word = alphabetically first)
     import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
     Seq((1L, "spam spam spam spam spam ham"), (2L, "all words differ here now"))
-      .toDF("doc_id", "text").createOrReplaceTempView("documents_rep_t")
-    val toks = spark.sql(
-      """SELECT doc_id, count(*) AS n,
-        |  count(DISTINCT w) AS d FROM (
-        |  SELECT doc_id, explode(filter(split(lower(text), '[^a-z0-9]+'),
-        |    x -> length(x) > 0)) AS w FROM documents_rep_t) GROUP BY doc_id
-        |""".stripMargin).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(toks(1L) == ((6L, 2L)) && toks(2L) == ((5L, 5L)))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_repetition")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = rows(1L)
+    assert(d1.getLong(1) == 6L && d1.getLong(2) == 2L, s"doc1: $d1")
+    assert(d1.getDouble(3) == 0.666667 && d1.getString(4) == "spam")
+    assert(d1.getLong(5) == 5L && d1.getDouble(6) == 0.833333)
+    val d2 = rows(2L)
+    assert(d2.getDouble(3) == 0.0 && d2.getString(4) == "all", s"doc2: $d2")
   }
 
   test("jaccard verifier: identical=1, disjoint=0") {

@@ -33,10 +33,13 @@ class GoldenSpec extends SparkSpecBase {
     val cubecl = spark.sql("SELECT sum_cubecl(float) FROM types").head().getFloat(0)
     assert(math.abs(cudarc - builtin) < 0.5, s"sum_cudarc=$cudarc vs sum=$builtin")
     assert(math.abs(cubecl - builtin) < 0.5, s"sum_cubecl=$cubecl vs sum=$builtin")
-    // alias and primary name resolve to the same aggregate
+    // alias and primary name resolve to the same aggregate — asserted
+    // with a float32 tolerance, NOT exact equality: the accumulations
+    // are order-sensitive Float and the shuffle merge order between two
+    // executions is not a contract
     val c1 = spark.sql("SELECT sum_custom(float) FROM types").head().getFloat(0)
     val c2 = spark.sql("SELECT sum_coercing(float) FROM types").head().getFloat(0)
-    assert(cudarc == c1 && cubecl == c2)
+    assert(math.abs(cudarc - c1) < 1e-3f && math.abs(cubecl - c2) < 1e-3f)
   }
 
   test("CSV `test` table registration (reference datasets/test.csv contract)") {
