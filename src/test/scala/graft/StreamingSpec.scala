@@ -72,6 +72,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming curation matches the batch dedup+gate per language") {
+    import org.apache.spark.sql.functions._
+    val q = graft.streaming.CurationStream.runToMemory(spark, sfDir, "curation_stream_test")
+    try {
+      val streamed = spark.sql(
+        """SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tokens
+          |FROM curation_stream_test GROUP BY lang""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // batch equivalent with the same copy-invariant stats: one survivor
+      // per normalized-content hash, then the same gate
+      val nTok = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+      val batch = graft.engine.Engine.table(spark, sfDir, "documents")
+        .select(col("lang"),
+          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"),
+          length(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+            .as("n_chars_norm"),
+          nTok.cast("long").as("n_tok"))
+        .groupBy(col("h"))
+        .agg(min(col("lang")).as("lang"), min(col("n_chars_norm")).as("n_chars_norm"),
+          min(col("n_tok")).as("n_tok"))
+        .filter(col("n_chars_norm").between(50, 5000) && col("n_tok") >= 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly agg matches batch q1 shape and totals") {
     val q = EventsStream.runToMemory(spark, sfDir, "ev_stream_test")
     try {
