@@ -38,19 +38,30 @@ object Multimodal {
       * the bound here keeps per-row decode CPU independent of blob size. */
     val MaxDecodeBytes: Int = 64 << 20
 
-    /** STUB: "decode" a payload into (width, height, n_frames, checksum).
-      * Real decode is impossible in this container — this fake derives
-      * deterministic pseudo-metadata from the bytes themselves (reading at
-      * most [[MaxDecodeBytes]] of the payload). */
-    def decode(payload: Array[Byte]): (Int, Int, Int, Long) = {
-      var h = 1125899906842597L // deterministic FNV-ish roll
-      var i = 0
-      val end = math.min(payload.length, MaxDecodeBytes)
-      while (i < end) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-      val w = 64 + math.floorMod(h, 1024).toInt
-      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-      val frames = 1 + math.floorMod(h >> 20, 300).toInt
-      (w, ht, frames, h)
+    /** Per-partition decoder context — the expensive-to-create object a
+      * real codec wraps (decoder handles, model weights). Create ONE per
+      * partition and reuse across its rows. Not thread-safe, like most
+      * real codec contexts. */
+    final class Context {
+      private val md = java.security.MessageDigest.getInstance("MD5")
+
+      /** STUB: "decode" a payload into (width, height, n_frames,
+        * checksum). Real decode is impossible in this container — the
+        * fake derives pseudo-metadata from md5 of (at most
+        * [[MaxDecodeBytes]] of) the bytes. md5, not a custom roll: the
+        * derivation is then bit-reproducible in the DuckDB oracle, so
+        * even the stubbed queries are hash-checked. */
+      def decode(payload: Array[Byte]): (Int, Int, Int, Long) = {
+        md.reset()
+        md.update(payload, 0, math.min(payload.length, MaxDecodeBytes))
+        val hex = md.digest().map("%02x".format(_)).mkString
+        def part(from: Int, len: Int): Long =
+          java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+        val w = 64 + (part(0, 8) % 1024).toInt
+        val ht = 64 + (part(8, 8) % 1024).toInt
+        val frames = 1 + (part(16, 8) % 300).toInt
+        (w, ht, frames, part(0, 15)) // 60-bit checksum: BIGINT-safe in the oracle
+      }
     }
   }
 
@@ -91,10 +102,11 @@ object Multimodal {
         StructField("checksum", LongType, nullable = false)))
       val enc = org.apache.spark.sql.Encoders.row(outSchema)
       media.mapPartitions { rows =>
-        // per-partition init happens HERE for a real codec (load model,
-        // open decoder context); the stub needs none
+        // per-partition init: ONE codec context amortized over the
+        // partition's rows (the expensive part for a real codec)
+        val ctx = new FakeCodec.Context
         rows.map { r =>
-          val (w, h, f, c) = FakeCodec.decode(r.getAs[Array[Byte]]("payload"))
+          val (w, h, f, c) = ctx.decode(r.getAs[Array[Byte]]("payload"))
           Row(r.getLong(0), w, h, f, c)
         }
       }(enc).orderBy(col("media_id"))
@@ -116,11 +128,13 @@ object Multimodal {
         StructField("pad_y", IntegerType, nullable = false)))
       val enc = org.apache.spark.sql.Encoders.row(outSchema)
       media.mapPartitions { rows =>
+        val ctx = new FakeCodec.Context
         rows.map { r =>
-          val (w, h, _, _) = FakeCodec.decode(r.getAs[Array[Byte]]("payload"))
-          val scale = target.toDouble / math.max(w, h)
-          val dw = math.max(1, math.round(w * scale).toInt)
-          val dh = math.max(1, math.round(h * scale).toInt)
+          val (w, h, _, _) = ctx.decode(r.getAs[Array[Byte]]("payload"))
+          // operation ORDER matters for the oracle: (w * 224.0) / max —
+          // identical IEEE ops in DuckDB → identical double → same round
+          val dw = math.max(1, math.round(w * target.toDouble / math.max(w, h)).toInt)
+          val dh = math.max(1, math.round(h * target.toDouble / math.max(w, h)).toInt)
           Row(r.getLong(0), w, h, dw, dh, (target - dw) / 2, (target - dh) / 2)
         }
       }(enc).orderBy(col("media_id"))
@@ -143,9 +157,39 @@ object Multimodal {
     })
   )
 
-  // Decode/frame ops hash stubbed bytes → rows-only checks, except the
-  // pure-binary metadata query which DuckDB can mirror exactly.
+  // Every multimodal query is oracle-checked: the stub codec derives its
+  // pseudo-metadata from md5, which DuckDB reproduces bit-for-bit (the
+  // payload is utf-8 text bytes, so DuckDB's md5(text) sees the same
+  // bytes Spark's MessageDigest does).
   val oracleSql: Map[String, String] = Map(
+    "mm_decode_features" ->
+      """WITH d AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)
+        |SELECT media_id,
+        |  CAST(64 + ('0x' || substr(hx, 1, 8))::BIGINT % 1024 AS INTEGER) AS width,
+        |  CAST(64 + ('0x' || substr(hx, 9, 8))::BIGINT % 1024 AS INTEGER) AS height,
+        |  CAST(1 + ('0x' || substr(hx, 17, 8))::BIGINT % 300 AS INTEGER) AS n_frames,
+        |  ('0x' || substr(hx, 1, 15))::BIGINT AS checksum
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    "mm_resize_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 AS w,
+        |    64 + ('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT media_id, w, h,
+        |    greatest(1, CAST(round(w * 224.0 / greatest(w, h)) AS BIGINT)) AS dw,
+        |    greatest(1, CAST(round(h * 224.0 / greatest(w, h)) AS BIGINT)) AS dh
+        |  FROM d
+        |)
+        |SELECT media_id,
+        |  CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+        |  CAST(dw AS INTEGER) AS dst_w, CAST(dh AS INTEGER) AS dst_h,
+        |  CAST((224 - dw) // 2 AS INTEGER) AS pad_x,
+        |  CAST((224 - dh) // 2 AS INTEGER) AS pad_y
+        |FROM r ORDER BY media_id""".stripMargin,
+
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -8,13 +8,16 @@ class MultimodalSpec extends SparkSpecBase {
 
   test("FakeCodec is deterministic and metadata is in declared ranges") {
     val bytes = "some payload bytes".getBytes("UTF-8")
-    val a = Multimodal.FakeCodec.decode(bytes)
-    val b = Multimodal.FakeCodec.decode(bytes)
+    val ctx = new Multimodal.FakeCodec.Context
+    val a = ctx.decode(bytes)
+    val b = ctx.decode(bytes) // same context: md.reset() isolates calls
     assert(a == b)
-    val (w, h, f, _) = a
+    assert(a == (new Multimodal.FakeCodec.Context).decode(bytes))
+    val (w, h, f, c) = a
     assert(w >= 64 && w < 64 + 1024)
     assert(h >= 64 && h < 64 + 1024)
     assert(f >= 1 && f <= 300)
+    assert(c >= 0L) // 60-bit md5 prefix: always BIGINT-safe
   }
 
   test("mm_decode_features: one row per media item, stable across runs") {
