@@ -41,7 +41,14 @@ object Main {
     }
     val spark = Engine.build(Engine.Options(typesTableLength = len))
     sql match {
-      case Some(q) => runOne(spark, q)
+      case Some(q) =>
+        // one-shot SQL also lands in history (reference: src/main.rs:38)
+        try java.nio.file.Files.writeString(
+          historyPath, q + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        catch { case _: java.io.IOException => }
+        runOne(spark, q)
       case None => repl(spark)
     }
     spark.stop()
