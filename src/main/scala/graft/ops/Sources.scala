@@ -64,6 +64,22 @@ object Sources {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ORC sink → ORC scan: completes Spark's native columnar format
+    // family (parquet + ORC); the reference has neither ORC nor Avro,
+    // but a Spark-native engine gets ORC for free and a real deployment
+    // will meet it. Predicate pushdown works on ORC scans like parquet.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = scratch("orc_supplier")
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("s_acctbal") > 0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // DML: INSERT INTO an external table, then read the union back
     "q_insert_into" -> ((s, dir) => {
       val out = scratch("ins_region")
@@ -107,6 +123,11 @@ object Sources {
       """SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
         |FROM orders WHERE o_totalprice > 200000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier WHERE s_acctbal > 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_insert_into" ->
       """SELECT count(*) + 2 AS n, CAST(101 AS INT) AS max_key FROM region""".stripMargin
