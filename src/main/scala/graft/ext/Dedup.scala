@@ -249,22 +249,26 @@ object Dedup {
     }),
 
     // exact word-3-gram Jaccard over a deterministic blocked sample.
-    // Blocking key is (lang, shingle-count ÷ 16): language blocks alone
-    // leave a quadratic pair space within the dominant language; size
-    // bucketing (integer-exact in both engines — no float log) cuts it
-    // ~5× more. KNOWN APPROXIMATION: a near-dup pair straddling a bucket
-    // boundary (e.g. 15 vs 16 shingles, Jaccard up to 15/16) is missed —
-    // acceptable for a bounded verifier (the LSH path above has no such
-    // blind spot; production blocking would use overlapping buckets).
-    // The oracle mirrors the block exactly so the check stays a
-    // hash-compare; zero pairs are lost on the current testdata.
+    // Blocking key is (lang, shingle-count ÷ 16) with OVERLAPPING buckets:
+    // language blocks alone leave a quadratic pair space within the
+    // dominant language; size bucketing (integer-exact in both engines —
+    // no float log) cuts it ~5× more. To avoid the boundary blind spot
+    // (15 vs 16 shingles can be Jaccard 15/16 yet land in different
+    // buckets) the probe side explodes each doc into szb-1..szb+1 keys,
+    // so every pair within one bucket of each other meets — while the
+    // join STAYS an equi-join on (lang, key), the shape that scales.
+    // Each qualifying unordered pair matches exactly once: the build
+    // side keeps a single szb, and doc_a < doc_b kills the mirror
+    // orientation. The oracle mirrors with a BETWEEN range predicate
+    // (DuckDB needs no blocking at oracle scale) — identical pair set.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sample = t(s, dir, "documents")
         .filter(col("doc_id") % 10 === 0)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
         .withColumn("szb", (size(col("sh")).cast("long") / 16).cast("long"))
-      val a = sample.select(col("doc_id").as("doc_a"), col("lang"), col("szb"),
+      val a = sample.select(col("doc_id").as("doc_a"), col("lang"),
+        explode(array(col("szb") - 1, col("szb"), col("szb") + 1)).as("szb"),
         col("sh").as("sh_a"))
       val b = sample.select(col("doc_id").as("doc_b"), col("lang"), col("szb"),
         col("sh").as("sh_b"))
@@ -392,7 +396,8 @@ object Dedup {
         |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 4) AS j
-        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.szb = b.szb AND a.doc_id < b.doc_id
+        |FROM sh a JOIN sh b ON a.lang = b.lang
+        |  AND b.szb BETWEEN a.szb - 1 AND a.szb + 1 AND a.doc_id < b.doc_id
         |WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END >= 0.05
