@@ -13,6 +13,14 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true  // REPL (graft.Main) reads stdin
+// The bench driver JSON-decodes the LAST stdout line of `sbt "runMain
+// graft.Bench"`. By default sbt relays forked stdout with an "[info] "
+// prefix and appends a "[success] Total time…" epilogue — both break the
+// parse (BENCH parsed=null rounds 2–4). StdoutOutput passes the child's
+// stdout/stderr through unprefixed; showSuccess drops the epilogue.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess  // command-loop setting; lint can't see its use
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

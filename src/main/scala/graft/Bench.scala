@@ -1,36 +1,48 @@
 package graft
 import java.nio.file.{Files, Paths}
+import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
-  * Each query runs 3× and reports the MEDIAN — single-shot timing at
-  * local[32] in a shared sandbox cannot distinguish a real regression
-  * from GC/JIT/contention noise (round-2 verdict saw 7× swings on
-  * unchanged code). All 3 raw times are emitted per query so a
-  * contention-contaminated window is self-evident in the artifact.
+  * Each query gets ONE UNTIMED execution first, then 3 timed runs; the
+  * reported stat is the MEDIAN of the timed runs (plus MIN, the
+  * contention-free estimate on an otherwise-deterministic workload).
+  * The round-4 raw-runs data showed why the warmup is per-query, not
+  * just per-suite: first executions carried up to 9× inflation
+  * (dedup_clusters 24.6→2.8s) from codegen/JIT/shuffle-file warmup and
+  * co-tenant contention decay — a median over runs that INCLUDE the
+  * first execution cannot absorb a contention window longer than the
+  * run count. All raw times (warmup + timed) are emitted per query so
+  * a contaminated window stays self-evident in the artifact.
   *
   * Execution is forced with the `noop` sink, not `.count()`: under a
   * count, Catalyst prunes projections and eliminates sorts, so pure
   * per-row-expression queries would be timed as bare scans. The noop
   * sink materializes every output column through the full plan.
   *
-  * The full JSON (medians + raw runs) is written to BENCH_LOCAL.json;
+  * The full JSON (median + min + raw runs) goes to BENCH_LOCAL.json;
   * stdout gets a SHORT single line (total + slowest-10 medians + file
-  * pointer) because the driver captures only a ~2,000-char stdout tail
-  * and the full 125-query line was getting truncated mid-line.
+  * pointer) because the driver captures only a ~2,000-char stdout tail.
+  * The line is printed AFTER spark.stop() so no shutdown log can trail
+  * it — the driver JSON-decodes the last stdout line (see build.sbt's
+  * outputStrategy note for the other half of that contract).
   */
 object Bench {
   private val Runs = 3
 
-  /** Forces full materialization of every column; -1.0 = query failed. */
+  /** Forces full materialization of every column; -1.0 = query failed.
+    * Catches NonFatal only: after an OOM or other fatal JVM error the
+    * session is undefined and every later median would be silently
+    * contaminated — a poisoned run must fail loudly instead.
+    */
   private def timeOnce(df: => DataFrame): Double = {
     val t0 = System.nanoTime()
     try {
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     } catch {
-      case e: Throwable =>
+      case NonFatal(e) =>
         System.err.println(s"[bench] query failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
         -1.0
     }
@@ -46,11 +58,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: absorb JVM/classloader/codegen/parquet-footer
-    // startup so the first timed query isn't charged for it; also build
-    // the bucketed tables once — bucketing is a write-once layout whose
-    // cost amortizes across every later co-located join (its query then
-    // measures the join, not the one-time layout)
+    // suite-level warmup: absorb JVM/classloader/parquet-footer startup
+    // and build the bucketed tables once — bucketing is a write-once
+    // layout whose cost amortizes across every later co-located join
+    // (its query then measures the join, not the one-time layout)
     timeOnce(SparkEntry.queries("q1_agg")(spark, sfDir))
     timeOnce(SparkEntry.queries("q_bucketed_join")(spark, sfDir))
     // optional name filter for local iteration (driver never sets it)
@@ -59,32 +70,42 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val times = (1 to Runs).map(_ => timeOnce(fn(spark, sfDir)))
-        // any failed run poisons the median: report -1, never a
+        val warm = timeOnce(fn(spark, sfDir))
+        // a failed warmup means the query itself fails — don't run it
+        // 3 more times just to fail 3 more times
+        val timed =
+          if (warm < 0) Seq.fill(Runs)(-1.0)
+          else (1 to Runs).map(_ => timeOnce(fn(spark, sfDir)))
+        // any failed run poisons the stats: report -1, never a
         // healthy-looking near-zero exception time
-        val median =
-          if (times.contains(-1.0)) -1.0 else times.sorted.apply(Runs / 2)
-        (name, median, times)
+        val bad = timed.contains(-1.0)
+        val median = if (bad) -1.0 else timed.sorted.apply(Runs / 2)
+        val min = if (bad) -1.0 else timed.min
+        (name, median, min, warm +: timed)
       }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def obj(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val medians = obj(results.map { case (k, m, _) => k -> r3(m).toString })
-    val runs = obj(results.map { case (k, _, ts) =>
+    val medians = obj(results.map { case (k, m, _, _) => k -> r3(m).toString })
+    val mins = obj(results.map { case (k, _, mn, _) => k -> r3(mn).toString })
+    val runs = obj(results.map { case (k, _, _, ts) =>
       k -> ts.map(r3).mkString("[", ",", "]")
     })
     val ok = results.filter(_._2 >= 0)
-    val failed = results.collect { case (k, m, _) if m < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, m, _, _) if m < 0 => "\"" + k + "\"" }
     val total = r3(ok.map(_._2).sum)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"runs":$runs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min"}"""
     try Files.writeString(Paths.get(outFile), full + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    catch { case NonFatal(e) => System.err.println(s"[bench] write failed: $e") }
     // stdout: short + complete beats long + truncated
     val top = obj(
-      ok.sortBy(-_._2).take(10).sortBy(_._1).map { case (k, m, _) => k -> r3(m).toString })
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"n":${results.size},"sf":"$sfDir","stat":"median_of_$Runs","file":"$outFile"}""")
+      ok.sortBy(-_._2).take(10).sortBy(_._1).map { case (k, m, _, _) => k -> r3(m).toString })
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"n":${results.size},"sf":"$sfDir","stat":"median_of_$Runs","file":"$outFile"}"""
+    // silence shutdown logs, stop, THEN print: the line must be last
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
   }
 }
