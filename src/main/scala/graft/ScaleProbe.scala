@@ -53,12 +53,40 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       println(f"generated ${factor}x shard in ${(System.nanoTime() - t0) / 1e9}%.1fs -> $out")
     }
+    // embeddings shard for the ANN probes: replica 0 verbatim, every
+    // other replica nudged by k·1e-3 per component — near-identical
+    // vectors that all land in the same LSH buckets / IVF cells, the
+    // adversarial shape for bucketed ANN (mirrors the documents shard's
+    // near-dup construction)
+    if (!Files.exists(Paths.get(s"$out/embeddings.parquet/_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      val emb = Engine.table(spark, base, "embeddings")
+      val reps = spark.range(factor).select(col("id").as("k"))
+      val vec = when(col("k") === 0, col("embedding")).otherwise(
+        transform(col("embedding"),
+          x => (x + col("k").cast("float") * lit(0.001f)).cast("float")))
+      emb.crossJoin(reps)
+        .select(
+          (col("vec_id") * factor + col("k")).as("vec_id"),
+          vec.as("embedding"), col("label"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(f"generated ${factor}x embeddings in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     val nDocs = Engine.table(spark, out, "documents").count()
-    println(s"shard: $nDocs documents")
+    val nVecs = Engine.table(spark, out, "embeddings").count()
+    println(s"shard: $nDocs documents, $nVecs embeddings")
 
     // shuffle volume = sum of per-operator "shuffle bytes written"
-    // SQLMetrics over the executed (post-AQE) plan, via Explain.analyze
-    Seq("dedup_exact", "dedup_minhash_lsh", "curation_pipeline").foreach { name =>
+    // SQLMetrics over the executed (post-AQE) plan, via Explain.analyze.
+    // The probed set covers every heavy family: hash dedup, LSH banding,
+    // label-propagation clustering, the narrow curation composite,
+    // gram-explode decontamination, and bucketed/cell-pruned ANN.
+    val probes = Seq("dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+      "curation_pipeline", "pipe_decontam", "ann_lsh", "ann_ivf")
+    val onlyProbes = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    probes.filter(n => onlyProbes.forall(_.contains(n))).foreach { name =>
       val t0 = System.nanoTime()
       val m = Explain.analyze(SparkEntry.queries(name)(spark, out))
         .filter(col("metric") === "shuffleBytesWritten")

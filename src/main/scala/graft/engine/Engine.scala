@@ -41,9 +41,17 @@ object Engine {
     def defaultCsvPath: Option[String] = {
       import java.nio.file.{Files, Path, Paths}
       val rel = Paths.get("datasets", "test.csv")
+      // a malformed -Dgraft.home / $GRAFT_HOME (e.g. an embedded NUL)
+      // must degrade to the other anchors with the warning below, not
+      // throw InvalidPathException out of session construction
       val anchors: Seq[Path] =
         (sys.props.get("graft.home") ++ sys.env.get("GRAFT_HOME"))
-          .map(Paths.get(_)).toSeq ++ Seq(Paths.get(".")) ++ codeAnchors
+          .flatMap { p =>
+            scala.util.Try(Paths.get(p)).toOption.orElse {
+              System.err.println(s"[graft] warning: ignoring unparseable GRAFT_HOME/graft.home: $p")
+              None
+            }
+          }.toSeq ++ Seq(Paths.get(".")) ++ codeAnchors
       val hit = anchors.map(_.resolve(rel)).find(Files.exists(_))
       if (hit.isEmpty)
         System.err.println(

@@ -161,6 +161,14 @@ object Multimodal {
   // pseudo-metadata from md5, which DuckDB reproduces bit-for-bit (the
   // payload is utf-8 text bytes, so DuckDB's md5(text) sees the same
   // bytes Spark's MessageDigest does).
+  //
+  // KNOWN BOUND: FakeCodec hashes at most MaxDecodeBytes (64 MB) of a
+  // payload, while these oracles md5 the FULL text — for a payload over
+  // the cap the two sides diverge by design (the cap is the decode-CPU
+  // bound a real codec needs; the oracle SQL has no cheap byte-bounded
+  // substr on a blob). Testdata documents are ≪64 MB so the contract
+  // holds everywhere the driver checks it; a deployment raising blob
+  // sizes past the cap must mirror the truncation in any oracle.
   val oracleSql: Map[String, String] = Map(
     "mm_decode_features" ->
       """WITH d AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)

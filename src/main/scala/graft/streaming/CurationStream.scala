@@ -20,6 +20,13 @@ import org.apache.spark.sql.types._
   * Whichever duplicate a micro-batch happens to keep, the curated
   * output is the same — that invariance is what makes the stream
   * equivalent to the batch pass (asserted by StreamingSpec).
+  *
+  * `lang` is part of the DEDUP KEY, not just a carried column: it is
+  * metadata, not derivable from the text, so two copies of the same
+  * content could disagree on it — keyed on content alone, the survivor's
+  * lang would depend on arrival order and batch equivalence would break.
+  * Keying on (content, lang) makes every surviving column a function of
+  * the key (dedup-within-language, the usual corpus-curation grain).
   */
 object CurationStream {
 
@@ -55,7 +62,7 @@ object CurationStream {
         (nStop.cast("double") / greatest(nTok, lit(1)).cast("double"))
           .as("stop_ratio"))
       .withWatermark("arrival", "2 hours")
-      .dropDuplicatesWithinWatermark("h")
+      .dropDuplicatesWithinWatermark("h", "lang")
       .filter(col("n_chars_norm").between(50, 5000) && col("n_tok") >= 10)
   }
 

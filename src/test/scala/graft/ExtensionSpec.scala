@@ -44,6 +44,30 @@ class ExtensionSpec extends SparkSpecBase {
     assert(d2.getDouble(3) == 0.0 && d2.getString(4) == "all", s"doc2: $d2")
   }
 
+  test("ngram jaccard: near-dup pair straddling a size-bucket boundary matches exactly once") {
+    // the blocking key is (lang, shingle_count / 16) with the probe side
+    // exploded to szb-1..szb+1 — this fixture is the case that overlap
+    // exists FOR: 15 vs 17 shingles fall in buckets 0 vs 1, so without
+    // the explode the pair would never meet; with it, it must appear
+    // EXACTLY once (the single-szb build side + doc_a<doc_b kill both
+    // the mirror and any double-count). Vacuous-truth guard for the
+    // sf0.1 path, where the query returns 0 rows on both engines.
+    import spark.implicits._
+    val words = (1 to 17).map(i => f"w$i%02d")
+    val docA = words.mkString(" ")                     // 15 distinct 3-gram shingles → szb 0
+    val docB = (words ++ Seq("w18", "w19")).mkString(" ") // 17 shingles → szb 1
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngram").toString
+    // doc_ids are multiples of 10: the query probes the %10==0 sample
+    Seq((10L, docA, "en"), (20L, docB, "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).collect()
+    assert(rows.length == 1, s"expected exactly one pair, got ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (10L, 20L), s"pair: $r")
+    // shingles(A) ⊂ shingles(B): |∩|=15, |∪|=17 → 15/17 rounded to 4
+    assert(r.getDouble(2) == 0.8824, s"jaccard: $r")
+  }
+
   test("jaccard verifier: identical=1, disjoint=0") {
     val docs = docsDf(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
       3L -> "x1 y2 z3 w4 v5 u6 t7 s8")

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Error-bound checks for the two sketch aggregates. Their queries are
+  * rows-only for the driver (HLL / t-digest internals differ from
+  * DuckDB's algorithms, so no cross-engine hash can exist) — these specs
+  * are the corresponding correctness evidence: the sketches must land
+  * within their documented error of the EXACT answers, at sf0.01 so the
+  * groups are big enough for the bounds to be meaningful.
+  */
+class SketchAccuracySpec extends SparkSpecBase {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct is within 15% (3x the default 5% rsd) of exact") {
+    // Spark's HLL++ default rsd is 0.05; per-group error beyond 3x the
+    // rsd would indicate a broken sketch, not normal estimation noise
+    val rows = SparkEntry.queries("q_agg_approx_distinct")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+      assert(exact > 100, s"group too small for a meaningful bound: $r")
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr <= 0.15, s"flag=${r.get(0)}: approx=$approx exact=$exact relErr=$relErr")
+    }
+  }
+
+  test("percentile_approx(p50, acc=1000) lands within rank 0.45..0.55 of exact") {
+    // the t-digest-style sketch guarantees RANK error <= 1/accuracy, not
+    // value error; assert the approx median's value sits between the
+    // exact 45th and 55th percentiles (50x looser than the 1/1000
+    // guarantee — failure means the sketch is wrong, not unlucky)
+    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p50_approx")).toMap
+    val bounds = graft.engine.Engine.table(spark, sf01, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile(col("o_totalprice"), lit(0.45)).as("lo"),
+        percentile(col("o_totalprice"), lit(0.55)).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.nonEmpty && approx.keySet == bounds.keySet)
+    approx.foreach { case (status, p50) =>
+      val (lo, hi) = bounds(status)
+      assert(p50 >= lo && p50 <= hi, s"$status: p50_approx=$p50 outside [$lo, $hi]")
+    }
+  }
+}

@@ -81,7 +81,9 @@ class StreamingSpec extends SparkSpecBase {
           |FROM curation_stream_test GROUP BY lang""".stripMargin)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       // batch equivalent with the same copy-invariant stats: one survivor
-      // per normalized-content hash, then the same gate
+      // per (normalized-content hash, lang) — lang is in the dedup key
+      // because it is metadata, not derivable from the content (see
+      // CurationStream scaladoc) — then the same gate
       val nTok = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
       val batch = graft.engine.Engine.table(spark, sfDir, "documents")
         .select(col("lang"),
@@ -89,8 +91,8 @@ class StreamingSpec extends SparkSpecBase {
           length(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
             .as("n_chars_norm"),
           nTok.cast("long").as("n_tok"))
-        .groupBy(col("h"))
-        .agg(min(col("lang")).as("lang"), min(col("n_chars_norm")).as("n_chars_norm"),
+        .groupBy(col("h"), col("lang"))
+        .agg(min(col("n_chars_norm")).as("n_chars_norm"),
           min(col("n_tok")).as("n_tok"))
         .filter(col("n_chars_norm").between(50, 5000) && col("n_tok") >= 10)
         .groupBy(col("lang"))
