@@ -73,6 +73,31 @@ object Main {
 
   private val historyPath = java.nio.file.Paths.get(".history.txt")
 
+  /** Continuation rule for the interactive REPL: accept on ACCEPT_LINE
+    * iff the buffer is a complete statement — quit word, `;`-terminated,
+    * or a single line with balanced quotes and no trailing `\`. A buffer
+    * that already spans lines only completes on `;` (that's what the
+    * user opted into); an unclosed '…' or a trailing `\` opens the
+    * multi-line path without one. */
+  private[graft] class SqlStatementParser extends org.jline.reader.impl.DefaultParser {
+    private def unclosedQuote(s: String): Boolean = {
+      var in = false; var i = 0
+      while (i < s.length) { if (s.charAt(i) == '\'') in = !in; i += 1 }
+      in
+    }
+    private[graft] def isComplete(line: String): Boolean = {
+      val t = line.trim
+      t.isEmpty || Set("q", "exit", "quit").contains(t) || t.endsWith(";") ||
+        (!line.contains('\n') && !t.endsWith("\\") && !unclosedQuote(t))
+    }
+    override def parse(line: String, cursor: Int,
+        context: org.jline.reader.Parser.ParseContext): org.jline.reader.ParsedLine = {
+      if (context == org.jline.reader.Parser.ParseContext.ACCEPT_LINE && !isComplete(line))
+        throw new org.jline.reader.EOFError(-1, cursor, "continuation")
+      super.parse(line, cursor, context)
+    }
+  }
+
   /** True only when stdin is a real terminal. `System.console() != null`
     * alone breaks on JDK 22+ (JLine-backed java.io.Console exists even
     * with redirected stdin); `Console.isTerminal` is the JDK 22+ check,
@@ -90,18 +115,40 @@ object Main {
   /** Interactive path: JLine line editor (bundled with Spark's jars) —
     * up/down recalls history across sessions from `.history.txt`, the
     * same file and semantics as the reference's rustyline REPL
-    * (src/main.rs:31-34, 76-77). */
+    * (src/main.rs:31-34, 76-77).
+    *
+    * Multi-line input (beyond the reference — its rustyline loop is
+    * single-line): a statement continues across lines until a trailing
+    * `;`, psql/duckdb-style, via a JLine Parser that raises EOFError on
+    * unterminated input (JLine then shows the `.. ` secondary prompt
+    * and keeps editing the same buffer). Bare quit words and `;`-less
+    * SINGLE lines still execute immediately — existing single-line
+    * usage (and the reference's) is untouched; only a line that ends
+    * with an explicit continuation backslash or an unclosed quote joins
+    * the multi-line path without a `;`. */
   private def replJline(spark: SparkSession): Unit = {
     import org.jline.reader.{EndOfFileException, LineReader, LineReaderBuilder, UserInterruptException}
+    import org.jline.reader.{EOFError, ParsedLine, Parser}
     import org.jline.terminal.TerminalBuilder
+    import org.jline.reader.impl.DefaultParser
+    val sqlParser: Parser = new Main.SqlStatementParser
     val terminal = TerminalBuilder.builder().system(true).build()
     val reader = LineReaderBuilder.builder()
       .terminal(terminal)
+      .parser(sqlParser)
       .variable(LineReader.HISTORY_FILE, historyPath)
+      .variable(LineReader.SECONDARY_PROMPT_PATTERN, ".. ")
       // plain-line history format: rustyline's (and replPlain's) files
       // are untimestamped, and JLine's timestamped default REJECTS plain
       // lines at load ("bad history file syntax" → empty history)
       .option(LineReader.Option.HISTORY_TIMESTAMPED, false)
+      // JLine's own file writes are disabled: a multi-line entry saved
+      // raw would split into several plain-format lines on reload. The
+      // in-memory history keeps the raw buffer (in-session up-arrow
+      // recalls the full statement for editing); the FILE gets the
+      // flattened one-line form, appended manually below — same format
+      // replPlain and the one-shot path write.
+      .option(LineReader.Option.HISTORY_INCREMENTAL, false)
       .build()
     try {
       while (true) {
@@ -112,12 +159,20 @@ object Main {
             case _: EndOfFileException => println("CTRL-D"); return
             case _: UserInterruptException => println("CTRL-C"); return
           }
-        val trimmed = line.trim
-        if (Set("q", "exit", "quit").contains(trimmed)) return
-        if (trimmed.nonEmpty) {
-          try reader.getHistory.save()
-          catch { case _: java.io.IOException => } // history is best-effort
-          runOne(spark, trimmed)
+        // execute the RAW buffer (trailing `;` and continuation
+        // backslashes stripped, literal-embedded newlines preserved —
+        // a string typed across lines keeps its newline); the history
+        // FILE gets a whitespace-flattened one-line rendering
+        val stmt = line.replaceAll("\\\\\\n", " ")
+          .trim.replaceAll(";+\\s*$", "").trim
+        if (Set("q", "exit", "quit").contains(stmt)) return
+        if (stmt.nonEmpty) {
+          try java.nio.file.Files.writeString( // history is best-effort
+            historyPath, stmt.replace('\n', ' ') + "\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+          catch { case _: java.io.IOException => }
+          runOne(spark, stmt)
         }
       }
     } finally terminal.close()
