@@ -80,6 +80,24 @@ object Sources {
         .orderBy(col("s_nationkey"))
     }),
 
+    // Arrow IPC sink → scan (graft.sources.ArrowIpc): the reference
+    // stack's interchange format, written per-partition through the
+    // Hadoop FS API and decoded back via binaryFile + mapPartitions.
+    // Filter applies POST-scan (IPC has no pushdown — see ArrowIpc
+    // scaladoc); the reduction mirrors the other roundtrips so the
+    // oracle is the same query over the original parquet table.
+    "q_arrow_roundtrip" -> ((s, dir) => {
+      val out = scratch("arrow_part")
+      graft.sources.ArrowIpc.write(
+        t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_retailprice")),
+        out)
+      graft.sources.ArrowIpc.read(s, out)
+        .filter(col("p_retailprice") > 1000)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("price_sum"))
+        .orderBy(col("p_brand"))
+    }),
+
     // DML: INSERT INTO an external table, then read the union back
     "q_insert_into" -> ((s, dir) => {
       val out = scratch("ins_region")
@@ -128,6 +146,11 @@ object Sources {
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
         |FROM supplier WHERE s_acctbal > 0
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q_arrow_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS price_sum
+        |FROM part WHERE p_retailprice > 1000
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_insert_into" ->
       """SELECT count(*) + 2 AS n, CAST(101 AS INT) AS max_key FROM region""".stripMargin

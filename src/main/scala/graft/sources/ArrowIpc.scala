@@ -1,0 +1,209 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Arrow IPC (Feather v2) file source + sink — the one Layer-B storage
+  * capability of the reference's stack with no Spark built-in (the
+  * reference links `arrow-ipc` via arrow 53.4.0, `Cargo.lock:154`,
+  * though its first-party code never reads one; SURVEY §2.1 had it
+  * descoped — this closes the row with a real implementation, using the
+  * Arrow Java runtime that ships with Spark's own jars).
+  *
+  * Scale shape mirrors parquet's:
+  *  - the SINK writes one `part-NNNNN.arrow` file PER PARTITION through
+  *    the Hadoop FileSystem API (so DFS/object stores work, not just
+  *    local disk), streaming `BatchRows`-sized record batches — no
+  *    driver collect, no whole-partition buffering;
+  *  - the SOURCE lists the directory through Spark's `binaryFile`
+  *    format (splits distribute over executors like any file scan) and
+  *    decodes each file's record batches inside `mapPartitions` — one
+  *    allocator per partition, rows streamed out of each batch.
+  *
+  * HONEST LIMITS vs parquet: IPC is a transport/interop format, not a
+  * query-optimized one — no row-group statistics, so no predicate
+  * pushdown (filters apply post-scan), and `binaryFile` materializes a
+  * whole file per row (files must stay well under the 2 GB binary-cell
+  * cap; the sink's per-partition layout keeps them partition-sized).
+  * Use it at the pipeline BOUNDARY (interchange with Arrow-native
+  * tools), parquet for storage that gets queried.
+  *
+  * Type coverage: the scalar core (long/int/double/float/string/bool/
+  * date) — unsupported Spark types fail loudly at write time.
+  */
+object ArrowIpc {
+
+  private val BatchRows = 8192
+
+  private[sources] def toArrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case LongType    => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType  => new ArrowType.Utf8
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case DateType    => new ArrowType.Date(DateUnit.DAY)
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc: unsupported Spark type $other for column ${f.name}")
+    }
+    new Field(f.name, if (f.nullable) FieldType.nullable(t) else FieldType.notNullable(t), null)
+  }
+
+  private[sources] def toSparkField(f: Field): StructField = {
+    val t: DataType = f.getType match {
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Bool => BooleanType
+      case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc: unsupported Arrow type $other for column ${f.getName}")
+    }
+    StructField(f.getName, t, f.isNullable)
+  }
+
+  /** Write `df` as a directory of Arrow IPC part files (overwrite). */
+  def write(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val arrowSchema = new ArrowSchema(schema.fields.map(toArrowField).toSeq.asJava)
+    val schemaJson = arrowSchema.toJson // POJO Schema is not serializable; its JSON is
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val part = new Path(path, f"part-${TaskContext.getPartitionId()}%05d.arrow")
+        val out = part.getFileSystem(conf.value).create(part, true)
+        val allocator = new RootAllocator()
+        val root = VectorSchemaRoot.create(ArrowSchema.fromJSON(schemaJson), allocator)
+        val writer = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(out))
+        try {
+          writer.start()
+          val vecs = root.getFieldVectors.asScala.toArray
+          var n = 0
+          def flush(): Unit = if (n > 0) {
+            root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
+          }
+          rows.foreach { row =>
+            var i = 0
+            while (i < vecs.length) {
+              if (row.isNullAt(i)) vecs(i).asInstanceOf[FieldVector] match {
+                case v: BaseFixedWidthVector => v.setNull(n)
+                case v: BaseVariableWidthVector => v.setNull(n)
+                case v => throw new IllegalStateException(s"ArrowIpc: $v")
+              }
+              else vecs(i) match {
+                case v: BigIntVector  => v.setSafe(n, row.getLong(i))
+                case v: IntVector     => v.setSafe(n, row.getInt(i))
+                case v: Float8Vector  => v.setSafe(n, row.getDouble(i))
+                case v: Float4Vector  => v.setSafe(n, row.getFloat(i))
+                case v: VarCharVector => v.setSafe(n, row.getString(i).getBytes(StandardCharsets.UTF_8))
+                case v: BitVector     => v.setSafe(n, if (row.getBoolean(i)) 1 else 0)
+                case v: DateDayVector => v.setSafe(n, row.getDate(i).toLocalDate.toEpochDay.toInt)
+                case v => throw new IllegalStateException(s"ArrowIpc: $v")
+              }
+              i += 1
+            }
+            n += 1
+            if (n == BatchRows) flush()
+          }
+          flush()
+          writer.end()
+        } finally { writer.close(); root.close(); allocator.close(); out.close() }
+      }
+    }
+  }
+
+  /** Scan a directory of Arrow IPC files back into a DataFrame. The
+    * schema comes from the first part file (driver-side header read —
+    * the IPC analogue of a parquet footer read). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".arrow")).sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalArgumentException(s"ArrowIpc: no .arrow files under $path"))
+    val headerAlloc = new RootAllocator()
+    val schema = try {
+      val in = fs.open(first)
+      val bytes = try {
+        val len = fs.getFileStatus(first).getLen.toInt
+        val b = new Array[Byte](len); in.readFully(b); b
+      } finally in.close()
+      val r = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), headerAlloc)
+      try StructType(r.getVectorSchemaRoot.getSchema.getFields.asScala.map(toSparkField).toSeq)
+      finally r.close()
+    } finally headerAlloc.close()
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.arrow").load(path)
+      .select(col("content"))
+      .mapPartitions { files =>
+        files.flatMap { fileRow =>
+          val bytes = fileRow.getAs[Array[Byte]](0)
+          // per-file reader; batches streamed, rows emitted lazily per batch
+          val allocator = new RootAllocator()
+          val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+          val root = reader.getVectorSchemaRoot
+          new Iterator[Row] {
+            private var inBatch = 0
+            private var batchRows = 0
+            private def advance(): Unit =
+              while (inBatch >= batchRows && reader.loadNextBatch()) {
+                batchRows = root.getRowCount; inBatch = 0
+              }
+            override def hasNext: Boolean = {
+              advance()
+              val more = inBatch < batchRows
+              if (!more) { reader.close(); allocator.close() }
+              more
+            }
+            override def next(): Row = {
+              advance()
+              val vecs = root.getFieldVectors
+              val vals = new Array[Any](vecs.size())
+              var i = 0
+              while (i < vals.length) {
+                val v = vecs.get(i)
+                vals(i) =
+                  if (v.isNull(inBatch)) null
+                  else v match {
+                    case x: BigIntVector  => x.get(inBatch)
+                    case x: IntVector     => x.get(inBatch)
+                    case x: Float8Vector  => x.get(inBatch)
+                    case x: Float4Vector  => x.get(inBatch)
+                    case x: VarCharVector => new String(x.get(inBatch), StandardCharsets.UTF_8)
+                    case x: BitVector     => x.get(inBatch) == 1
+                    case x: DateDayVector =>
+                      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(inBatch).toLong))
+                    case x => throw new IllegalStateException(s"ArrowIpc: $x")
+                  }
+                i += 1
+              }
+              inBatch += 1
+              Row.fromSeq(vals.toSeq)
+            }
+          }
+        }
+      }(enc)
+  }
+}
