@@ -144,6 +144,42 @@ object TextAnalysis {
     // TF-IDF: classic two-pass term weighting — tf per (doc, term), df
     // per term (one shuffle each), top-3 terms per doc. The document
     // frequency table is small (vocabulary-sized) and broadcast back.
+    // unigram log-probability quality score — the CCNet/perplexity-style
+    // curation filter: score each document by the average log-prob of
+    // its tokens under the corpus's own unigram distribution (gibberish
+    // and boilerplate-free text score low/high respectively). The scale
+    // design is the point: the MODEL is a top-K vocabulary selected via
+    // orderBy+limit (Spark plans TakeOrderedAndProject — distributed
+    // partial top-K, no single-partition window) and BROADCAST — at
+    // 100 TB the full vocabulary's long tail is unbounded, so the model
+    // must be capped to broadcast; out-of-vocab tokens get a 0.5-count
+    // floor. Scoring is then a broadcast join + map-side-partial avg:
+    // the corpus shuffles one row per document, never per token.
+    "text_unigram_logprob" -> ((s, dir) => {
+      val vocabK = 4096
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0)).as("w"))
+      // counts is VOCAB-sized (small); localCheckpoint materializes it
+      // once so the two consumers below (total + top-K) don't each
+      // re-scan the corpus — without it the plan read the parquet 3×
+      // (plan-inspected): scoring, counts-for-tot, counts-for-vocab
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val tot = counts.agg(sum(col("c")).cast("double").as("tot"))
+      val vocab = counts.orderBy(col("c").desc, col("w")).limit(vocabK)
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          when(col("c").isNotNull, log(col("c") / col("tot")))
+            .otherwise(log(lit(0.5) / col("tot"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(col("lp")), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tfidf" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       // corpus size as a lazy broadcast scalar frame — no driver-side
@@ -318,6 +354,22 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0)) AS w
+        |  FROM documents
+        |), counts AS (
+        |  SELECT w, count(*) AS c FROM toks GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM counts),
+        |vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 4096)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(avg(CASE WHEN v.c IS NOT NULL THEN ln(v.c / tot.tot)
+        |                 ELSE ln(0.5 / tot.tot) END), 4) AS avg_logprob
+        |FROM toks LEFT JOIN vocab v USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (
