@@ -88,6 +88,34 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
   }
 
+  test("pipe_stratified_sample: document text never rides the stratum shuffle") {
+    val df = SparkEntry.queries("pipe_stratified_sample")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the per-stratum rank window")
+    windows.foreach { w =>
+      val names = w.child.output.map(_.name)
+      assert(!names.contains("text"), s"stratum window carries text: $names")
+      assert(names.length <= 4, s"window input wider than (id, lang, source, hsh): $names")
+    }
+  }
+
+  test("text_unigram_logprob: top-K vocab via TakeOrderedAndProject, one corpus scan") {
+    val p = plan("text_unigram_logprob")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-K fell back to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    // counts is localCheckpointed: total + top-K read the materialized
+    // RDD, so the terminal plan scans the parquet exactly once (scoring)
+    val scans = SparkEntry.queries("text_unigram_logprob")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+    assert(scans.size == 1,
+      s"corpus scanned ${scans.size}x — checkpoint reuse broken:\n$p")
+  }
+
   test("EXPLAIN ANALYZE analogue reports executed metrics per operator") {
     val df = Engine.table(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count()
