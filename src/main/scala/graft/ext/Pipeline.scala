@@ -110,18 +110,34 @@ object Pipeline {
     // chosen by md5 order — deterministic and retry-safe like the other
     // samplers (a rand()-based sample re-rolls on stage retry), and
     // EXACT-k where pipe_mixture's rate-based sample is expected-k.
-    // Shape: one narrow (ids + hash) shuffle into bounded strata, then
-    // a per-stratum window top-k; stratum count is small (#lang×#source)
-    // but each stratum's rows spread over many tasks at 100 TB — the
-    // window is the same running-rank pattern pipe_pack uses, and the
-    // output k·strata rows are tiny regardless of corpus size.
+    //
+    // The naive shape — rank window straight over the corpus — shuffles
+    // each WHOLE stratum to one task (a 5 TB single task at 100 TB with
+    // few strata). Instead: per-stratum counts (tiny, broadcast) derive
+    // a hash THRESHOLD admitting ~64k candidates per stratum (md5 is
+    // uniform, so "hash below 64k/n of the space" is a deterministic
+    // pre-filter both engines compute identically; n ≤ 64k ⇒ admit
+    // all). The rank window then runs over candidates only — per-task
+    // work is bounded by the 64× oversample regardless of corpus size,
+    // and the scan-side filter is a pure map. P(a stratum yields <k
+    // candidates) is astronomically small at 64× — and if it ever did,
+    // both engines apply the same rule, so the contract ("the k docs
+    // with smallest hash among candidates") stays exact.
     "pipe_stratified_sample" -> ((s, dir) => {
       val k = 50
-      val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(col("hsh"), col("doc_id"))
-      t(s, dir, "documents")
+      val full = 1L << 32
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           md5(col("doc_id").cast("string")).as("hsh"))
+      val counts = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("hsh"), col("doc_id"))
+      d.join(broadcast(counts), Seq("lang", "source"))
+        .withColumn("h32", conv(substring(col("hsh"), 1, 8), 16, 10).cast("long"))
+        // integer arithmetic only (`div`, not `/` — Spark's `/` on longs
+        // is DOUBLE division): 64k·2^32 div n, exact in DuckDB via //
+        .filter(col("h32") < least(lit(full), expr(s"${64L * k * full} div n")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
         .select(col("doc_id"), col("lang"), col("source"),
@@ -206,10 +222,16 @@ object Pipeline {
       """WITH h AS (
         |  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS hsh
         |  FROM documents),
+        |c AS (SELECT lang, source, count(*) AS n FROM h GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT h.doc_id, h.lang, h.source, h.hsh
+        |  FROM h JOIN c USING (lang, source)
+        |  WHERE ('0x' || substr(h.hsh, 1, 8))::BIGINT
+        |        < least(4294967296, 13743895347200 // c.n)),
         |r AS (
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY lang, source ORDER BY hsh, doc_id) AS rk
-        |  FROM h)
+        |  FROM cand)
         |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 50
         |ORDER BY lang, source, rk""".stripMargin,
