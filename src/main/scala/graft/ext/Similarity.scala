@@ -257,10 +257,64 @@ object Similarity {
           round(aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast("double")), 5).as("sum"),
           size(col("embedding")).cast("long").as("dim"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // int8 affine quantization — the memory-4× primitive a 100 TB ANN
+    // corpus stores and scans (full-precision floats live only at the
+    // final rerank). Per vector: code(x) = floor((x−mn)·255/(mx−mn) + ½)
+    // in [0,255], with the min/max cast to double BEFORE the affine map
+    // (float→double then identical IEEE ops in DuckDB — the same
+    // portability rule HyperplaneSig's floor-tie fix established).
+    // Output is the code-space summary (sum + end codes), not the raw
+    // array, so the oracle compare stays column-stable. Pure per-row
+    // map — no shuffle, scales linearly with executors.
+    "emb_quantize" -> ((s, dir) => {
+      // raw min/max carry distinct names (mn_raw/mx_raw): aliasing the
+      // ROUNDED outputs as "mn"/"mx" in the same select would silently
+      // rebind the lambda's col("mn") to the rounded LATERAL COLUMN
+      // ALIAS (Spark 4 implicit LCA resolution preferring the select's
+      // own alias inside HOF lambdas) — measured: codes near rounding
+      // boundaries flip and q_sum drifts by ±1 vs the oracle
+      val d = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          array_min(col("embedding")).cast("double").as("mn_raw"),
+          array_max(col("embedding")).cast("double").as("mx_raw"))
+      def code(x: Column, mn: Column, mx: Column): Column =
+        when(mx === mn, lit(0L)).otherwise(
+          floor((x.cast("double") - mn) * lit(255.0) / (mx - mn) + lit(0.5)).cast("long"))
+      d.select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(col("mn_raw"), 4).as("mn"), round(col("mx_raw"), 4).as("mx"),
+          aggregate(col("embedding"), lit(0L),
+            (acc, x) => acc + code(x, col("mn_raw"), col("mx_raw"))).as("q_sum"),
+          code(element_at(col("embedding"), 1), col("mn_raw"), col("mx_raw")).as("q_first"),
+          code(element_at(col("embedding"), -1), col("mn_raw"), col("mx_raw")).as("q_last"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "emb_quantize" ->
+      """WITH d AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(mn, 4) AS mn, round(mx, 4) AS mx,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)
+        |         END)) AS BIGINT) AS q_sum,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE CAST(floor((CAST(embedding[1] AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)
+        |       END AS q_first,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE CAST(floor((CAST(embedding[-1] AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)
+        |       END AS q_last
+        |FROM d ORDER BY vec_id""".stripMargin,
+
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
         |           FROM embeddings WHERE vec_id < 10),
