@@ -88,8 +88,11 @@ object Main {
     }
     private[graft] def isComplete(line: String): Boolean = {
       val t = line.trim
-      t.isEmpty || Set("q", "exit", "quit").contains(t) || t.endsWith(";") ||
-        (!line.contains('\n') && !t.endsWith("\\") && !unclosedQuote(t))
+      // the quote gate applies to the `;` rule too: a ';' INSIDE an
+      // unclosed string literal must not terminate the statement
+      t.isEmpty || Set("q", "exit", "quit").contains(t) ||
+        (!unclosedQuote(t) &&
+          (t.endsWith(";") || (!line.contains('\n') && !t.endsWith("\\"))))
     }
     override def parse(line: String, cursor: Int,
         context: org.jline.reader.Parser.ParseContext): org.jline.reader.ParsedLine = {

@@ -137,9 +137,14 @@ object Engine {
   /** Register every testdata table as a temp view named after itself.
     * Idempotent and memoized per session: repeat calls from query
     * closures are free, so registration cost never lands inside a timed
-    * bench body; changing sfDir within a session re-registers.
+    * bench body; changing sfDir within a session re-registers. The memo
+    * is written AFTER the loop completes — a registration that throws
+    * mid-way (missing table file, transient FS error) must retry on the
+    * next call, not be cached as done.
     */
   def registerTestdata(spark: SparkSession, sfDir: String): Unit =
-    if (registered.put(spark, sfDir) != sfDir)
+    if (registered.get(spark) != sfDir) {
       tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+      registered.put(spark, sfDir)
+    }
 }

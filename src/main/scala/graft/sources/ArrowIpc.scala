@@ -78,11 +78,66 @@ object ArrowIpc {
     StructField(f.getName, t, f.isNullable)
   }
 
-  /** Write `df` as a directory of Arrow IPC part files (overwrite). */
+  /** Stream `rows` into `dest` as one IPC file, via a temp file + rename
+    * COMMIT: a task that dies mid-write leaves only a `.tmp` orphan, and
+    * when speculative twin attempts race, exactly one rename wins (the
+    * loser deletes its temp and accepts the winner's file). */
+  private def writeOneFile(rows: Iterator[Row], dest: Path, tmp: Path,
+      schemaJson: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = dest.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    val allocator = new RootAllocator()
+    val root = VectorSchemaRoot.create(ArrowSchema.fromJSON(schemaJson), allocator)
+    val writer = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(out))
+    try {
+      writer.start()
+      val vecs = root.getFieldVectors.asScala.toArray
+      var n = 0
+      def flush(): Unit = if (n > 0) {
+        root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
+      }
+      rows.foreach { row =>
+        var i = 0
+        while (i < vecs.length) {
+          if (row.isNullAt(i)) vecs(i).asInstanceOf[FieldVector] match {
+            case v: BaseFixedWidthVector => v.setNull(n)
+            case v: BaseVariableWidthVector => v.setNull(n)
+            case v => throw new IllegalStateException(s"ArrowIpc: $v")
+          }
+          else vecs(i) match {
+            case v: BigIntVector  => v.setSafe(n, row.getLong(i))
+            case v: IntVector     => v.setSafe(n, row.getInt(i))
+            case v: Float8Vector  => v.setSafe(n, row.getDouble(i))
+            case v: Float4Vector  => v.setSafe(n, row.getFloat(i))
+            case v: VarCharVector => v.setSafe(n, row.getString(i).getBytes(StandardCharsets.UTF_8))
+            case v: BitVector     => v.setSafe(n, if (row.getBoolean(i)) 1 else 0)
+            case v: DateDayVector => v.setSafe(n, row.getDate(i).toLocalDate.toEpochDay.toInt)
+            case v => throw new IllegalStateException(s"ArrowIpc: $v")
+          }
+          i += 1
+        }
+        n += 1
+        if (n == BatchRows) flush()
+      }
+      flush()
+      writer.end()
+    } finally { writer.close(); root.close(); allocator.close(); out.close() }
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(dest)) // not a lost speculative race — a real failure
+        throw new java.io.IOException(s"ArrowIpc: commit rename failed for $dest")
+    }
+  }
+
+  /** Write `df` as a directory of Arrow IPC part files (overwrite).
+    * Commit protocol: per-part temp+rename, then a `_SUCCESS` marker
+    * once every partition has committed — `read` refuses a directory
+    * without the marker, so a killed write can never be served as
+    * complete data. An empty input still writes one batchless part
+    * (the schema carrier) so the roundtrip of an empty frame works. */
   def write(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
-    val schema = df.schema
-    val arrowSchema = new ArrowSchema(schema.fields.map(toArrowField).toSeq.asJava)
+    val arrowSchema = new ArrowSchema(df.schema.fields.map(toArrowField).toSeq.asJava)
     val schemaJson = arrowSchema.toJson // POJO Schema is not serializable; its JSON is
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path)
@@ -91,54 +146,32 @@ object ArrowIpc {
     fs.mkdirs(dir)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
-        val part = new Path(path, f"part-${TaskContext.getPartitionId()}%05d.arrow")
-        val out = part.getFileSystem(conf.value).create(part, true)
-        val allocator = new RootAllocator()
-        val root = VectorSchemaRoot.create(ArrowSchema.fromJSON(schemaJson), allocator)
-        val writer = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(out))
-        try {
-          writer.start()
-          val vecs = root.getFieldVectors.asScala.toArray
-          var n = 0
-          def flush(): Unit = if (n > 0) {
-            root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
-          }
-          rows.foreach { row =>
-            var i = 0
-            while (i < vecs.length) {
-              if (row.isNullAt(i)) vecs(i).asInstanceOf[FieldVector] match {
-                case v: BaseFixedWidthVector => v.setNull(n)
-                case v: BaseVariableWidthVector => v.setNull(n)
-                case v => throw new IllegalStateException(s"ArrowIpc: $v")
-              }
-              else vecs(i) match {
-                case v: BigIntVector  => v.setSafe(n, row.getLong(i))
-                case v: IntVector     => v.setSafe(n, row.getInt(i))
-                case v: Float8Vector  => v.setSafe(n, row.getDouble(i))
-                case v: Float4Vector  => v.setSafe(n, row.getFloat(i))
-                case v: VarCharVector => v.setSafe(n, row.getString(i).getBytes(StandardCharsets.UTF_8))
-                case v: BitVector     => v.setSafe(n, if (row.getBoolean(i)) 1 else 0)
-                case v: DateDayVector => v.setSafe(n, row.getDate(i).toLocalDate.toEpochDay.toInt)
-                case v => throw new IllegalStateException(s"ArrowIpc: $v")
-              }
-              i += 1
-            }
-            n += 1
-            if (n == BatchRows) flush()
-          }
-          flush()
-          writer.end()
-        } finally { writer.close(); root.close(); allocator.close(); out.close() }
+        val tc = TaskContext.get()
+        val pid = TaskContext.getPartitionId()
+        val attempt = if (tc == null) 0L else tc.taskAttemptId()
+        writeOneFile(rows,
+          new Path(path, f"part-$pid%05d.arrow"),
+          new Path(path, f".part-$pid%05d-attempt-$attempt.tmp"),
+          schemaJson, conf.value)
       }
     }
+    if (!fs.listStatus(dir).exists(_.getPath.getName.endsWith(".arrow")))
+      writeOneFile(Iterator.empty, new Path(path, "part-00000.arrow"),
+        new Path(path, ".part-00000-driver.tmp"), schemaJson, conf.value)
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
   /** Scan a directory of Arrow IPC files back into a DataFrame. The
     * schema comes from the first part file (driver-side header read —
-    * the IPC analogue of a parquet footer read). */
+    * the IPC analogue of a parquet footer read). Requires the sink's
+    * `_SUCCESS` marker: a directory from a killed write must fail
+    * loudly, never be silently served with missing partitions. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_SUCCESS")))
+      throw new IllegalArgumentException(
+        s"ArrowIpc: $path has no _SUCCESS marker — incomplete or foreign write")
     val first = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".arrow")).sortBy(_.getName).headOption
       .getOrElse(throw new IllegalArgumentException(s"ArrowIpc: no .arrow files under $path"))
@@ -158,27 +191,40 @@ object ArrowIpc {
       .option("pathGlobFilter", "*.arrow").load(path)
       .select(col("content"))
       .mapPartitions { files =>
+        // one open reader/allocator at a time per partition, closed on
+        // file exhaustion AND (for early-abort consumers like limit())
+        // on task completion — without the listener a partially-drained
+        // iterator would leak the allocator's direct buffers for the
+        // JVM's lifetime
+        var curReader: ArrowFileReader = null
+        var curAlloc: RootAllocator = null
+        def closeCur(): Unit = {
+          if (curReader != null) { curReader.close(); curReader = null }
+          if (curAlloc != null) { curAlloc.close(); curAlloc = null }
+        }
+        val tc = TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeCur())
         files.flatMap { fileRow =>
           val bytes = fileRow.getAs[Array[Byte]](0)
-          // per-file reader; batches streamed, rows emitted lazily per batch
-          val allocator = new RootAllocator()
-          val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+          closeCur() // previous file's resources, if its iterator was abandoned
+          curAlloc = new RootAllocator()
+          curReader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), curAlloc)
+          val reader = curReader
           val root = reader.getVectorSchemaRoot
           new Iterator[Row] {
             private var inBatch = 0
             private var batchRows = 0
+            private var done = false // idempotent-exhaustion guard: never
+            // touch the (closed) reader again after the last batch
             private def advance(): Unit =
-              while (inBatch >= batchRows && reader.loadNextBatch()) {
-                batchRows = root.getRowCount; inBatch = 0
+              while (!done && inBatch >= batchRows) {
+                if (reader.loadNextBatch()) { batchRows = root.getRowCount; inBatch = 0 }
+                else { done = true; closeCur() }
               }
-            override def hasNext: Boolean = {
-              advance()
-              val more = inBatch < batchRows
-              if (!more) { reader.close(); allocator.close() }
-              more
-            }
+            override def hasNext: Boolean = { advance(); !done }
             override def next(): Row = {
               advance()
+              if (done) throw new NoSuchElementException("ArrowIpc: exhausted")
               val vecs = root.getFieldVectors
               val vals = new Array[Any](vecs.size())
               var i = 0

@@ -42,6 +42,28 @@ class ArrowIpcSpec extends SparkSpecBase {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("arrow IPC: empty frame roundtrips (schema-carrier part), partial reads don't wedge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_empty").toString
+    ArrowIpc.write(spark.range(0).select($"id").toDF(), dir)
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id") && back.count() == 0)
+    // early-abort consumption (limit) must work — resources are closed
+    // via the task-completion listener, not only on full drain
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_arrow_lim").toString
+    ArrowIpc.write(spark.range(0, 1000, 1, 2).select($"id").toDF(), dir2)
+    assert(ArrowIpc.read(spark, dir2).limit(3).collect().length == 3)
+  }
+
+  test("arrow IPC read refuses a directory without the _SUCCESS marker") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_nos").toString
+    ArrowIpc.write(Seq(1L, 2L).toDF("id"), dir)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    val e = intercept[IllegalArgumentException](ArrowIpc.read(spark, dir))
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
+
   test("arrow IPC batches: a >8192-row partition roundtrips exactly") {
     import spark.implicits._
     val df = spark.range(0, 20000, 1, 1)
