@@ -79,6 +79,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // context-window chunking: split each document's token stream into
+    // overlapping fixed-size chunks (128 tokens, stride 96 → 32-token
+    // overlap) — the step between curation and packing when documents
+    // exceed the training context. Pure per-row fan-out (explode of an
+    // arithmetic sequence): no shuffle except the output sort, chunk
+    // count ∝ tokens — scales like the corpus, embarrassingly parallel.
+    // chunk_id = tok_start/stride is exact integer arithmetic (starts
+    // are stride multiples), identical in the oracle.
+    "pipe_chunk" -> ((s, dir) => {
+      val chunkLen = 128L
+      val stride = 96L
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_tok") - 1, lit(stride))).as("tok_start"))
+        .select(col("doc_id"),
+          expr(s"tok_start div $stride").as("chunk_id"),
+          col("tok_start"),
+          least(lit(chunkLen), col("n_tok") - col("tok_start")).as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // benchmark decontamination: flag corpus documents sharing any word
     // 8-gram with a benchmark set (stand-in: every 50th doc). The
     // benchmark gram set is tiny relative to the corpus → broadcast; the
@@ -189,6 +212,20 @@ object Pipeline {
         |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
         |  CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS bin
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "pipe_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    unnest(generate_series(0, n_tok - 1, 96)) AS tok_start
+        |  FROM d WHERE n_tok > 0)
+        |SELECT doc_id,
+        |  CAST(tok_start // 96 AS BIGINT) AS chunk_id,
+        |  CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(least(128, n_tok - tok_start) AS BIGINT) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "pipe_decontam" ->
       """WITH toks AS (
