@@ -84,7 +84,8 @@ object ScaleProbe {
     // gram-explode decontamination, and bucketed/cell-pruned ANN.
     val probes = Seq("dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
       "curation_pipeline", "pipe_decontam", "ann_lsh", "ann_ivf",
-      "pipe_stratified_sample", "text_unigram_logprob", "emb_quantize")
+      "pipe_stratified_sample", "text_unigram_logprob", "emb_quantize",
+      "pipe_chunk")
     val onlyProbes = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     probes.filter(n => onlyProbes.forall(_.contains(n))).foreach { name =>
