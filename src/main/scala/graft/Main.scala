@@ -22,6 +22,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     var sql: Option[String] = None
+    var script: Option[String] = None
     var len = 1024L // reference default (src/main.rs:16-17)
     var i = 0
     while (i < args.length) {
@@ -37,12 +38,31 @@ object Main {
               sys.exit(2)
           }
           i += 2
+        case "-f" | "--file" =>
+          if (i + 1 >= args.length) {
+            System.err.println(s"error: ${args(i)} requires a path"); sys.exit(2)
+          }
+          script = Some(args(i + 1)); i += 2
         case s => sql = Some(s); i += 1
       }
     }
+    if (script.nonEmpty && sql.nonEmpty) {
+      System.err.println("error: give either a SQL string or -f <file>, not both")
+      sys.exit(2)
+    }
     val spark = Engine.build(Engine.Options(typesTableLength = len))
-    sql match {
-      case Some(q) =>
+    (script, sql) match {
+      case (Some(path), _) =>
+        // script mode (beyond the reference CLI): `;`-separated
+        // statements, quote-aware, `--` line comments — each statement
+        // runs through the same runOne as the REPL
+        val text =
+          try java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+          catch { case e: java.io.IOException =>
+            System.err.println(s"error: cannot read $path: ${e.getMessage}"); sys.exit(2)
+          }
+        splitStatements(text).foreach(runOne(spark, _))
+      case (None, Some(q)) =>
         // one-shot SQL also lands in history (reference: src/main.rs:38)
         try java.nio.file.Files.writeString(
           historyPath, q + "\n",
@@ -50,9 +70,34 @@ object Main {
           java.nio.file.StandardOpenOption.APPEND)
         catch { case _: java.io.IOException => }
         runOne(spark, q)
-      case None => repl(spark)
+      case (None, None) => repl(spark)
     }
     spark.stop()
+  }
+
+  /** Split a SQL script into statements: `;` separates outside single
+    * quotes ('' is the escaped quote), `--` starts a line comment
+    * outside quotes. Empty/whitespace statements are dropped. */
+  private[graft] def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuote = false
+    def flush(): Unit = { val s = cur.toString.trim; if (s.nonEmpty) out += s; cur.clear() }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'') inQuote = false
+        i += 1
+      } else if (c == '\'') { cur.append(c); inQuote = true; i += 1 }
+      else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
+        while (i < text.length && text.charAt(i) != '\n') i += 1 // skip comment
+      } else if (c == ';') { flush(); i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    flush()
+    out.result()
   }
 
   private def runOne(spark: SparkSession, sql: String): Unit = {

@@ -23,6 +23,22 @@ class GoldenSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(2) - b) < 0.5)
   }
 
+  test("script-mode statement splitter: quotes, '' escapes, comments, blanks") {
+    val script =
+      """-- leading comment
+        |SELECT 'a;b' AS s;   -- trailing comment with ; inside
+        |SELECT 1 +
+        |       2 AS n;
+        |SELECT 'it''s; fine' AS esc;
+        |
+        |""".stripMargin
+    val stmts = Main.splitStatements(script)
+    assert(stmts.length == 3, stmts.mkString("|"))
+    assert(stmts(0) == "SELECT 'a;b' AS s")
+    assert(stmts(1).replaceAll("\\s+", " ") == "SELECT 1 + 2 AS n")
+    assert(stmts(2) == "SELECT 'it''s; fine' AS esc")
+  }
+
   test("reference README queries replay VERBATIM under the reference's names") {
     // the three queries published in the reference's README benchmark
     // table (reference: README.md:71-75), names and all — sum_cudarc /
