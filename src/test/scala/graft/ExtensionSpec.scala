@@ -68,6 +68,46 @@ class ExtensionSpec extends SparkSpecBase {
     assert(r.getDouble(2) == 0.8824, s"jaccard: $r")
   }
 
+  test("stratified sampler: thinned path (stratum > 3200 docs) picks the k smallest md5s") {
+    // at testdata scales every stratum is below the 64k threshold so the
+    // oracle gate only exercises the admit-all branch (verified live on
+    // the 500k-doc probe shard too, but this spec pins it durably): one
+    // 6400-doc stratum → threshold 2^31 admits ~half, and the result
+    // must STILL be exactly the 50 smallest (md5, doc_id) of the stratum
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_strat").toString
+    (0L until 6400L).map(i => (i, s"doc $i", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("pipe_stratified_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset(); md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val want = (0L until 6400L).map(i => (md5hex(i.toString), i))
+      .sorted.take(50).zipWithIndex
+      .map { case ((_, id), rk) => (id, rk + 1L) }
+    assert(got.length == 50 && got.toSeq == want, s"got=${got.take(5).toSeq}...")
+  }
+
+  test("unigram scorer: OOV floor engages when corpus vocabulary exceeds top-K") {
+    // testdata vocabulary is far below K=4096, so the oracle gate never
+    // exercises the out-of-vocab branch; this fixture does: 5000 distinct
+    // words, all count 1 → vocab = lexicographic first 4096 (tie-break
+    // c desc, w asc), the other 904 take the 0.5-count floor
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_oov").toString
+    Seq((1L, (0 until 5000).map(i => f"w$i%04d").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_unigram_logprob")(spark, dir).head()
+    assert(r.getLong(1) == 5000L)
+    val expected = BigDecimal(
+      (4096 * math.log(1.0 / 5000) + 904 * math.log(0.5 / 5000)) / 5000)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == expected, s"avg_logprob=${r.getDouble(2)} want $expected")
+  }
+
   test("jaccard verifier: identical=1, disjoint=0") {
     val docs = docsDf(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
       3L -> "x1 y2 z3 w4 v5 u6 t7 s8")
