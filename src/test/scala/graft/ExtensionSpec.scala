@@ -68,6 +68,25 @@ class ExtensionSpec extends SparkSpecBase {
     assert(r.getDouble(2) == 0.8824, s"jaccard: $r")
   }
 
+  test("levenshtein dedup: a planted in-bucket fuzzy pair is found, distant doc excluded") {
+    // dedup_levenshtein returns 0 rows on the testdata at every oracle
+    // scale (no fuzzy pairs exist), so without this fixture the blocked
+    // join + distance gate would only ever be vacuously validated —
+    // same risk class the ngram boundary fixture covers
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lev").toString
+    val a = "the quick brown fox jumps over the lazy dog and keeps running onward" // 69 chars
+    val b = a.replace("lazy", "hazy")   // 1 edit inside head40
+    val c = "completely different content with nothing shared at all here truly" // same bucket
+    Seq((10L, a, "en", a.length.toLong), (20L, b, "en", b.length.toLong),
+        (30L, c, "en", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_levenshtein")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((10L, 20L, 1L)), s"got ${rows.toSeq}")
+  }
+
   test("stratified sampler: thinned path (stratum > 3200 docs) picks the k smallest md5s") {
     // at testdata scales every stratum is below the 64k threshold so the
     // oracle gate only exercises the admit-all branch (verified live on
