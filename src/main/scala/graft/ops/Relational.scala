@@ -118,7 +118,12 @@ object Relational {
     // left-anti ≡ NOT EXISTS
     "q_join_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      // anti against the HIGH-VALUE order set: every customer has some
+      // order in the testdata, so an unfiltered anti join returned 0
+      // rows at every scale — a vacuously-validated operator (same risk
+      // class the ngram/levenshtein fixtures cover); >375k keeps
+      // ~10% of customers in the result at every sf
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 375000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_custkey"))
@@ -170,7 +175,10 @@ object Relational {
 
     "q_setop_except" -> ((s, dir) => {
       val a = t(s, dir, "customer").select(col("c_custkey").as("k"))
-      val b = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      // restrict the subtrahend to high-value orders: the unrestricted
+      // difference was empty at every scale (vacuous check)
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 375000)
+        .select(col("o_custkey").as("k"))
       a.except(b).orderBy(col("k"))
     }),
 
@@ -350,7 +358,7 @@ object Relational {
       s.sql(
         """SELECT o_orderkey, round(o_totalprice, 2) AS price
           |FROM orders
-          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+          |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
@@ -500,7 +508,8 @@ object Relational {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 375000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_cross" ->
@@ -536,7 +545,7 @@ object Relational {
     "q_setop_except" ->
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
-        |SELECT o_custkey AS k FROM orders
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 375000
         |ORDER BY k""".stripMargin,
 
     "q_window_rank" ->
@@ -662,7 +671,7 @@ object Relational {
     "q_subquery_scalar" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders
-        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_subquery_in" ->
