@@ -85,7 +85,8 @@ object ScaleProbe {
     val probes = Seq("dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
       "curation_pipeline", "pipe_decontam", "ann_lsh", "ann_ivf",
       "pipe_stratified_sample", "text_unigram_logprob", "emb_quantize",
-      "pipe_chunk")
+      "pipe_chunk", "dedup_substring", "pipe_decontam_bloom",
+      "pipe_token_budget")
     val onlyProbes = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     probes.filter(n => onlyProbes.forall(_.contains(n))).foreach { name =>

@@ -279,6 +279,49 @@ object Dedup {
         .filter(col("j_raw") >= 0.05) // filter BEFORE rounding (oracle does too)
         .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 4).as("j"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // exact duplicated-SPAN detection — the "dedup training data"
+    // substring pass (suffix-array method in the literature) re-expressed
+    // relationally: every overlapping word 10-gram of every document,
+    // grouped corpus-wide; a span is duplicated when its gram occurs in
+    // ≥2 DISTINCT documents (within-doc repetition is text_repetition's
+    // job). Per doc: total spans, duplicated spans, duplicated mass.
+    //
+    // Scale shape: the corpus-wide exchanges carry (doc_id,
+    // xxhash64(gram)) — 16 bytes/row instead of the ~70-byte gram text.
+    // This is NOT the md5-long compression the LSH verify path measured
+    // as a 2× loss: there the long was derived via Md5+conv per shingle
+    // (string hash → hex → bigint) purely to shrink an already-narrow
+    // verify join; here xxhash64 is one native codegen'd hash AND the
+    // hashed value is the groupBy/join key itself, so the string would
+    // otherwise ride two full shuffles. A 64-bit collision merges two
+    // grams (false dup); at 10^12 corpus grams that is ~10^-9 of spans —
+    // statistically invisible, and the oracle hash-compare would catch
+    // one at test scale (P ≈ 10^-11).
+    "dedup_substring" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = docs
+        .select(col("doc_id"), explode(
+          graft.functions.HashExpressions.word_shingles(col("text"), 10, distinct = false))
+          .as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+      // per-gram distinct-doc count: the (doc_id, h) distinct partial-
+      // aggregates map-side, so the exchange carries each doc's gram SET
+      val nd = g.distinct().groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      val per = g.join(nd, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)).cast("double"), 6)
+            .as("dup_ratio"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -457,6 +500,35 @@ object Dedup {
         |  SELECT label, count(*) AS cluster_size FROM comp GROUP BY label
         |)
         |SELECT cluster_size, count(*) AS n_clusters
-        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // dedup_substring: the oracle groups by the gram STRING (the Spark
+    // side groups by xxhash64(gram) — per-doc counts are identical
+    // unless two distinct grams collide in 64 bits)
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(tk) - 9, 0)),
+        |      i -> array_to_string(tk[i:i+9], ' '))) AS gram
+        |  FROM toks
+        |), nd AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+        |), per AS (
+        |  SELECT g.doc_id, count(*) AS n_spans,
+        |    sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+        |  FROM g JOIN nd USING (gram) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  round(coalesce(per.n_dup_spans, 0) /
+        |    CAST(greatest(coalesce(per.n_spans, 0), 1) AS DOUBLE), 6) AS dup_ratio
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

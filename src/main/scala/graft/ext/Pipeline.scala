@@ -129,6 +129,92 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // decontamination, bloom-prefilter variant: pipe_decontam's broadcast
+    // semi-join assumes the benchmark gram set fits in executor memory as
+    // an exact hash relation. When it doesn't (every eval suite ever
+    // released, n-grams of each), the exact join must shuffle BOTH sides
+    // — including every corpus gram. This variant restores the map-side
+    // cut: (1) build a Bloom filter over the bench grams (~1.2 bytes/gram
+    // at 1% fpp vs ~70-byte strings, so it broadcasts when the exact set
+    // cannot); (2) prefilter corpus grams through it map-side — only true
+    // hits + ~1% false positives reach the exchange; (3) exact semi-join
+    // the survivors to kill the false positives. Result is IDENTICAL to
+    // the exact path (same oracle SQL), only the plan shape differs.
+    // The mightContain UDF breaks codegen for the filter stage only — the
+    // documented tradeoff for a 99% exchange cut (Spark's own runtime
+    // bloom filters use the internal BloomFilterMightContain expression;
+    // a custom Expression here would recover codegen if the filter stage
+    // ever profiled hot).
+    "pipe_decontam_bloom" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.udf
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(graft.functions.HashExpressions.word_shingles(col("text"), 8))
+          .as("gram")).distinct()
+      // deterministic: fixed-seed hashes, bit-OR merge is order-free
+      val bf = bench.stat.bloomFilter("gram", math.max(bench.count(), 1024L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((g: String) => g != null && bfB.value.mightContain(g))
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          explode_outer(graft.functions.HashExpressions.word_shingles(col("text"), 8))
+            .as("gram"))
+      val flagged = corpus.filter(mightContain(col("gram")))
+        .join(bench, Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("contaminated", lit(true))
+      corpus.groupBy(col("doc_id"))
+        .agg(count(col("gram")).as("n_grams"))
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-budget corpus assembly: per language, take the best-scoring
+    // documents (stopword-density quality score) until a token budget is
+    // reached — the final selection step that turns a scored corpus into
+    // a fixed-size training mix.
+    //
+    // The naive shape — running-sum window straight over each language —
+    // shuffles WHOLE languages to single tasks (the pipe_pack scale bug,
+    // but unshardable: budget selection needs a global order). Instead,
+    // two phases: (A) quantize scores into 1000 buckets, aggregate
+    // per-(lang, bucket) token mass (tiny frame), running-sum buckets
+    // top-down, admit only buckets that start before the budget line;
+    // (B) exact running-sum window over ADMITTED docs only. Bucket
+    // quantization is order-compatible (bkt(x) < bkt(y) ⇒ score(x) <
+    // score(y)), so phase B over the admitted subset selects exactly the
+    // docs the full window would — but its input is ~budget-sized
+    // regardless of corpus size. Degenerate case: a single bucket
+    // holding most of a language (near-constant scores) re-inflates the
+    // window input — the same failure mode as any quantile cut.
+    "pipe_token_budget" -> ((s, dir) => {
+      val budget = 2000L
+      val nTok = TextAnalysis.nTokens(col("text"))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tok"),
+          (TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopEn).cast("double") /
+            greatest(nTok, lit(1)).cast("double")).as("score"))
+        .withColumn("bkt", floor(col("score") * 1000).cast("long"))
+      val wBkt = Window.partitionBy(col("lang")).orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val admitted = d.groupBy(col("lang"), col("bkt"))
+        .agg(sum(col("n_tok")).as("tok"))
+        .withColumn("cum_excl", sum(col("tok")).over(wBkt) - col("tok"))
+        .filter(col("cum_excl") < budget)
+        .select(col("lang"), col("bkt"))
+      val wDoc = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(admitted), Seq("lang", "bkt"))
+        .withColumn("tok_end", sum(col("n_tok")).over(wDoc))
+        .filter(col("tok_end") - col("n_tok") < budget)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          round(col("score"), 6).as("score"), col("tok_end"))
+        .orderBy(col("lang"), col("tok_end"), col("doc_id"))
+    }),
+
     // stratified sampling: EXACTLY k docs per (lang, source) stratum,
     // chosen by md5 order — deterministic and retry-safe like the other
     // samplers (a rand()-based sample re-rolls on stage retry), and
@@ -186,7 +272,7 @@ object Pipeline {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSql0: Map[String, String] = Map(
     "pipe_split" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -255,6 +341,37 @@ object Pipeline {
         |FROM corpus c LEFT JOIN flagged f USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin,
 
+    // identical result to the exact path by construction — the bloom is
+    // a prefilter, never the verdict — so the oracle is pipe_decontam's,
+    // verbatim (aliased below the map literal so the two cannot drift)
+
+    "pipe_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS DOUBLE)
+        |      / greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS score
+        |  FROM documents),
+        |b AS (SELECT *, CAST(floor(score * 1000) AS BIGINT) AS bkt FROM d),
+        |bs AS (SELECT lang, bkt, sum(n_tok) AS tok FROM b GROUP BY 1, 2),
+        |bc AS (
+        |  SELECT lang, bkt,
+        |    sum(tok) OVER (PARTITION BY lang ORDER BY bkt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cum_excl
+        |  FROM bs),
+        |adm AS (SELECT lang, bkt FROM bc WHERE cum_excl < 2000),
+        |w AS (
+        |  SELECT b.doc_id, b.lang, b.n_tok, b.score,
+        |    sum(b.n_tok) OVER (PARTITION BY b.lang
+        |      ORDER BY b.score DESC, b.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+        |  FROM b JOIN adm USING (lang, bkt))
+        |SELECT doc_id, lang, n_tok, round(score, 6) AS score,
+        |  CAST(tok_end AS BIGINT) AS tok_end
+        |FROM w WHERE tok_end - n_tok < 2000
+        |ORDER BY lang, tok_end, doc_id""".stripMargin,
+
     "pipe_stratified_sample" ->
       """WITH h AS (
         |  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS hsh
@@ -285,4 +402,10 @@ object Pipeline {
         |FROM b WHERE bucket < keep
         |GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** The bloom variant's contract is "identical output to the exact
+    * path", so its oracle IS the exact path's oracle — aliased, not
+    * copied, so an edit to one cannot silently diverge the other. */
+  val oracleSql: Map[String, String] =
+    oracleSql0 + ("pipe_decontam_bloom" -> oracleSql0("pipe_decontam"))
 }

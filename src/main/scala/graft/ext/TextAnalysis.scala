@@ -20,17 +20,17 @@ object TextAnalysis {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
-  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  private[ext] val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
   private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den")
   private val stopFr = Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour")
 
   /** Count of word tokens drawn from `words` (word-boundary regex). */
-  private def stopwordHits(c: Column, words: Seq[String]): Column =
+  private[ext] def stopwordHits(c: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(c),
       lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
 
-  private def nTokens(c: Column): Column =
+  private[ext] def nTokens(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z0-9]+"), lit(0)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -296,7 +296,30 @@ object TextAnalysis {
       t(s, dir, "documents")
         .select(col("doc_id"),
           xxhash64(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("xx64"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // character-level Shannon entropy — the classic gibberish/boilerplate
+    // signal (random bytes score high, "aaaa..." scores ~0). Computed
+    // entirely as codegen'd HOFs over the char array: the histogram is
+    // O(uniq × len) per row (uniq ≈ 30 for natural text) and NEVER
+    // shuffles — at 100 TB this is a pure map pass like the other text
+    // scores. Both engines fold the SAME term order (sorted distinct
+    // chars); the only cross-engine risk is a libm log2 ulp, absorbed by
+    // round(…,4).
+    "text_entropy" -> ((s, dir) => {
+      val cs = filter(split(col("text"), ""), c => length(c) > 0)
+      val n = size(cs).cast("double")
+      val uniq = array_sort(array_distinct(cs))
+      val ent = aggregate(uniq, lit(0.0d), (acc, u) => {
+        val p = size(filter(cs, c => c === u)).cast("double") / n
+        acc - p * log2(p)
+      })
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(uniq).cast("long").as("n_uniq_chars"),
+          round(ent, 4).as("char_entropy"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -473,6 +496,19 @@ object TextAnalysis {
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |  round(avg(n_chars), 4) AS avg_chars,
         |  round(avg(stop_ratio), 6) AS avg_stop_ratio
-        |FROM curated GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM curated GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same fold order as the Spark side (sorted distinct chars), so the
+    // sums agree to the last ulp of libm log2; round(…,4) absorbs that
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(text, '') AS cs FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(cs)) AS BIGINT) AS n_uniq_chars,
+        |  round(coalesce(list_sum(list_transform(list_sort(list_distinct(cs)),
+        |    u -> -(len(list_filter(cs, x -> x = u)) / CAST(len(cs) AS DOUBLE))
+        |         * log2(len(list_filter(cs, x -> x = u)) / CAST(len(cs) AS DOUBLE)))),
+        |    0.0) + 0.0, 4) AS char_entropy
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -127,6 +127,76 @@ class ExtensionSpec extends SparkSpecBase {
     assert(r.getDouble(2) == expected, s"avg_logprob=${r.getDouble(2)} want $expected")
   }
 
+  test("dedup_substring: shared 10-gram spans counted exactly, unrelated doc untouched") {
+    // docA and docB share tokens 1..14 of 15 and differ only in the last
+    // word: windows 1..5 (of 6) are common, window 6 differs → both docs
+    // must report n_spans=6, n_dup_spans=5, ratio 5/6. docC (12 distinct
+    // other tokens → 3 grams) shares nothing.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    val common = (1 to 14).map(i => f"w$i%02d")
+    val docA = (common :+ "alpha").mkString(" ")
+    val docB = (common :+ "omega").mkString(" ")
+    val docC = (1 to 12).map(i => f"z$i%02d").mkString(" ")
+    Seq((1L, docA), (2L, docB), (3L, docC))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_substring")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) == ((6L, 5L, 0.833333)), s"docA: ${rows(1L)}")
+    assert(rows(2L) == ((6L, 5L, 0.833333)), s"docB: ${rows(2L)}")
+    assert(rows(3L) == ((3L, 0L, 0.0)), s"docC: ${rows(3L)}")
+  }
+
+  test("bloom-prefilter decontamination is row-identical to the exact path") {
+    // the bloom is a prefilter, never the verdict: false positives are
+    // killed by the exact semi-join, false negatives cannot exist, so
+    // any divergence from pipe_decontam is a bug by definition
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))
+    val exact = SparkEntry.queries("pipe_decontam")(spark, sfDir).collect().map(key)
+    val bloom = SparkEntry.queries("pipe_decontam_bloom")(spark, sfDir).collect().map(key)
+    assert(exact.nonEmpty && exact.toSeq == bloom.toSeq,
+      s"bloom path diverged: exact=${exact.length} bloom=${bloom.length}")
+  }
+
+  test("pipe_token_budget: two-phase bucket admission equals the naive full window") {
+    // recompute the selection the expensive way — one running-sum window
+    // over EVERYTHING per language — and require the bucket-admitted
+    // two-phase plan to produce the identical set. This is the exactness
+    // proof of the optimization, run against real data.
+    import org.apache.spark.sql.expressions.Window
+    // the scoring expressions are mirrored inline (they are private[ext])
+    val docs = graft.engine.Engine.table(spark, sfDir, "documents")
+    val nTok = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+    val stops = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|and|of|to|in|is|on|for|with)\\b"), lit(0)))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tok"),
+        (stops.cast("double") / greatest(nTok, lit(1)).cast("double")).as("score"))
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .filter(col("tok_end") - col("n_tok") < 2000)
+      .select(col("doc_id"), col("tok_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoPhase = SparkEntry.queries("pipe_token_budget")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(naive.nonEmpty && twoPhase == naive,
+      s"two-phase selection diverged: naive=${naive.size} twoPhase=${twoPhase.size}")
+  }
+
+  test("text_entropy: known distributions score exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ent").toString
+    Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(1L) == ((2L, 1.0)), s"aabb: ${rows(1L)}")   // two fair symbols
+    assert(rows(2L) == ((1L, 0.0)), s"aaaa: ${rows(2L)}")   // degenerate
+    assert(rows(3L) == ((4L, 2.0)), s"abcd: ${rows(3L)}")   // four fair symbols
+  }
+
   test("jaccard verifier: identical=1, disjoint=0") {
     val docs = docsDf(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
       3L -> "x1 y2 z3 w4 v5 u6 t7 s8")

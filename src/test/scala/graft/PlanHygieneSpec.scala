@@ -116,6 +116,38 @@ class PlanHygieneSpec extends SparkSpecBase {
       s"corpus scanned ${scans.size}x — checkpoint reuse broken:\n$p")
   }
 
+  test("dedup_substring: gram strings never cross an aggregate or join boundary") {
+    // the 16-bytes-on-the-wire claim made executable: every shuffle this
+    // query performs is induced by an Aggregate or Join, and none of
+    // their inputs may carry a string column — the gram must be
+    // xxhash64'd in the scan stage, before anything wide moves
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.StringType
+    val lp = SparkEntry.queries("dedup_substring")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val offenders = lp.collect {
+      case a: Aggregate => "Aggregate" -> a.child.output
+      case j: Join => "Join" -> j.children.flatMap(_.output)
+    }.flatMap { case (node, out) =>
+      out.filter(_.dataType == StringType).map(a => s"$node(${a.name})")
+    }
+    assert(offenders.isEmpty, s"strings on the wire: $offenders")
+  }
+
+  test("pipe_token_budget: bucket admission broadcasts, text stays out of both windows") {
+    val df = SparkEntry.queries("pipe_token_budget")(spark, sfDir)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"admitted-bucket join not broadcast:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size >= 2, "expected the bucket window and the doc window")
+    windows.foreach { w =>
+      val names = w.child.output.map(_.name)
+      assert(!names.contains("text"), s"window input carries text: $names")
+    }
+  }
+
   test("EXPLAIN ANALYZE analogue reports executed metrics per operator") {
     val df = Engine.table(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count()
