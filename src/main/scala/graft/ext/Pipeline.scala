@@ -254,6 +254,39 @@ object Pipeline {
         .orderBy(col("lang"), col("source"), col("rk"))
     }),
 
+    // temperature-reweighted mixture: per-language keep-rates ∝ share^(1/T)
+    // with T=2 — the standard low-resource upsampling for multilingual
+    // corpora (flattens the language distribution toward uniform as T→∞).
+    // p^(1/2) is written as sqrt(), which is IEEE-correctly-rounded in
+    // both engines (pow() is not guaranteed to be). Keep-decision is the
+    // doc's own md5 bucket against a rate-derived threshold: pure map,
+    // deterministic, retry-safe. Scale shape: two tiny aggregates
+    // (per-lang counts, the sqrt-mass normalizer), broadcast rates, one
+    // map-side-partial final agg — nothing corpus-sized ever shuffles.
+    "pipe_temperature_mix" -> ((s, dir) => {
+      val K = 200.0 // target sampled-doc budget across the corpus
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val z = counts.agg(sum(sqrt(col("n"))).as("z"))
+      val rates = counts.crossJoin(broadcast(z))
+        .select(col("lang"), col("n"),
+          least(lit(1.0), lit(K) * sqrt(col("n")) / col("z") / col("n")).as("rate"))
+        .withColumn("thr", floor(col("rate") * lit(4294967296.0)).cast("long"))
+      val kept = docs
+        .withColumn("h32",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(col("h32") < col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("chars_kept"))
+      // left join from rates: a language sampled to zero must still report
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n").as("n_docs"), round(col("rate"), 6).as("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // weighted mixture sampling: per-source keep-rates applied via the
     // doc's own hash bucket — deterministic, retry-safe, no shuffle; the
     // sampled mixture is then summarized per source
@@ -389,6 +422,22 @@ object Pipeline {
         |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 50
         |ORDER BY lang, source, rk""".stripMargin,
+
+    "pipe_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n)) AS z FROM c),
+        |r AS (SELECT lang, n, least(1.0, 200 * sqrt(n) / z.z / n) AS rate FROM c, z),
+        |t AS (SELECT lang, n, rate,
+        |  CAST(floor(rate * 4294967296.0) AS BIGINT) AS thr FROM r),
+        |k AS (
+        |  SELECT d.lang, count(*) AS n_kept, sum(d.n_chars) AS chars_kept
+        |  FROM documents d JOIN t USING (lang)
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < t.thr
+        |  GROUP BY 1)
+        |SELECT t.lang, CAST(t.n AS BIGINT) AS n_docs, round(t.rate, 6) AS rate,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(k.chars_kept, 0) AS BIGINT) AS chars_kept
+        |FROM t LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
 
     "pipe_mixture" ->
       """WITH b AS (

@@ -249,6 +249,84 @@ object Similarity {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // Product quantization ANN — the MEMORY scale path (LSH prunes
+    // comparisons, IVF prunes partitions, PQ shrinks the resident
+    // corpus): each 64-dim vector is encoded as M=4 sub-space codeword
+    // ids (16 codewords each → 4 bits... stored as ints here; 2 bytes
+    // real), a 64× cut vs float32. Queries never touch the vectors —
+    // scoring is ADC (asymmetric distance): the query precomputes its
+    // squared-L2 distance to every codeword (M×16 values, broadcast) and
+    // a candidate's distance is the SUM of 4 table lookups. On the
+    // testdata's L2-normalized embeddings, L2² = 2−2·cos, so the ADC
+    // ranking approximates the cosine ranking the other ANN queries use.
+    //
+    // Oracle exactness: the ENTIRE distance pipeline is integer
+    // arithmetic on the 1e-3 grid — subvector components quantize to
+    // floor(v·1000+½) at the scan, Lloyd means re-quantize to the same
+    // grid, so every squared distance is an exact integer in 1e-6 units
+    // (integer-valued doubles through dot_f32: products ≤ ~1e6 ≪ 2^53,
+    // no rounding anywhere, no float-summation-order hazard — a
+    // floor(d²·10⁶)-of-double variant lost an ulp to DuckDB on exactly
+    // one boundary value at sf0.01). Argmin ties break by codeword id;
+    // the 4-term ADC sum is a BIGINT sum.
+    "ann_pq" -> ((s, dir) => {
+      val M = 4; val subDim = 16; val nCw = 16
+      def d2(a: Column, b: Column): Column =
+        dot_f32(a, a) - lit(2.0) * dot_f32(a, b) + dot_f32(b, b)
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      // (vec_id, m, s): the m-th 16-dim subvector, grid-quantized
+      // (integers ≤ ~10³ are exact in float32, so dot_f32 stays exact)
+      val sub = emb.select(col("vec_id"),
+          explode(sequence(lit(0), lit(M - 1))).as("m"), col("embedding"))
+        .select(col("vec_id"), col("m"),
+          transform(slice(col("embedding"), col("m") * subDim + 1, lit(subDim)),
+            x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
+      // per-subspace codebooks: first-nCw seeds + one Lloyd step
+      val seeds = broadcast(sub.filter(col("vec_id") < nCw)
+        .select(col("m"), col("vec_id").as("cw"), col("s").as("c"))
+        .localCheckpoint(true))
+      val a0 = sub.join(seeds, Seq("m"))
+        .withColumn("__d", d2(col("s"), col("c")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(struct(col("cw"), col("s")), struct(col("__d"), col("cw"))).as("best"))
+        .select(col("m"), col("best.cw").as("cw"), col("best.s").as("s"))
+      // centroid mean per (m, cw, dim), re-quantized to the same grid:
+      // BIGINT sum (associative) + one double division + floor
+      val cb = a0
+        .select(col("m"), col("cw"), posexplode(col("s")).as(Seq("dim", "v")))
+        .groupBy(col("m"), col("cw"), col("dim"))
+        .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("mu"))
+        .groupBy(col("m"), col("cw"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+        .select(col("m"), col("cw"),
+          transform(col("dm"),
+            x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
+        .localCheckpoint(true)
+      val cbB = broadcast(cb)
+      // encode: nearest codeword per (corpus vector, subspace)
+      val codes = sub.filter(col("vec_id") >= 10)
+        .join(cbB, Seq("m"))
+        .withColumn("__d", d2(col("s"), col("c")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cw"), struct(col("__d"), col("cw"))).as("code"))
+      // ADC tables: query × codeword distances (exact integers in 1e-6)
+      val qd = broadcast(sub.filter(col("vec_id") < 10)
+        .join(cbB, Seq("m"))
+        .select(col("vec_id").as("q_id"), col("m").as("qm"), col("cw"),
+          d2(col("s"), col("c")).cast("long").as("d6"))
+        .localCheckpoint(true))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc6"), col("vec_id"))
+      codes.join(qd, col("m") === col("qm") && col("code") === col("cw"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d6")).as("adc6"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
+          round(col("adc6") / lit(1000000.0), 5).as("adc_dist"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // per-vector norm stats — sanity surface for the embedding column
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -427,6 +505,63 @@ object Similarity {
          |SELECT e.vec_id, e.label, (f.vec_id IS NOT NULL) AS near_dup
          |FROM e LEFT JOIN flagged f ON e.vec_id = f.vec_id
          |ORDER BY e.vec_id""".stripMargin,
+
+    // Full-pipeline PQ mirror. Everything on the 1e-3 integer grid:
+    // inner products over integer-valued DOUBLE lists are exact
+    // (list_inner_product ≡ dot_f32, the ann_bruteforce-validated
+    // pairing, with no rounding possible below 2^53), Lloyd means are
+    // BIGINT sums + one division + floor, the ADC sum is BIGINT.
+    "ann_pq" ->
+      """WITH sub AS (
+        |  SELECT vec_id, t.m,
+        |    list_transform(CAST(embedding[t.m*16+1 : t.m*16+16] AS DOUBLE[]),
+        |      x -> floor(x * 1000 + 0.5)) AS s
+        |  FROM embeddings, range(0, 4) t(m)
+        |), seeds AS (
+        |  SELECT m, vec_id AS cw, s AS c FROM sub WHERE vec_id < 16
+        |), a0 AS (
+        |  SELECT m, cw, s FROM (
+        |    SELECT sub.vec_id, sub.m, seeds.cw, sub.s,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+        |        ORDER BY list_inner_product(sub.s, sub.s)
+        |          - 2*list_inner_product(sub.s, seeds.c)
+        |          + list_inner_product(seeds.c, seeds.c), seeds.cw) AS rn
+        |    FROM sub JOIN seeds USING (m)) WHERE rn = 1
+        |), expl AS (
+        |  SELECT m, cw, unnest(range(len(s))) AS dim, unnest(s) AS v FROM a0
+        |), means AS (
+        |  SELECT m, cw, dim,
+        |    CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mu
+        |  FROM expl GROUP BY m, cw, dim
+        |), cb AS (
+        |  SELECT m, cw, list(floor(mu + 0.5) ORDER BY dim) AS c
+        |  FROM means GROUP BY m, cw
+        |), codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT sub.vec_id, sub.m, cb.cw AS code,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+        |        ORDER BY list_inner_product(sub.s, sub.s)
+        |          - 2*list_inner_product(sub.s, cb.c)
+        |          + list_inner_product(cb.c, cb.c), cb.cw) AS rn
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id >= 10) WHERE rn = 1
+        |), qd AS (
+        |  SELECT sub.vec_id AS q_id, sub.m, cb.cw,
+        |    CAST(list_inner_product(sub.s, sub.s)
+        |      - 2*list_inner_product(sub.s, cb.c)
+        |      + list_inner_product(cb.c, cb.c) AS BIGINT) AS d6
+        |  FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10
+        |), adc AS (
+        |  SELECT qd.q_id, codes.vec_id, sum(qd.d6) AS adc6
+        |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cw
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT q_id, vec_id, adc6,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc6, vec_id) AS rk
+        |  FROM adc
+        |)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
+        |  round(adc6 / 1000000.0, 5) AS adc_dist
+        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "emb_norms" ->
       """SELECT vec_id, label,

@@ -299,27 +299,22 @@ object TextAnalysis {
         .orderBy(col("doc_id"))),
 
     // character-level Shannon entropy — the classic gibberish/boilerplate
-    // signal (random bytes score high, "aaaa..." scores ~0). Computed
-    // entirely as codegen'd HOFs over the char array: the histogram is
-    // O(uniq × len) per row (uniq ≈ 30 for natural text) and NEVER
-    // shuffles — at 100 TB this is a pure map pass like the other text
-    // scores. Both engines fold the SAME term order (sorted distinct
-    // chars); the only cross-engine risk is a libm log2 ulp, absorbed by
-    // round(…,4).
-    "text_entropy" -> ((s, dir) => {
-      val cs = filter(split(col("text"), ""), c => length(c) > 0)
-      val n = size(cs).cast("double")
-      val uniq = array_sort(array_distinct(cs))
-      val ent = aggregate(uniq, lit(0.0d), (acc, u) => {
-        val p = size(filter(cs, c => c === u)).cast("double") / n
-        acc - p * log2(p)
-      })
+    // signal (random bytes score high, "aaaa..." scores ~0). A native
+    // Catalyst expression (one code-point pass + sorted-histogram walk
+    // per row): the HOF formulation paid O(uniq × len) interpreted
+    // lambda frames — measured 22.8s for the sf0.1 bench row, slowest in
+    // the suite by 8×; the expression is sub-second. No shuffle — at
+    // 100 TB this is a pure map pass like the other text scores. Both
+    // engines fold the same term order (sorted distinct chars); the only
+    // cross-engine risk is a libm log2 ulp, absorbed by round(…,4).
+    "text_entropy" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          size(uniq).cast("long").as("n_uniq_chars"),
-          round(ent, 4).as("char_entropy"))
-        .orderBy(col("doc_id"))
-    })
+          graft.functions.HashExpressions.char_entropy(col("text")).as("ce"))
+        .select(col("doc_id"),
+          col("ce.n_uniq_chars").as("n_uniq_chars"),
+          round(col("ce.char_entropy"), 4).as("char_entropy"))
+        .orderBy(col("doc_id")))
   )
 
   val oracleSql: Map[String, String] = Map(

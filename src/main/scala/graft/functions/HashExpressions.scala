@@ -112,6 +112,58 @@ object HashExpressions {
     override def prettyName: String = "simhash64"
   }
 
+  /** Character-level Shannon entropy + distinct-char count as one struct,
+    * one tight JVM loop per row.
+    *
+    * The HOF formulation (`aggregate` over `array_sort(array_distinct(
+    * split(text, '')))` with a `filter` count per distinct char) computes
+    * the same value but pays O(uniq × len) interpreted lambda frames per
+    * document — measured 22.8s for the sf0.1 bench row, the slowest query
+    * in the suite by 8×. This expression is a single code-point pass plus
+    * a ~30-entry sorted-map walk: sub-second at the same scale.
+    *
+    * Mirror contract (same value the DuckDB oracle computes): counts are
+    * per Unicode CODE POINT (DuckDB's string_split(text,'') is
+    * per-character, not per UTF-16 unit); terms are folded in ascending
+    * code-point order — the list_sort(list_distinct(...)) order — as
+    * `acc - p*log2(p)`; log2 is Math.log(p)/Math.log(2.0), the same
+    * derivation Spark's `log2` built-in uses, agreeing with DuckDB's
+    * log2 within an ulp (callers round, see text_entropy). */
+  case class CharEntropy(child: Expression)
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_uniq_chars", LongType, nullable = false),
+      StructField("char_entropy", DoubleType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val counts = new java.util.TreeMap[Int, Int]()
+      var n = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        // Scala unboxes an absent (null) value to 0, so prev+1 covers both
+        val prev: Int = counts.get(cp)
+        counts.put(cp, prev + 1)
+        n += 1
+        i += Character.charCount(cp)
+      }
+      var ent = 0.0
+      if (n > 0) {
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val p = it.next().toDouble / n
+          ent -= p * (Math.log(p) / Math.log(2.0))
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](counts.size().toLong, ent))
+    }
+    override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+    override def prettyName: String = "char_entropy"
+  }
+
   /** Word n-gram shingles of a text column in one pass: lowercase, split
     * on non-[a-z0-9] runs, join n consecutive tokens with a space. Exactly
     * mirrors `list_distinct(list_transform(...))` over
@@ -302,6 +354,9 @@ object HashExpressions {
 
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def char_entropy(c: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(c)))
 
   def word_shingles(c: Column, n: Int, distinct: Boolean = true): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n, distinct))

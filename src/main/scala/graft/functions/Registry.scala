@@ -30,6 +30,7 @@ object Registry {
       case _ => throw new IllegalArgumentException("minhash_sig(arr[, k])")
     }},
     "simhash64" -> { exprs: Seq[Expression] => SimHash64(exprs.head) },
+    "char_entropy" -> { exprs: Seq[Expression] => CharEntropy(exprs.head) },
     "word_shingles" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => WordShingles(c, 3, distinct = true)
       case Seq(c, n) => WordShingles(c, intArg(n, "word_shingles n"), distinct = true)

@@ -262,6 +262,24 @@ class ExtensionSpec extends SparkSpecBase {
     assert(overlap >= 0.5, s"avg recall vs brute force too low: $overlap")
   }
 
+  test("PQ ANN answers every query with meaningful brute-force overlap") {
+    // embeddings are L2-normalized (norm spec below), so ADC's L2²
+    // ordering approximates the cosine ordering ann_bruteforce ranks by:
+    // 4×16 codewords on 64 dims is a coarse quantizer, but top-5 overlap
+    // must stay well above chance (5/490 ≈ 1%)
+    val pq = ext.Similarity.queries("ann_pq")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val bf = ext.Similarity.queries("ann_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    assert(pq.keySet == bf.keySet, "every query answered")
+    pq.values.foreach(hits => assert(hits.length == 5, "5 results per query"))
+    val overlap = bf.keys.toSeq.map { q =>
+      val a = pq(q).map(_._2).toSet; val b = bf(q).map(_._2).toSet
+      (a intersect b).size.toDouble / b.size
+    }.sum / bf.size
+    assert(overlap >= 0.2, s"avg top-5 recall vs brute force too low: $overlap")
+  }
+
   test("as-of join: same-instant build visible, no-predecessor yields null") {
     import spark.implicits._
     val probe = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L))
@@ -281,6 +299,22 @@ class ExtensionSpec extends SparkSpecBase {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(out(5L) == 2L && out(7L) == 1L)
+  }
+
+  test("temperature mixture flattens the language distribution (T=2)") {
+    // at sf0.001 every rate caps at 1.0 (tiny corpus), so drive sf0.01
+    // where the en-heavy skew is real. The invariant of p^(1/2)
+    // reweighting: effective share q = rate·n/K compresses toward
+    // uniform — strictly LESS skewed than the census for every language
+    // pair, with the size ordering preserved.
+    val rows = SparkEntry.queries("pipe_temperature_mix")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.nonEmpty && rows.exists(_._3 < 1.0), s"all rates capped: $rows")
+    val q = rows.map { case (l, n, rate) => (l, n, rate * n) }
+    for ((la, na, qa) <- q; (lb, nb, qb) <- q if na > nb) {
+      assert(qa / qb < na.toDouble / nb, s"no compression for $la vs $lb: $q")
+      assert(qa >= qb, s"size ordering flipped for $la vs $lb: $q")
+    }
   }
 
   test("pipeline split is deterministic and ~80/10/10") {
