@@ -271,23 +271,29 @@ object Similarity {
     // the 4-term ADC sum is a BIGINT sum.
     "ann_pq" -> ((s, dir) => {
       val M = 4; val subDim = 16; val nCw = 16
-      def d2(a: Column, b: Column): Column =
-        dot_f32(a, a) - lit(2.0) * dot_f32(a, b) + dot_f32(b, b)
+      // hoisted-self-dot distance (the cosineWithNorms precedent): ss is
+      // computed once per subvector ROW, cc once per CODEWORD — only the
+      // cross term runs per pair, cutting 2/3 of the encode-stage dot
+      // work (measured 38.8s → the README row at the 100× probe)
+      def d2h(ss: Column, a: Column, b: Column, cc: Column): Column =
+        ss - lit(2.0) * dot_f32(a, b) + cc
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      // (vec_id, m, s): the m-th 16-dim subvector, grid-quantized
+      // (vec_id, m, s, ss): the m-th 16-dim subvector, grid-quantized
       // (integers ≤ ~10³ are exact in float32, so dot_f32 stays exact)
       val sub = emb.select(col("vec_id"),
           explode(sequence(lit(0), lit(M - 1))).as("m"), col("embedding"))
         .select(col("vec_id"), col("m"),
           transform(slice(col("embedding"), col("m") * subDim + 1, lit(subDim)),
             x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
+        .withColumn("ss", dot_f32(col("s"), col("s")))
       // per-subspace codebooks: first-nCw seeds + one Lloyd step
       val seeds = broadcast(sub.filter(col("vec_id") < nCw)
-        .select(col("m"), col("vec_id").as("cw"), col("s").as("c"))
+        .select(col("m"), col("vec_id").as("cw"), col("s").as("c"),
+          col("ss").as("cc"))
         .localCheckpoint(true))
       val a0 = sub.join(seeds, Seq("m"))
-        .withColumn("__d", d2(col("s"), col("c")))
+        .withColumn("__d", d2h(col("ss"), col("s"), col("c"), col("cc")))
         .groupBy(col("vec_id"), col("m"))
         .agg(min_by(struct(col("cw"), col("s")), struct(col("__d"), col("cw"))).as("best"))
         .select(col("m"), col("best.cw").as("cw"), col("best.s").as("s"))
@@ -302,19 +308,20 @@ object Similarity {
         .select(col("m"), col("cw"),
           transform(col("dm"),
             x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
+        .withColumn("cc", dot_f32(col("c"), col("c")))
         .localCheckpoint(true)
       val cbB = broadcast(cb)
       // encode: nearest codeword per (corpus vector, subspace)
       val codes = sub.filter(col("vec_id") >= 10)
         .join(cbB, Seq("m"))
-        .withColumn("__d", d2(col("s"), col("c")))
+        .withColumn("__d", d2h(col("ss"), col("s"), col("c"), col("cc")))
         .groupBy(col("vec_id"), col("m"))
         .agg(min_by(col("cw"), struct(col("__d"), col("cw"))).as("code"))
       // ADC tables: query × codeword distances (exact integers in 1e-6)
       val qd = broadcast(sub.filter(col("vec_id") < 10)
         .join(cbB, Seq("m"))
         .select(col("vec_id").as("q_id"), col("m").as("qm"), col("cw"),
-          d2(col("s"), col("c")).cast("long").as("d6"))
+          d2h(col("ss"), col("s"), col("c"), col("cc")).cast("long").as("d6"))
         .localCheckpoint(true))
       val w = Window.partitionBy(col("q_id")).orderBy(col("adc6"), col("vec_id"))
       codes.join(qd, col("m") === col("qm") && col("code") === col("cw"))
