@@ -180,6 +180,43 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // bigram-conditional LM score — the step past text_unigram_logprob's
+    // bag-of-words: P(w2|w1) = C2(w1w2)/C1(w1), model capped to the top-K
+    // bigrams (same reason as the unigram cap: the bigram long tail is
+    // unbounded at corpus scale, the model must stay broadcastable), flat
+    // 0.5/total floor for out-of-model bigrams. Count frames are
+    // vocab-sized and localCheckpoint'ed once; scoring is one broadcast
+    // join + map-side partial avg — one shuffle row per document, the
+    // unigram scorer's proven shape.
+    "text_bigram_logprob" -> ((s, dir) => {
+      val modelK = 4096
+      def grams(n: Int) = explode(
+        graft.functions.HashExpressions.word_shingles(col("text"), n, distinct = false))
+      val d = t(s, dir, "documents")
+      val uni = d.select(grams(1).as("w"))
+      val bg = d.select(col("doc_id"), grams(2).as("b"))
+      val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint(false)
+      val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint(false)
+      val tot2 = c2.agg(sum(col("c2")).cast("double").as("tot"))
+      val top2 = c2.orderBy(col("c2").desc, col("b")).limit(modelK)
+      // attach C1 of each top bigram's first word → the broadcast model
+      val model = top2
+        .withColumn("w", element_at(split(col("b"), " "), 1))
+        .join(c1, Seq("w"))
+        .select(col("b"), col("c2"), col("c1"))
+      bg.join(broadcast(model), Seq("b"), "left")
+        .crossJoin(broadcast(tot2))
+        .withColumn("lp",
+          when(col("c2").isNotNull, log(col("c2") / col("c1").cast("double")))
+            .otherwise(log(lit(0.5) / col("tot"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tfidf" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       // corpus size as a lazy broadcast scalar frame — no driver-side
@@ -492,6 +529,33 @@ object TextAnalysis {
         |  round(avg(n_chars), 4) AS avg_chars,
         |  round(avg(stop_ratio), 6) AS avg_stop_ratio
         |FROM curated GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), uni AS (
+        |  SELECT unnest(tk) AS w FROM toks
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS b
+        |  FROM toks
+        |), c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+        |c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+        |tot2 AS (SELECT CAST(sum(c2) AS DOUBLE) AS tot FROM c2),
+        |top2 AS (SELECT b, c2 FROM c2 ORDER BY c2 DESC, b LIMIT 4096),
+        |model AS (
+        |  SELECT t.b, t.c2, c1.c1
+        |  FROM top2 t JOIN c1 ON c1.w = string_split(t.b, ' ')[1])
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(CASE WHEN m.c2 IS NOT NULL
+        |    THEN ln(m.c2 / CAST(m.c1 AS DOUBLE))
+        |    ELSE ln(0.5 / tot2.tot) END), 4) AS avg_logprob
+        |FROM bg LEFT JOIN model m USING (b) CROSS JOIN tot2
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
 
     // same fold order as the Spark side (sorted distinct chars), so the
     // sums agree to the last ulp of libm log2; round(…,4) absorbs that

@@ -197,6 +197,31 @@ class ExtensionSpec extends SparkSpecBase {
     assert(rows(3L) == ((4L, 2.0)), s"abcd: ${rows(3L)}")   // four fair symbols
   }
 
+  test("bigram scorer: conditional probabilities and OOV floor pin exactly") {
+    import spark.implicits._
+    // doc 1: "a b a b a b" → bigrams [a b]×3 + [b a]×2; C1(a)=C1(b)=3;
+    // in-model lps are ln(3/3)=0 and ln(2/3)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_bg1").toString
+    Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir1/documents.parquet")
+    val r1 = SparkEntry.queries("text_bigram_logprob")(spark, dir1).head()
+    assert(r1.getLong(1) == 5L, s"n_bigrams: $r1")
+    val want1 = BigDecimal((3 * 0.0 + 2 * math.log(2.0 / 3.0)) / 5)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getDouble(2) == want1, s"avg_logprob=${r1.getDouble(2)} want $want1")
+    // doc 2: 5000 distinct zero-padded words → 4999 distinct bigrams, all
+    // count 1; the top-4096 (lexicographic tie-break = first 4096) score
+    // ln(1/1)=0, the remaining 903 take the 0.5/total floor
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bg2").toString
+    Seq((1L, (0 until 5000).map(i => f"w$i%04d").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir2/documents.parquet")
+    val r2 = SparkEntry.queries("text_bigram_logprob")(spark, dir2).head()
+    assert(r2.getLong(1) == 4999L)
+    val want2 = BigDecimal(903 * math.log(0.5 / 4999) / 4999)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2.getDouble(2) == want2, s"avg_logprob=${r2.getDouble(2)} want $want2")
+  }
+
   test("jaccard verifier: identical=1, disjoint=0") {
     val docs = docsDf(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
       3L -> "x1 y2 z3 w4 v5 u6 t7 s8")
