@@ -116,6 +116,13 @@ class PlanHygieneSpec extends SparkSpecBase {
       s"corpus scanned ${scans.size}x — checkpoint reuse broken:\n$p")
   }
 
+  test("text_bigram_logprob: top-K model via TakeOrderedAndProject, broadcast scoring join") {
+    val p = plan("text_bigram_logprob")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"model top-K fell back to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"scoring join not broadcast:\n$p")
+  }
+
   test("dedup_substring: gram strings never cross an aggregate or join boundary") {
     // the 16-bytes-on-the-wire claim made executable: every shuffle this
     // query performs is induced by an Aggregate or Join, and none of

@@ -103,6 +103,21 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination matches the batch pipe_decontam rows exactly") {
+    val q = graft.streaming.DecontamStream.runToMemory(spark, sfDir, "decontam_stream_test")
+    try {
+      val streamed = spark.table("decontam_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val batch = SparkEntry.queries("pipe_decontam")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      // stateless stream-static flagging is a pure per-row function, so
+      // the stream must reproduce the batch rows verbatim (set compare:
+      // micro-batch order is not meaningful)
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming hourly agg matches batch q1 shape and totals") {
     val q = EventsStream.runToMemory(spark, sfDir, "ev_stream_test")
     try {
