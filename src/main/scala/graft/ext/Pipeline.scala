@@ -148,23 +148,35 @@ object Pipeline {
     "pipe_decontam_bloom" -> ((s, dir) => {
       import org.apache.spark.sql.functions.udf
       val docs = t(s, dir, "documents")
+      // grams ride as xxhash64 longs from the scan stage on (the
+      // dedup_substring precedent): the bloom tests 8 bytes and the
+      // verify semi-join exchanges 8 bytes per gram — at the probe's
+      // designed worst case (~100% hit rate) the string form shuffled
+      // 843 MB at 500k docs, ~8× this. A 64-bit collision could flag
+      // one clean doc (P ≈ bench×corpus grams / 2^64, ~10^-11 at
+      // oracle scale; the hash-compare would surface it).
+      def gh8(g: org.apache.spark.sql.Column) = when(g.isNotNull, xxhash64(g))
       val bench = docs.filter(col("doc_id") % 50 === 0)
-        .select(explode(graft.functions.HashExpressions.word_shingles(col("text"), 8))
-          .as("gram")).distinct()
+        .select(explode(
+          graft.functions.HashExpressions.word_shingles(col("text"), 8)).as("gram"))
+        .select(gh8(col("gram")).as("gh"))
+        .distinct()
       // deterministic: fixed-seed hashes, bit-OR merge is order-free
-      val bf = bench.stat.bloomFilter("gram", math.max(bench.count(), 1024L), 0.01)
+      val bf = bench.stat.bloomFilter("gh", math.max(bench.count(), 1024L), 0.01)
       val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((g: String) => g != null && bfB.value.mightContain(g))
+      val mightContain = udf((h: java.lang.Long) =>
+        h != null && bfB.value.mightContainLong(h))
       val corpus = docs.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"),
           explode_outer(graft.functions.HashExpressions.word_shingles(col("text"), 8))
             .as("gram"))
-      val flagged = corpus.filter(mightContain(col("gram")))
-        .join(bench, Seq("gram"), "left_semi")
+        .select(col("doc_id"), gh8(col("gram")).as("gh"))
+      val flagged = corpus.filter(mightContain(col("gh")))
+        .join(bench, Seq("gh"), "left_semi")
         .select(col("doc_id")).distinct()
         .withColumn("contaminated", lit(true))
       corpus.groupBy(col("doc_id"))
-        .agg(count(col("gram")).as("n_grams"))
+        .agg(count(col("gh")).as("n_grams"))
         .join(flagged, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("contaminated"), lit(false)).as("contaminated"))

@@ -27,6 +27,11 @@ class ExtensionInjectionSpec extends SparkSpecBase {
         .head().get(0) != null)
       // DuckDB-checked constant: ('0x'||substr(md5('42'),1,8))::BIGINT % 100 = 84
       assert(s2.sql("SELECT md5_bucket(42, 100) AS b").head().getLong(0) == 84L)
+      // two fair symbols → exactly 1 bit of entropy, 2 distinct chars
+      val ce = s2.sql(
+        "SELECT char_entropy('aabb').n_uniq_chars AS u, char_entropy('aabb').char_entropy AS e")
+        .head()
+      assert(ce.getLong(0) == 2L && ce.getDouble(1) == 1.0, s"char_entropy: $ce")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
