@@ -138,24 +138,34 @@ class ExtensionSpec extends SparkSpecBase {
     val docA = (common :+ "alpha").mkString(" ")
     val docB = (common :+ "omega").mkString(" ")
     val docC = (1 to 12).map(i => f"z$i%02d").mkString(" ")
-    Seq((1L, docA), (2L, docB), (3L, docC))
+    // docD repeats ITS OWN 10-gram (tokens 1–10 == tokens 16–25) but
+    // shares nothing with other docs: duplication is defined per
+    // DISTINCT DOCUMENT, so its dup count must stay 0 (intra-doc
+    // repetition is text_repetition's signal, not this one's)
+    val run = (1 to 10).map(i => f"y$i%02d")
+    val docD = (run ++ (1 to 5).map(i => f"f$i%02d") ++ run).mkString(" ")
+    Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("dedup_substring")(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(rows(1L) == ((6L, 5L, 0.833333)), s"docA: ${rows(1L)}")
     assert(rows(2L) == ((6L, 5L, 0.833333)), s"docB: ${rows(2L)}")
     assert(rows(3L) == ((3L, 0L, 0.0)), s"docC: ${rows(3L)}")
+    assert(rows(4L) == ((16L, 0L, 0.0)), s"docD: ${rows(4L)}")
   }
 
   test("bloom-prefilter decontamination is row-identical to the exact path") {
     // the bloom is a prefilter, never the verdict: false positives are
     // killed by the exact semi-join, false negatives cannot exist, so
     // any divergence from pipe_decontam is a bug by definition
+    // sf0.01, not the default sf0.001: the larger shard has an actually
+    // contaminated document, so the equality is not vacuously all-false
+    val dir = "/root/testdata/sf0.01"
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getBoolean(2))
-    val exact = SparkEntry.queries("pipe_decontam")(spark, sfDir).collect().map(key)
-    val bloom = SparkEntry.queries("pipe_decontam_bloom")(spark, sfDir).collect().map(key)
-    assert(exact.nonEmpty && exact.toSeq == bloom.toSeq,
+    val exact = SparkEntry.queries("pipe_decontam")(spark, dir).collect().map(key)
+    val bloom = SparkEntry.queries("pipe_decontam_bloom")(spark, dir).collect().map(key)
+    assert(exact.exists(_._3) && exact.toSeq == bloom.toSeq,
       s"bloom path diverged: exact=${exact.length} bloom=${bloom.length}")
   }
 
@@ -165,8 +175,12 @@ class ExtensionSpec extends SparkSpecBase {
     // two-phase plan to produce the identical set. This is the exactness
     // proof of the optimization, run against real data.
     import org.apache.spark.sql.expressions.Window
+    // sf0.01, not sf0.001: the tiny shard fits whole languages inside the
+    // budget, making the equality trivially "everything selected"; at
+    // sf0.01 the budget genuinely truncates (≈182 of 500 docs survive)
+    val sf01 = "/root/testdata/sf0.01"
     // the scoring expressions are mirrored inline (they are private[ext])
-    val docs = graft.engine.Engine.table(spark, sfDir, "documents")
+    val docs = graft.engine.Engine.table(spark, sf01, "documents")
     val nTok = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
     val stops = size(regexp_extract_all(lower(col("text")),
       lit("\\b(the|a|and|of|to|in|is|on|for|with)\\b"), lit(0)))
@@ -179,7 +193,7 @@ class ExtensionSpec extends SparkSpecBase {
       .filter(col("tok_end") - col("n_tok") < 2000)
       .select(col("doc_id"), col("tok_end"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val twoPhase = SparkEntry.queries("pipe_token_budget")(spark, sfDir)
+    val twoPhase = SparkEntry.queries("pipe_token_budget")(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
     assert(naive.nonEmpty && twoPhase == naive,
       s"two-phase selection diverged: naive=${naive.size} twoPhase=${twoPhase.size}")
