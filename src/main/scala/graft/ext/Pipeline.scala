@@ -156,11 +156,15 @@ object Pipeline {
       // one clean doc (P ≈ bench×corpus grams / 2^64, ~10^-11 at
       // oracle scale; the hash-compare would surface it).
       def gh8(g: org.apache.spark.sql.Column) = when(g.isNotNull, xxhash64(g))
+      // localCheckpoint: the frame has three consumers (count, bloom
+      // build, verify semi-join) — uncheckpointed, each re-scans and
+      // re-distincts the bench docs (the ann_pq seeds/codebook pattern)
       val bench = docs.filter(col("doc_id") % 50 === 0)
         .select(explode(
           graft.functions.HashExpressions.word_shingles(col("text"), 8)).as("gram"))
         .select(gh8(col("gram")).as("gh"))
         .distinct()
+        .localCheckpoint(true)
       // deterministic: fixed-seed hashes, bit-OR merge is order-free
       val bf = bench.stat.bloomFilter("gh", math.max(bench.count(), 1024L), 0.01)
       val bfB = s.sparkContext.broadcast(bf)
@@ -279,10 +283,18 @@ object Pipeline {
       val K = 200.0 // target sampled-doc budget across the corpus
       val docs = t(s, dir, "documents")
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val z = counts.agg(sum(sqrt(col("n"))).as("z"))
+      // the sqrt-mass normalizer is the one reduction feeding a hard
+      // floor(rate·2^32) threshold, so it must not be an order-sensitive
+      // double sum (partial-agg merge order vs DuckDB row order) — sum
+      // floor(sqrt(n)·10⁶) BIGINTs instead: associative, and the 1e-6
+      // truncation is identical in both engines
+      val z = counts.agg(
+        sum(floor(sqrt(col("n")) * lit(1000000.0)).cast("long")).as("zq"))
       val rates = counts.crossJoin(broadcast(z))
         .select(col("lang"), col("n"),
-          least(lit(1.0), lit(K) * sqrt(col("n")) / col("z") / col("n")).as("rate"))
+          least(lit(1.0),
+            lit(K) * sqrt(col("n")) / (col("zq") / lit(1000000.0)) / col("n"))
+            .as("rate"))
         .withColumn("thr", floor(col("rate") * lit(4294967296.0)).cast("long"))
       val kept = docs
         .withColumn("h32",
@@ -437,8 +449,9 @@ object Pipeline {
 
     "pipe_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |z AS (SELECT sum(sqrt(n)) AS z FROM c),
-        |r AS (SELECT lang, n, least(1.0, 200 * sqrt(n) / z.z / n) AS rate FROM c, z),
+        |z AS (SELECT sum(CAST(floor(sqrt(n) * 1000000.0) AS BIGINT)) AS zq FROM c),
+        |r AS (SELECT lang, n,
+        |  least(1.0, 200 * sqrt(n) / (z.zq / 1000000.0) / n) AS rate FROM c, z),
         |t AS (SELECT lang, n, rate,
         |  CAST(floor(rate * 4294967296.0) AS BIGINT) AS thr FROM r),
         |k AS (

@@ -559,15 +559,25 @@ object TextAnalysis {
 
     // same fold order as the Spark side (sorted distinct chars), so the
     // sums agree to the last ulp of libm log2; round(…,4) absorbs that
+    // edge alignment with the Spark expression: DuckDB's
+    // string_split('', '') yields [''] (1 "distinct char") where
+    // CharEntropy sees 0 code points, and NULL text must stay NULL on
+    // both outputs — both spelled out as CASEs so the mirror holds for
+    // every input, not just the testdata's non-empty strings
     "text_entropy" ->
       """WITH c AS (
-        |  SELECT doc_id, string_split(text, '') AS cs FROM documents)
+        |  SELECT doc_id, text, string_split(text, '') AS cs FROM documents)
         |SELECT doc_id,
-        |  CAST(len(list_distinct(cs)) AS BIGINT) AS n_uniq_chars,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN len(text) = 0 THEN 0
+        |       ELSE CAST(len(list_distinct(cs)) AS BIGINT) END AS n_uniq_chars,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN len(text) = 0 THEN 0.0
+        |       ELSE
         |  round(coalesce(list_sum(list_transform(list_sort(list_distinct(cs)),
         |    u -> -(len(list_filter(cs, x -> x = u)) / CAST(len(cs) AS DOUBLE))
         |         * log2(len(list_filter(cs, x -> x = u)) / CAST(len(cs) AS DOUBLE)))),
-        |    0.0) + 0.0, 4) AS char_entropy
+        |    0.0) + 0.0, 4) END AS char_entropy
         |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -199,16 +199,23 @@ class ExtensionSpec extends SparkSpecBase {
       s"two-phase selection diverged: naive=${naive.size} twoPhase=${twoPhase.size}")
   }
 
-  test("text_entropy: known distributions score exactly") {
+  test("text_entropy: known distributions score exactly; empty and NULL text pinned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ent").toString
-    Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"))
+    Seq((1L, Some("aabb")), (2L, Some("aaaa")), (3L, Some("abcd")),
+        (4L, Some("")), (5L, Option.empty[String]))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("text_entropy")(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
     assert(rows(1L) == ((2L, 1.0)), s"aabb: ${rows(1L)}")   // two fair symbols
     assert(rows(2L) == ((1L, 0.0)), s"aaaa: ${rows(2L)}")   // degenerate
     assert(rows(3L) == ((4L, 2.0)), s"abcd: ${rows(3L)}")   // four fair symbols
+    // edges aligned with the oracle's CASEs (DuckDB-checked: '' →
+    // (0, 0.0) despite string_split('','') = ['']; NULL → NULLs)
+    assert(rows(4L) == ((0L, 0.0)), s"empty: ${rows(4L)}")
+    assert(rows(5L) == ((null, null)), s"null: ${rows(5L)}")
   }
 
   test("bigram scorer: conditional probabilities and OOV floor pin exactly") {
