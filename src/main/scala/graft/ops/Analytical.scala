@@ -56,6 +56,24 @@ object Analytical {
         .orderBy(col("n_name"))
     }),
 
+    // TPC-H Q6 shape: the canonical predicate-pushdown benchmark — a
+    // bare scan with 4 pushable predicates and one global sum; no join,
+    // no group-by, so the ONLY thing that can be slow is reading too
+    // much (plan-asserted: all filters reach the parquet scan).
+    // The revenue sum is a single corpus-wide double reduction — the
+    // exact cross-engine summation-order hazard — so it runs on the
+    // cent grid: prices/discounts are 2-decimal, round(x*100) recovers
+    // exact integers, the BIGINT product-sum is associative, and one
+    // division + round(2) follows.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).as("rev4"))
+        .select(round(col("rev4").cast("double") / lit(10000.0), 2).as("revenue"))),
+
     // TPC-H Q10 shape: returned-item losses per customer, top-20
     "q_tpch_q10" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -120,6 +138,16 @@ object Analytical {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |                       CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+        |             / 10000.0, 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,

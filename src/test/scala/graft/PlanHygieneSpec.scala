@@ -116,6 +116,17 @@ class PlanHygieneSpec extends SparkSpecBase {
       s"corpus scanned ${scans.size}x — checkpoint reuse broken:\n$p")
   }
 
+  test("q_tpch_q6: all four predicates reach the parquet scan") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"), s"shipdate range not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThanOrEqual(l_discount,0.07)"), s"discount BETWEEN not pushed:\n$p")
+    assert(p.contains("LessThan(l_quantity,24.0)"), s"quantity bound not pushed:\n$p")
+    // scan-and-sum only: nothing should shuffle more than the 1-row partials
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("text_bigram_logprob: top-K model via TakeOrderedAndProject, broadcast scoring join") {
     val p = plan("text_bigram_logprob")
     assert(p.contains("TakeOrderedAndProject"),
