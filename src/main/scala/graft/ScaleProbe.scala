@@ -89,7 +89,7 @@ object ScaleProbe {
       "pipe_token_budget", "ann_pq")
     val onlyProbes = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    probes.filter(n => onlyProbes.forall(_.contains(n))).foreach { name =>
+    val rows = probes.filter(n => onlyProbes.forall(_.contains(n))).map { name =>
       val t0 = System.nanoTime()
       val m = Explain.analyze(SparkEntry.queries(name)(spark, out))
         .filter(col("metric") === "shuffleBytesWritten")
@@ -99,6 +99,20 @@ object ScaleProbe {
       val shuffleMb = m.headOption.filterNot(_.isNullAt(0))
         .map(_.getLong(0) / 1e6).getOrElse(0.0)
       println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB")
+      (name, secs, shuffleMb)
+    }
+    // durable artifact (only for unfiltered runs — a partial probe must
+    // not overwrite a full one): walls are single-run ±30%; the
+    // shuffle-bytes column is deterministic and is the scale evidence
+    if (onlyProbes.isEmpty) {
+      def r1(v: Double): Double = math.rint(v * 10) / 10
+      val json = rows.map { case (n, w, mb) =>
+        s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)}}"""
+      }.mkString(
+        s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,"probes":{""", ",", "}}")
+      val outFile = s"/root/repo/PROBE_LOCAL_${factor}x.json"
+      try Files.writeString(Paths.get(outFile), json + "\n")
+      catch { case e: Exception => System.err.println(s"[probe] write failed: $e") }
     }
     spark.stop()
   }
