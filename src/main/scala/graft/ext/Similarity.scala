@@ -122,6 +122,43 @@ object Similarity {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // multi-probe LSH: probe the query's home bucket PLUS every
+    // single-bit-flip neighbor (9 buckets at 8 bits) — the standard
+    // recall/latency knob: near-misses land in Hamming-adjacent buckets,
+    // so probing them recovers most of what single-bucket LSH drops for
+    // ~9× the (still corpus-fraction-sized) candidate set. Only the tiny
+    // QUERY side fans out; the corpus keeps one bucket per vector, so
+    // the join stays equi and each (query, candidate) pair matches at
+    // most once (the 9 probe buckets are distinct by construction).
+    // Bucket math is integer XOR — no float anywhere near the oracle.
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val bits = 8
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          hyperplaneSig(col("embedding"), bits).as("bucket"),
+          l2norm(col("embedding")).as("nrm"))
+      val probeBuckets = array(
+        col("bucket") +: (0 until bits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)
+      val q = broadcast(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("nrm").as("q_nrm"), explode(probeBuckets).as("bucket")))
+      val cands = emb.filter(col("vec_id") >= 10)
+        .join(q, Seq("bucket"))
+        .select(col("q_id"), col("vec_id"),
+          cosineWithNorms(col("q_vec"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      cands.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), round(col("sim"), 5).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // embedding near-dup detection: all pairs above a cosine threshold,
     // LSH-bucketed so the pair space never materializes at corpus scale
     "dedup_embedding" -> ((s, dir) => {
@@ -483,6 +520,29 @@ object Similarity {
          |  FROM embeddings
          |), q AS (
          |  SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM e WHERE vec_id < 10
+         |), cands AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[])) AS sim
+         |  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id >= 10
+         |), ranked AS (
+         |  SELECT q_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |  FROM cands
+         |)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(sim, 5) AS sim
+         |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "ann_lsh_multiprobe" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |  ${hyperplaneSigDuck("embedding", 8)} AS bucket
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec,
+         |    unnest(list_concat([bucket],
+         |      list_transform(range(0, 8), j -> xor(bucket, 1 << j)))) AS bucket
+         |  FROM e WHERE vec_id < 10
          |), cands AS (
          |  SELECT q.q_id, e.vec_id,
          |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),

@@ -308,6 +308,32 @@ class ExtensionSpec extends SparkSpecBase {
     assert(overlap >= 0.5, s"avg recall vs brute force too low: $overlap")
   }
 
+  test("multi-probe LSH dominates single-bucket LSH on brute-force recall") {
+    def recall(name: String, bf: Map[Long, Set[Long]]): Double = {
+      val got = ext.Similarity.queries(name)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, hs) => q -> hs.map(_._2).toSet }
+      bf.toSeq.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+      }.sum / bf.size
+    }
+    val bf = ext.Similarity.queries("ann_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, hs) => q -> hs.map(_._2).toSet }
+    val single = recall("ann_lsh", bf)
+    val multi = recall("ann_lsh_multiprobe", bf)
+    // probing the 8 Hamming-1 neighbor buckets can only ADD candidates,
+    // so multiprobe recall is ≥ single-bucket by construction; require a
+    // strict win too — near-misses in adjacent buckets must be recovered.
+    // Absolute recall on UNIFORM RANDOM vectors is coverage math (9/256
+    // of bucket space — the same caveat ann_ivf documents: real corpora
+    // cluster, random testdata doesn't), so the floor is modest:
+    // measured single=0.0 / multi=0.14 at sf0.01.
+    assert(multi >= single, s"multi=$multi < single=$single")
+    assert(multi > single, s"multiprobe recovered nothing: multi=$multi single=$single")
+    assert(multi >= 0.05, s"multiprobe recall below coverage floor: $multi")
+  }
+
   test("PQ ANN answers every query with meaningful brute-force overlap") {
     // embeddings are L2-normalized (norm spec below), so ADC's L2²
     // ordering approximates the cosine ordering ann_bruteforce ranks by:
