@@ -16,6 +16,37 @@ object Analytical {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // TPC-H Q1 IN FULL (q1_agg is the driver-contract shape; this is the
+    // whole pricing summary): 8 aggregates per (returnflag, linestatus).
+    // The disc-price and charge sums are large-group double reductions —
+    // at 10k+ rows/group the cross-engine summation-order error reaches
+    // the round(2) boundary — so all money math runs on the cent grid:
+    // price/discount/tax are 2-decimal, the per-row products are exact
+    // BIGINTs (≤1e11/row, ~6e16 summed at sf0.1 — far under 2^63; a true
+    // TPC-H SF100 would move this to DecimalType), sums are associative,
+    // and one double division per output follows. sum(l_quantity) is
+    // integer-valued doubles — exact at any order.
+    "q_tpch_q1" -> ((s, dir) => {
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      val d = round(col("l_discount") * 100).cast("long")
+      val tx = round(col("l_tax") * 100).cast("long")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(pc).cast("double") / 100.0, 2).as("sum_base_price"),
+          round(sum(pc * (lit(100L) - d)).cast("double") / 10000.0, 2)
+            .as("sum_disc_price"),
+          round(sum(pc * (lit(100L) - d) * (lit(100L) + tx)).cast("double")
+            / 1000000.0, 2).as("sum_charge"),
+          round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          round(sum(pc).cast("double") / 100.0 / count(lit(1)), 4).as("avg_price"),
+          round(sum(d).cast("double") / 100.0 / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // TPC-H Q3 shape: shipping-priority — 3-way join, agg, top-10
     "q_tpch_q3" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -115,6 +146,29 @@ object Analytical {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0, 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0, 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+        |    * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS DOUBLE)
+        |    / 1000000.0, 2) AS sum_charge,
+        |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
