@@ -86,7 +86,7 @@ object ScaleProbe {
       "curation_pipeline", "pipe_decontam", "ann_lsh", "ann_ivf",
       "pipe_stratified_sample", "text_unigram_logprob", "emb_quantize",
       "pipe_chunk", "dedup_substring", "pipe_decontam_bloom",
-      "pipe_token_budget", "ann_pq")
+      "pipe_token_budget", "ann_pq", "ann_lsh_multiprobe")
     val onlyProbes = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val rows = probes.filter(n => onlyProbes.forall(_.contains(n))).map { name =>
