@@ -110,7 +110,8 @@ object ScaleProbe {
         s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)}}"""
       }.mkString(
         s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,"probes":{""", ",", "}}")
-      val outFile = s"/root/repo/PROBE_LOCAL_${factor}x.json"
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",
+        "/root/repo") + s"/PROBE_LOCAL_${factor}x.json"
       try Files.writeString(Paths.get(outFile), json + "\n")
       catch { case e: Exception => System.err.println(s"[probe] write failed: $e") }
     }

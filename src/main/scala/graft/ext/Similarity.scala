@@ -69,6 +69,38 @@ object Similarity {
        |      (CASE WHEN substr(md5(concat(j, '_', i)),1,1) IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)
        |    )) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))""".stripMargin
 
+  /** Shared LSH top-k harness (8-bit signatures, k=5, exact in-bucket
+    * rerank): the corpus keeps ONE bucket per vector; only the tiny
+    * query side fans out over `probeBuckets(bucket)` — a 1-element array
+    * is single-probe `ann_lsh`, the home+Hamming-1 array is
+    * `ann_lsh_multiprobe`. One definition so the shared shape (k, bits,
+    * rounding, tie-break) cannot drift between the two ops. */
+  private def lshTopK(s: SparkSession, dir: String,
+      probeBuckets: Column => Column): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneSig(col("embedding"), 8).as("bucket"),
+        l2norm(col("embedding")).as("nrm"))
+    val q = broadcast(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm"),
+          explode(probeBuckets(col("bucket"))).as("bucket")))
+    val cands = emb.filter(col("vec_id") >= 10)
+      .join(q, Seq("bucket")) // bucket-equality join prunes the corpus
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_vec"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), round(col("sim"), 5).as("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // brute-force cosine top-k (k=5) for a broadcast query set
@@ -98,66 +130,18 @@ object Similarity {
     }),
 
     // LSH-bucketed ANN: 8-bit hyperplane signature, exact rerank in-bucket
-    "ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"), col("embedding"),
-          hyperplaneSig(col("embedding"), 8).as("bucket"),
-          l2norm(col("embedding")).as("nrm"))
-      val q = broadcast(
-        emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-            col("bucket"), col("nrm").as("q_nrm")))
-      val cands = emb.filter(col("vec_id") >= 10)
-        .join(q, Seq("bucket")) // bucket-equality join prunes the corpus
-        .select(col("q_id"), col("vec_id"),
-          cosineWithNorms(col("q_vec"), col("embedding"),
-            col("q_nrm"), col("nrm")).as("sim"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      cands.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk").cast("long").as("rk"),
-          col("vec_id"), round(col("sim"), 5).as("sim"))
-        .orderBy(col("q_id"), col("rk"))
-    }),
+    "ann_lsh" -> ((s, dir) => lshTopK(s, dir, b => array(b))),
 
     // multi-probe LSH: probe the query's home bucket PLUS every
     // single-bit-flip neighbor (9 buckets at 8 bits) — the standard
     // recall/latency knob: near-misses land in Hamming-adjacent buckets,
     // so probing them recovers most of what single-bucket LSH drops for
-    // ~9× the (still corpus-fraction-sized) candidate set. Only the tiny
-    // QUERY side fans out; the corpus keeps one bucket per vector, so
-    // the join stays equi and each (query, candidate) pair matches at
-    // most once (the 9 probe buckets are distinct by construction).
-    // Bucket math is integer XOR — no float anywhere near the oracle.
-    "ann_lsh_multiprobe" -> ((s, dir) => {
-      val bits = 8
-      val emb = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"), col("embedding"),
-          hyperplaneSig(col("embedding"), bits).as("bucket"),
-          l2norm(col("embedding")).as("nrm"))
-      val probeBuckets = array(
-        col("bucket") +: (0 until bits).map(j =>
-          col("bucket").bitwiseXOR(lit(1L << j))): _*)
-      val q = broadcast(
-        emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-            col("nrm").as("q_nrm"), explode(probeBuckets).as("bucket")))
-      val cands = emb.filter(col("vec_id") >= 10)
-        .join(q, Seq("bucket"))
-        .select(col("q_id"), col("vec_id"),
-          cosineWithNorms(col("q_vec"), col("embedding"),
-            col("q_nrm"), col("nrm")).as("sim"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      cands.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk").cast("long").as("rk"),
-          col("vec_id"), round(col("sim"), 5).as("sim"))
-        .orderBy(col("q_id"), col("rk"))
-    }),
+    // ~9× the (still corpus-fraction-sized) candidate set. Each
+    // (query, candidate) pair matches at most once — the 9 probe buckets
+    // are distinct by construction — and the bucket math is integer XOR,
+    // no float anywhere near the oracle.
+    "ann_lsh_multiprobe" -> ((s, dir) => lshTopK(s, dir, b =>
+      array(b +: (0 until 8).map(j => b.bitwiseXOR(lit(1L << j))): _*))),
 
     // embedding near-dup detection: all pairs above a cosine threshold,
     // LSH-bucketed so the pair space never materializes at corpus scale

@@ -26,11 +26,16 @@ object DecontamStream {
   def flaggedDocs(spark: SparkSession, dir: String): DataFrame = {
     def sh = graft.functions.HashExpressions.word_shingles(col("text"), 8)
     // static reference side: the distinct benchmark grams, gathered into
-    // one array row (tiny — bench sets are eval suites, not corpora)
+    // one array row (tiny — bench sets are eval suites, not corpora).
+    // localCheckpoint: a stream-static join re-executes the static
+    // sub-plan EVERY micro-batch — uncheckpointed, each batch re-scans
+    // and re-aggregates the bench docs (collect_set already dedups, so
+    // no distinct either)
     val bench = Engine.table(spark, dir, "documents")
       .filter(col("doc_id") % 50 === 0)
-      .select(explode(sh).as("gram")).distinct()
+      .select(explode(sh).as("gram"))
       .agg(collect_set(col("gram")).as("bench_grams"))
+      .localCheckpoint(true)
     spark.readStream
       .schema(CurationStream.docsSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -39,7 +44,11 @@ object DecontamStream {
       .select(col("doc_id"), sh.as("sh"))
       .crossJoin(bench) // stream-static; static side broadcasts
       .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_grams"),
+        // coalesce(…, 0): word_shingles is null-intolerant, so NULL text
+        // → sh NULL → size NULL, where batch pipe_decontam's
+        // explode_outer+count emits 0 — the row-identity contract covers
+        // NULL input too
+        coalesce(size(col("sh")).cast("long"), lit(0L)).as("n_grams"),
         coalesce(arrays_overlap(col("sh"), col("bench_grams")), lit(false))
           .as("contaminated"))
   }

@@ -323,13 +323,13 @@ class ExtensionSpec extends SparkSpecBase {
     val single = recall("ann_lsh", bf)
     val multi = recall("ann_lsh_multiprobe", bf)
     // probing the 8 Hamming-1 neighbor buckets can only ADD candidates,
-    // so multiprobe recall is ≥ single-bucket by construction; require a
-    // strict win too — near-misses in adjacent buckets must be recovered.
+    // so multiprobe recall ≥ single-bucket by construction — require a
+    // STRICT win: near-misses in adjacent buckets must be recovered.
     // Absolute recall on UNIFORM RANDOM vectors is coverage math (9/256
     // of bucket space — the same caveat ann_ivf documents: real corpora
     // cluster, random testdata doesn't), so the floor is modest:
-    // measured single=0.0 / multi=0.14 at sf0.01.
-    assert(multi >= single, s"multi=$multi < single=$single")
+    // measured here at sfDir (sf0.001) single=0.02 / multi=0.10
+    // (sf0.01: 0.0 / 0.14).
     assert(multi > single, s"multiprobe recovered nothing: multi=$multi single=$single")
     assert(multi >= 0.05, s"multiprobe recall below coverage floor: $multi")
   }
