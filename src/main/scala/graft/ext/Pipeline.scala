@@ -208,11 +208,19 @@ object Pipeline {
     "pipe_token_budget" -> ((s, dir) => {
       val budget = 2000L
       val nTok = TextAnalysis.nTokens(col("text"))
+      // the score lives on a pure integer 1e-6 grid from birth:
+      // score6 = (stops·10^6) div ntok. The former double score's
+      // round(·,6) was a half-way hazard — stops/ntok can have an exact
+      // terminating 7-decimal expansion ending in 5 (1/640 = 0.0015625),
+      // landing exactly where the engines' round() diverge. Integer div
+      // is engine-exact, and bkt = score6 div 1000 = floor(stops·10^3 /
+      // ntok) preserves the bucket semantics (floor∘floor composition).
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tok"),
-          (TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopEn).cast("double") /
-            greatest(nTok, lit(1)).cast("double")).as("score"))
-        .withColumn("bkt", floor(col("score") * 1000).cast("long"))
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopEn)
+            .cast("long").as("stops"))
+        .withColumn("score6", expr("(stops * 1000000) div greatest(n_tok, 1)"))
+        .withColumn("bkt", expr("score6 div 1000"))
       val wBkt = Window.partitionBy(col("lang")).orderBy(col("bkt").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val admitted = d.groupBy(col("lang"), col("bkt"))
@@ -221,13 +229,13 @@ object Pipeline {
         .filter(col("cum_excl") < budget)
         .select(col("lang"), col("bkt"))
       val wDoc = Window.partitionBy(col("lang"))
-        .orderBy(col("score").desc, col("doc_id"))
+        .orderBy(col("score6").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       d.join(broadcast(admitted), Seq("lang", "bkt"))
         .withColumn("tok_end", sum(col("n_tok")).over(wDoc))
         .filter(col("tok_end") - col("n_tok") < budget)
         .select(col("doc_id"), col("lang"), col("n_tok"),
-          round(col("score"), 6).as("score"), col("tok_end"))
+          col("score6"), col("tok_end"))
         .orderBy(col("lang"), col("tok_end"), col("doc_id"))
     }),
 
@@ -407,10 +415,12 @@ object Pipeline {
         |  SELECT doc_id, lang,
         |    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
         |    CAST(length(regexp_extract_all(lower(text),
-        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS DOUBLE)
-        |      / greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS score
+        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS BIGINT) AS stops
         |  FROM documents),
-        |b AS (SELECT *, CAST(floor(score * 1000) AS BIGINT) AS bkt FROM d),
+        |b AS (SELECT doc_id, lang, n_tok,
+        |        (stops * 1000000) // greatest(n_tok, 1) AS score6,
+        |        ((stops * 1000000) // greatest(n_tok, 1)) // 1000 AS bkt
+        |      FROM d),
         |bs AS (SELECT lang, bkt, sum(n_tok) AS tok FROM b GROUP BY 1, 2),
         |bc AS (
         |  SELECT lang, bkt,
@@ -419,12 +429,12 @@ object Pipeline {
         |  FROM bs),
         |adm AS (SELECT lang, bkt FROM bc WHERE cum_excl < 2000),
         |w AS (
-        |  SELECT b.doc_id, b.lang, b.n_tok, b.score,
+        |  SELECT b.doc_id, b.lang, b.n_tok, b.score6,
         |    sum(b.n_tok) OVER (PARTITION BY b.lang
-        |      ORDER BY b.score DESC, b.doc_id
+        |      ORDER BY b.score6 DESC, b.doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
         |  FROM b JOIN adm USING (lang, bkt))
-        |SELECT doc_id, lang, n_tok, round(score, 6) AS score,
+        |SELECT doc_id, lang, n_tok, score6,
         |  CAST(tok_end AS BIGINT) AS tok_end
         |FROM w WHERE tok_end - n_tok < 2000
         |ORDER BY lang, tok_end, doc_id""".stripMargin,

@@ -350,8 +350,13 @@ object Similarity {
         .agg(sum(col("d6")).as("adc6"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
+        // round at the GRID's own scale (6), never coarser: adc6/1e6 is
+        // within 1 ulp of a 1e-6 grid point, so round(·,6) recovers the
+        // grid exactly in both engines. round(·,5) put ~10% of rows
+        // (adc6 ending in 5) exactly on the half-way boundary where
+        // Spark HALF_UP and DuckDB's binary std::round disagree.
         .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
-          round(col("adc6") / lit(1000000.0), 5).as("adc_dist"))
+          round(col("adc6") / lit(1000000.0), 6).as("adc_dist"))
         .orderBy(col("q_id"), col("rk"))
     }),
 
@@ -611,7 +616,7 @@ object Similarity {
         |  FROM adc
         |)
         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
-        |  round(adc6 / 1000000.0, 5) AS adc_dist
+        |  round(adc6 / 1000000.0, 6) AS adc_dist
         |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "emb_norms" ->

@@ -30,20 +30,34 @@ object Analytical {
       val pc = round(col("l_extendedprice") * 100).cast("long")
       val d = round(col("l_discount") * 100).cast("long")
       val tx = round(col("l_tax") * 100).cast("long")
+      // All rounding happens in BIGINT (`(x*2*10^p + den) div (2*den)`
+      // = HALF_UP at p decimals for positive x/den) BEFORE the one
+      // double division that lands the value on its output grid. A
+      // float round() of a grid sum is the half-way hazard: a 1e-4-grid
+      // sum ≡ 50 mod 100 sits EXACTLY on the 2-decimal boundary, where
+      // Spark HALF_UP and DuckDB's binary std::round diverge (~1%/row).
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).cast("long").as("sum_qty"),
-          round(sum(pc).cast("double") / 100.0, 2).as("sum_base_price"),
-          round(sum(pc * (lit(100L) - d)).cast("double") / 10000.0, 2)
-            .as("sum_disc_price"),
-          round(sum(pc * (lit(100L) - d) * (lit(100L) + tx)).cast("double")
-            / 1000000.0, 2).as("sum_charge"),
-          round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
-          round(sum(pc).cast("double") / 100.0 / count(lit(1)), 4).as("avg_price"),
-          round(sum(d).cast("double") / 100.0 / count(lit(1)), 4).as("avg_disc"),
+          sum(col("l_quantity")).cast("long").as("qty"),
+          sum(pc).as("base_c"),
+          sum(pc * (lit(100L) - d)).as("disc4"),
+          sum(pc * (lit(100L) - d) * (lit(100L) + tx)).as("chg6"),
+          sum(d).as("disc_c"),
           count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("qty").as("sum_qty"),
+          (col("base_c").cast("double") / 100.0).as("sum_base_price"),
+          (expr("(disc4 + 50) div 100").cast("double") / 100.0).as("sum_disc_price"),
+          (expr("(chg6 + 5000) div 10000").cast("double") / 100.0).as("sum_charge"),
+          (expr("(qty * 20000 + count_order) div (2 * count_order)")
+            .cast("double") / 10000.0).as("avg_qty"),
+          (expr("(base_c * 20000 + 100 * count_order) div (200 * count_order)")
+            .cast("double") / 10000.0).as("avg_price"),
+          (expr("(disc_c * 20000 + 100 * count_order) div (200 * count_order)")
+            .cast("double") / 10000.0).as("avg_disc"),
+          col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -54,17 +68,20 @@ object Analytical {
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      // revenue on the exact 1e-4 BIGINT grid (cents × (100−disc_cents)):
+      // the sum is associative, the top-10 ORDER is deterministic (no
+      // double-sum last-ulp ambiguity at the limit boundary), and the
+      // output cent-rounds in BIGINT — no float round anywhere
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
-        // order by the RAW revenue (1e-9-scale engine divergence) rather
-        // than the rounded one (1e-2-scale collision window at the limit
-        // boundary); output the rounded value
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_raw"))
-        .orderBy(col("rev_raw").desc, col("l_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+        .orderBy(col("rev4").desc, col("l_orderkey"))
         .limit(10)
-        .select(col("l_orderkey"), col("odate"), round(col("rev_raw"), 2).as("revenue"))
+        .select(col("l_orderkey"), col("odate"),
+          (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("revenue"))
     }),
 
     // TPC-H Q5 shape: regional volume — 6-table join through dims
@@ -82,8 +99,10 @@ object Analytical {
         .join(n, sup("s_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+        .select(col("n_name"),
+          (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("revenue"))
         .orderBy(col("n_name"))
     }),
 
@@ -94,8 +113,8 @@ object Analytical {
     // The revenue sum is a single corpus-wide double reduction — the
     // exact cross-engine summation-order hazard — so it runs on the
     // cent grid: prices/discounts are 2-decimal, round(x*100) recovers
-    // exact integers, the BIGINT product-sum is associative, and one
-    // division + round(2) follows.
+    // exact integers, the BIGINT product-sum is associative, and the
+    // result cent-rounds in BIGINT before one exact-grid division.
     "q_tpch_q6" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -103,7 +122,10 @@ object Analytical {
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
             round(col("l_discount") * 100).cast("long")).as("rev4"))
-        .select(round(col("rev4").cast("double") / lit(10000.0), 2).as("revenue"))),
+        // HALF_UP to cents in BIGINT, then one exact-grid division —
+        // round(rev4/1e4, 2) in float sits exactly half-way whenever
+        // rev4 ≡ 50 mod 100, where the engines' round() diverge
+        .select((expr("(rev4 + 50) div 100").cast("double") / 100.0).as("revenue"))),
 
     // TPC-H Q10 shape: returned-item losses per customer, top-20
     "q_tpch_q10" -> ((s, dir) => {
@@ -115,11 +137,12 @@ object Analytical {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_raw"))
-        .orderBy(col("rev_raw").desc, col("c_custkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+        .orderBy(col("rev4").desc, col("c_custkey"))
         .limit(20)
         .select(col("c_custkey"), col("c_name"), col("n_name"),
-          round(col("rev_raw"), 2).as("lost_revenue"))
+          (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("lost_revenue"))
     }),
 
     // batch sessionization (gaps-and-islands) — the oracle-checkable twin
@@ -147,43 +170,57 @@ object Analytical {
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
-        |    / 100.0, 2) AS sum_base_price,
-        |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
-        |    / 10000.0, 2) AS sum_disc_price,
-        |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
-        |    * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS DOUBLE)
-        |    / 1000000.0, 2) AS sum_charge,
-        |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
-        |    / 100.0 / count(*), 4) AS avg_price,
-        |  round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
-        |    / 100.0 / count(*), 4) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS base_c,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+        |      AS disc4,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+        |      * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS BIGINT)
+        |      AS chg6,
+        |    CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS disc_c,
+        |    count(*) AS count_order
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |  GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, qty AS sum_qty,
+        |  CAST(base_c AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST((disc4 + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+        |  CAST((chg6 + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
+        |  CAST((qty * 20000 + count_order) // (2 * count_order) AS DOUBLE)
+        |    / 10000.0 AS avg_qty,
+        |  CAST((base_c * 20000 + 100 * count_order) // (200 * count_order) AS DOUBLE)
+        |    / 10000.0 AS avg_price,
+        |  CAST((disc_c * 20000 + 100 * count_order) // (200 * count_order) AS DOUBLE)
+        |    / 10000.0 AS avg_disc,
+        |  count_order
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100
+        |    AS DOUBLE) / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1997-01-01'
         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
-        |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        |ORDER BY sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100
+        |    AS DOUBLE) / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -194,9 +231,9 @@ object Analytical {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_tpch_q6" ->
-      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
-        |                       CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
-        |             / 10000.0, 2) AS revenue
+      """SELECT CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |              CAST(round(l_discount * 100, 0) AS BIGINT)) + 50) // 100
+        |         AS DOUBLE) / 100.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -205,13 +242,16 @@ object Analytical {
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+        |  CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100
+        |    AS DOUBLE) / 100.0 AS lost_revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+        |ORDER BY sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) DESC, c_custkey
         |LIMIT 20""".stripMargin,
 
     "q_sessionize" ->

@@ -184,11 +184,12 @@ class ExtensionSpec extends SparkSpecBase {
     val nTok = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
     val stops = size(regexp_extract_all(lower(col("text")),
       lit("\\b(the|a|and|of|to|in|is|on|for|with)\\b"), lit(0)))
-    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score6").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = docs
       .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tok"),
-        (stops.cast("double") / greatest(nTok, lit(1)).cast("double")).as("score"))
+        stops.cast("long").as("stops"))
+      .withColumn("score6", expr("(stops * 1000000) div greatest(n_tok, 1)"))
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .filter(col("tok_end") - col("n_tok") < 2000)
       .select(col("doc_id"), col("tok_end"))
