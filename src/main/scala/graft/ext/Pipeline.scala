@@ -140,13 +140,13 @@ object Pipeline {
     // hits + ~1% false positives reach the exchange; (3) exact semi-join
     // the survivors to kill the false positives. Result is IDENTICAL to
     // the exact path (same oracle SQL), only the plan shape differs.
-    // The mightContain UDF breaks codegen for the filter stage only — the
-    // documented tradeoff for a 99% exchange cut (Spark's own runtime
-    // bloom filters use the internal BloomFilterMightContain expression;
-    // a custom Expression here would recover codegen if the filter stage
-    // ever profiled hot).
+    // The membership test is a native codegen'd expression
+    // ([[graft.functions.HashExpressions.BloomMightContainLong]], the
+    // same shape as Spark's internal runtime-filter
+    // BloomFilterMightContain) — the filter stage runs once per corpus
+    // gram, so it stays inside whole-stage codegen with zero per-row
+    // serialization (plan-asserted: no ScalaUDF node).
     "pipe_decontam_bloom" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.udf
       val docs = t(s, dir, "documents")
       // grams ride as xxhash64 longs from the scan stage on (the
       // dedup_substring precedent): the bloom tests 8 bytes and the
@@ -168,14 +168,15 @@ object Pipeline {
       // deterministic: fixed-seed hashes, bit-OR merge is order-free
       val bf = bench.stat.bloomFilter("gh", math.max(bench.count(), 1024L), 0.01)
       val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((h: java.lang.Long) =>
-        h != null && bfB.value.mightContainLong(h))
       val corpus = docs.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"),
           explode_outer(graft.functions.HashExpressions.word_shingles(col("text"), 8))
             .as("gram"))
         .select(col("doc_id"), gh8(col("gram")).as("gh"))
-      val flagged = corpus.filter(mightContain(col("gh")))
+      // native codegen'd membership test (a NULL gh yields NULL → the
+      // filter drops it, same as the former UDF's explicit null guard)
+      val flagged = corpus.filter(
+        graft.functions.HashExpressions.bloom_might_contain(col("gh"), bfB))
         .join(bench, Seq("gh"), "left_semi")
         .select(col("doc_id")).distinct()
         .withColumn("contaminated", lit(true))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -360,4 +360,111 @@ object HashExpressions {
 
   def word_shingles(c: Column, n: Int, distinct: Boolean = true): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n, distinct))
+
+  /** Bloom-filter membership test against a BROADCAST filter — the
+    * map-side prefilter primitive of the scalable decontamination path
+    * (`pipe_decontam_bloom`), shaped like Spark's own runtime-filter
+    * `BloomFilterMightContain` but fed a driver-built broadcast rather
+    * than a ScalarSubquery. A Scala UDF here would pay per-row
+    * serialization and break whole-stage codegen on the one stage that
+    * exists purely to be cheap (it runs once per gram of the corpus);
+    * this expression generates a plain `bloom.mightContainLong(h)` call
+    * inside the codegen'd filter, with the broadcast dereferenced ONCE
+    * per task into a generated member, not once per row. */
+  case class BloomMightContainLong(
+      child: Expression,
+      bfB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val bf = bfB.value
+    override protected def nullSafeEval(h: Any): Any =
+      bf.mightContainLong(h.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bloomCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+      val bcastCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+      val bfRef = ctx.addReferenceObj("graftBloomBcast", bfB, bcastCls)
+      val bfVar = ctx.addMutableState(bloomCls, "graftBloom",
+        v => s"$v = ($bloomCls) $bfRef.value();")
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bfVar.mightContainLong($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
+      copy(child = c)
+    override def prettyName: String = "bloom_might_contain_long"
+  }
+
+  def bloom_might_contain(
+      c: Column,
+      bfB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.column(BloomMightContainLong(Bridge.expression(c), bfB))
+
+  /** Array form of the bloom test for ROW-LOCAL pipelines (the streaming
+    * decontam path, where exploding grams would force a stateful
+    * re-aggregation the append-mode stream can't express): true iff ANY
+    * element of an array<bigint> might be in the broadcast filter. One
+    * tight loop per row; null elements are skipped (explode_outer parity). */
+  case class BloomMightContainAny(
+      child: Expression,
+      bfB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val bf = bfB.value
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i) && bf.mightContainLong(arr.getLong(i))) return true
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildInternal(c: Expression): BloomMightContainAny =
+      copy(child = c)
+    override def prettyName: String = "bloom_might_contain_any"
+  }
+
+  def bloom_might_contain_any(
+      c: Column,
+      bfB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.column(BloomMightContainAny(Bridge.expression(c), bfB))
+
+  /** Exact membership companion to [[BloomMightContainAny]]: true iff any
+    * element of an array<bigint> binary-searches into a broadcast SORTED
+    * long array. This is the false-positive killer of the streaming
+    * decontam path — it replaces the collect_set-into-one-array-row
+    * stream-static crossJoin, which hit the 2 GB single-cell cap and paid
+    * an O(|bench|) per-row hash-set rebuild inside arrays_overlap. The
+    * broadcast costs 8 bytes/gram exactly, deserializes once per
+    * executor, and each gram probes in O(log |bench|). */
+  case class SortedLongsContainAny(
+      child: Expression,
+      arrB: org.apache.spark.broadcast.Broadcast[Array[Long]])
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val sorted = arrB.value
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i) &&
+            java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) return true
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildInternal(c: Expression): SortedLongsContainAny =
+      copy(child = c)
+    override def prettyName: String = "sorted_longs_contain_any"
+  }
+
+  def sorted_longs_contain_any(
+      c: Column, arrB: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    Bridge.column(SortedLongsContainAny(Bridge.expression(c), arrB))
 }

@@ -4,53 +4,78 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.engine.Engine
+import graft.functions.HashExpressions
 
 /** Streaming decontamination — the continuous-ingest form of the batch
-  * `pipe_decontam`: documents arriving on a file stream are flagged
-  * against a STATIC benchmark gram set (stream-static join, the static
-  * side broadcast per micro-batch).
+  * `pipe_decontam_bloom`: documents arriving on a file stream are
+  * flagged against a STATIC benchmark gram set.
   *
   * Unlike the dedup/sessionize streams this is deliberately STATELESS:
   * contamination is a pure function of (document, reference set), so no
   * watermark, no state store, and append mode — the shape that scales to
   * any ingest rate because each micro-batch is an independent map pass.
-  * The per-doc gram array never explodes on the stream side:
-  * `arrays_overlap` evaluates the membership test row-local against the
-  * broadcast gram set (at 100 TB/day ingest the alternative —
-  * explode + stateful agg — would shuffle every gram of every batch).
+  * Grams never explode on the stream side (an explode would force a
+  * per-doc re-aggregation that append mode cannot express); instead the
+  * per-doc gram-hash ARRAY is tested row-local in two bounded stages:
+  *
+  *  1. `bloom_might_contain_any` — a broadcast Bloom filter over the
+  *     bench gram hashes (~1.2 bytes/gram at 1% fpp). The common path:
+  *     clean docs (the overwhelming majority) stop here.
+  *  2. `sorted_longs_contain_any` — the false-positive killer: an exact
+  *     binary-search probe into a broadcast SORTED long array
+  *     (8 bytes/gram), reached only when the bloom fires, via the
+  *     short-circuiting AND.
+  *
+  * This replaces the earlier collect_set-into-one-array-row
+  * stream-static crossJoin, which capped the bench set at a 2 GB single
+  * binary cell and rebuilt an O(|bench|) hash set inside arrays_overlap
+  * per row. Static-side size is now bounded and linear: 9.2 bytes/gram
+  * total across both broadcasts, with the exact side deserialized once
+  * per executor. Grams ride as xxhash64 longs (the batch path's
+  * representation; same documented ~2^-64 collision caveat).
   */
 object DecontamStream {
 
   /** Flagged stream: (doc_id, n_grams, contaminated) for every non-bench
-    * document, semantically identical to batch `pipe_decontam` rows. */
+    * document, row-identical to batch `pipe_decontam_bloom` (and hence to
+    * `pipe_decontam` — the bloom is a prefilter, never the verdict). */
   def flaggedDocs(spark: SparkSession, dir: String): DataFrame = {
-    def sh = graft.functions.HashExpressions.word_shingles(col("text"), 8)
-    // static reference side: the distinct benchmark grams, gathered into
-    // one array row (tiny — bench sets are eval suites, not corpora).
-    // localCheckpoint: a stream-static join re-executes the static
-    // sub-plan EVERY micro-batch — uncheckpointed, each batch re-scans
-    // and re-aggregates the bench docs (collect_set already dedups, so
-    // no distinct either)
-    val bench = Engine.table(spark, dir, "documents")
+    def sh = HashExpressions.word_shingles(col("text"), 8)
+    // Static reference side, materialized ONCE at stream definition (the
+    // bench set is fixed for the life of the stream — no per-batch
+    // re-execution, which the old localCheckpoint only mitigated).
+    // The collect() here is the broadcast-build path for the REFERENCE
+    // side only — the same driver hop df.stat.bloomFilter's
+    // treeAggregate takes — bounded by the bench gram count, never by
+    // corpus size. NOT a corpus collect.
+    val benchGh: Array[Long] = Engine.table(spark, dir, "documents")
       .filter(col("doc_id") % 50 === 0)
       .select(explode(sh).as("gram"))
-      .agg(collect_set(col("gram")).as("bench_grams"))
-      .localCheckpoint(true)
+      .select(xxhash64(col("gram")).as("gh"))
+      .distinct()
+      .orderBy(col("gh"))
+      .collect().map(_.getLong(0))
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(benchGh.length.toLong, 1024L), 0.01)
+    benchGh.foreach(bf.putLong)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val ghB = spark.sparkContext.broadcast(benchGh)
     spark.readStream
       .schema(CurationStream.docsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), sh.as("sh"))
-      .crossJoin(bench) // stream-static; static side broadcasts
+      .select(col("doc_id"), transform(sh, g => xxhash64(g)).as("ghs"))
       .select(col("doc_id"),
-        // coalesce(…, 0): word_shingles is null-intolerant, so NULL text
-        // → sh NULL → size NULL, where batch pipe_decontam's
-        // explode_outer+count emits 0 — the row-identity contract covers
-        // NULL input too
-        coalesce(size(col("sh")).cast("long"), lit(0L)).as("n_grams"),
-        coalesce(arrays_overlap(col("sh"), col("bench_grams")), lit(false))
-          .as("contaminated"))
+        // coalesce(…, 0/false): word_shingles is null-intolerant, so NULL
+        // text → ghs NULL, where batch pipe_decontam_bloom's
+        // explode_outer+count emits (0, false) — the row-identity
+        // contract covers NULL input too
+        coalesce(size(col("ghs")).cast("long"), lit(0L)).as("n_grams"),
+        coalesce(
+          HashExpressions.bloom_might_contain_any(col("ghs"), bfB) &&
+            HashExpressions.sorted_longs_contain_any(col("ghs"), ghB),
+          lit(false)).as("contaminated"))
   }
 
   def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {

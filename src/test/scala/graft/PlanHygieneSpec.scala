@@ -70,6 +70,18 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("pipe_decontam_bloom: membership test is a native expression, not a Scala UDF") {
+    // the prefilter runs once per corpus gram — the stage that exists
+    // purely to be cheap must stay inside whole-stage codegen. A UDF
+    // here shows up as a ScalaUDF/BatchEvalUDF node; the native
+    // BloomMightContainLong renders as bloom_might_contain_long.
+    val p = plan("pipe_decontam_bloom")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalUDF"),
+      s"bloom prefilter fell back to a UDF:\n$p")
+    assert(p.contains("bloom_might_contain_long"),
+      s"native bloom membership expression missing from plan:\n$p")
+  }
+
   test("curation_pipeline: document text never enters the dedup shuffle") {
     // the 100 TB scale guarantee made executable: the window's input —
     // everything that rides the hashpartitioning(h) exchange — must be

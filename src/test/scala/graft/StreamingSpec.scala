@@ -103,18 +103,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("streaming decontamination matches the batch pipe_decontam rows exactly") {
+  test("streaming decontamination matches batch pipe_decontam_bloom (and exact) rows") {
     val q = graft.streaming.DecontamStream.runToMemory(spark, sfDir, "decontam_stream_test")
     try {
       val streamed = spark.table("decontam_stream_test")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-      val batch = SparkEntry.queries("pipe_decontam")(spark, sfDir)
+      val bloom = SparkEntry.queries("pipe_decontam_bloom")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val exact = SparkEntry.queries("pipe_decontam")(spark, sfDir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       // stateless stream-static flagging is a pure per-row function, so
       // the stream must reproduce the batch rows verbatim (set compare:
-      // micro-batch order is not meaningful)
-      assert(streamed.nonEmpty && streamed == batch,
-        s"streamed=${streamed.size} batch=${batch.size}")
+      // micro-batch order is not meaningful). The stream's bloom is a
+      // prefilter with an exact binary-search verdict, so it equals BOTH
+      // batch paths, false positives killed.
+      assert(streamed.nonEmpty && streamed == bloom && streamed == exact,
+        s"streamed=${streamed.size} bloom=${bloom.size} exact=${exact.size}")
     } finally q.stop()
   }
 
