@@ -145,6 +145,71 @@ object Analytical {
           (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("lost_revenue"))
     }),
 
+    // TPC-H Q18 shape (large-volume customer): group-by + HAVING + IN
+    // subquery over an aggregate — the canonical "IN (SELECT … GROUP BY
+    // … HAVING …)" decorrelation, expressed Spark-first as a LEFT SEMI
+    // join against the HAVING-filtered aggregate (exactly what
+    // Catalyst's RewritePredicateSubquery produces from the SQL form).
+    // The semi-join keys are the shuffle keys — no row of orders ever
+    // duplicates, and the big-orders side is aggregate-sized, not
+    // lineitem-sized. Threshold 200 yields rows at every test scale
+    // (sf0.001: 99 qualifying orders; a >300 cut is vacuous below sf1).
+    "q_tpch_q18" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      // fresh scan (not `l`): the same Dataset on both sides of the semi
+      // join trips Spark's ambiguous-self-join check; the plans are
+      // identical so the exchange is still reusable
+      val big = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .filter(col("q") > 200)
+        .select(col("l_orderkey").as("bk"))
+      o.join(big, o("o_orderkey") === big("bk"), "left_semi")
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(c("c_name"), c("c_custkey"), o("o_orderkey"),
+          date_format(o("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          o("o_totalprice"))
+        .agg(sum(l("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the double
+    // correlated EXISTS + NOT EXISTS — decorrelated Spark-first as a
+    // LEFT SEMI ("some OTHER supplier shares the order") followed by a
+    // LEFT ANTI ("no OTHER supplier was late on it"), both equi-keyed
+    // on the order key with the supplier-inequality as a join residual —
+    // the exact physical shape DecorrelatePredicateSubquery emits, with
+    // no cartesian anywhere (plan-asserted). The test tables carry no
+    // receipt/commit dates, so "late" derives from the order instead:
+    // shipped more than 90 days after o_orderdate. The F-restricted
+    // lateness frame feeds both l1 and the anti side from one identical
+    // sub-plan (exchange-reusable); the semi side probes RAW lineitem —
+    // the canonical unrestricted l2, and cheaper (no orders join).
+    "q_tpch_q21" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val l = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(li("l_orderkey").as("lk"), li("l_suppkey").as("sk"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late"))
+      val l1 = l.filter(col("late"))
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("lk2"), col("l_suppkey").as("sk2"))
+      val l3 = l.filter(col("late"))
+        .select(col("lk").as("lk3"), col("sk").as("sk3"))
+      val sup = broadcast(t(s, dir, "supplier"))
+      l1.join(l2, col("lk") === col("lk2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(l3, col("lk") === col("lk3") && col("sk") =!= col("sk3"), "left_anti")
+        .join(sup, col("sk") === sup("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // batch sessionization (gaps-and-islands) — the oracle-checkable twin
     // of streaming/Sessionize (30-minute inactivity gap)
     "q_sessionize" -> ((s, dir) => {
@@ -253,6 +318,36 @@ object Analytical {
         |ORDER BY sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
         |  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_totalprice, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        |GROUP BY c_name, c_custkey, o_orderkey, odate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS lk, l_suppkey AS sk,
+        |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM l l1 JOIN supplier ON l1.sk = s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.lk AND l2.l_suppkey <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.lk = l1.lk AND l3.sk <> l1.sk AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "q_sessionize" ->
       """WITH ev AS (

@@ -70,6 +70,22 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("q_tpch_q18/q21: decorrelated subqueries stay equi-keyed — no cartesian") {
+    // Q18's IN-over-aggregate runs as a LEFT SEMI on the order key;
+    // Q21's EXISTS/NOT EXISTS run as LEFT SEMI + LEFT ANTI with the
+    // supplier inequality as a join residual, never a join STRATEGY —
+    // a BNLJ/cartesian here would be quadratic in lineitem at scale
+    for (q <- Seq("q_tpch_q18", "q_tpch_q21")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to a non-equi join strategy:\n$p")
+    }
+    val p21 = plan("q_tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21 not planned as semi+anti:\n$p21")
+  }
+
   test("pipe_decontam_bloom: membership test is a native expression, not a Scala UDF") {
     // the prefilter runs once per corpus gram — the stage that exists
     // purely to be cheap must stay inside whole-stage codegen. A UDF
