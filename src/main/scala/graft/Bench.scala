@@ -94,15 +94,23 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val failed = results.collect { case (k, m, _, _) if m < 0 => "\"" + k + "\"" }
     val total = r3(ok.map(_._2).sum)
+    // drift guard: median/min > 2× means two of three timed runs were
+    // inflated (a contention window wider than the warmup absorbed) —
+    // the artifact self-reports suspects instead of requiring archaeology
+    // over the raw runs. Sub-50ms queries are exempt: at scheduling-floor
+    // timescales the ratio is all jitter, no signal.
+    val suspects = ok.collect {
+      case (k, m, mn, _) if mn > 0.05 && m / mn > 2.0 => "\"" + k + "\""
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"failed":[${failed.mkString(",")}],"suspect":[${suspects.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min; suspect = median/min > 2x (contaminated window)"}"""
     try Files.writeString(Paths.get(outFile), full + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] write failed: $e") }
     // stdout: short + complete beats long + truncated
     val top = obj(
       ok.sortBy(-_._2).take(10).sortBy(_._1).map { case (k, m, _, _) => k -> r3(m).toString })
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"n":${results.size},"sf":"$sfDir","stat":"median_of_$Runs","file":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"suspect":${suspects.size},"n":${results.size},"sf":"$sfDir","stat":"median_of_$Runs","file":"$outFile"}"""
     // silence shutdown logs, stop, THEN print: the line must be last
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()

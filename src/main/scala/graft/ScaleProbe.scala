@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
@@ -82,34 +83,142 @@ object ScaleProbe {
     // The probed set covers every heavy family: hash dedup, LSH banding,
     // label-propagation clustering, the narrow curation composite,
     // gram-explode decontamination, and bucketed/cell-pruned ANN.
-    val probes = Seq("dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    // per-TASK peak execution memory across the probed query — the
+    // number that answers "does one partition's working set fit in an
+    // executor": shuffle bytes say what moves, this says what must be
+    // RESIDENT while an operator (hash agg, sort, join build) runs
+    val peakTask = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          peakTask.accumulateAndGet(m.peakExecutionMemory,
+            (a: Long, b: Long) => math.max(a, b))
+      }
+    })
+
+    val probes = Seq("dedup_exact", "dedup_minhash_lsh",
+      "dedup_minhash_inbucket", "dedup_clusters",
       "curation_pipeline", "pipe_decontam", "ann_lsh", "ann_ivf",
       "pipe_stratified_sample", "text_unigram_logprob", "emb_quantize",
       "pipe_chunk", "dedup_substring", "pipe_decontam_bloom",
       "pipe_token_budget", "ann_pq", "ann_lsh_multiprobe")
+    // probe-only variants measured AGAINST a queries() entry (never part
+    // of the driver contract): the in-bucket LSH verify alternative
+    val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("dedup_minhash_inbucket" -> ((s, d) => ext.Dedup.minhashLshInBucket(s, d)))
     val onlyProbes = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val rows = probes.filter(n => onlyProbes.forall(_.contains(n))).map { name =>
+      val q = SparkEntry.queries.getOrElse(name, extraProbes(name))
+      peakTask.set(0L)
       val t0 = System.nanoTime()
-      val m = Explain.analyze(SparkEntry.queries(name)(spark, out))
+      val m = Explain.analyze(q(spark, out))
         .filter(col("metric") === "shuffleBytesWritten")
         .agg(sum(col("value")).as("bytes"))
         .collect() // 1 row — diagnostic main, not an operator
       val secs = (System.nanoTime() - t0) / 1e9
+      // listener events drain async; a short wait bounds the undercount
+      Thread.sleep(300)
+      val peakMb = peakTask.get() / 1e6
       val shuffleMb = m.headOption.filterNot(_.isNullAt(0))
         .map(_.getLong(0) / 1e6).getOrElse(0.0)
-      println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB")
-      (name, secs, shuffleMb)
+      println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB peak_task_mem=$peakMb%8.1f MB")
+      (name, secs, shuffleMb, peakMb)
     }
     // durable artifact (only for unfiltered runs — a partial probe must
     // not overwrite a full one): walls are single-run ±30%; the
     // shuffle-bytes column is deterministic and is the scale evidence
+    // ---- IVF partition-pruned layout demonstration -------------------
+    // ann_ivf's comment claims "cells are the partitioning key so a
+    // probe is partition-pruned, not a full scan". Make that MEASURED:
+    // write the probe shard cell-partitioned, run one query's probe
+    // phase against it, and read PartitionFilters + partitions/files
+    // actually scanned off the executed plan.
+    val ivfPruning: Option[String] =
+      if (onlyProbes.forall(_.contains("ann_ivf_pruned"))) Some {
+        import graft.ext.Similarity.{cosineWithNorms, l2norm}
+        val nCells = 16
+        val nProbe = 6
+        val ivfDir = s"$out/embeddings_ivf.parquet"
+        val emb = Engine.table(spark, out, "embeddings")
+          .withColumn("nrm", l2norm(col("embedding")))
+        // layout seeds: 16 DISTINCT base vectors (replica 0 of base ids
+        // 0..15) — the 1× ann_ivf seed rule lifted to the replicated
+        // shard, where "first 16 vec_ids" would be 16 near-identical
+        // replicas of one vector and every cell would collapse into one
+        val seeds = broadcast(
+          emb.filter(col("vec_id") % factor === 0 &&
+              col("vec_id") < nCells.toLong * factor)
+            .select((col("vec_id") / factor).cast("int").as("cell"),
+              col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
+            .localCheckpoint(true))
+        if (!Files.exists(Paths.get(s"$ivfDir/_SUCCESS"))) {
+          val t0 = System.nanoTime()
+          emb.crossJoin(seeds)
+            .withColumn("__csim", cosineWithNorms(col("embedding"), col("c_vec"),
+              col("nrm"), col("c_nrm")))
+            .groupBy(col("vec_id"))
+            .agg(max_by(struct(col("cell"), col("embedding")),
+              struct(col("__csim"), negate(col("cell")))).as("best"))
+            .select(col("vec_id"), col("best.embedding").as("embedding"),
+              col("best.cell").as("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(ivfDir)
+          println(f"cell-partitioned layout written in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        // probe phase for ONE query (the serving shape is per-query):
+        // its nProbe nearest cells become partition-filter literals.
+        // The collect is 6 planning values, not data — same class as a
+        // broadcast build.
+        val q0 = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+        val probeCells: Array[Int] = q0.crossJoin(seeds)
+          .withColumn("__csim", cosineWithNorms(col("q_vec"), col("c_vec"),
+            col("q_nrm"), col("c_nrm")))
+          .orderBy(col("__csim").desc, col("cell"))
+          .limit(nProbe)
+          .select(col("cell")).collect().map(_.getInt(0))
+        val scan = spark.read.parquet(ivfDir)
+          .filter(col("cell").isin(probeCells.map(Int.box): _*))
+          .agg(count(lit(1)).as("n"))
+        val nScanned = scan.collect().head.getLong(0)
+        val metrics = Explain.analyze(
+          spark.read.parquet(ivfDir)
+            .filter(col("cell").isin(probeCells.map(Int.box): _*))
+            .agg(count(lit(1)).as("n")))
+          .filter(col("operator").startsWith("Scan") ||
+            col("operator").contains("FileScan"))
+          .select(col("metric"), col("value")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val partsRead = metrics.getOrElse("numPartitions", -1L)
+        val filesRead = metrics.getOrElse("numFiles", -1L)
+        import scala.jdk.CollectionConverters._
+        val partsTotal = Files.list(Paths.get(ivfDir)).iterator().asScala
+          .count(_.getFileName.toString.startsWith("cell="))
+        val filesTotal = Files.walk(Paths.get(ivfDir)).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        val pf = spark.read.parquet(ivfDir)
+          .filter(col("cell").isin(probeCells.map(Int.box): _*))
+          .agg(count(lit(1)))
+          .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+        val pruned = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r
+          .findFirstIn(pf).isDefined
+        println(f"IVF PRUNING: partitions $partsRead/$partsTotal files $filesRead/$filesTotal rows=$nScanned partitionFilters=$pruned")
+        // loud failure: the pruning claim is the point of this probe
+        require(pruned, s"no PartitionFilters on the cell scan:\n$pf")
+        require(partsRead > 0 && partsRead < partsTotal,
+          s"scan read $partsRead of $partsTotal partitions — not pruned")
+        s""""ivf_pruning":{"cells_probed":${probeCells.length},"partitions_read":$partsRead,"partitions_total":$partsTotal,"files_read":$filesRead,"files_total":$filesTotal,"rows_scanned":$nScanned}"""
+      } else None
+
     if (onlyProbes.isEmpty) {
       def r1(v: Double): Double = math.rint(v * 10) / 10
-      val json = rows.map { case (n, w, mb) =>
-        s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)}}"""
+      val json = rows.map { case (n, w, mb, pk) =>
+        s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)}}"""
       }.mkString(
-        s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,"probes":{""", ",", "}}")
+        s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
+          ivfPruning.map(_ + ",").getOrElse("") + s""""probes":{""",
+        ",", "}}")
       val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",
         "/root/repo") + s"/PROBE_LOCAL_${factor}x.json"
       try Files.writeString(Paths.get(outFile), json + "\n")
