@@ -8,7 +8,6 @@ import org.apache.arrow.vector._
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
-import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -28,18 +27,18 @@ import org.apache.spark.util.SerializableConfiguration
   *    the Hadoop FileSystem API (so DFS/object stores work, not just
   *    local disk), streaming `BatchRows`-sized record batches — no
   *    driver collect, no whole-partition buffering;
-  *  - the SOURCE lists the directory through Spark's `binaryFile`
-  *    format (splits distribute over executors like any file scan) and
-  *    decodes each file's record batches inside `mapPartitions` — one
-  *    allocator per partition, rows streamed out of each batch.
+  *  - the SOURCE distributes file PATHS over executors and STREAMS each
+  *    file's record batches through a Hadoop seekable channel inside
+  *    `mapPartitions` — one allocator per partition, one record batch
+  *    resident at a time, unbounded file size (no 2 GB whole-file cap).
   *
   * HONEST LIMITS vs parquet: IPC is a transport/interop format, not a
   * query-optimized one — no row-group statistics, so no predicate
-  * pushdown (filters apply post-scan), and `binaryFile` materializes a
-  * whole file per row (files must stay well under the 2 GB binary-cell
-  * cap; the sink's per-partition layout keeps them partition-sized).
-  * Use it at the pipeline BOUNDARY (interchange with Arrow-native
-  * tools), parquet for storage that gets queried.
+  * pushdown (filters apply post-scan), and the parallelism unit is the
+  * FILE (record batches are back-to-back with no index, so no
+  * intra-file splits — the sink's one-file-per-partition layout keeps
+  * files balanced). Use it at the pipeline BOUNDARY (interchange with
+  * Arrow-native tools), parquet for storage that gets queried.
   *
   * Type coverage: the scalar core (long/int/double/float/string/bool/
   * date) — unsupported Spark types fail loudly at write time.
@@ -161,35 +160,75 @@ object ArrowIpc {
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
+  /** Read-only adapter from a Hadoop `FSDataInputStream` to the NIO
+    * `SeekableByteChannel` the Arrow reader consumes — the piece that
+    * lets the scan STREAM record batches off DFS/object storage instead
+    * of materializing whole files (the former `binaryFile` path capped
+    * files at the 2 GB binary-cell limit and held each file fully in
+    * memory; this holds one record batch). */
+  private final class HadoopSeekableChannel(
+      in: org.apache.hadoop.fs.FSDataInputStream, length: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var open = true
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      if (in.getPos >= length) return -1
+      val want = math.min(dst.remaining().toLong, length - in.getPos).toInt
+      val buf = new Array[Byte](want)
+      val n = in.read(buf, 0, want)
+      if (n > 0) dst.put(buf, 0, n)
+      n
+    }
+    override def position(): Long = in.getPos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = {
+      in.seek(p); this
+    }
+    override def size(): Long = length
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new UnsupportedOperationException("read-only channel")
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException("read-only channel")
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false; in.close() }
+  }
+
   /** Scan a directory of Arrow IPC files back into a DataFrame. The
     * schema comes from the first part file (driver-side header read —
     * the IPC analogue of a parquet footer read). Requires the sink's
     * `_SUCCESS` marker: a directory from a killed write must fail
-    * loudly, never be silently served with missing partitions. */
+    * loudly, never be silently served with missing partitions.
+    *
+    * Distribution: file PATHS spread over executors; each task opens
+    * its files through the Hadoop FileSystem and streams record batches
+    * through a seekable channel — resident memory is one batch, not one
+    * file, and file size is unbounded (the old whole-file `binaryFile`
+    * row hit the 2 GB cell cap). IPC's unit of parallelism stays the
+    * FILE (no intra-file splits: batches are back-to-back with no
+    * row-group index), matching the sink's one-file-per-partition
+    * layout. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir, "_SUCCESS")))
       throw new IllegalArgumentException(
         s"ArrowIpc: $path has no _SUCCESS marker — incomplete or foreign write")
-    val first = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".arrow")).sortBy(_.getName).headOption
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
+    val first = parts.headOption
       .getOrElse(throw new IllegalArgumentException(s"ArrowIpc: no .arrow files under $path"))
     val headerAlloc = new RootAllocator()
     val schema = try {
       val in = fs.open(first)
-      val bytes = try {
-        val len = fs.getFileStatus(first).getLen.toInt
-        val b = new Array[Byte](len); in.readFully(b); b
-      } finally in.close()
-      val r = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), headerAlloc)
+      val ch = new HadoopSeekableChannel(in, fs.getFileStatus(first).getLen)
+      val r = new ArrowFileReader(ch, headerAlloc)
       try StructType(r.getVectorSchemaRoot.getSchema.getFields.asScala.map(toSparkField).toSeq)
-      finally r.close()
+      finally r.close() // closes the channel + stream
     } finally headerAlloc.close()
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.arrow").load(path)
-      .select(col("content"))
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val pathStrs = parts.map(_.toString).toSeq
+    spark.createDataset(pathStrs)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.min(pathStrs.size,
+        spark.sparkContext.defaultParallelism).max(1))
       .mapPartitions { files =>
         // one open reader/allocator at a time per partition, closed on
         // file exhaustion AND (for early-abort consumers like limit())
@@ -204,11 +243,14 @@ object ArrowIpc {
         }
         val tc = TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeCur())
-        files.flatMap { fileRow =>
-          val bytes = fileRow.getAs[Array[Byte]](0)
+        files.flatMap { pathStr =>
           closeCur() // previous file's resources, if its iterator was abandoned
+          val p = new Path(pathStr)
+          val pfs = p.getFileSystem(conf.value)
           curAlloc = new RootAllocator()
-          curReader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), curAlloc)
+          curReader = new ArrowFileReader(
+            new HadoopSeekableChannel(pfs.open(p), pfs.getFileStatus(p).getLen),
+            curAlloc)
           val reader = curReader
           val root = reader.getVectorSchemaRoot
           new Iterator[Row] {
