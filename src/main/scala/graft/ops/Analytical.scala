@@ -145,6 +145,123 @@ object Analytical {
           (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("lost_revenue"))
     }),
 
+    // TPC-H Q4 shape (order-priority checking): correlated EXISTS with a
+    // condition on BOTH sides — decorrelated as a LEFT SEMI whose
+    // residual compares the lineitem shipdate against the outer row's
+    // orderdate ("late" = shipped >60 days after ordering; the test
+    // tables carry no commit/receipt dates)
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): OUTER join
+    // aggregation with the zero bucket intact — count(o_orderkey), not
+    // count(*), so customers whose every order is filtered away count
+    // as 0 rather than vanishing; then a second aggregation over the
+    // counts. The classic COUNT(col)-vs-COUNT(*) distinction made
+    // oracle-checkable.
+    "q_tpch_q13" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape (top supplier): an aggregate "view" consumed twice
+    // — once for the rows, once inside a scalar MAX subquery — joined on
+    // exact equality. The revenue lives on the 1e-4 BIGINT grid, so the
+    // max comparison is integer-exact (a double-sum max would make "ties
+    // with the max" engine-dependent at the last ulp).
+    "q_tpch_q15" -> ((s, dir) => {
+      def revQ = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+      val mx = revQ.agg(max(col("rev4")).as("mx4"))
+      revQ.join(broadcast(mx), col("rev4") === col("mx4"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): correlated SCALAR
+    // aggregate subquery (per-part average quantity) — decorrelated as a
+    // group-by over the SAME brand-filtered join, joined back by part.
+    // The average is exact-integer-sum / count (identical doubles in
+    // both engines), and the output rounds in BIGINT: cents/7 HALF_UP
+    // via (2·sum+7) div 14.
+    "q_tpch_q17" -> ((s, dir) => {
+      def lp = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#2").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+      val avgQ = lp.groupBy(col("l_partkey").as("ap"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      lp.join(broadcast(avgQ), col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_c"))
+        .select((expr("(2 * sum_c + 7) div 14").cast("double") / 100.0)
+          .as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    // OR-of-conjunctions join filter — the canonical test that the
+    // planner keeps the part⋈lineitem join EQUI on partkey and applies
+    // the disjunction as a residual, rather than falling back to a
+    // cartesian; also exercises CNF extraction for scan pushdown.
+    "q_tpch_q19" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part"))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(5, 30))))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+        .select((expr("(rev4 + 50) div 100").cast("double") / 100.0).as("revenue"))
+    }),
+
+    // TPC-H Q22 shape (global-account stragglers): scalar AVG subquery
+    // as a filter + NOT EXISTS anti join. The above-average test runs
+    // as pure integer cross-multiplication (bal·n > Σbal) — comparing a
+    // double average would hand boundary rows to summation-order luck.
+    // Anti side restricted to recent orders so the result is non-vacuous
+    // at every test scale (every customer has SOME order).
+    "q_tpch_q22" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val stat = broadcast(c.filter(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n")))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(stat) // one aggregate row — broadcast, not a fan-out
+        .filter(col("bal_c") * col("n") > col("s"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(pmod(col("c_nationkey"), lit(5)).as("code"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("tot_c"))
+        .select(col("code").cast("long").as("code"), col("numcust"),
+          (col("tot_c").cast("double") / 100.0).as("totacctbal"))
+        .orderBy(col("code"))
+    }),
+
     // TPC-H Q18 shape (large-volume customer): group-by + HAVING + IN
     // subquery over an aggregate — the canonical "IN (SELECT … GROUP BY
     // … HAVING …)" decorrelation, expressed Spark-first as a LEFT SEMI
@@ -318,6 +435,83 @@ object Analytical {
         |ORDER BY sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
         |  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+        |      AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST((rev4 + 50) // 100 AS DOUBLE) / 100.0 AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev4 = (SELECT max(rev4) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH lp AS (
+        |  SELECT l.* FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#2'),
+        |aq AS (
+        |  SELECT l_partkey AS ap, sum(l_quantity) / count(*) AS avg_qty
+        |  FROM lp GROUP BY l_partkey)
+        |SELECT CAST((2 * CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) + 7) // 14 AS DOUBLE) / 100.0 AS avg_yearly
+        |FROM lp JOIN aq ON lp.l_partkey = aq.ap
+        |WHERE lp.l_quantity < 0.2 * aq.avg_qty""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100
+        |    AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 5 AND 30)""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |stat AS (
+        |  SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n
+        |  FROM c WHERE bal_c > 0)
+        |SELECT CAST(c_nationkey % 5 AS BIGINT) AS code,
+        |  count(*) AS numcust,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM c, stat
+        |WHERE bal_c * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+        |GROUP BY c_nationkey % 5
+        |ORDER BY code""".stripMargin,
 
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,

@@ -70,6 +70,19 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("q_tpch_q4/q19: residual-condition joins stay equi-keyed — no cartesian") {
+    // Q4's EXISTS carries a cross-side date comparison, Q19 an
+    // OR-of-conjunctions — both must ride the equi key (orderkey /
+    // partkey) with the extra predicate as a residual, never a BNLJ
+    for (q <- Seq("q_tpch_q4", "q_tpch_q19")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to a non-equi join strategy:\n$p")
+    }
+    assert(plan("q_tpch_q4").contains("LeftSemi"))
+  }
+
   test("q_tpch_q18/q21: decorrelated subqueries stay equi-keyed — no cartesian") {
     // Q18's IN-over-aggregate runs as a LEFT SEMI on the order key;
     // Q21's EXISTS/NOT EXISTS run as LEFT SEMI + LEFT ANTI with the
