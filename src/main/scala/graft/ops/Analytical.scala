@@ -145,6 +145,209 @@ object Analytical {
           (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("lost_revenue"))
     }),
 
+    // TPC-H Q2 shape (min-cost supplier): the correlated scalar MIN
+    // equality — for each qualifying part, the supplier(s) whose shipped
+    // price equals that part's minimum. The test data has no partsupp
+    // table, so lineitem is the part↔supplier link and l_extendedprice
+    // (on the exact cent grid, so the MIN-equality is integer-exact)
+    // stands in for ps_supplycost. Decorrelated as a per-part MIN
+    // aggregate joined back on (partkey, price).
+    "q_tpch_q2" -> ((s, dir) => {
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), pc.as("pc"))
+      val lmin = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("mp"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("min_pc"))
+      val p = broadcast(t(s, dir, "part").filter(col("p_size") < 5)
+        .select(col("p_partkey"), col("p_brand")))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(lmin, col("l_partkey") === col("mp") && col("pc") === col("min_pc"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+          (col("min_pc").cast("double") / 100.0).as("min_price"))
+        .distinct()
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+    }),
+
+    // TPC-H Q7 shape (volume shipping): the double nation join — the
+    // SAME dimension joined twice under different roles (supplier's
+    // nation vs customer's nation) with a cross-role inequality, grouped
+    // by both role names and ship year. Revenue on the 1e-4 grid.
+    "q_tpch_q7" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = broadcast(t(s, dir, "supplier"))
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("snk"))
+        .join(n2, col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape (national market share): a ratio of two conditional
+    // aggregates per year. Both operands are exact BIGINT grid sums
+    // (< 2^53), so the double quotient is bit-identical in both engines
+    // and needs NO rounding — emitting the raw quotient sidesteps the
+    // round-half divergence class entirely.
+    "q_tpch_q8" -> ((s, dir) => {
+      val rev4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val p = broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey")))
+      val sup = broadcast(t(s, dir, "supplier"))
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk")))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("snk"))
+        .join(n2, col("c_nationkey") === col("cnk"))
+        .join(r, col("crk") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_19", rev4).otherwise(lit(0L)))
+            .as("nat4"),
+          sum(rev4).as("tot4"))
+        .select(col("o_year"),
+          (col("nat4").cast("double") / col("tot4").cast("double"))
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): profit per supplier-nation
+    // per year. No partsupp → cost adapts to retailprice·qty/2, kept on
+    // the 1e-4 grid so the profit sum is an exact (possibly negative)
+    // BIGINT; emitted as a raw exact-division double with NO rounding —
+    // integer `div` truncates toward zero in Spark but floors in DuckDB,
+    // so a negative grid sum must never be integer-divided.
+    "q_tpch_q9" -> ((s, dir) => {
+      val amount4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+        lit(50L) * round(col("p_retailprice") * 100).cast("long") *
+        col("l_quantity").cast("long")
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val p = broadcast(t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val sup = broadcast(t(s, dir, "supplier"))
+      val n = broadcast(t(s, dir, "nation"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amount4).as("profit4"))
+        .select(col("n_name"), col("o_year"),
+          (col("profit4").cast("double") / 10000.0).as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // TPC-H Q12 shape (shipping-mode priority classes): join + paired
+    // conditional counts. No l_shipmode in the test data → grouped by
+    // l_returnflag instead; "late" derives from the 90-day rule.
+    "q_tpch_q12" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): CASE-conditional revenue
+    // ratio in one aggregate pass. Both operands exact grid BIGINTs →
+    // raw double quotient, no rounding (see Q8).
+    "q_tpch_q14" -> ((s, dir) => {
+      val rev4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      val p = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type")))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "ECONOMY", rev4).otherwise(lit(0L)))
+            .as("promo4"),
+          sum(rev4).as("tot4"))
+        .select((lit(100.0) * col("promo4").cast("double") /
+          col("tot4").cast("double")).as("promo_revenue"))
+    }),
+
+    // TPC-H Q16 shape (supplier diversity per part attribute): NOT IN
+    // exclusion subquery (→ LEFT ANTI on the no-null key) + DISTINCT
+    // count per attribute triple. lineitem is the part↔supplier link
+    // (no partsupp); negative account balance stands in for the
+    // "complaints" exclusion.
+    "q_tpch_q16" -> ((s, dir) => {
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#2" &&
+          col("p_size").isin(1, 5, 11, 15, 23, 28)))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (excess inventory): nested IN — suppliers whose
+    // shipped volume of any 'red' part in 1997 exceeds a threshold;
+    // the inner query is itself an aggregate over a part-filtered join.
+    // Both INs run as LEFT SEMI.
+    "q_tpch_q20" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select(col("p_partkey")))
+      val heavy = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .filter(col("q") > 50)
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // TPC-H Q4 shape (order-priority checking): correlated EXISTS with a
     // condition on BOTH sides — decorrelated as a LEFT SEMI whose
     // residual compares the lineitem shipdate against the outer row's
@@ -435,6 +638,123 @@ object Analytical {
         |ORDER BY sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
         |  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH lmin AS (
+        |  SELECT l_partkey AS mp,
+        |    min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS min_pc
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+        |  CAST(min_pc AS DOUBLE) / 100.0 AS min_price
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN lmin ON l.l_partkey = lmin.mp
+        |  AND CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) = lmin.min_pc
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE p.p_size < 5
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100
+        |    AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n1.n_name = 'NATION_19'
+        |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+        |    ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |JOIN region r ON n2.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        |GROUP BY year(o_orderdate)
+        |ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+        |    - 50 * CAST(round(p_retailprice * 100, 0) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000.0 AS profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+        |    ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#2'
+        |  AND p_size IN (1, 5, 11, 15, 23, 28)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count

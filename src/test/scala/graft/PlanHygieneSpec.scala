@@ -72,9 +72,11 @@ class PlanHygieneSpec extends SparkSpecBase {
 
   test("q_tpch_q4/q19: residual-condition joins stay equi-keyed — no cartesian") {
     // Q4's EXISTS carries a cross-side date comparison, Q19 an
-    // OR-of-conjunctions — both must ride the equi key (orderkey /
-    // partkey) with the extra predicate as a residual, never a BNLJ
-    for (q <- Seq("q_tpch_q4", "q_tpch_q19")) {
+    // OR-of-conjunctions, Q7/Q8 a double-role nation dimension with a
+    // cross-role inequality, Q9 a 5-way star — all must ride their equi
+    // keys with extra predicates as residuals, never a BNLJ
+    for (q <- Seq("q_tpch_q4", "q_tpch_q19", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q9", "q_tpch_q20")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
