@@ -325,10 +325,18 @@ object Dedup {
         col("sh").as("sh_b"))
       a.join(b, Seq("lang", "szb"))
         .filter(col("doc_a") < col("doc_b"))
+        // Jaccard as an exact integer pair (|A∩B|, |A∪B|): the 0.05
+        // admission threshold is the pure-integer 20·inter ≥ union, and
+        // the output rounds HALF_UP in BIGINT — round() of an
+        // integer-ratio double sits exactly half-way whenever the
+        // reduced ratio terminates in 5 one place past the scale
         .select(col("doc_a"), col("doc_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("j_raw"))
-        .filter(col("j_raw") >= 0.05) // filter BEFORE rounding (oracle does too)
-        .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 4).as("j"))
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ss"))
+        .withColumn("uni", col("ss") - col("inter"))
+        .filter(col("uni") > 0 && col("inter") * 20 >= col("uni"))
+        .select(col("doc_a"), col("doc_b"),
+          TextAnalysis.ratioRound(col("inter"), col("uni"), 4).as("j"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -369,8 +377,8 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-          round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
-            greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)).cast("double"), 6)
+          TextAnalysis.ratioRound(coalesce(col("n_dup_spans"), lit(0L)),
+            greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)), 6)
             .as("dup_ratio"))
         .orderBy(col("doc_id"))
     })
@@ -486,15 +494,16 @@ object Dedup {
         |), sh AS (
         |  SELECT doc_id, lang, sh, len(sh) // 16 AS szb FROM sh0
         |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 4) AS j
-        |FROM sh a JOIN sh b ON a.lang = b.lang
-        |  AND b.szb BETWEEN a.szb - 1 AND a.szb + 1 AND a.doc_id < b.doc_id
-        |WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END >= 0.05
+        |, iu AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+        |  FROM sh a JOIN sh b ON a.lang = b.lang
+        |    AND b.szb BETWEEN a.szb - 1 AND a.szb + 1 AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST((2 * inter * 10000 + uni) // (2 * uni) AS DOUBLE) / 10000.0 AS j
+        |FROM iu WHERE uni > 0 AND 20 * inter >= uni
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // dedup_clusters: same LSH candidate edges as dedup_minhash_lsh,
@@ -577,8 +586,10 @@ object Dedup {
         |SELECT d.doc_id,
         |  CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
         |  CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-        |  round(coalesce(per.n_dup_spans, 0) /
-        |    CAST(greatest(coalesce(per.n_spans, 0), 1) AS DOUBLE), 6) AS dup_ratio
+        |  CAST((2 * CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) * 1000000
+        |        + greatest(coalesce(per.n_spans, 0), 1))
+        |    // (2 * greatest(coalesce(per.n_spans, 0), 1)) AS DOUBLE)
+        |    / 1000000.0 AS dup_ratio
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
   )

@@ -33,6 +33,30 @@ object TextAnalysis {
   private[ext] def nTokens(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z0-9]+"), lit(0)))
 
+  /** HALF_UP(num/den) at p decimals computed ENTIRELY in BIGINT, then
+    * one exact-grid division. `round()` of an integer-ratio double is
+    * the cross-engine half-way hazard: num/den can have an exact
+    * terminating expansion ending in 5 one place past p (1/640 =
+    * 0.0015625 at p = 6), which is precisely where Spark's decimal
+    * HALF_UP and DuckDB's binary std::round disagree (the ann_pq /
+    * TPC-H / token-budget fix generalized). Requires num ≥ 0, den ≥ 1
+    * (callers greatest()-guard). DuckDB mirror:
+    * `CAST((2*num*10^p + den) // (2*den) AS DOUBLE) / 10^p`. */
+  /** The BIGINT half of [[ratioRound]]: HALF_UP(num/den · 10^p) as a
+    * long — for pipelines that keep the grid value on the wire. */
+  private[ext] def ratioRoundInt(num: Column, den: Column, p: Int): Column = {
+    val s = math.pow(10, p).toLong
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    org.apache.spark.sql.graftbridge.Bridge.column(IntegralDivide(
+      org.apache.spark.sql.graftbridge.Bridge.expression(
+        num.cast("long") * lit(2L * s) + den.cast("long")),
+      org.apache.spark.sql.graftbridge.Bridge.expression(
+        den.cast("long") * lit(2L))))
+  }
+
+  private[ext] def ratioRound(num: Column, den: Column, p: Int): Column =
+    ratioRoundInt(num, den, p).cast("double") / lit(math.pow(10, p))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // quality scoring: structural ratios + a composite score
@@ -46,12 +70,9 @@ object TextAnalysis {
         col("doc_id"),
         nChar.cast("long").as("n_chars"),
         nTok.cast("long").as("n_tokens"),
-        round(nChar.cast("double") / greatest(nTok, lit(1)).cast("double"), 4)
-          .as("avg_token_len"),
-        round(nPunct.cast("double") / greatest(nChar, lit(1)).cast("double"), 6)
-          .as("punct_ratio"),
-        round(nStop.cast("double") / greatest(nTok, lit(1)).cast("double"), 6)
-          .as("stopword_ratio"),
+        ratioRound(nChar, greatest(nTok, lit(1)), 4).as("avg_token_len"),
+        ratioRound(nPunct, greatest(nChar, lit(1)), 6).as("punct_ratio"),
+        ratioRound(nStop, greatest(nTok, lit(1)), 6).as("stopword_ratio"),
         // composite: long enough, some stopwords, not punctuation soup
         (nChar.between(100, 10000) &&
           (nStop.cast("double") / greatest(nTok, lit(1)).cast("double")) > 0.01 &&
@@ -90,9 +111,9 @@ object TextAnalysis {
           size(regexp_extract_all(col("text"),
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
             .cast("long").as("bpe_tokens"),
-          round(length(col("text")).cast("double") /
+          ratioRound(length(col("text")),
             greatest(size(regexp_extract_all(col("text"),
-              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))), lit(1)).cast("double"), 4)
+              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))), lit(1)), 4)
             .as("chars_per_token"))
         .orderBy(col("doc_id"))),
 
@@ -120,8 +141,10 @@ object TextAnalysis {
         col("doc_id"), col("lang"), col("n_chars"),
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"),
         nTok.as("n_tok"),
-        (nStop.cast("double") / greatest(nTok, lit(1)).cast("double"))
-          .as("stop_ratio"))
+        // stop ratio rides the exchange as exact HALF_UP micro-units
+        // (BIGINT 1e-6 grid) so the per-language average aggregates in
+        // integers — no float round anywhere in the pipeline
+        ratioRoundInt(nStop, greatest(nTok, lit(1)), 6).as("stop6"))
       // stage 1: exact dedup — keep min doc_id per normalized-content hash
       val survivors = narrow
         .withColumn("keep", row_number().over(
@@ -136,8 +159,14 @@ object TextAnalysis {
       curated.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),
-          round(avg(col("n_chars")), 4).as("avg_chars"),
-          round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"))
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("stop6")).as("sum_stop6"))
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          ratioRound(col("sum_chars"), col("n_docs"), 4).as("avg_chars"),
+          // average of the per-doc micro-grid ratios, HALF_UP to the
+          // nearest micro — pure integer arithmetic end to end
+          (ratioRoundInt(col("sum_stop6"), col("n_docs"), 0).cast("double")
+            / lit(1000000.0)).as("avg_stop_ratio"))
         .orderBy(col("lang"))
     }),
 
@@ -262,11 +291,11 @@ object TextAnalysis {
         .filter(col("rn") === 1)
         .select(col("doc_id"),
           col("n_words"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct").cast("double") /
-            col("n_words").cast("double"), 6).as("dup_word_ratio"),
+          // 1 − a/b ≡ (b−a)/b exactly, so the integer rounder applies
+          ratioRound(col("n_words") - col("n_distinct"), col("n_words"), 6)
+            .as("dup_word_ratio"),
           col("w").as("top_word"), col("cnt").as("top_cnt"),
-          round(col("cnt").cast("double") / col("n_words").cast("double"), 6)
-            .as("top_word_frac"))
+          ratioRound(col("cnt"), col("n_words"), 6).as("top_word_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -356,23 +385,25 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     "text_quality" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
-        |  round(CAST(length(text) AS DOUBLE) /
-        |    greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 4) AS avg_token_len,
-        |  round(CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
-        |    greatest(length(text), 1), 6) AS punct_ratio,
-        |  round(CAST(length(regexp_extract_all(lower(text),
-        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS DOUBLE) /
-        |    greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 6) AS stopword_ratio,
-        |  (length(text) BETWEEN 100 AND 10000
-        |   AND CAST(length(regexp_extract_all(lower(text),
-        |       '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS DOUBLE) /
-        |     greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) > 0.01
-        |   AND CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
-        |     greatest(length(text), 1) < 0.2) AS passes_quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS nt,
+        |    CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS BIGINT) AS ns
+        |  FROM documents)
+        |SELECT doc_id, nc AS n_chars, nt AS n_tokens,
+        |  CAST((2 * nc * 10000 + greatest(nt, 1)) // (2 * greatest(nt, 1))
+        |    AS DOUBLE) / 10000.0 AS avg_token_len,
+        |  CAST((2 * np * 1000000 + greatest(nc, 1)) // (2 * greatest(nc, 1))
+        |    AS DOUBLE) / 1000000.0 AS punct_ratio,
+        |  CAST((2 * ns * 1000000 + greatest(nt, 1)) // (2 * greatest(nt, 1))
+        |    AS DOUBLE) / 1000000.0 AS stopword_ratio,
+        |  (nc BETWEEN 100 AND 10000
+        |   AND CAST(ns AS DOUBLE) / greatest(nt, 1) > 0.01
+        |   AND CAST(np AS DOUBLE) / greatest(nc, 1) < 0.2) AS passes_quality
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH h AS (
@@ -400,9 +431,12 @@ object TextAnalysis {
         |    x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
         |  CAST(length(regexp_extract_all(text,
         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
-        |  round(CAST(length(text) AS DOUBLE) /
-        |    greatest(length(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1), 4) AS chars_per_token
+        |  CAST((2 * CAST(length(text) AS BIGINT) * 10000 +
+        |        greatest(length(regexp_extract_all(text,
+        |          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1))
+        |    // (2 * greatest(length(regexp_extract_all(text,
+        |          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1))
+        |    AS DOUBLE) / 10000.0 AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
@@ -466,9 +500,11 @@ object TextAnalysis {
         |SELECT doc_id,
         |  CAST(n_words AS BIGINT) AS n_words,
         |  CAST(n_distinct AS BIGINT) AS n_distinct,
-        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_ratio,
+        |  CAST((2 * (n_words - n_distinct) * 1000000 + n_words)
+        |    // (2 * n_words) AS DOUBLE) / 1000000.0 AS dup_word_ratio,
         |  w AS top_word, CAST(cnt AS BIGINT) AS top_cnt,
-        |  round(CAST(cnt AS DOUBLE) / n_words, 6) AS top_word_frac
+        |  CAST((2 * cnt * 1000000 + n_words) // (2 * n_words) AS DOUBLE)
+        |    / 1000000.0 AS top_word_frac
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "text_pii_scrub" ->
@@ -516,18 +552,23 @@ object TextAnalysis {
         |  SELECT * FROM hashed WHERE keep = 1
         |), curated AS (
         |  SELECT *,
-        |    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
-        |    CAST(length(regexp_extract_all(lower(text),
-        |        '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS DOUBLE) /
-        |      greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS stop_ratio
+        |    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |      AS n_tok,
+        |    (2 * CAST(length(regexp_extract_all(lower(text),
+        |        '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS BIGINT) * 1000000
+        |     + greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1))
+        |    // (2 * greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1))
+        |      AS stop6
         |  FROM survivors
         |  WHERE n_chars BETWEEN 50 AND 5000
         |    AND length(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 10
         |)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-        |  round(avg(n_chars), 4) AS avg_chars,
-        |  round(avg(stop_ratio), 6) AS avg_stop_ratio
+        |  CAST((2 * CAST(sum(n_chars) AS BIGINT) * 10000 + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_chars,
+        |  CAST((2 * CAST(sum(stop6) AS BIGINT) + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_stop_ratio
         |FROM curated GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_bigram_logprob" ->
