@@ -12,6 +12,45 @@ class ExtensionSpec extends SparkSpecBase {
     rows.toDF("doc_id", "text")
   }
 
+  test("bloom membership expressions: nulls, empties, and exact FP kill") {
+    // direct semantics of the three round-6 native expressions, pinned
+    // on literal fixtures (the stream equivalence spec covers them
+    // end-to-end; this pins the edge contract)
+    import graft.functions.HashExpressions._
+    import spark.implicits._
+    val members = Array(10L, 20L, 30L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1024, 0.01)
+    members.foreach(bf.putLong)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val sortedB = spark.sparkContext.broadcast(members.sorted)
+    val df = Seq(
+      (1L, Some(Seq[Option[Long]](Some(10L), Some(99L)))), // hit
+      (2L, Some(Seq[Option[Long]](Some(99L), Some(98L)))), // miss
+      (3L, Some(Seq[Option[Long]](None, Some(20L)))),      // null elem skipped, hit
+      (4L, Some(Seq[Option[Long]]())),                     // empty → false
+      (5L, Option.empty[Seq[Option[Long]]])                // null array → null
+    ).toDF("id", "hs")
+    val out = df.select(col("id"),
+      bloom_might_contain_any(col("hs"), bfB).as("b"),
+      sorted_longs_contain_any(col("hs"), sortedB).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getBoolean(1),
+          if (r.isNullAt(2)) null else r.getBoolean(2)))).toMap
+    assert(out(1L) == ((true, true)))
+    assert(out(2L) == ((false, false)))
+    assert(out(3L) == ((true, true)))
+    assert(out(4L) == ((false, false)))
+    assert(out(5L) == ((null, null)))
+    // scalar form: a member always tests true; bloom FPs exist by
+    // design, so assert the EXACT side refutes a known non-member that
+    // the bloom may or may not pass
+    val scalar = Seq(10L, 77L).toDF("h")
+      .select(col("h"), bloom_might_contain(col("h"), bfB).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(scalar(10L))
+    assert(java.util.Arrays.binarySearch(sortedB.value, 77L) < 0)
+  }
+
   test("minhash LSH finds a planted near-duplicate pair") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
     val nearDup = base.replace("lazy", "sleepy")
