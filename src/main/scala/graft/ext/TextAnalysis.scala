@@ -44,7 +44,7 @@ object TextAnalysis {
     * `CAST((2*num*10^p + den) // (2*den) AS DOUBLE) / 10^p`. */
   /** The BIGINT half of [[ratioRound]]: HALF_UP(num/den · 10^p) as a
     * long — for pipelines that keep the grid value on the wire. */
-  private[ext] def ratioRoundInt(num: Column, den: Column, p: Int): Column = {
+  private[graft] def ratioRoundInt(num: Column, den: Column, p: Int): Column = {
     val s = math.pow(10, p).toLong
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     org.apache.spark.sql.graftbridge.Bridge.column(IntegralDivide(
@@ -54,7 +54,7 @@ object TextAnalysis {
         den.cast("long") * lit(2L))))
   }
 
-  private[ext] def ratioRound(num: Column, den: Column, p: Int): Column =
+  private[graft] def ratioRound(num: Column, den: Column, p: Int): Column =
     ratioRoundInt(num, den, p).cast("double") / lit(math.pow(10, p))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -13,6 +13,30 @@ class PropertySpec extends SparkSpecBase {
   private def samples[A](gen: Gen[A], n: Int): Seq[A] =
     (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("ratioRound ≡ BigDecimal HALF_UP at every scale used by the engine") {
+    // the integer-rounding helper IS the cross-engine exactness story
+    // for every ratio output — pin it against the mathematical
+    // definition on random ratios plus the known half-way landmines
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases = Seq((1L, 640L), (1L, 64L), (1L, 32L), (5L, 8L), (1L, 3L),
+      (0L, 7L), (7L, 7L), (123456L, 100000L)) ++
+      (1 to 200).map(_ => (rnd.nextInt(1000000).toLong, rnd.nextInt(999999).toLong + 1L))
+    for (p <- Seq(4, 6)) {
+      val got = cases.toDF("num", "den")
+        .select(graft.ext.TextAnalysis.ratioRound(col("num"), col("den"), p).as("r"))
+        .collect().map(_.getDouble(0))
+      val want = cases.map { case (n, d) =>
+        (BigDecimal(n) / BigDecimal(d))
+          .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      got.zip(want).zip(cases).foreach { case ((g, w), c) =>
+        assert(g == w, s"ratioRound($c, p=$p): got $g want $w")
+      }
+    }
+  }
+
   test("sum_custom ≈ reference sum under random data and partitioning") {
     Udafs.registerAll(spark)
     import spark.implicits._
