@@ -267,6 +267,31 @@ object Analytical {
         .orderBy(col("n_name"), col("o_year").desc)
     }),
 
+    // TPC-H Q11 shape (important stock): group-by + HAVING against a
+    // scalar subquery over the SAME aggregation — "parts whose shipped
+    // value exceeds 1.2× the average part's share", all in integer
+    // cross-multiplication (val·n·10 > 12·total) so the global-fraction
+    // HAVING is engine-exact. No partsupp table → lineitem value per
+    // part stands in for stock value, and the canonical fixed fraction
+    // (0.0001/SF) becomes scale-free so the query yields rows at every
+    // test scale.
+    "q_tpch_q11" -> ((s, dir) => {
+      val val4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      val per = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(val4).as("val4"))
+      // fresh scan for the scalar side (the q18 self-join lesson); one
+      // aggregate row broadcasts
+      val c = broadcast(t(s, dir, "lineitem")
+        .agg(sum(val4).as("tot4"),
+          countDistinct(col("l_partkey")).as("np")))
+      per.crossJoin(c)
+        .filter(col("val4") * col("np") * lit(10L) > lit(12L) * col("tot4"))
+        .select(col("l_partkey"),
+          (expr("(val4 + 50) div 100").cast("double") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
     // TPC-H Q12 shape (shipping-mode priority classes): join + paired
     // conditional counts. No l_shipmode in the test data → grouped by
     // l_returnflag instead; "late" derives from the 90-day rule.
@@ -707,6 +732,20 @@ object Analytical {
         |WHERE p.p_name LIKE '%red%'
         |GROUP BY n_name, year(o_orderdate)
         |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+        |      AS val4
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (SELECT CAST(sum(val4) AS BIGINT) AS tot4, count(*) AS np FROM per)
+        |SELECT l_partkey,
+        |  CAST((val4 + 50) // 100 AS DOUBLE) / 100.0 AS value
+        |FROM per, c
+        |WHERE val4 * np * 10 > 12 * tot4
+        |ORDER BY value DESC, l_partkey""".stripMargin,
 
     "q_tpch_q12" ->
       """SELECT l_returnflag,
