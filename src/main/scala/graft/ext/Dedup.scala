@@ -188,6 +188,32 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("keep_id"))),
 
+    // incremental (re-ingestion) dedup: a corpus is never deduped once —
+    // every new shard must be checked against what is ALREADY ingested.
+    // Corpus = doc_id % 2 = 0 (the deduped baseline), incoming shard =
+    // doc_id % 3 = 0; documents divisible by 6 arrive again and must be
+    // flagged by CONTENT (hash semi-join), not by id. Scale shape: only
+    // (hash, doc_id) pairs ride the exchange — the corpus side is its
+    // distinct hash set (at 100 TB that side lives pre-bucketed by hash,
+    // so the check is an exchange-free semi join against the bucket
+    // layout; here it hash-shuffles once). The shard side is
+    // incremental-ingest-sized, never corpus-sized.
+    "dedup_incremental" -> ((s, dir) => {
+      val corpusH = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("h"))
+        .distinct()
+      val shard = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      shard
+        .join(corpusH.withColumn("dup", lit(true)), Seq("h"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup"), lit(false)).as("dup_of_corpus"),
+          (!coalesce(col("dup"), lit(false))).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-doc MinHash signature summary + LSH candidate/duplicate verdict
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -388,6 +414,17 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |shard AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+        |SELECT s.doc_id,
+        |  (c.h IS NOT NULL) AS dup_of_corpus,
+        |  (c.h IS NULL) AS keep
+        |FROM shard s LEFT JOIN corpus c USING (h)
+        |ORDER BY s.doc_id""".stripMargin,
 
     // dedup_minhash_lsh: full pipeline mirror — md5-xor signature family,
     // md5 band keys, [2,64] bucket guard, exact-Jaccard verification
