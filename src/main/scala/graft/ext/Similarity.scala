@@ -364,6 +364,33 @@ object Similarity {
     }),
 
     // per-vector norm stats — sanity surface for the embedding column
+    // diversity (coreset) sampling: EXACTLY k vectors per embedding-space
+    // region — hyperplane-LSH buckets stratify the space, so the sample
+    // spans it instead of concentrating where the density is (the
+    // practical "diverse subset for training/eval" primitive; random
+    // sampling oversamples dense clusters). Deterministic md5 order =
+    // retry-safe; the count-derived hash threshold bounds the rank
+    // window's input at a 64× oversample per bucket regardless of corpus
+    // size (the pipe_stratified_sample scale pattern on a computed,
+    // rather than stored, stratum key).
+    "emb_diversity_sample" -> ((s, dir) => {
+      val k = 20
+      val full = 1L << 32
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), hyperplaneSig(col("embedding"), 4).as("bucket"),
+          md5(col("vec_id").cast("string")).as("hsh"))
+      val counts = e.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("hsh"), col("vec_id"))
+      e.join(broadcast(counts), Seq("bucket"))
+        .withColumn("h32", conv(substring(col("hsh"), 1, 8), 16, 10).cast("long"))
+        .filter(col("h32") < least(lit(full), expr(s"${64L * k * full} div n")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("bucket"), col("rk").cast("long").as("rk"), col("vec_id"))
+        .orderBy(col("bucket"), col("rk"))
+    }),
+
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -621,6 +648,26 @@ object Similarity {
         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
         |  round(adc6 / 1000000.0, 6) AS adc_dist
         |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "emb_diversity_sample" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    CAST(${hyperplaneSigDuck("embedding", 4)} AS BIGINT) AS bucket,
+         |    md5(CAST(vec_id AS VARCHAR)) AS hsh
+         |  FROM embeddings
+         |), c AS (SELECT bucket, count(*) AS n FROM e GROUP BY 1),
+         |cand AS (
+         |  SELECT e.vec_id, e.bucket, e.hsh
+         |  FROM e JOIN c USING (bucket)
+         |  WHERE ('0x' || substr(e.hsh, 1, 8))::BIGINT
+         |        < least(4294967296, ${64L * 20 * (1L << 32)} // c.n)
+         |), r AS (
+         |  SELECT bucket, vec_id,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY hsh, vec_id) AS rk
+         |  FROM cand)
+         |SELECT bucket, CAST(rk AS BIGINT) AS rk, vec_id
+         |FROM r WHERE rk <= 20
+         |ORDER BY bucket, rk""".stripMargin,
 
     "emb_norms" ->
       """SELECT vec_id, label,
