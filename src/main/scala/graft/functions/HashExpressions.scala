@@ -407,7 +407,7 @@ object HashExpressions {
   case class BloomMightContainAny(
       child: Expression,
       bfB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = BooleanType
     override def nullIntolerant: Boolean = true
@@ -421,6 +421,30 @@ object HashExpressions {
         i += 1
       }
       false
+    }
+    // Same shape as the scalar sibling: broadcast dereferenced once per
+    // task into a generated member, then one tight loop per row inside
+    // whole-stage codegen (the CodegenFallback this replaces paid a
+    // per-row InternalRow boxing on the streaming decontam filter).
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bloomCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+      val bcastCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+      val bfRef = ctx.addReferenceObj("graftBloomAnyBcast", bfB, bcastCls)
+      val bfVar = ctx.addMutableState(bloomCls, "graftBloomAny",
+        v => s"$v = ($bloomCls) $bfRef.value();")
+      nullSafeCodeGen(ctx, ev, c => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |final int $n = $c.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$c.isNullAt($i) && $bfVar.mightContainLong($c.getLong($i))) {
+           |    ${ev.value} = true;
+           |    break;
+           |  }
+           |}
+         """.stripMargin
+      })
     }
     override protected def withNewChildInternal(c: Expression): BloomMightContainAny =
       copy(child = c)
@@ -443,7 +467,7 @@ object HashExpressions {
   case class SortedLongsContainAny(
       child: Expression,
       arrB: org.apache.spark.broadcast.Broadcast[Array[Long]])
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = BooleanType
     override def nullIntolerant: Boolean = true
@@ -458,6 +482,28 @@ object HashExpressions {
         i += 1
       }
       false
+    }
+    // Broadcast long[] dereferenced once per task; per row a binary
+    // search per element, all inside whole-stage codegen.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcastCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+      val arrRef = ctx.addReferenceObj("graftSortedBcast", arrB, bcastCls)
+      val arrVar = ctx.addMutableState("long[]", "graftSorted",
+        v => s"$v = (long[]) $arrRef.value();")
+      nullSafeCodeGen(ctx, ev, c => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |final int $n = $c.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$c.isNullAt($i) &&
+           |      java.util.Arrays.binarySearch($arrVar, $c.getLong($i)) >= 0) {
+           |    ${ev.value} = true;
+           |    break;
+           |  }
+           |}
+         """.stripMargin
+      })
     }
     override protected def withNewChildInternal(c: Expression): SortedLongsContainAny =
       copy(child = c)

@@ -170,12 +170,20 @@ object ArrowIpc {
       in: org.apache.hadoop.fs.FSDataInputStream, length: Long)
       extends java.nio.channels.SeekableByteChannel {
     private var open = true
+    // Per-channel scratch, grown on demand — a fresh byte[] per read()
+    // call was per-batch garbage on large scans. Lives as long as the
+    // file's reader, reused across every record batch.
+    private var scratch: Array[Byte] = Array.emptyByteArray
     override def read(dst: java.nio.ByteBuffer): Int = {
       if (in.getPos >= length) return -1
       val want = math.min(dst.remaining().toLong, length - in.getPos).toInt
-      val buf = new Array[Byte](want)
-      val n = in.read(buf, 0, want)
-      if (n > 0) dst.put(buf, 0, n)
+      if (scratch.length < want) scratch = new Array[Byte](math.max(want, 8192))
+      // Hadoop streams may legally return 0 on a non-EOF read; Arrow's
+      // readFully treats 0 as "retry", which would busy-spin through
+      // this adapter. Absorb the retry here: loop until >=1 byte or EOF.
+      var n = in.read(scratch, 0, want)
+      while (n == 0 && in.getPos < length) n = in.read(scratch, 0, want)
+      if (n > 0) dst.put(scratch, 0, n)
       n
     }
     override def position(): Long = in.getPos

@@ -36,6 +36,25 @@ import graft.functions.HashExpressions
   */
 object DecontamStream {
 
+  /** Hard bound on the broadcast reference side: 2×10⁸ distinct grams ≈
+    * 1.6 GB exact sorted-long side + ~0.24 GB bloom ≈ 1.9 GB total on
+    * the driver and every executor — the edge of comfortable broadcast
+    * territory. Any real eval suite sits orders of magnitude below
+    * (10⁷ grams ≈ 80 MB); a set above the bound means someone pointed
+    * the stream at a corpus, not a benchmark, and the right tool is the
+    * batch path, which keeps the reference side distributed. */
+  private[graft] val MaxBenchGrams: Long = 200000000L
+
+  /** Loud guard, checked BEFORE the driver collect so an oversized set
+    * fails with an actionable message instead of an OOM. */
+  private[graft] def assertBenchBroadcastable(nGrams: Long): Unit =
+    require(nGrams <= MaxBenchGrams,
+      s"DecontamStream: benchmark gram set has $nGrams distinct grams " +
+        f"(~${nGrams * 9.2 / 1e9}%.1f GB broadcast), over the $MaxBenchGrams " +
+        "bound (~1.9 GB). This stream broadcasts the whole reference set to " +
+        "every executor; for a set this large use the batch " +
+        "pipe_decontam_bloom path, which keeps the reference side distributed.")
+
   /** Flagged stream: (doc_id, n_grams, contaminated) for every non-bench
     * document, row-identical to batch `pipe_decontam_bloom` (and hence to
     * `pipe_decontam` — the bloom is a prefilter, never the verdict). */
@@ -48,13 +67,18 @@ object DecontamStream {
     // side only — the same driver hop df.stat.bloomFilter's
     // treeAggregate takes — bounded by the bench gram count, never by
     // corpus size. NOT a corpus collect.
-    val benchGh: Array[Long] = Engine.table(spark, dir, "documents")
+    val benchDistinct = Engine.table(spark, dir, "documents")
       .filter(col("doc_id") % 50 === 0)
       .select(explode(sh).as("gram"))
       .select(xxhash64(col("gram")).as("gh"))
       .distinct()
-      .orderBy(col("gh"))
-      .collect().map(_.getLong(0))
+      .persist()
+    val benchGh: Array[Long] =
+      try {
+        assertBenchBroadcastable(benchDistinct.count()) // count-then-collect:
+        // the guard fires on the cheap aggregate, never mid-collect OOM
+        benchDistinct.orderBy(col("gh")).collect().map(_.getLong(0))
+      } finally benchDistinct.unpersist()
     val bf = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(benchGh.length.toLong, 1024L), 0.01)
     benchGh.foreach(bf.putLong)

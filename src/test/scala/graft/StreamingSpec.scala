@@ -122,6 +122,19 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("decontam broadcast guard: oversized bench set fails loudly, naming the batch fallback") {
+    import graft.streaming.DecontamStream
+    // in-bounds: no throw (the real stream path exercises this too)
+    DecontamStream.assertBenchBroadcastable(0L)
+    DecontamStream.assertBenchBroadcastable(DecontamStream.MaxBenchGrams)
+    val e = intercept[IllegalArgumentException] {
+      DecontamStream.assertBenchBroadcastable(DecontamStream.MaxBenchGrams + 1)
+    }
+    // actionable message: states the size, the bound, and the fallback
+    assert(e.getMessage.contains("pipe_decontam_bloom"), e.getMessage)
+    assert(e.getMessage.contains(DecontamStream.MaxBenchGrams.toString), e.getMessage)
+  }
+
   test("streaming hourly agg matches batch q1 shape and totals") {
     val q = EventsStream.runToMemory(spark, sfDir, "ev_stream_test")
     try {
