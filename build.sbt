@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// tools/run.sh launches java straight from target/scala-2.13/classes, so
+// plain `sbt compile` must also stage resources (the DataSourceRegister
+// services file that binds the `arrowipc` short name) into that dir.
+Compile / compile := (Compile / compile).dependsOn(Compile / copyResources).value
 Test / fork := true
 run / fork := true
 run / connectInput := true  // REPL (graft.Main) reads stdin

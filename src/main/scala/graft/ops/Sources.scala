@@ -98,6 +98,28 @@ object Sources {
         .orderBy(col("p_brand"))
     }),
 
+    // Arrow IPC through the SQL/DDL surface (DataSource V2
+    // graft.sources.ArrowIpcDataSource, short name "arrowipc"): the
+    // reference reaches arrow via table DDL (`STORED AS ARROW`), so the
+    // source must be visible to a pure-SQL user by table NAME, not only
+    // through the programmatic API q_arrow_roundtrip exercises. Sink via
+    // df.write.format, then CREATE TABLE ... USING arrowipc and a
+    // grouped reduction over the named table.
+    "q_arrow_sql" -> ((s, dir) => {
+      val out = scratch("arrow_sql_orders")
+      val tbl = "arrow_orders_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.format("arrowipc").mode("overwrite").save(out)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING arrowipc OPTIONS (path '$out')")
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |       round(sum(o_totalprice), 2) AS price_sum,
+           |       max(o_orderkey) AS max_key
+           |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // DML: INSERT INTO an external table, then read the union back
     "q_insert_into" -> ((s, dir) => {
       val out = scratch("ins_region")
@@ -151,6 +173,12 @@ object Sources {
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS price_sum
         |FROM part WHERE p_retailprice > 905
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_arrow_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS price_sum,
+        |       max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_insert_into" ->
       """SELECT count(*) + 2 AS n, CAST(101 AS INT) AS max_key FROM region""".stripMargin
