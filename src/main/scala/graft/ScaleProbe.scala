@@ -118,8 +118,9 @@ object ScaleProbe {
         .agg(sum(col("value")).as("bytes"))
         .collect() // 1 row — diagnostic main, not an operator
       val secs = (System.nanoTime() - t0) / 1e9
-      // listener events drain async; a short wait bounds the undercount
-      Thread.sleep(300)
+      // real listener-bus flush: a straggling TaskEnd would otherwise be
+      // credited to the NEXT probe after peakTask.set(0)
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       val peakMb = peakTask.get() / 1e6
       val shuffleMb = m.headOption.filterNot(_.isNullAt(0))
         .map(_.getLong(0) / 1e6).getOrElse(0.0)
@@ -211,13 +212,121 @@ object ScaleProbe {
         s""""ivf_pruning":{"cells_probed":${probeCells.length},"partitions_read":$partsRead,"partitions_total":$partsTotal,"files_read":$filesRead,"files_total":$filesTotal,"rows_scanned":$nScanned}"""
       } else None
 
+    // ---- incremental-dedup bucketed-layout demonstration -------------
+    // dedup_incremental's scale comment claims "at 100 TB the corpus
+    // side lives pre-bucketed by hash, so the check is an exchange-free
+    // semi join" (ext/Dedup.scala). Make that MEASURED, the same way IVF
+    // pruning was: write the shard-factor corpus hash set as a bucketed
+    // saveAsTable, semi-join an incoming shard against it, and assert
+    // from the EXECUTED plan that the only exchange is the shard-sized
+    // one aligning to the bucket layout — the corpus side never rides a
+    // shuffle again, for this and every future shard.
+    val incrBucketed: Option[String] =
+      if (onlyProbes.forall(_.contains("incr_bucketed"))) Some {
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+        val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          // plan-SHAPE demonstration: no runtime re-plan, no broadcast
+          // rescue — the corpus side must stand on its bucket layout
+          // alone (at 100 TB the corpus is far past broadcast size)
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val nBuckets = 32
+          val tbl = "graft_probe_corpus_hashes"
+          val docs = Engine.table(spark, out, "documents")
+          if (!spark.catalog.tableExists(tbl)) {
+            val t0 = System.nanoTime()
+            docs.filter(col("doc_id") % 2 === 0)
+              .select(md5(col("text")).as("h"))
+              .distinct()
+              .write.bucketBy(nBuckets, "h").sortBy("h")
+              .option("path", s"$out/corpus_hashes")
+              .mode("overwrite").saveAsTable(tbl)
+            println(f"bucketed corpus hash table in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          }
+          val corpus = spark.table(tbl)
+          val shard = docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), md5(col("text")).as("h"))
+          val dup = shard.join(corpus.hint("merge"), Seq("h"), "left_semi")
+          val t0 = System.nanoTime()
+          val nDup = dup.count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val exchanges = dup.queryExecution.executedPlan
+            .collect { case e: ShuffleExchangeLike => e }
+          // every exchange subtree must be the SHARD scan; the bucketed
+          // corpus table must appear under none of them
+          val corpusExchanged = exchanges.exists(_.toString.contains("corpus_hashes"))
+          val planStr = dup.queryExecution
+            .explainString(org.apache.spark.sql.execution.SimpleMode)
+          val bucketScan = planStr.contains("SelectedBucketsCount") ||
+            planStr.contains("Bucketed: true")
+          println(s"INCR BUCKETED: dups=$nDup exchanges=${exchanges.length} " +
+            f"corpusExchanged=$corpusExchanged bucketScan=$bucketScan wall=$wall%.1fs")
+          // loud failure: the exchange-free claim is the point
+          require(exchanges.length == 1,
+            s"expected exactly the shard-side exchange, got ${exchanges.length}:\n$planStr")
+          require(!corpusExchanged, s"corpus side rode an exchange:\n$planStr")
+          require(bucketScan, s"corpus scan is not bucket-aware:\n$planStr")
+          s""""incremental_bucketed":{"buckets":$nBuckets,"dup_rows":$nDup,"exchanges":${exchanges.length},"corpus_side_exchange_free":true,"wall_s":${math.rint(wall * 10) / 10}}"""
+        } finally {
+          spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+        }
+      } else None
+
+    // ---- RANGE-frame window at shard scale ---------------------------
+    // q_window_range partitions by o_orderpriority — FIVE distinct keys,
+    // the worst per-key volume shape a window can have (each key holds
+    // ~n/5 of the table). The scale question is whether memory is
+    // bounded by WindowExec's spillable buffer + frame rather than the
+    // partition: measure per-key row counts (uniformity) and the actual
+    // per-task peak memory on a factor-x orders shard.
+    val windowRange: Option[String] =
+      if (onlyProbes.forall(_.contains("window_range"))) Some {
+        val ordDir = s"$out/orders.parquet"
+        if (!Files.exists(Paths.get(s"$ordDir/_SUCCESS"))) {
+          val t0 = System.nanoTime()
+          val orders = Engine.table(spark, base, "orders")
+          val reps = spark.range(factor).select(col("id").as("k"))
+          orders.crossJoin(reps)
+            .select((col("o_orderkey") * factor + col("k")).as("o_orderkey"),
+              col("o_orderpriority"), col("o_totalprice"))
+            .repartition(cpus.toInt)
+            .write.mode("overwrite").parquet(ordDir)
+          println(f"generated ${factor}x orders in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        val ord = spark.read.parquet(ordDir)
+        val keyCounts = ord.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(_.getLong(1)) // 5 diagnostic rows — the key domain
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        peakTask.set(0L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+          .rangeBetween(-1000L * factor, 0) // frame scaled with key density
+        val t0 = System.nanoTime()
+        val total = ord
+          .select(col("o_orderpriority"),
+            count(lit(1)).over(w).as("n_in_range"),
+            sum(col("o_totalprice")).over(w).as("sum_in_range"))
+          .agg(sum(col("n_in_range"))).collect().head.getLong(0) // 1-row reduce
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        val peakMb = peakTask.get() / 1e6
+        println(f"WINDOW RANGE: rows=${keyCounts.sum} keyMax=${keyCounts.max} " +
+          f"keyMin=${keyCounts.min} framedTotal=$total wall=$wall%.1fs peak_task_mem=$peakMb%.1f MB")
+        s""""window_range":{"rows":${keyCounts.sum},"keys":${keyCounts.length},"key_rows_max":${keyCounts.max},"key_rows_min":${keyCounts.min},"wall_s":${math.rint(wall * 10) / 10},"peak_task_mem_mb":${math.rint(peakMb * 10) / 10}}"""
+      } else None
+
     if (onlyProbes.isEmpty) {
       def r1(v: Double): Double = math.rint(v * 10) / 10
       val json = rows.map { case (n, w, mb, pk) =>
         s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)}}"""
       }.mkString(
         s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
-          ivfPruning.map(_ + ",").getOrElse("") + s""""probes":{""",
+          Seq(ivfPruning, incrBucketed, windowRange).flatten
+            .map(_ + ",").mkString + s""""probes":{""",
         ",", "}}")
       val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",
         "/root/repo") + s"/PROBE_LOCAL_${factor}x.json"

@@ -339,8 +339,12 @@ object Dedup {
     // orientation. The oracle mirrors with a BETWEEN range predicate
     // (DuckDB needs no blocking at oracle scale) — identical pair set.
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // modulus 2 (not a thinner sample): at the verified sf0.01 scale
+      // the %10 sample produced ZERO qualifying pairs, so the integer
+      // threshold/union algebra below was only vacuously cross-checked;
+      // %2 yields real pairs whose j column the oracle hash-compares
       val sample = t(s, dir, "documents")
-        .filter(col("doc_id") % 10 === 0)
+        .filter(col("doc_id") % 2 === 0)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
         .withColumn("szb", (size(col("sh")).cast("long") / 16).cast("long"))
@@ -521,7 +525,7 @@ object Dedup {
         |  SELECT doc_id, lang,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                x -> length(x) > 0) AS tk
-        |  FROM documents WHERE doc_id % 10 = 0
+        |  FROM documents WHERE doc_id % 2 = 0
         |), sh0 AS (
         |  SELECT doc_id, lang,
         |    list_distinct(list_transform(

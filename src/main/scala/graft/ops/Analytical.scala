@@ -51,11 +51,22 @@ object Analytical {
           (col("base_c").cast("double") / 100.0).as("sum_base_price"),
           (expr("(disc4 + 50) div 100").cast("double") / 100.0).as("sum_disc_price"),
           (expr("(chg6 + 5000) div 10000").cast("double") / 100.0).as("sum_charge"),
-          (expr("(qty * 20000 + count_order) div (2 * count_order)")
+          // avgs use the HEADROOM-FREE half-up form: a*k div m rewritten
+          // as (a div m)*k + ((a mod m)*k + addend) div m, so the
+          // multiply never exceeds m*k (~4e6·rows_per_group) instead of
+          // sum*2e4 — the naive form would wrap BIGINT near SF≈85.
+          // The binding envelope is now the chg6 grid sum itself
+          // (~4.4e11/row max → wraps around SF≈150, ≈9e8 rows/group);
+          // past that the price grids move to DecimalType(38,0) as the
+          // header note says.
+          (expr("(qty div (2 * count_order)) * 20000 + " +
+            "((qty % (2 * count_order)) * 20000 + count_order) div (2 * count_order)")
             .cast("double") / 10000.0).as("avg_qty"),
-          (expr("(base_c * 20000 + 100 * count_order) div (200 * count_order)")
+          (expr("(base_c div (200 * count_order)) * 20000 + " +
+            "((base_c % (200 * count_order)) * 20000 + 100 * count_order) div (200 * count_order)")
             .cast("double") / 10000.0).as("avg_price"),
-          (expr("(disc_c * 20000 + 100 * count_order) div (200 * count_order)")
+          (expr("(disc_c div (200 * count_order)) * 20000 + " +
+            "((disc_c % (200 * count_order)) * 20000 + 100 * count_order) div (200 * count_order)")
             .cast("double") / 10000.0).as("avg_disc"),
           col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))

@@ -97,6 +97,46 @@ class GoldenSpec extends SparkSpecBase {
     assert(desc("string") == "string" && desc("float") == "float" && desc("int") == "int")
   }
 
+  test("golden REPL transcript: arrow DDL + TPC-H Q6 through the statement pipeline") {
+    // the exact script a REPL/`-f` user would type, run through the SAME
+    // splitter + spark.sql path Main.runOne uses — pins the SQL-visible
+    // arrow surface (CREATE TABLE USING arrowipc) next to an analytical
+    // query, like the README-trio replay pins the custom aggregates
+    import org.apache.spark.sql.functions._
+    Engine.registerTestdata(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden_arrow").toString
+    Engine.table(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.format("arrowipc").mode("overwrite").save(dir)
+    val script =
+      s"""-- golden transcript: arrow DDL + one TPC-H query
+         |DROP TABLE IF EXISTS golden_arrow_nation;
+         |CREATE TABLE golden_arrow_nation USING arrowipc OPTIONS (path '$dir');
+         |SELECT count(*) AS n, sum(n_nationkey) AS s FROM golden_arrow_nation;
+         |SELECT CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+         |             CAST(round(l_discount * 100, 0) AS BIGINT)) + 50) div 100
+         |        AS DOUBLE) / 100.0 AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24;
+         |""".stripMargin
+    val stmts = Main.splitStatements(script)
+    assert(stmts.length == 4, stmts.mkString("|"))
+    val results = stmts.map(spark.sql)
+    try {
+      // arrow table readable by NAME, values exact
+      val arrow = results(2).head()
+      assert(arrow.getLong(0) == 25L && arrow.getLong(1) == 300L, arrow.toString)
+      // the SQL transcript result must equal the DataFrame-API q_tpch_q6
+      val sqlRev = results(3).head().getDouble(0)
+      val dfRev = SparkEntry.queries("q_tpch_q6")(spark, sfDir).head().getDouble(0)
+      assert(sqlRev == dfRev, s"transcript=$sqlRev dataframe=$dfRev")
+      assert(sqlRev > 0, "Q6 revenue must be non-trivial at sf0.001")
+    } finally spark.sql("DROP TABLE IF EXISTS golden_arrow_nation")
+  }
+
   test("golden checksums pin crc32/xxhash64 exactly (no DuckDB mirror exists)") {
     // q_crc32 / text_fingerprint_xx are rows-only in the driver gate
     // because DuckDB has no in-query crc32/xxhash64; these pins are the
