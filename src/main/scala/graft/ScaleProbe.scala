@@ -180,12 +180,12 @@ object ScaleProbe {
           .limit(nProbe)
           .select(col("cell")).collect().map(_.getInt(0))
         val scan = spark.read.parquet(ivfDir)
-          .filter(col("cell").isin(probeCells.map(Int.box): _*))
+          .filter(col("cell").isin(probeCells.toIndexedSeq.map(Int.box): _*))
           .agg(count(lit(1)).as("n"))
         val nScanned = scan.collect().head.getLong(0)
         val metrics = Explain.analyze(
           spark.read.parquet(ivfDir)
-            .filter(col("cell").isin(probeCells.map(Int.box): _*))
+            .filter(col("cell").isin(probeCells.toIndexedSeq.map(Int.box): _*))
             .agg(count(lit(1)).as("n")))
           .filter(col("operator").startsWith("Scan") ||
             col("operator").contains("FileScan"))
@@ -199,7 +199,7 @@ object ScaleProbe {
         val filesTotal = Files.walk(Paths.get(ivfDir)).iterator().asScala
           .count(_.getFileName.toString.endsWith(".parquet"))
         val pf = spark.read.parquet(ivfDir)
-          .filter(col("cell").isin(probeCells.map(Int.box): _*))
+          .filter(col("cell").isin(probeCells.toIndexedSeq.map(Int.box): _*))
           .agg(count(lit(1)))
           .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
         val pruned = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r

@@ -53,13 +53,18 @@ object ArrowIpc {
 
   private[sources] def toArrowField(f: StructField): Field = {
     val t: ArrowType = f.dataType match {
-      case LongType    => new ArrowType.Int(64, true)
-      case IntegerType => new ArrowType.Int(32, true)
-      case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case StringType  => new ArrowType.Utf8
-      case BooleanType => ArrowType.Bool.INSTANCE
-      case DateType    => new ArrowType.Date(DateUnit.DAY)
+      case LongType      => new ArrowType.Int(64, true)
+      case IntegerType   => new ArrowType.Int(32, true)
+      case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType    => new ArrowType.Utf8
+      case BooleanType   => ArrowType.Bool.INSTANCE
+      case DateType      => new ArrowType.Date(DateUnit.DAY)
+      // Spark timestamps ARE micros-since-epoch in UTC internally; the
+      // "UTC" zone marks them instant-semantic for Arrow-native readers
+      case TimestampType => new ArrowType.Timestamp(
+        org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC")
+      case BinaryType    => new ArrowType.Binary
       case other => throw new IllegalArgumentException(
         s"ArrowIpc: unsupported Spark type $other for column ${f.name}")
     }
@@ -75,6 +80,9 @@ object ArrowIpc {
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Bool => BooleanType
       case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
+      case ts: ArrowType.Timestamp
+        if ts.getUnit == org.apache.arrow.vector.types.TimeUnit.MICROSECOND => TimestampType
+      case _: ArrowType.Binary => BinaryType
       case other => throw new IllegalArgumentException(
         s"ArrowIpc: unsupported Arrow type $other for column ${f.getName}")
     }

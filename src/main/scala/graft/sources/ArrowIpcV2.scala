@@ -215,13 +215,15 @@ private[sources] class ArrowIpcPartitionReader(
       vals(j) =
         if (v.isNull(cur)) null
         else v match {
-          case x: BigIntVector  => x.get(cur)
-          case x: IntVector     => x.get(cur)
-          case x: Float8Vector  => x.get(cur)
-          case x: Float4Vector  => x.get(cur)
-          case x: VarCharVector => UTF8String.fromBytes(x.get(cur))
-          case x: BitVector     => x.get(cur) == 1
-          case x: DateDayVector => x.get(cur) // InternalRow dates ARE epoch days
+          case x: BigIntVector    => x.get(cur)
+          case x: IntVector       => x.get(cur)
+          case x: Float8Vector    => x.get(cur)
+          case x: Float4Vector    => x.get(cur)
+          case x: VarCharVector   => UTF8String.fromBytes(x.get(cur))
+          case x: BitVector       => x.get(cur) == 1
+          case x: DateDayVector   => x.get(cur) // InternalRow dates ARE epoch days
+          case x: TimeStampMicroTZVector => x.get(cur) // micros since epoch = internal form
+          case x: VarBinaryVector => x.get(cur)
           case x => throw new IllegalStateException(s"ArrowIpc: $x")
         }
       j += 1
@@ -338,13 +340,15 @@ private[sources] class ArrowIpcDataWriter(
         case v => throw new IllegalStateException(s"ArrowIpc: $v")
       }
       else vecs(i) match {
-        case v: BigIntVector  => v.setSafe(n, row.getLong(i))
-        case v: IntVector     => v.setSafe(n, row.getInt(i))
-        case v: Float8Vector  => v.setSafe(n, row.getDouble(i))
-        case v: Float4Vector  => v.setSafe(n, row.getFloat(i))
-        case v: VarCharVector => v.setSafe(n, row.getUTF8String(i).getBytes)
-        case v: BitVector     => v.setSafe(n, if (row.getBoolean(i)) 1 else 0)
-        case v: DateDayVector => v.setSafe(n, row.getInt(i)) // internal date = days
+        case v: BigIntVector    => v.setSafe(n, row.getLong(i))
+        case v: IntVector       => v.setSafe(n, row.getInt(i))
+        case v: Float8Vector    => v.setSafe(n, row.getDouble(i))
+        case v: Float4Vector    => v.setSafe(n, row.getFloat(i))
+        case v: VarCharVector   => v.setSafe(n, row.getUTF8String(i).getBytes)
+        case v: BitVector       => v.setSafe(n, if (row.getBoolean(i)) 1 else 0)
+        case v: DateDayVector   => v.setSafe(n, row.getInt(i)) // internal date = days
+        case v: TimeStampMicroTZVector => v.setSafe(n, row.getLong(i)) // internal = micros
+        case v: VarBinaryVector => v.setSafe(n, row.getBinary(i))
         case v => throw new IllegalStateException(s"ArrowIpc: $v")
       }
       i += 1
