@@ -118,10 +118,18 @@ private[sources] class ArrowIpcTable(path: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"arrowipc.`$path`"
   override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    // Only a FRESH target (no schema yet) accepts the query's schema
+    // verbatim. An existing table must go through Spark's output
+    // resolution instead — by-position rename + safe casts — or INSERT
+    // INTO ... VALUES would write the literal relation's col1/col2
+    // names into the appended part files.
+    if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(path, tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
