@@ -282,21 +282,26 @@ object ScaleProbe {
     // bounded by WindowExec's spillable buffer + frame rather than the
     // partition: measure per-key row counts (uniformity) and the actual
     // per-task peak memory on a factor-x orders shard.
+    def ordersShard(): String = {
+      val ordDir = s"$out/orders.parquet"
+      if (!Files.exists(Paths.get(s"$ordDir/_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        val orders = Engine.table(spark, base, "orders")
+        val reps = spark.range(factor).select(col("id").as("k"))
+        orders.crossJoin(reps)
+          .select((col("o_orderkey") * factor + col("k")).as("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice"))
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(ordDir)
+        println(f"generated ${factor}x orders in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      ordDir
+    }
+    var wrTotal: Option[Long] = None   // framed totals: the two window
+    var wrpTotal: Option[Long] = None  // probes must agree exactly
     val windowRange: Option[String] =
       if (onlyProbes.forall(_.contains("window_range"))) Some {
-        val ordDir = s"$out/orders.parquet"
-        if (!Files.exists(Paths.get(s"$ordDir/_SUCCESS"))) {
-          val t0 = System.nanoTime()
-          val orders = Engine.table(spark, base, "orders")
-          val reps = spark.range(factor).select(col("id").as("k"))
-          orders.crossJoin(reps)
-            .select((col("o_orderkey") * factor + col("k")).as("o_orderkey"),
-              col("o_orderpriority"), col("o_totalprice"))
-            .repartition(cpus.toInt)
-            .write.mode("overwrite").parquet(ordDir)
-          println(f"generated ${factor}x orders in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-        }
-        val ord = spark.read.parquet(ordDir)
+        val ord = spark.read.parquet(ordersShard())
         val keyCounts = ord.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"))
           .collect().map(_.getLong(1)) // 5 diagnostic rows — the key domain
@@ -314,9 +319,36 @@ object ScaleProbe {
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
         val peakMb = peakTask.get() / 1e6
+        wrTotal = Some(total)
         println(f"WINDOW RANGE: rows=${keyCounts.sum} keyMax=${keyCounts.max} " +
           f"keyMin=${keyCounts.min} framedTotal=$total wall=$wall%.1fs peak_task_mem=$peakMb%.1f MB")
-        s""""window_range":{"rows":${keyCounts.sum},"keys":${keyCounts.length},"key_rows_max":${keyCounts.max},"key_rows_min":${keyCounts.min},"wall_s":${math.rint(wall * 10) / 10},"peak_task_mem_mb":${math.rint(peakMb * 10) / 10}}"""
+        s""""window_range":{"rows":${keyCounts.sum},"keys":${keyCounts.length},"key_rows_max":${keyCounts.max},"key_rows_min":${keyCounts.min},"framed_total":$total,"wall_s":${math.rint(wall * 10) / 10},"peak_task_mem_mb":${math.rint(peakMb * 10) / 10}}"""
+      } else None
+
+    // ---- prefix-sum rewrite of the same RANGE frame ------------------
+    // The sliding frame above is O(rows × frame_rows); the rewrite is
+    // two O(n) cumulative windows + the union-merge as-of lookup
+    // (ops/Scale.rangeFramePrefixSum — oracle-proven equal at sf0.01 by
+    // q_window_range_prefix). The framed totals are asserted identical,
+    // so the two probe rows measure the SAME computation both ways.
+    val windowRangePrefix: Option[String] =
+      if (onlyProbes.forall(_.contains("window_range_prefix"))) Some {
+        val ord = spark.read.parquet(ordersShard())
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        peakTask.set(0L)
+        val t0 = System.nanoTime()
+        val total = graft.ops.Scale.rangeFramePrefixSum(ord,
+            "o_orderpriority", "o_orderkey", "o_totalprice", 1000L * factor)
+          .agg(sum(col("n_in_range"))).collect().head.getLong(0) // 1-row reduce
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        val peakMb = peakTask.get() / 1e6
+        wrpTotal = Some(total)
+        for (a <- wrTotal; b <- wrpTotal)
+          require(a == b, s"prefix rewrite diverged: sliding=$a prefix=$b")
+        println(f"WINDOW RANGE PREFIX: framedTotal=$total wall=$wall%.1fs " +
+          f"peak_task_mem=$peakMb%.1f MB totalsAgree=${wrTotal.forall(_ == total)}")
+        s""""window_range_prefix":{"framed_total":$total,"wall_s":${math.rint(wall * 10) / 10},"peak_task_mem_mb":${math.rint(peakMb * 10) / 10}}"""
       } else None
 
     if (onlyProbes.isEmpty) {
@@ -325,7 +357,7 @@ object ScaleProbe {
         s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)}}"""
       }.mkString(
         s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
-          Seq(ivfPruning, incrBucketed, windowRange).flatten
+          Seq(ivfPruning, incrBucketed, windowRange, windowRangePrefix).flatten
             .map(_ + ",").mkString + s""""probes":{""",
         ",", "}}")
       val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",

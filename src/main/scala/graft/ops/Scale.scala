@@ -2,6 +2,7 @@ package graft.ops
 
 import java.nio.file.Paths
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
 
@@ -51,6 +52,71 @@ object Scale {
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bounded-preceding RANGE frame aggregation (count + money sum) as two
+    * O(n) cumulative windows instead of Spark's sliding frame.
+    *
+    * Spark's `SlidingWindowFunctionFrame` re-aggregates the whole frame
+    * every time the bounds move, so `RANGE BETWEEN w PRECEDING AND
+    * CURRENT ROW` costs O(rows × rows_per_frame) per partition key — the
+    * 100× probe shard measured 1032s for `q_window_range`'s shape
+    * (PROBE_LOCAL_100x.json `window_range`), and the frame width scales
+    * with key density, so the cost is quadratic in the scale factor.
+    * count and sum are invertible, so the frame decomposes exactly:
+    *
+    *   frame(v)  =  cum(v) − cum(largest key ≤ v − w − 1)
+    *
+    * Both cumulative terms are `ROWS UNBOUNDED PRECEDING` windows, which
+    * Spark evaluates incrementally in O(n). The lower-boundary lookup is
+    * the union-merge as-of pattern: a probe row at position v−w−1 is
+    * interleaved into the cumulative stream and picks up the running
+    * `last(..., ignoreNulls)` — no join, no per-row re-scan. Money rides
+    * an exact integer cents grid so the subtraction is exact (a raw
+    * double cumsum difference would cancel catastrophically at corpus
+    * scale). Result column `sum_cents` stays on the grid; callers divide
+    * and round once at the edge.
+    *
+    * Returns `rows` plus `n_in_range` (long) and `sum_cents` (long);
+    * RANGE frames include all ORDER-BY peers, so the frame value is a
+    * pure function of the key — computed once per distinct key and
+    * joined back (1:1 when the key is unique, correct under duplicates).
+    */
+  def rangeFramePrefixSum(rows: DataFrame, part: String, ord: String,
+      price: String, width: Long): DataFrame = {
+    val g = rows.groupBy(col(part), col(ord))
+      .agg(count(lit(1)).as("__c"),
+        sum(round(col(price) * 100).cast("long")).as("__cents"))
+    val wCum = Window.partitionBy(col(part)).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col(part), col(ord),
+      sum(col("__c")).over(wCum).as("__cc"),
+      sum(col("__cents")).over(wCum).as("__cs"))
+    // merge stream: data rows (p=0) carry the cumulative for lookup,
+    // probe rows (p=1) sit at their frame's lower boundary and carry
+    // their own cumulative. Ties order data-before-probe so a data row
+    // AT the boundary position is included in the lookup (boundary is
+    // "largest key ≤ v−w−1", making the frame [v−w, v] inclusive —
+    // exactly rangeBetween(-w, 0)).
+    val data = cum.select(col(part), col(ord).as("__pos"), lit(0).as("__p"),
+      col(ord).as("__k"),
+      col("__cc").as("__look_cc"), col("__cs").as("__look_cs"),
+      lit(null).cast("long").as("__self_cc"), lit(null).cast("long").as("__self_cs"))
+    val probes = cum.select(col(part), (col(ord) - lit(width + 1)).as("__pos"),
+      lit(1).as("__p"), col(ord).as("__k"),
+      lit(null).cast("long").as("__look_cc"), lit(null).cast("long").as("__look_cs"),
+      col("__cc").as("__self_cc"), col("__cs").as("__self_cs"))
+    val wAsof = Window.partitionBy(col(part))
+      .orderBy(col("__pos"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perKey = data.unionAll(probes)
+      .withColumn("__lo_cc", last(col("__look_cc"), ignoreNulls = true).over(wAsof))
+      .withColumn("__lo_cs", last(col("__look_cs"), ignoreNulls = true).over(wAsof))
+      .where(col("__p") === 1)
+      .select(col(part), col("__k").as(ord),
+        (col("__self_cc") - coalesce(col("__lo_cc"), lit(0L))).as("n_in_range"),
+        (col("__self_cs") - coalesce(col("__lo_cs"), lit(0L))).as("sum_cents"))
+    rows.join(perKey, Seq(part, ord))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // salted join ≡ plain join (oracle proves value preservation)
@@ -88,6 +154,21 @@ object Scale {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // q_window_range's exact semantics via the prefix-sum rewrite — the
+    // oracle is the NATIVE RANGE-frame SQL, so the decomposition is
+    // value-preserving by hash. The cents grid guarantees the rounded
+    // output is identical to the direct frame sum: frame sums live on a
+    // 2-decimal grid, so no double-summation order can flip round(_, 2).
+    "q_window_range_prefix" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      rangeFramePrefixSum(ord, "o_orderpriority", "o_orderkey",
+          "o_totalprice", 1000L)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("n_in_range"),
+          round(col("sum_cents") / 100.0, 2).as("sum_in_range"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
     })
   )
 
@@ -100,6 +181,16 @@ object Scale {
     "q_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // same oracle as q_window_range: the rewrite must be undetectable
+    "q_window_range_prefix" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  count(*) OVER w AS n_in_range,
+        |  round(sum(o_totalprice) OVER w, 2) AS sum_in_range
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
   )
 }

@@ -43,6 +43,34 @@ class ScaleSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("rangeFramePrefixSum equals the native RANGE frame, duplicate keys included") {
+    import spark.implicits._
+    // duplicate ordering keys (peers) are the case orders cannot exercise:
+    // RANGE CURRENT ROW must include ALL peers of the current value
+    val rows = Seq(
+      ("a", 10L, 1.25), ("a", 10L, 2.50), ("a", 12L, 4.00), ("a", 25L, 8.00),
+      ("a", 26L, 0.75), ("b", 5L, 3.00), ("b", 30L, 1.00), ("b", 30L, 2.00)
+    ).toDF("p", "k", "price")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("k")).rangeBetween(-15, 0)
+    val native = rows.select(col("p"), col("k"),
+        count(lit(1)).over(w).as("n_in_range"),
+        round(sum(col("price")).over(w), 2).as("sum_in_range"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    val prefix = ops.Scale.rangeFramePrefixSum(rows, "p", "k", "price", 15L)
+      .select(col("p"), col("k"), col("n_in_range"),
+        round(col("sum_cents") / 100.0, 2).as("sum_in_range"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    assert(prefix.toSeq == native.toSeq)
+    // the rewrite must never plan a sliding frame: only unbounded-
+    // preceding running frames appear in its window operators
+    val plan = ops.Scale.rangeFramePrefixSum(rows, "p", "k", "price", 15L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("RANGE BETWEEN -"), s"sliding RANGE frame leaked into:\n$plan")
+  }
+
   test("sql surface exposes native functions (minhash_sig, word_shingles, dot_f32)") {
     graft.udaf.Udafs.registerAll(spark)
     val r = spark.sql(
