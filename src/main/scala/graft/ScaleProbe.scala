@@ -351,13 +351,70 @@ object ScaleProbe {
         s""""window_range_prefix":{"framed_total":$total,"wall_s":${math.rint(wall * 10) / 10},"peak_task_mem_mb":${math.rint(peakMb * 10) / 10}}"""
       } else None
 
+    // ---- z-order layout pruning demonstration ------------------------
+    // writeZOrdered claims parquet footer stats prune 2-D box predicates.
+    // Measure it against the honest alternative — the same shard sorted
+    // by the box's LEADING column only (which prunes that dimension
+    // perfectly and the other not at all). Metric: the scan's
+    // numOutputRows, i.e. rows surviving row-group/page pruning before
+    // the residual filter runs; the box answer itself must be identical.
+    val zorderPruning: Option[String] =
+      if (onlyProbes.forall(_.contains("zorder_pruning"))) Some {
+        val ord = spark.read.parquet(ordersShard())
+        val linDir = s"$out/orders_lin.parquet"
+        val zDir = s"$out/orders_z.parquet"
+        if (!Files.exists(Paths.get(s"$linDir/_SUCCESS"))) {
+          val t0 = System.nanoTime()
+          ord.repartitionByRange(cpus.toInt, col("o_orderkey"))
+            .sortWithinPartitions(col("o_orderkey"))
+            .write.mode("overwrite")
+            .option("parquet.block.size", 8L << 20).parquet(linDir)
+          println(f"linear layout written in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        if (!Files.exists(Paths.get(s"$zDir/_SUCCESS"))) {
+          val t0 = System.nanoTime()
+          graft.ops.Scale.writeZOrdered(ord, zDir, "o_orderkey", "o_totalprice",
+            cpus.toInt)
+          println(f"z-order layout written in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        // ~10% of the key domain (keys are orig*factor+k, orig ≤ ~600k at
+        // sf0.1) × ~10% of the price domain — both dimensions selective,
+        // the regime where a 1-D sort must over-read
+        val loK = 120000L * factor
+        val hiK = 180000L * factor
+        def boxQ(dir: String) = spark.read.parquet(dir)
+          .filter(col("o_orderkey").between(loK, hiK) &&
+            col("o_totalprice").between(50000, 110000))
+          .agg(count(lit(1)).as("n"))
+        def measure(dir: String): (Long, Long, Double) = {
+          val t0 = System.nanoTime()
+          val m = Explain.analyze(boxQ(dir))
+          val wall = (System.nanoTime() - t0) / 1e9
+          val scanRows = m.filter((col("operator").startsWith("Scan") ||
+              col("operator").contains("FileScan")) &&
+              col("metric") === "numOutputRows")
+            .agg(sum(col("value"))).collect().head.getLong(0)
+          val n = boxQ(dir).collect().head.getLong(0) // 1-row reduce
+          (scanRows, n, wall)
+        }
+        val (linScan, linN, linWall) = measure(linDir)
+        val (zScan, zN, zWall) = measure(zDir)
+        require(linN == zN, s"layouts disagree on the box answer: $linN vs $zN")
+        require(zScan < linScan,
+          s"z-order read MORE rows than the 1-D sort: $zScan vs $linScan")
+        println(f"ZORDER PRUNING: box_rows=$zN scan_linear=$linScan scan_zorder=$zScan " +
+          f"ratio=${linScan.toDouble / zScan}%.1fx wall_lin=$linWall%.1fs wall_z=$zWall%.1fs")
+        s""""zorder_pruning":{"box_rows":$zN,"scan_rows_linear":$linScan,"scan_rows_zorder":$zScan,"wall_linear_s":${math.rint(linWall * 10) / 10},"wall_zorder_s":${math.rint(zWall * 10) / 10}}"""
+      } else None
+
     if (onlyProbes.isEmpty) {
       def r1(v: Double): Double = math.rint(v * 10) / 10
       val json = rows.map { case (n, w, mb, pk) =>
         s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)}}"""
       }.mkString(
         s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
-          Seq(ivfPruning, incrBucketed, windowRange, windowRangePrefix).flatten
+          Seq(ivfPruning, incrBucketed, windowRange, windowRangePrefix,
+              zorderPruning).flatten
             .map(_ + ",").mkString + s""""probes":{""",
         ",", "}}")
       val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",

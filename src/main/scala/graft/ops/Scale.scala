@@ -117,6 +117,57 @@ object Scale {
     rows.join(perKey, Seq(part, ord))
   }
 
+  /** 16→32-bit Morton spread (insert a 0 between consecutive bits), the
+    * classic magic-mask cascade — pure codegen'd bit arithmetic. */
+  private def spread16(x: Column): Column = {
+    val x1 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key of two 16-bit ranks: bit-interleaved so that
+    * sorting by the key clusters rows that are close in BOTH dimensions. */
+  def zorder2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Linear rank of `v` into [0, 65535] given the column's [lo, hi]. */
+  private def rank16(v: Column, lo: Double, hi: Double): Column =
+    least(lit(65535L), greatest(lit(0L),
+      ((v.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12)) * 65535.0)
+        .cast("long")))
+
+  /** Write `df` z-ordered on (colA, colB): rows are range-partitioned and
+    * sorted by the Morton key of the two columns' 16-bit ranks, so every
+    * parquet row group covers a small rectangle of the 2-D value space
+    * and its min/max footer stats prune BOX predicates on both columns —
+    * a single-column sort can only prune on its leading column. This is
+    * the multi-dimensional cousin of bucketing: a one-time layout cost
+    * that every later scan with a 2-D predicate amortizes. At 100 TB the
+    * layout is the difference between reading the whole table and
+    * reading the predicate's rectangle (measured: ScaleProbe
+    * `zorder_pruning`).
+    *
+    * The two min/max pairs are planning literals (one 1-row agg — same
+    * class as a broadcast build, never row data on the driver).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      partitions: Int = 32, blockBytes: Long = 8L << 20): Unit = {
+    val s = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val z = zorder2(
+      rank16(col(colA), s.getDouble(0), s.getDouble(1)),
+      rank16(col(colB), s.getDouble(2), s.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", blockBytes)
+      .parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // salted join ≡ plain join (oracle proves value preservation)
@@ -169,6 +220,30 @@ object Scale {
         .select(col("o_orderpriority"), col("o_orderkey"), col("n_in_range"),
           round(col("sum_cents") / 100.0, 2).as("sum_in_range"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // z-ordered layout is value-invariant: a 2-D box query over the
+    // rewritten table must hash-match the oracle over the ORIGINAL
+    // parquet — the layout may only change what gets READ, never what
+    // gets returned. (The pruning win itself is measured in ScaleProbe's
+    // zorder_pruning block; this entry proves correctness + exercises
+    // the layout writer in the driver contract.)
+    "q_zorder_scan" -> ((s, dir) => {
+      val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse").toString
+      val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val path = s"$wh/orders_z_$sfTag"
+      if (!java.nio.file.Files.exists(Paths.get(s"$path/_SUCCESS")))
+        writeZOrdered(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")),
+          path, "o_custkey", "o_totalprice")
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 400) &&
+          col("o_totalprice").between(50000, 150000))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("tot"),
+          min(col("o_orderkey")).as("k_min"),
+          max(col("o_orderkey")).as("k_max"))
     })
   )
 
@@ -191,6 +266,14 @@ object Scale {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
         |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    // oracle over the ORIGINAL table: layout must not change results
+    "q_zorder_scan" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS tot,
+        |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin
   )
 }

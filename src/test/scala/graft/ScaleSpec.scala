@@ -71,6 +71,36 @@ class ScaleSpec extends SparkSpecBase {
     assert(!plan.contains("RANGE BETWEEN -"), s"sliding RANGE frame leaked into:\n$plan")
   }
 
+  test("zorder2 equals reference Morton interleave on the full 16x16 grid") {
+    import spark.implicits._
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val pairs = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ops.Scale.zorder2(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((a, b) <- pairs)
+      assert(got((a, b)) == ref(a, b), s"zorder2($a,$b)")
+    // spot-check a wide value: bit 15 of each rank lands at bits 30/31
+    assert(ref(0x8000L, 0x8000L) == 0xC0000000L)
+  }
+
+  test("z-ordered layout is value-invariant under a 2-D box predicate") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val path = java.nio.file.Files.createTempDirectory("zorder_spec").toString + "/z"
+    ops.Scale.writeZOrdered(src, path, "o_custkey", "o_totalprice", partitions = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() == src.count())
+    def box(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("o_custkey").between(10, 60) &&
+        col("o_totalprice").between(20000, 120000))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(box(back) == box(src))
+  }
+
   test("sql surface exposes native functions (minhash_sig, word_shingles, dot_f32)") {
     graft.udaf.Udafs.registerAll(spark)
     val r = spark.sql(
