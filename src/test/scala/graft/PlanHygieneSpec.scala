@@ -30,6 +30,16 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(p.contains("StringStartsWith(l_linestatus,F)"))
   }
 
+  test("q_zorder_scan: both box predicates reach the z-ordered parquet scan") {
+    val p = plan("q_zorder_scan")
+    // pruning only works if BOTH dimensions' bounds are pushed — that is
+    // the entire point of the multi-column layout
+    assert(p.contains("GreaterThanOrEqual(o_custkey,100)") &&
+      p.contains("LessThanOrEqual(o_custkey,400)"), s"custkey bounds not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_totalprice,50000") &&
+      p.contains("LessThanOrEqual(o_totalprice,150000"), s"totalprice bounds not pushed:\n$p")
+  }
+
   test("q_join_inner: dimension joins broadcast (no shuffle of the fact side for dims)") {
     val p = plan("q_join_inner")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
