@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -48,14 +48,15 @@ object HashExpressions {
     * remix, and is exactly reproducible in the DuckDB oracle
     * (xor over ('0x'||substr(md5(s),1,16))::UBIGINT). */
   case class MinHashSig(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     @transient private lazy val rands: Array[Long] =
       Array.tabulate(k)(j => md5Hash64(UTF8String.fromString(s"seed_$j")))
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override protected def nullSafeEval(input: Any): Any = kernel(
+      input.asInstanceOf[ArrayData])
+    def kernel(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       if (n == 0) return new GenericArrayData(Array.emptyLongArray)
       val mins = Array.fill(k)(-1L) // unsigned max
@@ -72,6 +73,15 @@ object HashExpressions {
       }
       new GenericArrayData(mins)
     }
+    // A CodegenFallback here would knock the WHOLE enclosing operator out
+    // of whole-stage codegen (CollapseCodegenStages rejects any operator
+    // whose expressions contain one). The loop body stays in compiled
+    // Scala; codegen emits a single kernel call on the referenced
+    // expression instance — no InternalRow boxing, WSCG span intact.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
     override def prettyName: String = "minhash_sig"
   }
@@ -82,12 +92,13 @@ object HashExpressions {
     * rather than xxhash64 so the DuckDB oracle can reproduce the exact
     * fingerprints — the sign decisions are integer-exact either way. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(kernel(input.asInstanceOf[ArrayData]))
+    def kernel(arr: ArrayData): Long = {
       val n = arr.numElements()
       val counts = new Array[Int](64)
       var i = 0
@@ -106,7 +117,11 @@ object HashExpressions {
         if (counts(j) > 0) fp |= (1L << j)
         j += 1
       }
-      java.lang.Long.valueOf(fp)
+      fp
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
     }
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
     override def prettyName: String = "simhash64"
@@ -130,14 +145,16 @@ object HashExpressions {
     * derivation Spark's `log2` built-in uses, agreeing with DuckDB's
     * log2 within an ulp (callers round, see text_entropy). */
   case class CharEntropy(child: Expression)
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
       StructField("n_uniq_chars", LongType, nullable = false),
       StructField("char_entropy", DoubleType, nullable = false)))
     override def nullIntolerant: Boolean = true
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    def kernel(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val s = u.toString
       val counts = new java.util.TreeMap[Int, Int]()
       var n = 0L
       var i = 0
@@ -160,6 +177,10 @@ object HashExpressions {
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](counts.size().toLong, ent))
     }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("charEntropy", this, classOf[CharEntropy].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
     override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
     override def prettyName: String = "char_entropy"
   }
@@ -174,13 +195,15 @@ object HashExpressions {
     * runs under filters that Catalyst pushes below repartition exchanges —
     * wherever it lands, a single compiled scan per row stays cheap. */
   case class WordShingles(child: Expression, n: Int, distinct: Boolean)
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(StringType)
     require(n >= 1)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
-    override protected def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    def kernel(u: UTF8String): ArrayData = {
+      val text = u.toLowerCase.toString
       val tokens = new scala.collection.mutable.ArrayBuffer[String]()
       val len = text.length
       var i = 0
@@ -211,14 +234,19 @@ object HashExpressions {
       val fin = if (distinct) out.distinct else out
       new GenericArrayData(fin.map(UTF8String.fromString).toArray[Any])
     }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
     override def prettyName: String = "word_shingles"
   }
 
   /** gcd/lcm — scalar functions DataFusion ships (SURVEY §2.8 math
-    * family) that Spark lacks; trivial codegen-fallback expressions. */
+    * family) that Spark lacks; the Euclid loop inlines directly into
+    * generated code. */
   case class Gcd(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback
+      extends BinaryExpression
       with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
     override def dataType: DataType = LongType
@@ -227,13 +255,24 @@ object HashExpressions {
     private def gcd(a: Long, b: Long): Long = if (b == 0) math.abs(a) else gcd(b, a % b)
     override protected def nullSafeEval(a: Any, b: Any): Any =
       java.lang.Long.valueOf(gcd(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val t = ctx.freshName("t")
+        s"""
+           |long $x = $a; long $y = $b;
+           |while ($y != 0L) { long $t = $x % $y; $x = $y; $y = $t; }
+           |${ev.value} = java.lang.Math.abs($x);
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Gcd =
       copy(left = l, right = r)
     override def prettyName: String = "num_gcd"
   }
 
   case class Lcm(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback
+      extends BinaryExpression
       with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
     override def dataType: DataType = LongType
@@ -244,6 +283,19 @@ object HashExpressions {
       val (x, y) = (a.asInstanceOf[Long], b.asInstanceOf[Long])
       java.lang.Long.valueOf(if (x == 0 || y == 0) 0L else math.abs(x / gcd(x, y) * y))
     }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val t = ctx.freshName("t")
+        s"""
+           |if ($a == 0L || $b == 0L) { ${ev.value} = 0L; } else {
+           |  long $x = $a; long $y = $b;
+           |  while ($y != 0L) { long $t = $x % $y; $x = $y; $y = $t; }
+           |  ${ev.value} = java.lang.Math.abs($a / $x * $b);
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Lcm =
       copy(left = l, right = r)
     override def prettyName: String = "num_lcm"
@@ -258,23 +310,39 @@ object HashExpressions {
     * fused loop per pair instead of zip_with + aggregate HOF frames.
     * Mismatched lengths evaluate over the common prefix. */
   case class DotF32(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var acc = 0.0
-      var i = 0
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-      java.lang.Double.valueOf(acc)
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Double.valueOf(DotF32.kernel(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+    // The hot kernel of the whole similarity family (every ANN variant,
+    // norms, cosine). Generated code CALLS the compiled kernel rather
+    // than inlining the loop: cosine expands to three dots per pair, and
+    // three inlined loops pushed the enclosing generated method past
+    // HotSpot's huge-method JIT limit — measured 20-35% SLOWER on
+    // ann_bruteforce/ann_ivf than the fallback it replaced. One small
+    // call keeps the generated method compilable and the loop lives in
+    // one shared JIT-hot Scala method.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mod = DotF32.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $mod.kernel($a, $b);")
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32 =
       copy(left = l, right = r)
     override def prettyName: String = "dot_f32"
+  }
+
+  object DotF32 {
+    def kernel(x: ArrayData, y: ArrayData): Double = {
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      acc
+    }
   }
 
   def dot_f32(a: Column, b: Column): Column =
@@ -297,7 +365,7 @@ object HashExpressions {
     * executor. Dims beyond [[MaxDims]] REJECT loudly: a silent fold-back
     * would diverge from the (unfolded) DuckDB mirror. */
   case class HyperplaneSig(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     require(bits >= 1 && bits <= 63)
     override def dataType: DataType = LongType
@@ -309,8 +377,9 @@ object HashExpressions {
         if ((((d(0) >> 4) & 0xf) & 1) == 0) 1.toByte else (-1).toByte
       }
     }
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(kernel(input.asInstanceOf[ArrayData]))
+    def kernel(arr: ArrayData): Long = {
       val n = arr.numElements()
       require(n <= MaxDims,
         s"hyperplane_sig supports up to $MaxDims dims, got $n (the DuckDB mirror is unfolded)")
@@ -330,7 +399,11 @@ object HashExpressions {
         if (acc > 0) fp |= (1L << j)
         j += 1
       }
-      java.lang.Long.valueOf(fp)
+      fp
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSig].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
     }
     override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
     override def prettyName: String = "hyperplane_sig"

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins that every native expression's `doGenCode` actually COMPILES and
+  * agrees with its interpreted `eval`.
+  *
+  * Why this spec exists: when generated Java fails Janino compilation,
+  * Spark logs a warning and silently falls back to interpreted execution
+  * — every other suite would stay green while the codegen path rots. Here
+  * `spark.sql.codegen.fallback=false` turns that fallback into a hard
+  * failure, and each expression's output is compared against the same
+  * query under `factoryMode=NO_CODEGEN` (pure interpreted eval), so the
+  * two execution paths cross-check each other value-for-value.
+  */
+class CodegenSpec extends SparkSpecBase {
+  import graft.functions.HashExpressions._
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+  private def vecs: DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+
+  /** Runs `build` under forced codegen and forced interpretation; both
+    * must succeed and collect to identical rows. */
+  private def bothWays(name: String)(build: => DataFrame): Unit = {
+    def collectWith(mode: String): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try build.collect().map(_.toString()).toSeq.sorted
+      finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+    val gen = collectWith("CODEGEN_ONLY")
+    val interp = collectWith("NO_CODEGEN")
+    assert(gen == interp, s"$name: codegen and interpreted results differ")
+    assert(gen.nonEmpty, s"$name: vacuous check, no rows")
+  }
+
+  test("minhash_sig codegen compiles and matches interpreted eval") {
+    bothWays("minhash_sig") {
+      docs.select(col("doc_id"),
+        minhash_sig(word_shingles(col("text"), 3), k = 16).as("sig"))
+    }
+  }
+
+  test("simhash64 codegen compiles and matches interpreted eval") {
+    bothWays("simhash64") {
+      docs.select(col("doc_id"), simhash64(word_shingles(col("text"), 1)).as("fp"))
+    }
+  }
+
+  test("char_entropy codegen compiles and matches interpreted eval") {
+    bothWays("char_entropy") {
+      docs.select(col("doc_id"), char_entropy(col("text")).as("ce"))
+        .select(col("doc_id"), col("ce.n_uniq_chars"),
+          round(col("ce.char_entropy"), 6).as("ent"))
+    }
+  }
+
+  test("word_shingles codegen compiles and matches interpreted eval") {
+    bothWays("word_shingles") {
+      docs.select(col("doc_id"),
+        word_shingles(col("text"), 2, distinct = false).as("sh"))
+    }
+  }
+
+  test("gcd/lcm codegen compiles and matches interpreted eval") {
+    bothWays("gcd_lcm") {
+      spark.range(-50, 50).select(col("id"),
+        num_gcd(col("id"), lit(36L)).as("g"),
+        num_lcm(col("id") % 12, lit(-8L)).as("l"),
+        num_lcm(col("id"), lit(0L)).as("lz"))
+    }
+  }
+
+  test("dot_f32 codegen compiles and matches interpreted eval") {
+    bothWays("dot_f32") {
+      vecs.select(col("vec_id"),
+        round(dot_f32(col("embedding"), col("embedding")), 6).as("ss"))
+    }
+  }
+
+  test("hyperplane_sig codegen compiles and matches interpreted eval") {
+    bothWays("hyperplane_sig") {
+      vecs.select(col("vec_id"), hyperplane_sig(col("embedding"), 16).as("sig"))
+    }
+  }
+
+  test("signature projection stays inside whole-stage codegen") {
+    // the point of dropping CodegenFallback: an operator containing these
+    // expressions must no longer be ejected from WholeStageCodegen
+    val df = docs.select(minhash_sig(word_shingles(col("text"), 3), 16).as("s"),
+      simhash64(word_shingles(col("text"), 1)).as("f"))
+    // a codegen'd operator renders as `*(stageId) Project`; an ejected
+    // one renders bare — exactly what CodegenFallback used to cause
+    val plan = df.queryExecution.executedPlan.toString()
+    val projectLines = plan.linesIterator.filter(_.contains("Project")).toSeq
+    assert(projectLines.nonEmpty, s"no Project in plan:\n$plan")
+    assert(projectLines.forall(_.contains("*(")),
+      s"Project not codegen'd (no *(n) prefix):\n$plan")
+  }
+}
