@@ -21,6 +21,27 @@ import graft.engine.Engine
   */
 object ScaleProbe {
 
+  /** Factor-replicated orders shard (o_orderkey spread so per-key order
+    * is preserved, five o_orderpriority partition keys — the worst-case
+    * per-key window volume). Shared with [[SpillProbe]], which must run
+    * the SAME shard in a memory-constrained JVM. */
+  private[graft] def ordersShard(spark: SparkSession, base: String, out: String,
+      factor: Int, cpus: Int): String = {
+    val ordDir = s"$out/orders.parquet"
+    if (!Files.exists(Paths.get(s"$ordDir/_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      val orders = Engine.table(spark, base, "orders")
+      val reps = spark.range(factor).select(col("id").as("k"))
+      orders.crossJoin(reps)
+        .select((col("o_orderkey") * factor + col("k")).as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .repartition(cpus)
+        .write.mode("overwrite").parquet(ordDir)
+      println(f"generated ${factor}x orders in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    ordDir
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -282,21 +303,7 @@ object ScaleProbe {
     // bounded by WindowExec's spillable buffer + frame rather than the
     // partition: measure per-key row counts (uniformity) and the actual
     // per-task peak memory on a factor-x orders shard.
-    def ordersShard(): String = {
-      val ordDir = s"$out/orders.parquet"
-      if (!Files.exists(Paths.get(s"$ordDir/_SUCCESS"))) {
-        val t0 = System.nanoTime()
-        val orders = Engine.table(spark, base, "orders")
-        val reps = spark.range(factor).select(col("id").as("k"))
-        orders.crossJoin(reps)
-          .select((col("o_orderkey") * factor + col("k")).as("o_orderkey"),
-            col("o_orderpriority"), col("o_totalprice"))
-          .repartition(cpus.toInt)
-          .write.mode("overwrite").parquet(ordDir)
-        println(f"generated ${factor}x orders in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      }
-      ordDir
-    }
+    def ordersShard(): String = ScaleProbe.ordersShard(spark, base, out, factor, cpus.toInt)
     var wrTotal: Option[Long] = None   // framed totals: the two window
     var wrpTotal: Option[Long] = None  // probes must agree exactly
     val windowRange: Option[String] =

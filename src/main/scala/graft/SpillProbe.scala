@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Spill-under-pressure probe for the prefix-sum RANGE-frame rewrite.
+  *
+  * `Scale.rangeFramePrefixSum`'s scale story rests on a claim the main
+  * probe cannot test: its 1149 MB peak-task reservation (the union-merge
+  * sort of ~2n rows per key partition, PROBE_LOCAL_100x.json
+  * `window_range_prefix`) is a SPILLABLE UnsafeExternalSorter that
+  * "degrades to disk, linearly" under executor-memory pressure — unlike
+  * the sliding frame's quadratic compute, which no spill can recover.
+  * This main makes that claim measured evidence: it reruns the identical
+  * rewrite over the identical shard in a JVM whose unified-memory pool
+  * is squeezed (`spark.memory.fraction`, static per JVM — why this is a
+  * separate main rather than a ScaleProbe row), and asserts that
+  *
+  *  1. the query COMPLETES — no OOM — with real disk spill recorded in
+  *     task metrics (`diskBytesSpilled` > 0), and
+  *  2. the framed total equals the unconstrained run's value recorded in
+  *     `PROBE_LOCAL_{factor}x.json` — spilling changed the cost, not the
+  *     answer.
+  *
+  * The result row is merged into the same probe artifact under
+  * `window_range_prefix_spill` (run ScaleProbe first; a full ScaleProbe
+  * rerun rewrites the artifact, so rerun this after it).
+  *
+  * Usage: SPARK_DRIVER_MEM=3g tools/run.sh graft.SpillProbe [factor]
+  */
+object SpillProbe {
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
+      s"/tmp/graft_scale_probe_${factor}x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // 0.05 of an 8 GB heap ≈ 400 MB unified pool shared by all tasks —
+    // far under the rewrite's measured 1149 MB single-task peak, so the
+    // sort CANNOT fit and must spill to finish. Overridable for tuning.
+    val frac = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.05")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.memory.fraction", frac)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakTask = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          peakTask.accumulateAndGet(m.peakExecutionMemory,
+            (a: Long, b: Long) => math.max(a, b))
+        }
+      }
+    })
+
+    val ord = spark.read.parquet(
+      ScaleProbe.ordersShard(spark, base, out, factor, cpus.toInt))
+    val t0 = System.nanoTime()
+    val total = graft.ops.Scale.rangeFramePrefixSum(ord,
+        "o_orderpriority", "o_orderkey", "o_totalprice", 1000L * factor)
+      .agg(sum(col("n_in_range"))).collect().head.getLong(0) // 1-row reduce
+    val wall = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    val memMb = memSpill.get() / 1e6
+    val diskMb = diskSpill.get() / 1e6
+    val peakMb = peakTask.get() / 1e6
+
+    println(f"SPILL PROBE: fraction=$frac framedTotal=$total wall=$wall%.1fs " +
+      f"mem_spill=$memMb%.1f MB disk_spill=$diskMb%.1f MB peak_task=$peakMb%.1f MB")
+    // loud failure both ways: no spill means the pool wasn't actually
+    // constrained (claim untested), a changed total means spill broke
+    // correctness (claim false)
+    require(diskMb > 0,
+      s"no disk spill under fraction=$frac — pool not constrained, claim untested")
+
+    val probeFile = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",
+      "/root/repo") + s"/PROBE_LOCAL_${factor}x.json")
+    if (Files.exists(probeFile)) {
+      val mapper = new ObjectMapper()
+      val rootNode = mapper.readTree(Files.readString(probeFile)).asInstanceOf[ObjectNode]
+      val unconstrained = rootNode.path("window_range_prefix").path("framed_total")
+      if (!unconstrained.isMissingNode)
+        require(unconstrained.asLong() == total,
+          s"spilled run diverged: unconstrained=${unconstrained.asLong()} spilled=$total")
+      def r1(v: Double): Double = math.rint(v * 10) / 10
+      val row = rootNode.putObject("window_range_prefix_spill")
+      row.put("mem_fraction", frac.toDouble)
+      row.put("framed_total", total)
+      row.put("matches_unconstrained", !unconstrained.isMissingNode)
+      row.put("wall_s", r1(wall))
+      row.put("mem_spill_mb", r1(memMb))
+      row.put("disk_spill_mb", r1(diskMb))
+      row.put("peak_task_mem_mb", r1(peakMb))
+      Files.writeString(probeFile, mapper.writeValueAsString(rootNode) + "\n")
+      println(s"merged window_range_prefix_spill into $probeFile")
+    } else println(s"[spill] $probeFile missing — row not recorded (run ScaleProbe first)")
+    spark.stop()
+  }
+}

@@ -90,7 +90,10 @@ object Scale {
     * is COMPUTE (1324s vs 27s on the same shard) that no spill can buy
     * back. Parallelism for both paths is bounded by the number of
     * distinct partition keys — inherent to per-key window semantics,
-    * not to this rewrite.
+    * not to this rewrite. The spill claim is itself measured
+    * ([[graft.SpillProbe]], artifact key `window_range_prefix_spill`):
+    * under a 394 MiB pool — 20× below that peak — the rewrite spills
+    * 1.4 GB to disk and finishes in 32.1s vs 26.8s, identical totals.
     */
   def rangeFramePrefixSum(rows: DataFrame, part: String, ord: String,
       price: String, width: Long): DataFrame = {
