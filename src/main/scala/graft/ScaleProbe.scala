@@ -433,6 +433,62 @@ object ScaleProbe {
         s""""zorder_pruning":{"box_rows":$zN,"scan_rows_linear":$linScan,"scan_rows_zorder":$zScan,"wall_linear_s":${math.rint(linWall * 10) / 10},"wall_zorder_s":${math.rint(zWall * 10) / 10}}"""
       } else None
 
+    // ---- dynamic partition pruning (join-driven) ---------------------
+    // The static layouts above (IVF cells, z-order) prune on literals
+    // known at plan time. The star-schema workhorse at 100 TB is the
+    // OTHER pruning: a filter on a small dim table reaching the fact
+    // scan at RUNTIME through the join key (Spark's DPP — the broadcast
+    // build doubles as an IN-subquery over the fact's partition column).
+    // Layout: the 15M-row orders shard partitioned by a 365-value day
+    // column; dim maps days to months; the query filters ONE month on
+    // the dim side only. The fact scan must read ~1/12 of the
+    // partitions with zero partition literals in the query text.
+    val dppPruning: Option[String] =
+      if (onlyProbes.forall(_.contains("dpp"))) Some {
+        val dppDir = s"$out/orders_byday.parquet"
+        if (!Files.exists(Paths.get(s"$dppDir/_SUCCESS"))) {
+          val t0 = System.nanoTime()
+          spark.read.parquet(ordersShard())
+            .withColumn("day_id", pmod(col("o_orderkey"), lit(365L)))
+            .repartition(col("day_id")) // one file per day directory
+            .write.mode("overwrite").partitionBy("day_id").parquet(dppDir)
+          println(f"day-partitioned layout written in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        val dim = spark.range(365).select(col("id").as("day_id"),
+          (col("id") % 12).as("month"))
+        val fact = spark.read.parquet(dppDir)
+        val q = fact.join(broadcast(dim), "day_id")
+          .filter(col("month") === 3)
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sp"))
+        val t0 = System.nanoTime()
+        val m = Explain.analyze(q)
+          .filter((col("operator").startsWith("Scan") ||
+            col("operator").contains("FileScan")) &&
+            col("metric").isin("numPartitions", "numFiles", "numOutputRows"))
+          .groupBy(col("metric")).agg(max(col("value")).as("v"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val wall = (System.nanoTime() - t0) / 1e9
+        val partsRead = m.getOrElse("numPartitions", -1L)
+        val filesRead = m.getOrElse("numFiles", -1L)
+        val rowsRead = m.getOrElse("numOutputRows", -1L)
+        import scala.jdk.CollectionConverters._
+        val partsTotal = Files.list(Paths.get(dppDir)).iterator().asScala
+          .count(_.getFileName.toString.startsWith("day_id="))
+        // Explain.analyze executed q's OWN queryExecution, so this is
+        // the final post-AQE plan of the run measured above
+        val plan = q.queryExecution
+          .explainString(org.apache.spark.sql.execution.SimpleMode)
+        require(plan.contains("dynamicpruning"),
+          s"fact scan has no dynamic pruning filter:\n$plan")
+        require(partsRead > 0 && partsRead <= partsTotal / 10,
+          s"DPP read $partsRead of $partsTotal partitions — not pruned")
+        println(f"DPP: partitions $partsRead/$partsTotal files=$filesRead " +
+          f"rows_scanned=$rowsRead wall=$wall%.1fs")
+        s"""{"partitions_read":$partsRead,"partitions_total":$partsTotal,"files_read":$filesRead,"rows_scanned":$rowsRead,"wall_s":${math.rint(wall * 10) / 10}}"""
+      } else None
+    if (onlyProbes.isDefined && dppPruning.isDefined)
+      mergeArtifact(factor, "dpp_pruning", dppPruning.get)
+
     // ---- AQE skew-join vs explicit salting ---------------------------
     // Scale.saltedJoin's doc claims "AQE's skew-join handles moderate
     // skew automatically; explicit salting is the tool for the extreme
@@ -600,6 +656,7 @@ object ScaleProbe {
         s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
           (Seq(ivfPruning, incrBucketed, windowRange, windowRangePrefix,
               zorderPruning).flatten ++
+            dppPruning.map(s => s""""dpp_pruning":$s""") ++
             skewJoin.map(s => s""""aqe_skew_join":$s"""))
             .map(_ + ",").mkString + s""""probes":{""",
         ",", "}}")
