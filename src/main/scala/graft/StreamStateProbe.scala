@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming state-boundedness probe for [[graft.streaming.Sessionize]].
+  *
+  * The scale claim on `Sessionize.incremental` is the one every
+  * continuous-ingest design stands on: state per user is ONE
+  * (start, last, n) triple, evicted by event-time timeout, so a
+  * 100 TB/day stream holds state for currently-ACTIVE users — not for
+  * history. Specs prove the fold's correctness; this probe makes the
+  * boundedness measured: drive B micro-batches of U users × k events
+  * (every batch 45 min of event time later, so each arrival breaks the
+  * previous session) and read the state-store operator metrics
+  * (`numRowsTotal`, `memoryUsedBytes`) off `lastProgress` after every
+  * batch. Input grows linearly, B × U × k events; the asserts hold the
+  * state store flat at U rows the whole way and require every closed
+  * session to have been emitted exactly once.
+  *
+  * Result merged into PROBE_LOCAL_100x.json (the scale-evidence
+  * artifact) under `sessionize_state`.
+  *
+  * Usage: tools/run.sh graft.StreamStateProbe [users] [batches]
+  */
+object StreamStateProbe {
+
+  def main(args: Array[String]): Unit = {
+    val users = args.headOption.map(_.toInt).getOrElse(2000)
+    val batches = args.drop(1).headOption.map(_.toInt).getOrElse(12)
+    val perUser = 25 // events per user per batch
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    import Sessionize.TimedEvent
+
+    val minUs = 60L * 1000 * 1000
+    val base = 1700000000L * 1000000 // µs
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+
+    val input = MemoryStream[TimedEvent]
+    val q = Sessionize.incremental(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_probe").start()
+    val stateRows = new Array[Long](batches)
+    val stateMb = new Array[Double](batches)
+    try {
+      for (b <- 0 until batches) {
+        // batch b: each user emits perUser events over ~8 min starting
+        // 45 min after the previous batch — past the 30 min gap, so the
+        // arrival itself closes the prior session (the state handler's
+        // gap break, not the timeout, is the common path — mirroring a
+        // daily ingest where users return before any TTL sweep)
+        val t0 = base + b.toLong * 45 * minUs
+        val evs = for {
+          u <- 0 until users
+          j <- 0 until perUser
+        } yield TimedEvent(u.toLong, ts(t0 + j.toLong * 20 * 1000 * 1000), "e")
+        input.addData(evs: _*)
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators
+        require(so.nonEmpty, "no state operator in progress")
+        stateRows(b) = so.map(_.numRowsTotal).sum
+        stateMb(b) = so.map(_.memoryUsedBytes).sum / 1e6
+        println(f"BATCH $b%2d events_so_far=${(b + 1).toLong * users * perUser}%9d " +
+          f"state_rows=${stateRows(b)}%6d state_mb=${stateMb(b)}%6.1f")
+      }
+      val eventsTotal = batches.toLong * users * perUser
+      val closed = spark.table("state_probe").count()
+      // the boundedness claim: state is U rows — one per ACTIVE user —
+      // after EVERY batch, while input grew batches×U×perUser events
+      require(stateRows.forall(r => r == users),
+        s"state not pinned at $users rows: ${stateRows.toSeq}")
+      // every batch after the first closes exactly one session per user
+      require(closed == users.toLong * (batches - 1),
+        s"expected ${users * (batches - 1)} closed sessions, got $closed")
+      println(f"STREAM STATE: events=$eventsTotal sessions_closed=$closed " +
+        f"state_rows_final=${stateRows.last} state_mb_final=${stateMb.last}%.1f")
+      def r1(v: Double): Double = math.rint(v * 10) / 10
+      ScaleProbe.mergeArtifact(100, "sessionize_state",
+        s"""{"users":$users,"batches":$batches,"events_total":$eventsTotal,""" +
+          s""""sessions_closed":$closed,"state_rows_max":${stateRows.max},""" +
+          s""""state_rows_final":${stateRows.last},"state_mb_final":${r1(stateMb.last)}}""")
+    } finally q.stop()
+    spark.stop()
+  }
+}
