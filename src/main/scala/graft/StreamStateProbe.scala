@@ -30,12 +30,20 @@ object StreamStateProbe {
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(12)
     val perUser = 25 // events per user per batch
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // default = HDFS-backed (state lives in executor heap). At real
+    // state sizes the production pick is RocksDB — state off-heap on
+    // local disk, heap holds only block cache — same API, one conf.
+    // The probe runs under either to show the boundedness result is a
+    // property of the OPERATOR, not of a store implementation.
+    val rocks = sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (rocks) builder.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -89,7 +97,8 @@ object StreamStateProbe {
       println(f"STREAM STATE: events=$eventsTotal sessions_closed=$closed " +
         f"state_rows_final=${stateRows.last} state_mb_final=${stateMb.last}%.1f")
       def r1(v: Double): Double = math.rint(v * 10) / 10
-      ScaleProbe.mergeArtifact(100, "sessionize_state",
+      ScaleProbe.mergeArtifact(100,
+        if (rocks) "sessionize_state_rocksdb" else "sessionize_state",
         s"""{"users":$users,"batches":$batches,"events_total":$eventsTotal,""" +
           s""""sessions_closed":$closed,"state_rows_max":${stateRows.max},""" +
           s""""state_rows_final":${stateRows.last},"state_mb_final":${r1(stateMb.last)}}""")
