@@ -45,16 +45,38 @@ import org.apache.spark.sql.types._
   * Arrow-native tools), parquet for storage that gets queried.
   *
   * Type coverage: the scalar core (long/int/double/float/string/bool/
-  * date) — unsupported Spark types fail loudly at write time.
+  * date/timestamp/binary), short/byte, decimal(p,s) on the exact
+  * 128-bit grid, and arrays of the NUMERIC scalars (list<float> is the
+  * embeddings interchange shape). Unsupported Spark types — nested
+  * structs/maps, string arrays, null ARRAY ELEMENTS (a null array cell
+  * itself is fine) — fail loudly at write time, never silently coerce.
   */
 object ArrowIpc {
 
   private[sources] val BatchRows = 8192
 
   private[sources] def toArrowField(f: StructField): Field = {
+    // arrays carry a child field; scalars have none
+    f.dataType match {
+      case ArrayType(elem, containsNull) =>
+        val child = toArrowField(StructField("element", elem, containsNull))
+        elem match {
+          case LongType | IntegerType | DoubleType | FloatType => ()
+          case other => throw new IllegalArgumentException(
+            s"ArrowIpc: unsupported array element type $other for column ${f.name} " +
+              "(numeric scalar elements only)")
+        }
+        return new Field(f.name,
+          if (f.nullable) FieldType.nullable(ArrowType.List.INSTANCE)
+          else FieldType.notNullable(ArrowType.List.INSTANCE),
+          java.util.List.of(child))
+      case _ => ()
+    }
     val t: ArrowType = f.dataType match {
       case LongType      => new ArrowType.Int(64, true)
       case IntegerType   => new ArrowType.Int(32, true)
+      case ShortType     => new ArrowType.Int(16, true)
+      case ByteType      => new ArrowType.Int(8, true)
       case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
       case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
       case StringType    => new ArrowType.Utf8
@@ -65,6 +87,8 @@ object ArrowIpc {
       case TimestampType => new ArrowType.Timestamp(
         org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC")
       case BinaryType    => new ArrowType.Binary
+      // Spark decimals are at most 38 digits — always the 128-bit grid
+      case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
       case other => throw new IllegalArgumentException(
         s"ArrowIpc: unsupported Spark type $other for column ${f.name}")
     }
@@ -75,6 +99,8 @@ object ArrowIpc {
     val t: DataType = f.getType match {
       case i: ArrowType.Int if i.getBitWidth == 64 => LongType
       case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
+      case i: ArrowType.Int if i.getBitWidth == 8  => ByteType
       case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
       case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
       case _: ArrowType.Utf8 => StringType
@@ -83,6 +109,11 @@ object ArrowIpc {
       case ts: ArrowType.Timestamp
         if ts.getUnit == org.apache.arrow.vector.types.TimeUnit.MICROSECOND => TimestampType
       case _: ArrowType.Binary => BinaryType
+      case d: ArrowType.Decimal if d.getBitWidth == 128 =>
+        DecimalType(d.getPrecision, d.getScale)
+      case _: ArrowType.List =>
+        val child = toSparkField(f.getChildren.get(0))
+        ArrayType(child.dataType, child.nullable)
       case other => throw new IllegalArgumentException(
         s"ArrowIpc: unsupported Arrow type $other for column ${f.getName}")
     }

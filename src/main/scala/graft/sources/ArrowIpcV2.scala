@@ -225,6 +225,8 @@ private[sources] class ArrowIpcPartitionReader(
         else v match {
           case x: BigIntVector    => x.get(cur)
           case x: IntVector       => x.get(cur)
+          case x: SmallIntVector  => x.get(cur)
+          case x: TinyIntVector   => x.get(cur)
           case x: Float8Vector    => x.get(cur)
           case x: Float4Vector    => x.get(cur)
           case x: VarCharVector   => UTF8String.fromBytes(x.get(cur))
@@ -232,6 +234,28 @@ private[sources] class ArrowIpcPartitionReader(
           case x: DateDayVector   => x.get(cur) // InternalRow dates ARE epoch days
           case x: TimeStampMicroTZVector => x.get(cur) // micros since epoch = internal form
           case x: VarBinaryVector => x.get(cur)
+          case x: DecimalVector   => // exact 128-bit grid, internal Decimal form
+            org.apache.spark.sql.types.Decimal(
+              x.getObject(cur), x.getPrecision, x.getScale)
+          case x: org.apache.arrow.vector.complex.ListVector =>
+            // offset-range read off the child data vector — no boxed
+            // java.util.List materialization per cell
+            val start = x.getElementStartIndex(cur)
+            val end = x.getElementEndIndex(cur)
+            val out = new Array[Any](end - start)
+            val dv = x.getDataVector
+            var k = start
+            while (k < end) {
+              out(k - start) = dv match {
+                case e: Float4Vector => e.get(k)
+                case e: Float8Vector => e.get(k)
+                case e: BigIntVector => e.get(k)
+                case e: IntVector    => e.get(k)
+                case e => throw new IllegalStateException(s"ArrowIpc list elem: $e")
+              }
+              k += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
           case x => throw new IllegalStateException(s"ArrowIpc: $x")
         }
       j += 1
@@ -345,11 +369,14 @@ private[sources] class ArrowIpcDataWriter(
       if (row.isNullAt(i)) vecs(i) match {
         case v: BaseFixedWidthVector    => v.setNull(n)
         case v: BaseVariableWidthVector => v.setNull(n)
+        case v: org.apache.arrow.vector.complex.ListVector => v.setNull(n)
         case v => throw new IllegalStateException(s"ArrowIpc: $v")
       }
       else vecs(i) match {
         case v: BigIntVector    => v.setSafe(n, row.getLong(i))
         case v: IntVector       => v.setSafe(n, row.getInt(i))
+        case v: SmallIntVector  => v.setSafe(n, row.getShort(i))
+        case v: TinyIntVector   => v.setSafe(n, row.getByte(i))
         case v: Float8Vector    => v.setSafe(n, row.getDouble(i))
         case v: Float4Vector    => v.setSafe(n, row.getFloat(i))
         case v: VarCharVector   => v.setSafe(n, row.getUTF8String(i).getBytes)
@@ -357,6 +384,30 @@ private[sources] class ArrowIpcDataWriter(
         case v: DateDayVector   => v.setSafe(n, row.getInt(i)) // internal date = days
         case v: TimeStampMicroTZVector => v.setSafe(n, row.getLong(i)) // internal = micros
         case v: VarBinaryVector => v.setSafe(n, row.getBinary(i))
+        case v: DecimalVector   =>
+          v.setSafe(n, row.getDecimal(i, v.getPrecision, v.getScale).toJavaBigDecimal)
+        case v: org.apache.arrow.vector.complex.ListVector =>
+          // low-level offset API, not UnionListWriter: the child vector
+          // came from the schema, and the promotable writer path would
+          // try to re-create (or union-promote) it by name
+          val arr = row.getArray(i)
+          val m = arr.numElements()
+          val start = v.startNewValue(n)
+          val dv = v.getDataVector
+          var k = 0
+          while (k < m) {
+            if (arr.isNullAt(k)) throw new IllegalStateException(
+              "ArrowIpc: null array elements are not supported")
+            dv match {
+              case e: Float4Vector => e.setSafe(start + k, arr.getFloat(k))
+              case e: Float8Vector => e.setSafe(start + k, arr.getDouble(k))
+              case e: BigIntVector => e.setSafe(start + k, arr.getLong(k))
+              case e: IntVector    => e.setSafe(start + k, arr.getInt(k))
+              case e => throw new IllegalStateException(s"ArrowIpc list elem: $e")
+            }
+            k += 1
+          }
+          v.endValue(n, m)
         case v => throw new IllegalStateException(s"ArrowIpc: $v")
       }
       i += 1
