@@ -103,6 +103,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment matches the batch join and holds ZERO state") {
+    import org.apache.spark.sql.functions._
+    val q = graft.streaming.EnrichStream.runToMemory(spark, sfDir, "enrich_stream_test")
+    try {
+      val streamed = spark.table("enrich_stream_test")
+        .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+      val ev = graft.engine.Engine.table(spark, sfDir, "events")
+      val cust = graft.engine.Engine.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val batch = ev.join(cust, ev("user_id") === cust("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch, s"sizes: streamed=${streamed.size} batch=${batch.size}")
+      assert(streamed.nonEmpty)
+      // the scale property: dim enrichment is STATELESS — nothing in a
+      // state store, nothing that grows with stream length
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"expected no state operators, got ${q.lastProgress.stateOperators.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches batch pipe_decontam_bloom (and exact) rows") {
     val q = graft.streaming.DecontamStream.runToMemory(spark, sfDir, "decontam_stream_test")
     try {
