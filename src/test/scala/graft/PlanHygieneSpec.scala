@@ -65,6 +65,31 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
   }
 
+  test("EVERY query plan is cartesian-free and UDF-free (sweep, allowlisted)") {
+    // the two scale-killer node classes, swept over the whole contract
+    // surface so a future query can't reintroduce one silently:
+    //  - CartesianProduct (unbroadcast all-pairs: O(n*m) rows moved) —
+    //    only q_join_cross builds one on purpose, at its tiny scale;
+    //    BroadcastNestedLoopJoin is NOT flagged (its build side is
+    //    small by construction — seeds, admission tables, non-equi dims)
+    //  - ScalaUDF (opaque to codegen and to every optimizer rule; the
+    //    engine's position is native expressions only)
+    // Side-effecting queries (roundtrips, DDL) plan against temp state
+    // identically to their execution, so the sweep includes them.
+    val intentionalCartesian = Set("q_join_cross")
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = try plan(name) catch {
+        case e: Exception => s"PLANNING FAILED: $e"
+      }
+      val cart = !intentionalCartesian(name) && p.contains("CartesianProduct")
+      val udf = p.contains("ScalaUDF")
+      if (p.startsWith("PLANNING FAILED") || cart || udf)
+        Some(s"$name: ${if (cart) "CartesianProduct " else ""}${if (udf) "ScalaUDF" else ""}${if (p.startsWith("PLANNING FAILED")) p else ""}")
+      else None
+    }
+    assert(failures.isEmpty, s"plan hygiene violations:\n${failures.mkString("\n")}")
+  }
+
   test("aggregations are two-phase (partial then final)") {
     val p = plan("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
