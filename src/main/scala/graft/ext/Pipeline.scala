@@ -335,6 +335,38 @@ object Pipeline {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).cast("long").as("chars_kept"))
         .orderBy(col("source"))
+    }),
+
+    // corpus refresh (MERGE/upsert semantics): a re-crawl batch carries
+    // updated versions of existing docs (batch wins on doc_id) plus
+    // brand-new docs (appended). Copy-on-write expressed relationally:
+    // base ANTI JOIN batch-keys ∪ batch — the standard way to refresh a
+    // parquet corpus without a table format. Scale shape: at 100 TB the
+    // corpus lives hash-bucketed on doc_id, so the anti join is
+    // exchange-free on the corpus side (the incremental_bucketed probe
+    // measures exactly that layout) and the rewrite is bounded to the
+    // partitions the batch touches; the batch itself is shard-sized and
+    // broadcasts. The batch here is derived deterministically from the
+    // table (every 7th doc re-crawled, every 13th doc's successor
+    // inserted) so the oracle can replay it.
+    "pipe_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val updates = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" [recrawl]")).as("text"))
+      val inserts = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          concat(lit("NEW "), col("text")).as("text"))
+      val batch = updates.unionAll(inserts)
+      val merged = base
+        .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionAll(batch)
+      merged.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -491,6 +523,21 @@ object Pipeline {
   /** The bloom variant's contract is "identical output to the exact
     * path", so its oracle IS the exact path's oracle — aliased, not
     * copied, so an edit to one cannot silently diverge the other. */
+  private val upsertOracle: (String, String) = "pipe_upsert" ->
+    """WITH base AS (SELECT doc_id, lang, text FROM documents),
+      |upd AS (SELECT doc_id, lang, text || ' [recrawl]' AS text
+      |        FROM base WHERE doc_id % 7 = 0),
+      |ins AS (SELECT doc_id + 10000000 AS doc_id, lang, 'NEW ' || text AS text
+      |        FROM base WHERE doc_id % 13 = 0),
+      |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |merged AS (
+      |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+      |  UNION ALL SELECT * FROM batch)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+      |       max(doc_id) AS max_id
+      |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracleSql: Map[String, String] =
-    oracleSql0 + ("pipe_decontam_bloom" -> oracleSql0("pipe_decontam"))
+    oracleSql0 + ("pipe_decontam_bloom" -> oracleSql0("pipe_decontam")) + upsertOracle
 }
