@@ -489,6 +489,53 @@ object ScaleProbe {
     if (onlyProbes.isDefined && dppPruning.isDefined)
       mergeArtifact(factor, "dpp_pruning", dppPruning.get)
 
+    // ---- small-files compaction at shard scale -----------------------
+    // The DPP layout above is the canonical fragmentation shape: 365
+    // one-file day directories. Compact the whole layout (flattening the
+    // partition column back into the rows — day_id stays queryable, the
+    // hive layout is traded for file-size health + a doc_id clustering
+    // sort) and require content invariance plus a real file-count cut.
+    // At 100 TB the same call runs per fragmented PARTITION, bounded by
+    // the fragmented subset; the full-layout pass here is the worst case.
+    val compaction: Option[String] =
+      if (onlyProbes.forall(_.contains("compaction"))) Some {
+        val dppDir = s"$out/orders_byday.parquet"
+        require(Files.exists(Paths.get(s"$dppDir/_SUCCESS")),
+          "run the dpp probe first — compaction reuses its fragmented layout")
+        val compDir = s"$out/orders_compacted.parquet"
+        import scala.jdk.CollectionConverters._
+        val filesBefore = Files.walk(Paths.get(dppDir)).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        val src = spark.read.parquet(dppDir) // day_id partition col → row col
+        val t0 = System.nanoTime()
+        val nOut = {
+          // size-derived like compactParquet, but over the partitioned tree
+          val bytes = Files.walk(Paths.get(dppDir)).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(_.toFile.length()).sum
+          math.max(1L, (bytes + (64L << 20) - 1) / (64L << 20)).toInt
+        }
+        src.repartitionByRange(nOut, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey"))
+          .write.mode("overwrite").parquet(compDir)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val filesAfter = Files.list(Paths.get(compDir)).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        // content invariance on an order-free aggregate fingerprint
+        def fp(d: org.apache.spark.sql.DataFrame) = d
+          .agg(count(lit(1)), sum(col("o_orderkey")),
+            sum(col("o_totalprice").cast("decimal(20,2)")), sum(col("day_id")))
+          .collect().head.toSeq
+        require(fp(src) == fp(spark.read.parquet(compDir)),
+          "compaction changed content")
+        require(filesAfter * 4 < filesBefore,
+          s"compaction barely helped: $filesBefore -> $filesAfter")
+        println(f"COMPACTION: files $filesBefore -> $filesAfter wall=$wall%.1fs")
+        s"""{"files_before":$filesBefore,"files_after":$filesAfter,"wall_s":${math.rint(wall * 10) / 10}}"""
+      } else None
+    if (onlyProbes.isDefined && compaction.isDefined)
+      mergeArtifact(factor, "compaction", compaction.get)
+
     // ---- AQE skew-join vs explicit salting ---------------------------
     // Scale.saltedJoin's doc claims "AQE's skew-join handles moderate
     // skew automatically; explicit salting is the tool for the extreme
@@ -657,6 +704,7 @@ object ScaleProbe {
           (Seq(ivfPruning, incrBucketed, windowRange, windowRangePrefix,
               zorderPruning).flatten ++
             dppPruning.map(s => s""""dpp_pruning":$s""") ++
+            compaction.map(s => s""""compaction":$s""") ++
             skewJoin.map(s => s""""aqe_skew_join":$s"""))
             .map(_ + ",").mkString + s""""probes":{""",
         ",", "}}")

@@ -126,6 +126,28 @@ class ExtensionSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq((10L, 20L, 1L)), s"got ${rows.toSeq}")
   }
 
+  test("upsert merge: batch wins on key, inserts append, totals conserve") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Engine.table(spark, sfDir, "documents")
+    val nBase = docs.count()
+    val nIns = docs.filter(col("doc_id") % 13 === 0).count()
+    val nUpd = docs.filter(col("doc_id") % 7 === 0).count()
+    val updChars = docs.filter(col("doc_id") % 7 === 0)
+      .agg(sum(length(col("text")))).head.getLong(0)
+    val insChars = docs.filter(col("doc_id") % 13 === 0)
+      .agg(sum(length(col("text")))).head.getLong(0)
+    val baseChars = docs.agg(sum(length(col("text")))).head.getLong(0)
+    val res = SparkEntry.queries("pipe_upsert")(spark, sfDir)
+      .agg(sum(col("n_docs")), sum(col("sum_chars")), max(col("max_id"))).head
+    // updates replace in place (no row-count change), inserts append
+    assert(res.getLong(0) == nBase + nIns, s"rows: ${res.getLong(0)} vs $nBase+$nIns")
+    // chars: base + ' [recrawl]' (10) per update + ('NEW ' (4) + text) per insert
+    assert(res.getLong(1) == baseChars + 10 * nUpd + insChars + 4 * nIns,
+      s"chars: ${res.getLong(1)}")
+    // inserted ids live in the shifted key space
+    assert(res.getLong(2) >= 10000000L, s"max_id: ${res.getLong(2)}")
+  }
+
   test("stratified sampler: thinned path (stratum > 3200 docs) picks the k smallest md5s") {
     // at testdata scales every stratum is below the 64k threshold so the
     // oracle gate only exercises the admit-all branch (verified live on
