@@ -414,6 +414,43 @@ object Dedup {
     })
   )
 
+  /** Shared DuckDB CTE chain replaying [[signatures]] + [[bandKeys]]:
+    * tokens → 3-gram shingles → 64-slot minhash (seeded xor of the
+    * md5-long per shingle) → hex signature → 16 banded md5 keys. Used by
+    * `dedup_minhash_lsh` and the fuzzy decontamination oracle
+    * (`ext/Pipeline.scala`) so the two replays cannot drift. */
+  private[ext] val minhashBandedCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> length(x) > 0) AS tk
+      |  FROM documents
+      |), shng AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(tk) - 2, 0)),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |  FROM toks
+      |), mh AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(sh, s2 -> ('0x' || substr(md5(s2),1,16))::UBIGINT) AS hv
+      |  FROM shng WHERE len(sh) > 0
+      |), sig AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(range(0, 64), j ->
+      |      list_min(list_transform(hv, h ->
+      |        xor(h, ('0x' || substr(md5(concat('seed_', j)),1,16))::UBIGINT)))) AS sg
+      |  FROM mh
+      |), hexsig AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(sg, x -> lower(lpad(hex(x), 16, '0'))) AS hx
+      |  FROM sig
+      |), banded AS (
+      |  SELECT doc_id, t.band,
+      |    md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')) AS bkey
+      |  FROM hexsig, range(0, 16) t(band)
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -432,37 +469,8 @@ object Dedup {
 
     // dedup_minhash_lsh: full pipeline mirror — md5-xor signature family,
     // md5 band keys, [2,64] bucket guard, exact-Jaccard verification
-    "dedup_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                x -> length(x) > 0) AS tk
-        |  FROM documents
-        |), shng AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      generate_series(1, greatest(len(tk) - 2, 0)),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-        |  FROM toks
-        |), mh AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(sh, s2 -> ('0x' || substr(md5(s2),1,16))::UBIGINT) AS hv
-        |  FROM shng WHERE len(sh) > 0
-        |), sig AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(range(0, 64), j ->
-        |      list_min(list_transform(hv, h ->
-        |        xor(h, ('0x' || substr(md5(concat('seed_', j)),1,16))::UBIGINT)))) AS sg
-        |  FROM mh
-        |), hexsig AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(sg, x -> lower(lpad(hex(x), 16, '0'))) AS hx
-        |  FROM sig
-        |), banded AS (
-        |  SELECT doc_id, t.band,
-        |    md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')) AS bkey
-        |  FROM hexsig, range(0, 16) t(band)
-        |), okbuckets AS (
+    "dedup_minhash_lsh" -> (minhashBandedCtes +
+      """, okbuckets AS (
         |  SELECT band, bkey FROM banded
         |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 64
         |), cands AS (
@@ -486,7 +494,7 @@ object Dedup {
         |  s.hx[1] AS minhash_0,
         |  coalesce(d.dup_partner < s.doc_id, false) AS is_near_dup
         |FROM hexsig s LEFT JOIN dup d ON s.doc_id = d.doc_id
-        |ORDER BY s.doc_id""".stripMargin,
+        |ORDER BY s.doc_id""".stripMargin),
 
     // dedup_simhash: exact fingerprint + banded Hamming near-dup mirror —
     // token hash is the first 8 bytes of md5, expressible in both engines

@@ -337,6 +337,38 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // FUZZY benchmark decontamination: the exact-gram pass
+    // (pipe_decontam) misses paraphrased/lightly-edited leakage; this
+    // pass flags corpus docs NEAR-DUP to any benchmark doc. Same
+    // MinHash-LSH machinery as dedup_minhash_lsh but ASYMMETRIC: the
+    // bench side is the eval suite — tiny — so its banded keys (with
+    // shingle sets for verification) BROADCAST, the corpus side never
+    // shuffles (the join runs in the scan stage), and no bucket cap is
+    // needed: candidates are bounded by bench size × corpus bucket
+    // hits, the corpus can't go quadratic against itself. Verified with
+    // the exact-Jaccard ≥ 0.7 threshold shared with the dedup pass.
+    "pipe_decontam_fuzzy" -> ((s, dir) => {
+      import graft.ext.Dedup
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.signatures(docs) // doc_id, sh, sig
+      val banded = sig.select(col("doc_id"), col("sh"),
+        posexplode(Dedup.bandKeys(col("sig"))).as(Seq("band", "bkey")))
+      val bench = banded.filter(col("doc_id") % 50 === 0)
+        .select(col("band"), col("bkey"),
+          col("doc_id").as("bench_id"), col("sh").as("sh_b"))
+      val flagged = banded.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("band", "bkey"))
+        .filter(Dedup.jaccard(col("sh"), col("sh_b")) >= 0.7)
+        .groupBy(col("doc_id"))
+        .agg(min(col("bench_id")).as("matched_bench"))
+      docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("matched_bench").isNotNull.as("is_fuzzy_contaminated"),
+          col("matched_bench"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus refresh (MERGE/upsert semantics): a re-crawl batch carries
     // updated versions of existing docs (batch wins on doc_id) plus
     // brand-new docs (appended). Copy-on-write expressed relationally:
@@ -538,6 +570,32 @@ object Pipeline {
       |       max(doc_id) AS max_id
       |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
 
+  // replays the SAME banding CTE chain as the minhash dedup oracle
+  // (Dedup.minhashBandedCtes), then the asymmetric bench join
+  private val fuzzyDecontamOracle: (String, String) = "pipe_decontam_fuzzy" ->
+    (graft.ext.Dedup.minhashBandedCtes +
+      """, cands AS (
+        |  SELECT c.doc_id, b.doc_id AS bench_id
+        |  FROM banded c
+        |  JOIN banded b ON b.band = c.band AND b.bkey = c.bkey
+        |  WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+        |), flagged AS (
+        |  SELECT c.doc_id, min(c.bench_id) AS matched_bench
+        |  FROM cands c
+        |  JOIN hexsig sa ON sa.doc_id = c.doc_id
+        |  JOIN hexsig sb ON sb.doc_id = c.bench_id
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.7
+        |  GROUP BY c.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  f.matched_bench IS NOT NULL AS is_fuzzy_contaminated,
+        |  f.matched_bench
+        |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin)
+
   val oracleSql: Map[String, String] =
-    oracleSql0 + ("pipe_decontam_bloom" -> oracleSql0("pipe_decontam")) + upsertOracle
+    oracleSql0 + ("pipe_decontam_bloom" -> oracleSql0("pipe_decontam")) +
+      upsertOracle + fuzzyDecontamOracle
 }
