@@ -292,6 +292,44 @@ object Scale {
           max(col("o_orderkey")).as("k_max"))
     }),
 
+    // point-in-interval join WITHOUT a nested loop: Spark plans a raw
+    // `p.ts BETWEEN i.lo AND i.hi` join condition as BNLJ — per-key
+    // quadratic at corpus scale. Bucketize time by the interval width W:
+    // an interval [t, t+W] intersects exactly buckets t div W and
+    // t div W + 1, and a point lives in exactly ONE bucket, so the
+    // equi-join on (user_id, bucket) + residual BETWEEN finds every
+    // (interval, point) pair exactly once — no dedup pass — as a plain
+    // hash join, linear in points + 2× intervals. Semantics: for each
+    // error event, the count and value-mass of non-error events in the
+    // following 5 minutes for the same user (cents grid, exact).
+    "q_interval_join" -> ((s, dir) => {
+      val w = 300L * 1000000 // 5 min in µs
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts DIV 1000").as("us"))
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("ivl_id"), col("user_id"),
+          col("us").as("lo"), (col("us") + w).as("hi"))
+      val points = ev.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("us"),
+          round(col("value") * 100).cast("long").as("cents"),
+          expr(s"us div ${w}L").as("bucket"))
+      val ivlB = intervals.select(col("ivl_id"), col("user_id"),
+        col("lo"), col("hi"),
+        explode(array(expr(s"lo div ${w}L"), expr(s"lo div ${w}L + 1")))
+          .as("bucket"))
+      val hits = ivlB.join(points, Seq("user_id", "bucket"))
+        .filter(col("us") >= col("lo") && col("us") <= col("hi"))
+        .groupBy(col("ivl_id"))
+        .agg(count(lit(1)).as("n_in_window"), sum(col("cents")).as("cents"))
+      intervals.select(col("ivl_id"), col("user_id"))
+        .join(hits, Seq("ivl_id"), "left")
+        .select(col("ivl_id"), col("user_id"),
+          coalesce(col("n_in_window"), lit(0L)).as("n_in_window"),
+          (coalesce(col("cents"), lit(0L)).cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("ivl_id"))
+    }),
+
     // compaction is content-invariant: fragment a copy of documents into
     // 64 shard files, compact to ~target-size files, and aggregate the
     // COMPACTED table — must hash-match the oracle over the original.
@@ -344,6 +382,30 @@ object Scale {
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 400
         |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
+
+    // independent formulation: a direct (unbucketed) BETWEEN join — the
+    // oracle takes the semantic shortcut the Spark side exists to avoid
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_ns(ts) // 1000 AS us
+        |  FROM events
+        |), ivl AS (
+        |  SELECT event_id AS ivl_id, user_id, us AS lo, us + 300000000 AS hi
+        |  FROM e WHERE event_type = 'error'
+        |), agg AS (
+        |  SELECT i.ivl_id, count(*) AS n_in_window,
+        |         sum(CAST(round(p.value * 100) AS BIGINT)) AS cents
+        |  FROM ivl i JOIN e p
+        |    ON p.user_id = i.user_id AND p.event_type <> 'error'
+        |   AND p.us BETWEEN i.lo AND i.hi
+        |  GROUP BY i.ivl_id
+        |)
+        |SELECT i.ivl_id, i.user_id,
+        |  coalesce(a.n_in_window, 0) AS n_in_window,
+        |  CAST(coalesce(a.cents, 0) AS DOUBLE) / 100.0 AS sum_value
+        |FROM ivl i LEFT JOIN agg a ON i.ivl_id = a.ivl_id
+        |ORDER BY i.ivl_id""".stripMargin,
 
     // oracle over the ORIGINAL table: compaction must not change content
     "q_compact" ->

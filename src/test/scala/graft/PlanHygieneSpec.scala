@@ -90,6 +90,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(failures.isEmpty, s"plan hygiene violations:\n${failures.mkString("\n")}")
   }
 
+  test("q_interval_join: bucketized range join plans as hash joins, never a nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+    // the equi keys must be the bucketized pair
+    assert(p.contains("bucket"), s"no bucket key in join plan:\n$p")
+  }
+
   test("aggregations are two-phase (partial then final)") {
     val p = plan("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
