@@ -431,6 +431,67 @@ object Similarity {
           code(element_at(col("embedding"), 1), col("mn_raw"), col("mx_raw")).as("q_first"),
           code(element_at(col("embedding"), -1), col("mn_raw"), col("mx_raw")).as("q_last"))
         .orderBy(col("vec_id"))
+    }),
+
+    // K-means clustering (Lloyd, K=8, 2 iterations) over the embedding
+    // corpus — the curation primitive behind IVF cell maps, semantic
+    // sharding, and cluster-balanced sampling (k-means-then-sample is
+    // the standard "semantic dedup" recipe at corpus scale). Everything
+    // rides the 1e-3 integer grid (the ann_pq exactness pattern):
+    // components quantize to floor(v·1000+½) at the scan, centroid means
+    // re-quantize to the grid, squared-L2 distances are exact integers in
+    // 1e-6 units — products ≤ ~4e6 over 64 dims sum ≪ 2^53, so a full
+    // 2-iteration run is bit-identical in DuckDB and the assignment
+    // hash-compares. Scale shape: centroids are a K-row broadcast
+    // (assignment is a linear map pass per iteration — never a corpus
+    // shuffle, never a per-row window); the refine step shuffles only
+    // (k, dim) partial sums — map-side combined, O(K·dim) rows on the
+    // wire per iteration. Empty clusters drop out identically in both
+    // engines (groupBy over assigned rows only).
+    "emb_kmeans" -> ((s, dir) => {
+      val K = 8
+      def d2h(ss: Column, a: Column, b: Column, cc: Column): Column =
+        ss - lit(2.0) * dot_f32(a, b) + cc
+      val qv = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
+        .withColumn("ss", dot_f32(col("s"), col("s")))
+      // seeds: first K vectors (the deterministic IVF/PQ seeding rule)
+      val seeds = qv.filter(col("vec_id") < K)
+        .select(col("vec_id").as("k"), col("s").as("c"), col("ss").as("cc"))
+        .localCheckpoint(true)
+      // nearest centroid per vector: groupBy + min_by (map-side partial
+      // agg; ties break toward the lower cluster id)
+      def assign(cent: DataFrame): DataFrame =
+        qv.crossJoin(broadcast(cent))
+          .withColumn("__d", d2h(col("ss"), col("s"), col("c"), col("cc")))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("k"), col("s"), col("__d")),
+            struct(col("__d"), col("k"))).as("best"))
+          .select(col("vec_id"), col("best.k").as("k"), col("best.s").as("s"),
+            col("best.__d").cast("long").as("d6"))
+      // Lloyd update: BIGINT partial sums per (k, dim) — associative,
+      // order-immune — one double division, re-quantized to the grid
+      def refine(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("k"), posexplode(col("s")).as(Seq("dim", "v")))
+          .groupBy(col("k"), col("dim"))
+          .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("mu"))
+          .groupBy(col("k"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+          .select(col("k"),
+            transform(col("dm"),
+              x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
+          .withColumn("cc", dot_f32(col("c"), col("c")))
+          .localCheckpoint(true)
+      val cFinal = refine(assign(refine(assign(seeds))))
+      assign(cFinal)
+        .select(col("vec_id"), col("k").cast("long").as("cluster"),
+          // round at the grid's own scale (6) — the ann_pq boundary rule
+          round(col("d6") / lit(1000000.0), 6).as("d2"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -675,6 +736,64 @@ object Similarity {
         |    x -> x * x))), 5) AS l2,
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 5) AS sum,
         |  CAST(len(embedding) AS BIGINT) AS dim
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // Full-pipeline k-means mirror: the ann_pq integer-grid recipe
+    // (quantize → argmin by exact integer squared-L2 → BIGINT-mean
+    // re-quantized centroids), unrolled for 2 Lloyd iterations + the
+    // final assignment. Argmin ties break by cluster id on both sides.
+    "emb_kmeans" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> floor(x * 1000 + 0.5)) AS s
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id AS k, s AS c FROM qv WHERE vec_id < 8
+        |), a1 AS (
+        |  SELECT vec_id, k, s FROM (
+        |    SELECT qv.vec_id, c0.k, qv.s,
+        |      row_number() OVER (PARTITION BY qv.vec_id
+        |        ORDER BY list_inner_product(qv.s, qv.s)
+        |          - 2*list_inner_product(qv.s, c0.c)
+        |          + list_inner_product(c0.c, c0.c), c0.k) AS rn
+        |    FROM qv CROSS JOIN c0) WHERE rn = 1
+        |), e1 AS (
+        |  SELECT k, unnest(range(len(s))) AS dim, unnest(s) AS v FROM a1
+        |), m1 AS (
+        |  SELECT k, dim, CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mu
+        |  FROM e1 GROUP BY k, dim
+        |), c1 AS (
+        |  SELECT k, list(floor(mu + 0.5) ORDER BY dim) AS c FROM m1 GROUP BY k
+        |), a2 AS (
+        |  SELECT vec_id, k, s FROM (
+        |    SELECT qv.vec_id, c1.k, qv.s,
+        |      row_number() OVER (PARTITION BY qv.vec_id
+        |        ORDER BY list_inner_product(qv.s, qv.s)
+        |          - 2*list_inner_product(qv.s, c1.c)
+        |          + list_inner_product(c1.c, c1.c), c1.k) AS rn
+        |    FROM qv CROSS JOIN c1) WHERE rn = 1
+        |), e2 AS (
+        |  SELECT k, unnest(range(len(s))) AS dim, unnest(s) AS v FROM a2
+        |), m2 AS (
+        |  SELECT k, dim, CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mu
+        |  FROM e2 GROUP BY k, dim
+        |), c2 AS (
+        |  SELECT k, list(floor(mu + 0.5) ORDER BY dim) AS c FROM m2 GROUP BY k
+        |), fin AS (
+        |  SELECT vec_id, k, d6 FROM (
+        |    SELECT qv.vec_id, c2.k,
+        |      CAST(list_inner_product(qv.s, qv.s)
+        |        - 2*list_inner_product(qv.s, c2.c)
+        |        + list_inner_product(c2.c, c2.c) AS BIGINT) AS d6,
+        |      row_number() OVER (PARTITION BY qv.vec_id
+        |        ORDER BY list_inner_product(qv.s, qv.s)
+        |          - 2*list_inner_product(qv.s, c2.c)
+        |          + list_inner_product(c2.c, c2.c), c2.k) AS rn
+        |    FROM qv CROSS JOIN c2) WHERE rn = 1
+        |)
+        |SELECT vec_id, CAST(k AS BIGINT) AS cluster,
+        |  round(d6 / 1000000.0, 6) AS d2
+        |FROM fin ORDER BY vec_id""".stripMargin
   )
 }

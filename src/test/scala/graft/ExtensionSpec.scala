@@ -414,6 +414,34 @@ class ExtensionSpec extends SparkSpecBase {
     assert(overlap >= 0.2, s"avg top-5 recall vs brute force too low: $overlap")
   }
 
+  test("k-means covers the corpus and improves on the seed centroids") {
+    import graft.functions.HashExpressions.dot_f32
+    val km = ext.Similarity.queries("emb_kmeans")(spark, sfDir).collect()
+    val emb = graft.engine.Engine.table(spark, sfDir, "embeddings")
+    assert(km.length == emb.count(), "every vector assigned exactly once")
+    val clusters = km.map(_.getLong(1)).toSet
+    assert(clusters.subsetOf((0L until 8L).toSet), s"cluster ids out of range: $clusters")
+    assert(clusters.size >= 2, "degenerate single-cluster run")
+    km.foreach(r => assert(r.getDouble(2) >= 0.0, "negative squared distance"))
+    // Lloyd monotonicity: two refine iterations must not do worse than
+    // assigning straight to the raw seed vectors (same 1e-3 grid, same
+    // exact-integer distance — computed independently here)
+    val meanFinal = km.map(_.getDouble(2)).sum / km.length
+    val qv = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
+    val seeds = qv.filter(col("vec_id") < 8)
+      .select(col("s").as("c"))
+    val meanSeed = qv.crossJoin(seeds)
+      .select(col("vec_id"),
+        (dot_f32(col("s"), col("s")) - lit(2.0) * dot_f32(col("s"), col("c"))
+          + dot_f32(col("c"), col("c"))).as("d"))
+      .groupBy(col("vec_id")).agg(min(col("d")).as("d"))
+      .agg(avg(col("d") / lit(1000000.0))).head().getDouble(0)
+    assert(meanFinal <= meanSeed + 1e-9,
+      s"Lloyd iterations made the clustering worse: $meanFinal vs seed $meanSeed")
+  }
+
   test("as-of join: same-instant build visible, no-predecessor yields null") {
     import spark.implicits._
     val probe = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L))
