@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Watermarked stream-stream join (SURVEY §2.10 extension scope): the
+  * click→purchase attribution join — for every purchase, every click by
+  * the same user in the preceding `windowHours` hours. This is the one
+  * join shape the rest of the streaming family doesn't cover: BOTH
+  * sides are unbounded (contrast [[EnrichStream]], whose dim side is
+  * static), so each side must buffer rows in the state store until the
+  * other side's matching rows can no longer arrive.
+  *
+  * Scale shape: state is partitioned by the join key (the same hash
+  * clustering a batch shuffle join uses), so it shards across
+  * executors; the event-time range condition plus the two watermarks
+  * gives Spark a provable eviction bound — a click is dropped from
+  * state once the purchase-side watermark passes `click_ts +
+  * windowHours`, and a purchase once the click-side watermark passes
+  * `purchase_ts`. Retention is therefore O(ingest rate × (window +
+  * watermark delay)) per side — NEVER O(stream length). The spec
+  * drives this to an observable fixpoint: after far-future sentinel
+  * batches advance both watermarks, state collapses to the sentinels
+  * alone (every real row evicted).
+  */
+object JoinStream {
+
+  /** Core join on two streaming frames with columns
+    * (user_id, event_id, ts[, value]). Kept separate from the file
+    * wiring so tests can feed MemoryStream micro-batches. */
+  def attribution(clicks: DataFrame, purchases: DataFrame,
+      windowHours: Int = 24): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowHours HOURS"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** File wiring over the events table: clicks × purchases, 24 h
+    * attribution window. Two independent sources over the same parquet
+    * (each side advances its own watermark). */
+  def attributed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream
+      .schema(EventsStream.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    attribution(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"))
+  }
+
+  /** Drain the finite input through the memory sink; append mode — each
+    * attributed (purchase, click) pair is emitted exactly once. */
+  def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    val q = attributed(spark, dir).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -167,4 +167,79 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed == 1000L) // sf0.001 events row count
     } finally q.stop()
   }
+
+  test("stream-stream attribution join matches the batch range join") {
+    import org.apache.spark.sql.functions._
+    val q = graft.streaming.JoinStream.runToMemory(spark, sfDir, "join_stream_test")
+    try {
+      val streamed = spark.table("join_stream_test")
+        .select(col("purchase_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = graft.engine.Engine.table(spark, sfDir, "events")
+        .withColumn("tsq", timestamp_micros(expr("ts DIV 1000")))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          col("tsq").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("tsq").as("purchase_ts"))
+      val batch = c.join(p,
+          col("cu") === col("pu") &&
+            col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS"))
+        .select(col("purchase_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty, "vacuous fixture: no attributable purchases")
+      assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
+  test("stream-stream join state collapses once both watermarks pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.JoinStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(1700000000L * 1000 + h * 3600L * 1000)
+    val clicks = MemoryStream[AttrEvent]
+    val purchases = MemoryStream[AttrEvent]
+    val q = JoinStream.attribution(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("join_state_test").start()
+    try {
+      // batch 1: user 1 clicks at h=0 and h=9, purchase at h=10 (both in
+      // the 24h window); user 2 click with no purchase; user 3 purchase
+      // with no click
+      clicks.addData(AttrEvent(1L, 101L, ts(0), 0.0),
+        AttrEvent(1L, 102L, ts(9), 0.0), AttrEvent(2L, 201L, ts(9), 0.0))
+      purchases.addData(AttrEvent(1L, 901L, ts(10), 42.0),
+        AttrEvent(3L, 903L, ts(10), 7.0))
+      q.processAllAvailable()
+      val got = spark.table("join_state_test")
+        .select($"purchase_id", $"click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((901L, 101L), (901L, 102L)), s"got=$got")
+      // real rows are in state now (both sides buffer for future matches)
+      val before = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators.map(_.numRowsTotal).sum
+      assert(before >= 5, s"expected all 5 real rows buffered, got $before")
+      // two far-future sentinel batches on BOTH sides: the first advances
+      // the watermarks past every real row's eviction bound, the second
+      // triggers the eviction pass. The scale property: state is
+      // O(window + delay), never O(stream length).
+      for (h <- Seq(1000L, 2000L)) {
+        clicks.addData(AttrEvent(99L, 9000L + h, ts(h), 0.0))
+        purchases.addData(AttrEvent(99L, 9100L + h, ts(h), 0.0))
+        q.processAllAvailable()
+      }
+      val after = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators.map(_.numRowsTotal).sum
+      assert(after <= 4,
+        s"state did not collapse to the sentinels: $after rows retained")
+    } finally q.stop()
+  }
 }
+
+/** MemoryStream row for the stream-stream join spec (top-level for the
+  * case-class Encoder). */
+case class AttrEvent(user_id: Long, event_id: Long,
+  ts: java.sql.Timestamp, value: Double)
