@@ -695,6 +695,85 @@ object ScaleProbe {
     if (onlyProbes.isDefined && skewJoin.isDefined)
       mergeArtifact(factor, "aqe_skew_join", skewJoin.get)
 
+    // ---- runtime bloom-filter join pruning ---------------------------
+    // DPP (probe above) prunes PARTITIONS through a partition column;
+    // the runtime bloom filter is its row-level sibling for joins on
+    // NON-partition keys: the selective dim side builds a bloom filter
+    // at runtime and Catalyst injects might_contain(xxhash64(key)) into
+    // the fact side BEFORE its exchange, so non-matching fact rows never
+    // ride the shuffle. At 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling ~|dim matches| + FP
+    // rows. The join is forced onto the shuffle path (dim far past
+    // broadcast size is the 100 TB premise — same rationale as the skew
+    // probe) and the size gates are scaled to the shard exactly like the
+    // AQE skew knobs (defaults expect a 10 GB fact scan).
+    val bloomJoin: Option[String] =
+      if (onlyProbes.forall(_.contains("bloom_join"))) Some {
+        val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+          spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+          val dimDir = s"$out/bloom_dim.parquet"
+          if (!Files.exists(Paths.get(s"$dimDir/_SUCCESS"))) {
+            spark.range(1000000L)
+              .select(col("id").as("k"), pmod(col("id"), lit(2999L)).as("grp"))
+              .write.mode("overwrite").parquet(dimDir)
+          }
+          val fact = spark.read.parquet(ordersShard())
+          // Filter-over-scan on the dim: the selective-predicate shape
+          // InjectRuntimeFilter keys on (an in-memory range() is not a
+          // scan and never triggers injection)
+          def dim = spark.read.parquet(dimDir).filter(col("grp") === 7)
+          // the reduce consumes o_totalprice so real fact payload rides
+          // the exchange (the count(1)-prunes-payload trap, see above)
+          def q() = fact.join(dim, col("o_orderkey") === col("k"))
+            .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sp"))
+          def run(): (Long, Double, Double, org.apache.spark.sql.DataFrame) = {
+            val frame = q()
+            org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+            sumTaskRead.set(0L); nReadTasks.set(0L)
+            maxTaskRead.set(0L); maxTaskMs.set(0L)
+            val t0 = System.nanoTime()
+            val n = frame.collect().head.getLong(0)
+            val wall = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+            (n, sumTaskRead.get() / 1e6, wall, frame)
+          }
+          spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+          val (nOff, mbOff, wallOff, _) = run()
+          spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+          val (nOn, mbOn, wallOn, onQ) = run()
+          // executed frame's own queryExecution: the injected subquery
+          // filter must be visible in the final plan
+          val plan = onQ.queryExecution
+            .explainString(org.apache.spark.sql.execution.SimpleMode)
+          require(plan.toLowerCase.contains("might_contain"),
+            s"no runtime bloom filter in the executed plan:\n$plan")
+          require(nOn == nOff && nOn > 0,
+            s"bloom changed the join result: $nOff vs $nOn")
+          // the claim, on the deterministic axis (bytes, not wall): the
+          // fact side must shed its exchange volume
+          require(mbOff > 5 * mbOn,
+            f"runtime bloom did not cut the shuffle: $mbOff%.1f vs $mbOn%.1f MB")
+          println(f"RUNTIME BLOOM JOIN: rows=$nOn shuffle ${mbOff}%.1f -> ${mbOn}%.1f MB " +
+            f"(wall $wallOff%.1fs -> $wallOn%.1fs)")
+          def r1(v: Double): Double = math.rint(v * 10) / 10
+          s"""{"rows":$nOn,"shuffle_mb_off":${r1(mbOff)},"shuffle_mb_on":${r1(mbOn)},""" +
+            s""""wall_off_s":${r1(wallOff)},"wall_on_s":${r1(wallOn)}}"""
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+          spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+          spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+          spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        }
+      } else None
+    if (onlyProbes.isDefined && bloomJoin.isDefined)
+      mergeArtifact(factor, "runtime_bloom_join", bloomJoin.get)
+
     if (onlyProbes.isEmpty) {
       def r1(v: Double): Double = math.rint(v * 10) / 10
       val json = rows.map { case (n, w, mb, pk) =>
@@ -705,7 +784,8 @@ object ScaleProbe {
               zorderPruning).flatten ++
             dppPruning.map(s => s""""dpp_pruning":$s""") ++
             compaction.map(s => s""""compaction":$s""") ++
-            skewJoin.map(s => s""""aqe_skew_join":$s"""))
+            skewJoin.map(s => s""""aqe_skew_join":$s""") ++
+            bloomJoin.map(s => s""""runtime_bloom_join":$s"""))
             .map(_ + ",").mkString + s""""probes":{""",
         ",", "}}")
       val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",
