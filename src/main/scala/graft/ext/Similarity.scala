@@ -448,52 +448,106 @@ object Similarity {
     // (k, dim) partial sums — map-side combined, O(K·dim) rows on the
     // wire per iteration. Empty clusters drop out identically in both
     // engines (groupBy over assigned rows only).
-    "emb_kmeans" -> ((s, dir) => {
-      val K = 8
-      def d2h(ss: Column, a: Column, b: Column, cc: Column): Column =
-        ss - lit(2.0) * dot_f32(a, b) + cc
-      val qv = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
-        .withColumn("ss", dot_f32(col("s"), col("s")))
-      // seeds: first K vectors (the deterministic IVF/PQ seeding rule)
-      val seeds = qv.filter(col("vec_id") < K)
-        .select(col("vec_id").as("k"), col("s").as("c"), col("ss").as("cc"))
-        .localCheckpoint(true)
-      // nearest centroid per vector: groupBy + min_by (map-side partial
-      // agg; ties break toward the lower cluster id)
-      def assign(cent: DataFrame): DataFrame =
-        qv.crossJoin(broadcast(cent))
-          .withColumn("__d", d2h(col("ss"), col("s"), col("c"), col("cc")))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("k"), col("s"), col("__d")),
-            struct(col("__d"), col("k"))).as("best"))
-          .select(col("vec_id"), col("best.k").as("k"), col("best.s").as("s"),
-            col("best.__d").cast("long").as("d6"))
-      // Lloyd update: BIGINT partial sums per (k, dim) — associative,
-      // order-immune — one double division, re-quantized to the grid
-      def refine(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("k"), posexplode(col("s")).as(Seq("dim", "v")))
-          .groupBy(col("k"), col("dim"))
-          .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("mu"))
-          .groupBy(col("k"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
-          .select(col("k"),
-            transform(col("dm"),
-              x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
-          .withColumn("cc", dot_f32(col("c"), col("c")))
-          .localCheckpoint(true)
-      val cFinal = refine(assign(refine(assign(seeds))))
-      assign(cFinal)
+    "emb_kmeans" -> ((s, dir) =>
+      kmeansAssignGrid(s, dir)
         .select(col("vec_id"), col("k").cast("long").as("cluster"),
           // round at the grid's own scale (6) — the ann_pq boundary rule
           round(col("d6") / lit(1000000.0), 6).as("d2"))
+        .orderBy(col("vec_id"))),
+
+    // SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    // arXiv:2303.09540): k-means the embedding corpus, then prune
+    // near-identical pairs WITHIN each cluster only — the clustering
+    // bounds the otherwise-quadratic pair space to Σ|cluster|², and K
+    // is the knob that keeps cluster size (hence per-key work) constant
+    // as the corpus grows (the paper runs K=110k on LAION; here K=8 so
+    // the full 2-iteration Lloyd stays DuckDB-replayable). The
+    // within-cluster pair join is key-partitioned on the cluster id —
+    // no global pair materialization, no cross-cluster traffic.
+    //
+    // Exactness: the shared integer-grid Lloyd chain (kmeansAssignGrid —
+    // same code emb_kmeans runs, same CTE chain the oracle replays, so
+    // the two replays cannot drift) yields integer component arrays; the
+    // cosine threshold cos ≥ 0.45 is tested as
+    //   dot > 0  AND  400·dot² ≥ 81·ssa·ssb            (0.45² = 81/400)
+    // in pure BIGINT — dot, ssa, ssb are exact grid integers ≤ ~6.4e7
+    // for unit-scale 64-dim embeddings, so 400·dot² ≤ 1.6e18 < 2^63:
+    // no float compare anywhere near the oracle boundary. (Safe-scale
+    // envelope: |component|·1000 ≤ 2.1e4 at dim ≤ 1024 keeps every term
+    // under 2^63; past that, promote the two products to DECIMAL.)
+    "dedup_semantic" -> ((s, dir) => {
+      val assigned = kmeansAssignGrid(s, dir)
+        .withColumn("ss", dot_f32(col("s"), col("s")).cast("long"))
+        .localCheckpoint(true) // 3 self-references below; Lloyd runs once
+      val a = assigned.select(col("k"), col("vec_id").as("id_a"),
+        col("s").as("s_a"), col("ss").as("ss_a"))
+      val b = assigned.select(col("k"), col("vec_id").as("id_b"),
+        col("s").as("s_b"), col("ss").as("ss_b"))
+      // drop the HIGHER id of every over-threshold pair (deterministic
+      // keep-first representative — the paper's random keeper replaced
+      // by the lowest id so both engines agree)
+      val dup = a.join(b, Seq("k"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dot", dot_f32(col("s_a"), col("s_b")).cast("long"))
+        .filter(col("dot") > 0 &&
+          lit(400L) * col("dot") * col("dot") >=
+            lit(81L) * col("ss_a") * col("ss_b"))
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("sem_dup", lit(true))
+      assigned.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("k").cast("long").as("cluster"),
+          coalesce(col("sem_dup"), lit(false)).as("sem_dup"))
         .orderBy(col("vec_id"))
     })
   )
+
+  /** Shared 2-iteration integer-grid Lloyd (K=8, deterministic first-K
+   * seeds): the exact chain `emb_kmeans` exposes, factored out so
+   * `dedup_semantic` clusters with the SAME code (and the SAME oracle
+   * CTE chain — see [[kmeansCtes]]) rather than a drift-prone copy.
+   * Returns the final assignment: (vec_id, k, s: grid-int float array,
+   * d6: exact squared-L2 to the centroid in 1e-6 units). */
+  private def kmeansAssignGrid(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    def d2h(ss: Column, a: Column, b: Column, cc: Column): Column =
+      ss - lit(2.0) * dot_f32(a, b) + cc
+    val qv = t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
+      .withColumn("ss", dot_f32(col("s"), col("s")))
+    // seeds: first K vectors (the deterministic IVF/PQ seeding rule)
+    val seeds = qv.filter(col("vec_id") < K)
+      .select(col("vec_id").as("k"), col("s").as("c"), col("ss").as("cc"))
+      .localCheckpoint(true)
+    // nearest centroid per vector: groupBy + min_by (map-side partial
+    // agg; ties break toward the lower cluster id)
+    def assign(cent: DataFrame): DataFrame =
+      qv.crossJoin(broadcast(cent))
+        .withColumn("__d", d2h(col("ss"), col("s"), col("c"), col("cc")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("k"), col("s"), col("__d")),
+          struct(col("__d"), col("k"))).as("best"))
+        .select(col("vec_id"), col("best.k").as("k"), col("best.s").as("s"),
+          col("best.__d").cast("long").as("d6"))
+    // Lloyd update: BIGINT partial sums per (k, dim) — associative,
+    // order-immune — one double division, re-quantized to the grid
+    def refine(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("k"), posexplode(col("s")).as(Seq("dim", "v")))
+        .groupBy(col("k"), col("dim"))
+        .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("mu"))
+        .groupBy(col("k"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+        .select(col("k"),
+          transform(col("dm"),
+            x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
+        .withColumn("cc", dot_f32(col("c"), col("c")))
+        .localCheckpoint(true)
+    val cFinal = refine(assign(refine(assign(seeds))))
+    assign(cFinal)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "emb_quantize" ->
@@ -742,58 +796,86 @@ object Similarity {
     // (quantize → argmin by exact integer squared-L2 → BIGINT-mean
     // re-quantized centroids), unrolled for 2 Lloyd iterations + the
     // final assignment. Argmin ties break by cluster id on both sides.
+    // The chain is shared with dedup_semantic (kmeansCtes) so the two
+    // oracles replay the IDENTICAL clustering and cannot drift.
     "emb_kmeans" ->
-      """WITH qv AS (
-        |  SELECT vec_id,
-        |    list_transform(CAST(embedding AS DOUBLE[]),
-        |      x -> floor(x * 1000 + 0.5)) AS s
-        |  FROM embeddings
-        |), c0 AS (
-        |  SELECT vec_id AS k, s AS c FROM qv WHERE vec_id < 8
-        |), a1 AS (
-        |  SELECT vec_id, k, s FROM (
-        |    SELECT qv.vec_id, c0.k, qv.s,
-        |      row_number() OVER (PARTITION BY qv.vec_id
-        |        ORDER BY list_inner_product(qv.s, qv.s)
-        |          - 2*list_inner_product(qv.s, c0.c)
-        |          + list_inner_product(c0.c, c0.c), c0.k) AS rn
-        |    FROM qv CROSS JOIN c0) WHERE rn = 1
-        |), e1 AS (
-        |  SELECT k, unnest(range(len(s))) AS dim, unnest(s) AS v FROM a1
-        |), m1 AS (
-        |  SELECT k, dim, CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mu
-        |  FROM e1 GROUP BY k, dim
-        |), c1 AS (
-        |  SELECT k, list(floor(mu + 0.5) ORDER BY dim) AS c FROM m1 GROUP BY k
-        |), a2 AS (
-        |  SELECT vec_id, k, s FROM (
-        |    SELECT qv.vec_id, c1.k, qv.s,
-        |      row_number() OVER (PARTITION BY qv.vec_id
-        |        ORDER BY list_inner_product(qv.s, qv.s)
-        |          - 2*list_inner_product(qv.s, c1.c)
-        |          + list_inner_product(c1.c, c1.c), c1.k) AS rn
-        |    FROM qv CROSS JOIN c1) WHERE rn = 1
-        |), e2 AS (
-        |  SELECT k, unnest(range(len(s))) AS dim, unnest(s) AS v FROM a2
-        |), m2 AS (
-        |  SELECT k, dim, CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mu
-        |  FROM e2 GROUP BY k, dim
-        |), c2 AS (
-        |  SELECT k, list(floor(mu + 0.5) ORDER BY dim) AS c FROM m2 GROUP BY k
-        |), fin AS (
-        |  SELECT vec_id, k, d6 FROM (
-        |    SELECT qv.vec_id, c2.k,
-        |      CAST(list_inner_product(qv.s, qv.s)
-        |        - 2*list_inner_product(qv.s, c2.c)
-        |        + list_inner_product(c2.c, c2.c) AS BIGINT) AS d6,
-        |      row_number() OVER (PARTITION BY qv.vec_id
-        |        ORDER BY list_inner_product(qv.s, qv.s)
-        |          - 2*list_inner_product(qv.s, c2.c)
-        |          + list_inner_product(c2.c, c2.c), c2.k) AS rn
-        |    FROM qv CROSS JOIN c2) WHERE rn = 1
-        |)
+      s"""WITH $kmeansCtes
         |SELECT vec_id, CAST(k AS BIGINT) AS cluster,
         |  round(d6 / 1000000.0, 6) AS d2
-        |FROM fin ORDER BY vec_id""".stripMargin
+        |FROM fin ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup mirror: same kmeansCtes chain, then within-cluster pairs
+    // under the all-BIGINT cosine test (0.45² = 81/400) — see the Spark
+    // side for the exactness argument.
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_inner_product(a.s, b.s) AS BIGINT) AS dot,
+        |    CAST(list_inner_product(a.s, a.s) AS BIGINT) AS ssa,
+        |    CAST(list_inner_product(b.s, b.s) AS BIGINT) AS ssb
+        |  FROM fin a JOIN fin b ON a.k = b.k AND a.vec_id < b.vec_id
+        |), dup AS (
+        |  SELECT DISTINCT id_b AS vec_id FROM pairs
+        |  WHERE dot > 0 AND 400 * dot * dot >= 81 * ssa * ssb
+        |)
+        |SELECT f.vec_id, CAST(f.k AS BIGINT) AS cluster,
+        |  (d.vec_id IS NOT NULL) AS sem_dup
+        |FROM fin f LEFT JOIN dup d ON f.vec_id = d.vec_id
+        |ORDER BY f.vec_id""".stripMargin
   )
+
+  /** DuckDB replay of [[kmeansAssignGrid]] — the shared CTE chain ending
+   * in `fin(vec_id, k, s, d6)`. Spelled once so every consumer
+   * (emb_kmeans, dedup_semantic) replays the identical clustering. */
+  private def kmeansCtes: String =
+    """qv AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> floor(x * 1000 + 0.5)) AS s
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT vec_id AS k, s AS c FROM qv WHERE vec_id < 8
+      |), a1 AS (
+      |  SELECT vec_id, k, s FROM (
+      |    SELECT qv.vec_id, c0.k, qv.s,
+      |      row_number() OVER (PARTITION BY qv.vec_id
+      |        ORDER BY list_inner_product(qv.s, qv.s)
+      |          - 2*list_inner_product(qv.s, c0.c)
+      |          + list_inner_product(c0.c, c0.c), c0.k) AS rn
+      |    FROM qv CROSS JOIN c0) WHERE rn = 1
+      |), e1 AS (
+      |  SELECT k, unnest(range(len(s))) AS dim, unnest(s) AS v FROM a1
+      |), m1 AS (
+      |  SELECT k, dim, CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mu
+      |  FROM e1 GROUP BY k, dim
+      |), c1 AS (
+      |  SELECT k, list(floor(mu + 0.5) ORDER BY dim) AS c FROM m1 GROUP BY k
+      |), a2 AS (
+      |  SELECT vec_id, k, s FROM (
+      |    SELECT qv.vec_id, c1.k, qv.s,
+      |      row_number() OVER (PARTITION BY qv.vec_id
+      |        ORDER BY list_inner_product(qv.s, qv.s)
+      |          - 2*list_inner_product(qv.s, c1.c)
+      |          + list_inner_product(c1.c, c1.c), c1.k) AS rn
+      |    FROM qv CROSS JOIN c1) WHERE rn = 1
+      |), e2 AS (
+      |  SELECT k, unnest(range(len(s))) AS dim, unnest(s) AS v FROM a2
+      |), m2 AS (
+      |  SELECT k, dim, CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mu
+      |  FROM e2 GROUP BY k, dim
+      |), c2 AS (
+      |  SELECT k, list(floor(mu + 0.5) ORDER BY dim) AS c FROM m2 GROUP BY k
+      |), fin AS (
+      |  SELECT vec_id, k, s, d6 FROM (
+      |    SELECT qv.vec_id, c2.k, qv.s,
+      |      CAST(list_inner_product(qv.s, qv.s)
+      |        - 2*list_inner_product(qv.s, c2.c)
+      |        + list_inner_product(c2.c, c2.c) AS BIGINT) AS d6,
+      |      row_number() OVER (PARTITION BY qv.vec_id
+      |        ORDER BY list_inner_product(qv.s, qv.s)
+      |          - 2*list_inner_product(qv.s, c2.c)
+      |          + list_inner_product(c2.c, c2.c), c2.k) AS rn
+      |    FROM qv CROSS JOIN c2) WHERE rn = 1
+      |)""".stripMargin
 }

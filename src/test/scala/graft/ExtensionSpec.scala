@@ -442,6 +442,22 @@ class ExtensionSpec extends SparkSpecBase {
       s"Lloyd iterations made the clustering worse: $meanFinal vs seed $meanSeed")
   }
 
+  test("semantic dedup: cluster-consistent with k-means, keep-first invariant") {
+    val sem = ext.Similarity.queries("dedup_semantic")(spark, sfDir).collect()
+    val km = ext.Similarity.queries("emb_kmeans")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sem.length == km.size, "every vector gets a verdict exactly once")
+    // the clustering IS emb_kmeans's (shared kmeansAssignGrid chain)
+    sem.foreach(r => assert(r.getLong(1) == km(r.getLong(0)),
+      s"cluster drift vs emb_kmeans for vec ${r.getLong(0)}"))
+    // keep-first: a flagged vector always has a LOWER surviving id in its
+    // cluster, so the minimum id of every cluster is never flagged
+    val minIds = sem.groupBy(_.getLong(1)).values.map(_.map(_.getLong(0)).min).toSet
+    sem.filter(r => minIds.contains(r.getLong(0)))
+      .foreach(r => assert(!r.getBoolean(2),
+        s"cluster-minimum vec ${r.getLong(0)} flagged as duplicate"))
+  }
+
   test("as-of join: same-instant build visible, no-predecessor yields null") {
     import spark.implicits._
     val probe = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L))
