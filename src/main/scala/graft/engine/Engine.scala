@@ -111,16 +111,23 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    // default; read as Long nanos (queries convert via `ts DIV 1000` →
-    // timestamp_micros, preserving exact integer arithmetic). Guarded:
-    // set once per session, not mutated on every call — `table` is on
-    // the hot path of every query closure (round-4 verdict nit)
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+
+  /** `events.ts` arrives as parquet TIMESTAMP(MICROS) without a zone —
+    * Spark reads TIMESTAMP_NTZ, the driver's DuckDB oracle reads its own
+    * naive TIMESTAMP; both sides agree on wall values. Queries that need
+    * instant semantics (event-time windows, watermarks, `unix_*` epoch
+    * arithmetic) cast through the pinned UTC session zone, which is a
+    * numeric no-op at micro grain. */
+  def eventTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("timestamp")
+
+  /** Epoch microseconds of [[eventTs]] — the integer event-time grid the
+    * sessionize / as-of / interval-join family keys on (exact BIGINT
+    * arithmetic; no double rounding on the time axis). */
+  def eventTsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.unix_micros(c.cast("timestamp"))
 
   // registerTestdata memo: session UUID → last-registered sfDir.
   // Registration re-reads 10 parquet footers and re-plans 10 views — at

@@ -56,7 +56,7 @@ object AsOf {
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts DIV 1000").as("ts_us"), col("value"))
+          graft.engine.Engine.eventTsMicros(col("ts")).as("ts_us"), col("value"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       // dedupe build rows at (user, ts) keeping the max value: makes the

@@ -571,7 +571,7 @@ object Analytical {
     "q_sessionize" -> ((s, dir) => {
       val gapUs = 30L * 60 * 1000 * 1000
       val ev = t(s, dir, "events")
-        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+        .select(col("user_id"), graft.engine.Engine.eventTsMicros(col("ts")).as("ts_us"))
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       val sessions = ev
         .withColumn("prev", lag(col("ts_us"), 1).over(wOrd))

@@ -403,11 +403,11 @@ object Relational {
 
     // tumbling event-time bucket aggregation (batch analogue of the
     // streaming pipeline; see graft.streaming for the readStream variant).
-    // ts arrives as Long nanos (see Engine.table); integer DIV keeps
-    // microsecond exactness that double division would lose at 1e18.
+    // ts is TIMESTAMP_NTZ micros (see Engine.eventTs); the UTC cast gives
+    // the instant semantics date_trunc/window expect, numerically exact.
     "q_events_window" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("ts", Engine.eventTs(col("ts")))
         .groupBy(
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))

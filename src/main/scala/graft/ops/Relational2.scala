@@ -174,7 +174,7 @@ object Relational2 {
     // composed from integer epoch arithmetic (exact; SURVEY §2.8 mapping)
     "q_date_bin" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("tsx", Engine.eventTs(col("ts")))
         .withColumn("bin", timestamp_seconds(
           (unix_timestamp(col("tsx")) - pmod(unix_timestamp(col("tsx")), lit(900)))))
         .groupBy(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin15m"))
@@ -215,7 +215,7 @@ object Relational2 {
     // sliding event-time windows: 1h windows every 30min (each event in 2)
     "q_events_sliding" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("tsx", Engine.eventTs(col("ts")))
         .groupBy(window(col("tsx"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),

@@ -306,7 +306,7 @@ object Scale {
       val w = 300L * 1000000 // 5 min in µs
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), expr("ts DIV 1000").as("us"))
+          col("value"), graft.engine.Engine.eventTsMicros(col("ts")).as("us"))
       val intervals = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("ivl_id"), col("user_id"),
           col("us").as("lo"), (col("us") + w).as("hi"))

@@ -20,12 +20,11 @@ object DedupStream {
 
   /** Distinct events by content hash within a 1-hour watermark. */
   def dedupedEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(EventsStream.eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("tsx", graft.engine.Engine.eventTs(col("ts")))
       // content identity: the payload minus the per-delivery fields
       .withColumn("h", md5(concat_ws("|", col("user_id"), col("event_type"), col("props"))))
       .withWatermark("tsx", "1 hour")

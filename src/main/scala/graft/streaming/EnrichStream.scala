@@ -25,7 +25,6 @@ object EnrichStream {
   /** Events stream enriched with `c_mktsegment`; inner join drops
     * events whose user has no customer row (the testdata overlap). */
   def enriched(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.readStream
       .schema(EventsStream.eventsSchema)
       .option("pathGlobFilter", "events.parquet")

@@ -19,7 +19,7 @@ object EventsStream {
   /** Parquet schema of events, with ts as Long nanos (see Engine.table). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType), // parquet TIMESTAMP(MICROS), no zone
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -27,12 +27,11 @@ object EventsStream {
 
   /** Hourly tumbling-window counts/sums per event_type as a streaming DF. */
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // stream source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))

@@ -51,12 +51,11 @@ object JoinStream {
     * attribution window. Two independent sources over the same parquet
     * (each side advances its own watermark). */
   def attributed(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src = spark.readStream
       .schema(EventsStream.eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
     attribution(
       src.filter(col("event_type") === "click"),
       src.filter(col("event_type") === "purchase"))

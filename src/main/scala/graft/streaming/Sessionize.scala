@@ -108,12 +108,12 @@ object Sessionize {
     * unbounded form see [[incremental]]. */
   def run(spark: SparkSession, dir: String, name: String, gapMinutes: Int = 30): StreamingQuery = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events: Dataset[Event] = spark.readStream
       .schema(EventsStream.eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_type"))
+      .select(col("user_id"),
+        graft.engine.Engine.eventTsMicros(col("ts")).as("ts_us"), col("event_type"))
       .as[Event]
     val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
 

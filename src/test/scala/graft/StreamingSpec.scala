@@ -176,7 +176,7 @@ class StreamingSpec extends SparkSpecBase {
         .select(col("purchase_id"), col("click_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val ev = graft.engine.Engine.table(spark, sfDir, "events")
-        .withColumn("tsq", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("tsq", graft.engine.Engine.eventTs(col("ts")))
       val c = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("cu"), col("event_id").as("click_id"),
           col("tsq").as("click_ts"))
