@@ -399,6 +399,69 @@ object Pipeline {
           sum(length(col("text")).cast("long")).as("sum_chars"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))
+    }),
+
+    // C4-style duplicate-span REMOVAL — the corpus-rewrite stage
+    // downstream of `dedup_substring`'s detection pass (C4 removed any
+    // three-sentence span occurring more than once, keeping one copy;
+    // here the span unit is a non-overlapping 10-word tile, the same
+    // gram size the detector uses). A tile duplicated anywhere in the
+    // corpus — across docs or within one — survives only at its first
+    // occurrence in (doc_id, tile_idx) order; every doc is then
+    // reassembled from its kept tiles. Scale shape: tile TEXT never
+    // crosses an exchange — the global occurrence count + first-winner
+    // aggregate rides on xxhash64(tile) (8 B/tile, map-side partial
+    // min/count), and only the DUPLICATED subset (dup mass, not corpus
+    // mass) flows into the two broadcasts that mark removals, so the
+    // corpus itself is never reshuffled: tiling, removal marking, and
+    // reassembly are all per-row map work over the original layout. If
+    // dup mass outgrew the broadcast ceiling the two small joins fall
+    // back to shuffle joins on h / doc_id — the 8 B-per-tile count
+    // exchange stays the only corpus-sized movement either way.
+    // (Same 64-bit caveat as dedup_substring: Spark keys on
+    // xxhash64(tile), the oracle on the tile string.)
+    "pipe_span_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tiled = docs
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .withColumn("tiles", expr(
+          "transform(sequence(0, (size(tk)+9) div 10 - 1)," +
+            " i -> array_join(slice(tk, i*10+1, 10), ' '))"))
+        .select(col("doc_id"), col("tiles"))
+      // (doc_id, tile_idx) packed into one BIGINT so the first-winner
+      // aggregate is min(long) — a codegen'd HashAggregate with map-side
+      // partials; min(struct(..)) would force a SortAggregate, i.e. a
+      // per-partition sort of the corpus-sized tile stream. Envelope:
+      // doc_id < 2^43 and < 2^20 tiles/doc (10M words) — same
+      // documented-grid style as the integer money columns.
+      val tl = tiled
+        .select(col("doc_id"), posexplode(col("tiles")).as(Seq("pos", "tile")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("tile_idx"),
+          xxhash64(col("tile")).as("h"))
+        .withColumn("ord", col("doc_id") * lit(1L << 20) + col("tile_idx"))
+      val dup = tl.groupBy(col("h"))
+        .agg(count(lit(1)).as("c"), min(col("ord")).as("first_ord"))
+        .filter(col("c") >= 2)
+      val removed = tl.join(broadcast(dup), Seq("h"))
+        .filter(col("ord") =!= col("first_ord"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("tile_idx"))).as("rm"))
+      val rebuilt = tiled.join(broadcast(removed), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("tiles")).cast("long").as("n_tiles"),
+          coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"),
+          expr("array_join(filter(tiles, (x, i) -> NOT array_contains(" +
+            "coalesce(rm, array()), CAST(i+1 AS BIGINT))), ' ')")
+            .as("cleaned_text"))
+      docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tiles"), lit(0L)).as("n_tiles"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -549,7 +612,44 @@ object Pipeline {
         |  FROM documents)
         |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM b WHERE bucket < keep
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // pipe_span_scrub: the oracle ranks duplicate tiles by the tile
+    // STRING (Spark keys on xxhash64 — identical unless 64-bit collision)
+    "pipe_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), tiles AS (
+        |  SELECT doc_id, i AS tile_idx,
+        |    array_to_string(tk[(i-1)*10+1:(i-1)*10+10], ' ') AS tile
+        |  FROM toks, LATERAL unnest(generate_series(1,
+        |    CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS u(i)
+        |  WHERE len(tk) > 0
+        |), ranked AS (
+        |  SELECT doc_id, tile_idx, tile,
+        |    count(*) OVER (PARTITION BY tile) AS c,
+        |    row_number() OVER (PARTITION BY tile ORDER BY doc_id, tile_idx) AS rn
+        |  FROM tiles
+        |), kept AS (
+        |  SELECT doc_id, tile_idx, tile FROM ranked WHERE c = 1 OR rn = 1
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(tile, ' ' ORDER BY tile_idx) AS cleaned_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |), stats AS (
+        |  SELECT doc_id, count(*) AS n_tiles FROM tiles GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_tiles, 0) AS BIGINT) AS n_tiles,
+        |  CAST(coalesce(s.n_tiles, 0) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(r.cleaned_text, '') AS cleaned_text
+        |FROM documents d
+        |LEFT JOIN stats s USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** The bloom variant's contract is "identical output to the exact

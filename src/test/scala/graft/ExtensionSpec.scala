@@ -506,6 +506,48 @@ class ExtensionSpec extends SparkSpecBase {
     assert(a.keySet == Set("train", "val", "test"))
   }
 
+  test("span scrub equals the naive window formulation, keep-first holds") {
+    // independent duplicate: the oracle's window formulation (rank every
+    // tile occurrence by (doc_id, tile_idx), keep c==1 or rn==1) built in
+    // Spark, compared row-for-row against the operator's broadcast-
+    // marking plan — the two compute kept tiles by different routes
+    val out = SparkEntry.queries("pipe_span_scrub")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = graft.engine.Engine.table(spark, sfDir, "documents")
+    val tiles = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => length(x) > 0).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(tk)+9) div 10 - 1)," +
+          " i -> array_join(slice(tk, i*10+1, 10), ' '))"))
+        .as(Seq("pos", "tile")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tile")).orderBy(col("doc_id"), col("pos"))
+    val naive = tiles
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tile"))))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("c") > 1 && col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("c") === 1 || col("rn") === 1, struct(col("pos"), col("tile"))))),
+          s => s.getField("tile")), " ").as("cleaned_text"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(naive.keySet == out.keySet)
+    naive.foreach { case (id, exp) =>
+      assert(out(id) == exp, s"doc $id: op=${out(id)} naive=$exp") }
+    assert(out.values.map(_._2).sum > 0, "vacuous: no span removed at sf0.001")
+    // keep-first: removal only ever deletes a LATER occurrence, so the
+    // total kept mass equals the distinct tile count
+    val distinctTiles = tiles.select(col("tile")).distinct().count()
+    assert(out.values.map(v => v._1 - v._2).sum == distinctTiles)
+  }
+
   test("sequence packing: offsets contiguous within (lang, shard), bins honor context length") {
     val rows = ext.Pipeline.queries("pipe_pack")(spark, sfDir).collect()
     val byShard = rows.groupBy(r => (r.getString(1), r.getLong(2)))
