@@ -380,7 +380,38 @@ object TextAnalysis {
         .select(col("doc_id"),
           col("ce.n_uniq_chars").as("n_uniq_chars"),
           round(col("ce.char_entropy"), 4).as("char_entropy"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // inverted index (posting lists): term → document frequency,
+    // collection frequency, and the first-POSTING_CAP doc_ids in sorted
+    // order — the retrieval/dedup-side index build. The cap is applied
+    // BEFORE any list materializes: a row_number window over (term →
+    // doc_id) streams each term's postings and keeps ≤ CAP rows, so a
+    // stop-word term at 100 TB never collects a billion-element array
+    // into one aggregation buffer (collect-then-slice would). df/cf are
+    // window aggregates over the same per-(term,doc) frame — the corpus
+    // shuffles once to (term, doc_id) grain (map-side tf partials),
+    // then once more on term for the window+final agg; both exchanges
+    // carry counts, never text bodies beyond the term itself.
+    "text_inverted_index" -> ((s, dir) => {
+      val cap = 20
+      val postings = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0)).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val byTerm = Window.partitionBy(col("term"))
+      val headed = postings
+        .withColumn("df", count(lit(1)).over(byTerm))
+        .withColumn("cf", sum(col("tf")).over(byTerm))
+        .withColumn("rn", row_number().over(byTerm.orderBy(col("doc_id"))))
+        .filter(col("rn") <= cap)
+      headed.groupBy(col("term"))
+        .agg(max(col("df")).as("df"), max(col("cf")).as("cf"),
+          sort_array(collect_list(col("doc_id"))).as("postings_head"))
+        .orderBy(col("term"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -619,6 +650,26 @@ object TextAnalysis {
         |    u -> -(len(list_filter(cs, x -> x = u)) / CAST(len(cs) AS DOUBLE))
         |         * log2(len(list_filter(cs, x -> x = u)) / CAST(len(cs) AS DOUBLE)))),
         |    0.0) + 0.0, 4) END AS char_entropy
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS term
+        |  FROM documents
+        |), p AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), w AS (
+        |  SELECT term, doc_id, tf,
+        |    count(*) OVER (PARTITION BY term) AS df,
+        |    sum(tf) OVER (PARTITION BY term) AS cf,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM p
+        |)
+        |SELECT term, CAST(max(df) AS BIGINT) AS df, CAST(max(cf) AS BIGINT) AS cf,
+        |  list_sort(list(doc_id)) AS postings_head
+        |FROM w WHERE rn <= 20
+        |GROUP BY term ORDER BY term""".stripMargin
   )
 }

@@ -548,6 +548,24 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out.values.map(v => v._1 - v._2).sum == distinctTiles)
   }
 
+  test("inverted index: posting cap honored, df counts docs, cf counts occurrences") {
+    import spark.implicits._
+    // 25 docs share "common" (doc 0 twice), doc 3 alone has "rare" —
+    // the cap (20) must truncate common's postings to the 20 SMALLEST
+    // doc_ids while df/cf still reflect the whole corpus
+    val rows = (0L until 25L).map { i =>
+      (i, if (i == 0) "common common" else if (i == 3) "common rare" else "common")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("invidx").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_inverted_index")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(out("common") == ((25L, 26L, (0L until 20L))))
+    assert(out("rare") == ((1L, 1L, Seq(3L))))
+  }
+
   test("sequence packing: offsets contiguous within (lang, shard), bins honor context length") {
     val rows = ext.Pipeline.queries("pipe_pack")(spark, sfDir).collect()
     val byShard = rows.groupBy(r => (r.getString(1), r.getLong(2)))
