@@ -61,6 +61,31 @@ object ScaleProbe {
     println(s"[probe] merged $key into $f")
   }
 
+  /** Same non-clobbering policy for a single per-query row under
+    * `"probes"`: a gated run contributes its rows next to the full
+    * sweep's instead of requiring a fresh multi-minute unfiltered run
+    * (the 100× sweep re-measures the ~22-minute linear window-frame
+    * baseline, so full reruns are deliberately rare). */
+  private[graft] def mergeProbeRow(factor: Int, name: String, json: String): Unit = {
+    val f = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",
+      "/root/repo") + s"/PROBE_LOCAL_${factor}x.json")
+    if (!Files.exists(f)) {
+      println(s"[probe] $f missing — $name not recorded (run the full probe first)")
+      return
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(f))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val probes = root.get("probes") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => root.putObject("probes")
+    }
+    probes.set(name, mapper.readTree(json))
+    root.set("probes", probes)
+    Files.writeString(f, mapper.writeValueAsString(root) + "\n")
+    println(s"[probe] merged probes.$name into $f")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,7 +167,8 @@ object ScaleProbe {
       "curation_pipeline", "pipe_decontam", "ann_lsh", "ann_ivf",
       "pipe_stratified_sample", "text_unigram_logprob", "emb_quantize",
       "pipe_chunk", "dedup_substring", "pipe_decontam_bloom",
-      "pipe_token_budget", "ann_pq", "ann_lsh_multiprobe")
+      "pipe_token_budget", "ann_pq", "ann_lsh_multiprobe",
+      "pipe_span_scrub", "text_inverted_index")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -166,6 +192,11 @@ object ScaleProbe {
         .map(_.getLong(0) / 1e6).getOrElse(0.0)
       println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB peak_task_mem=$peakMb%8.1f MB")
       (name, secs, shuffleMb, peakMb)
+    }
+    if (onlyProbes.isDefined) rows.foreach { case (n, w, mb, pk) =>
+      def r1(v: Double): Double = math.rint(v * 10) / 10
+      mergeProbeRow(factor, n,
+        s"""{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)}}""")
     }
     // durable artifact (only for unfiltered runs — a partial probe must
     // not overwrite a full one): walls are single-run ±30%; the
