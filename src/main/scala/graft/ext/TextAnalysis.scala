@@ -393,6 +393,57 @@ object TextAnalysis {
     // shuffles once to (term, doc_id) grain (map-side tf partials),
     // then once more on term for the window+final agg; both exchanges
     // carry counts, never text bodies beyond the term itself.
+    // content-defined chunking (CDC) — the rolling-hash fingerprint
+    // primitive (Rabin-style): chunk boundaries are INTENSIONAL, cut
+    // where the 8-char rolling hash Σ code·31^j ≡ 0 (mod 64), so an
+    // insertion near the head of a document shifts only the chunk it
+    // lands in — every later boundary re-synchronizes and those chunk
+    // fingerprints survive verbatim. That is the property the tile-based
+    // pipe_span_scrub lacks (fixed tiling shifts every downstream tile)
+    // and what makes CDC fingerprints the shift-robust dedup signal.
+    // Expected chunk ≈ 64 chars (no min/max clamps — FastCDC's variance
+    // trims are a tuning layer, not the semantics). Pure per-row map —
+    // O(8·len) exact BIGINT window sums (max Σ < 4·10^12, no overflow),
+    // no shuffle but the output sort; fingerprints are md5-prefix
+    // longs so both engines derive them identically. Empty/NULL docs
+    // have no chunkable content and are absent on both sides.
+    "text_cdc_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("n", length(col("text")))
+        .withColumn("codes",
+          expr("transform(split(text, ''), x -> CAST(ascii(x) AS BIGINT))"))
+        .withColumn("cuts", expr(
+          """filter(transform(
+            |  CASE WHEN n >= 8 THEN sequence(1, n - 7)
+            |       ELSE CAST(array() AS ARRAY<INT>) END,
+            |  i -> CASE WHEN (element_at(codes, i) * 1L
+            |      + element_at(codes, i + 1) * 31L
+            |      + element_at(codes, i + 2) * 961L
+            |      + element_at(codes, i + 3) * 29791L
+            |      + element_at(codes, i + 4) * 923521L
+            |      + element_at(codes, i + 5) * 28629151L
+            |      + element_at(codes, i + 6) * 887503681L
+            |      + element_at(codes, i + 7) * 27512614111L) % 64 = 0
+            |      AND i + 7 < n THEN i + 7 ELSE -1 END),
+            |  p -> p >= 0)""".stripMargin))
+        .withColumn("ch", expr(
+          """transform(sequence(1, size(cuts) + 1), k ->
+            |  substring(text,
+            |    (CASE WHEN k = 1 THEN 0 ELSE element_at(cuts, k - 1) END) + 1,
+            |    (CASE WHEN k = size(cuts) + 1 THEN n ELSE element_at(cuts, k) END)
+            |      - (CASE WHEN k = 1 THEN 0 ELSE element_at(cuts, k - 1) END)))"""
+            .stripMargin))
+        .select(col("doc_id"),
+          size(col("ch")).cast("long").as("n_chunks"),
+          expr("CAST(array_min(transform(ch, x -> length(x))) AS BIGINT)")
+            .as("min_len"),
+          expr("CAST(array_max(transform(ch, x -> length(x))) AS BIGINT)")
+            .as("max_len"),
+          expr("transform(ch, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+            .as("fps"))
+        .orderBy(col("doc_id"))),
+
     "text_inverted_index" -> ((s, dir) => {
       val cap = 20
       val postings = t(s, dir, "documents")
@@ -651,6 +702,39 @@ object TextAnalysis {
         |         * log2(len(list_filter(cs, x -> x = u)) / CAST(len(cs) AS DOUBLE)))),
         |    0.0) + 0.0, 4) END AS char_entropy
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_cdc_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_transform(string_split(text, ''),
+        |                   x -> CAST(ascii(x) AS BIGINT)) AS codes
+        |  FROM documents
+        |), cuts AS (
+        |  SELECT doc_id, text, n,
+        |    list_filter(list_transform(
+        |      CASE WHEN n >= 8 THEN generate_series(1, n - 7) ELSE [] END,
+        |      i -> CASE WHEN (codes[i]*1 + codes[i+1]*31 + codes[i+2]*961
+        |            + codes[i+3]*29791 + codes[i+4]*923521
+        |            + codes[i+5]*28629151 + codes[i+6]*887503681
+        |            + codes[i+7]*27512614111) % 64 = 0
+        |            AND i + 7 < n THEN i + 7 ELSE -1 END),
+        |      p -> p >= 0) AS cuts
+        |  FROM c
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(cuts) + 1), k ->
+        |      substr(text,
+        |        (CASE WHEN k = 1 THEN 0 ELSE cuts[k-1] END) + 1,
+        |        (CASE WHEN k = len(cuts) + 1 THEN n ELSE cuts[k] END)
+        |          - (CASE WHEN k = 1 THEN 0 ELSE cuts[k-1] END))) AS ch
+        |  FROM cuts WHERE n > 0
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ch) AS BIGINT) AS n_chunks,
+        |  CAST(list_min(list_transform(ch, x -> length(x))) AS BIGINT) AS min_len,
+        |  CAST(list_max(list_transform(ch, x -> length(x))) AS BIGINT) AS max_len,
+        |  list_transform(ch, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS fps
+        |FROM chunks ORDER BY doc_id""".stripMargin,
 
     "text_inverted_index" ->
       """WITH toks AS (

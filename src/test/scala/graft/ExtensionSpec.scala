@@ -548,6 +548,31 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out.values.map(v => v._1 - v._2).sum == distinctTiles)
   }
 
+  test("CDC chunks are shift-robust: prefix insertion preserves interior fingerprints") {
+    import spark.implicits._
+    // same body behind two different-length prefixes: a fixed tiling
+    // would shift every downstream tile; CDC boundaries re-synchronize
+    // after the first cut past the edit, so interior fingerprints match
+    // "stopaaca" has rolling hash ≡ 0 (mod 64) — a guaranteed boundary
+    // after each occurrence, so the body chunks deterministically
+    val words = Seq("alpha", "bravo", "charlie", "delta",
+      "echo", "foxtrot", "golf", "hotel")
+    val body = words.map(w => s"$w stopaaca").mkString(" ")
+    val rows = Seq((1L, "A " + body), (2L, "a much longer inserted prefix " + body))
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_cdc_chunks")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](4).toSet).toMap
+    val shared = out(1L).intersect(out(2L))
+    assert(shared.nonEmpty,
+      s"no shared chunk fingerprints: ${out(1L).size} vs ${out(2L).size}")
+    // every chunk after the first resynchronizing boundary is identical,
+    // so the overlap is most of the smaller doc's chunk set
+    assert(shared.size * 2 >= math.min(out(1L).size, out(2L).size),
+      s"overlap too small: shared=${shared.size} sizes=${out(1L).size}/${out(2L).size}")
+  }
+
   test("inverted index: posting cap honored, df counts docs, cf counts occurrences") {
     import spark.implicits._
     // 25 docs share "common" (doc 0 twice), doc 3 alone has "rare" —
