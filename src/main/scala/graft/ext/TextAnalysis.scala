@@ -337,8 +337,12 @@ object TextAnalysis {
     // sample, blocked by (lang, length bucket) to bound the pair space —
     // the string-similarity cousin of the Jaccard verifier
     "dedup_levenshtein" -> ((s, dir) => {
+      // modulus 2 (the dedup_ngram_jaccard precedent): the %10 sample
+      // met ZERO qualifying pairs at the verified sf0.01 scale, so the
+      // blocking + threshold algebra was only vacuously cross-checked;
+      // %2 yields real pairs whose dist column the oracle hash-compares
       val sample = t(s, dir, "documents")
-        .filter(col("doc_id") % 10 === 0)
+        .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 40).as("head40"),
           // integer DIV, not cast(double): DuckDB's double→int cast
@@ -615,7 +619,7 @@ object TextAnalysis {
       """WITH sample AS (
         |  SELECT doc_id, lang, substring(text, 1, 40) AS head40,
         |    n_chars // 100 AS len_bucket
-        |  FROM documents WHERE doc_id % 10 = 0
+        |  FROM documents WHERE doc_id % 2 = 0
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.head40, b.head40) AS BIGINT) AS dist

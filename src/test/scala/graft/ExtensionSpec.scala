@@ -108,10 +108,10 @@ class ExtensionSpec extends SparkSpecBase {
   }
 
   test("levenshtein dedup: a planted in-bucket fuzzy pair is found, distant doc excluded") {
-    // dedup_levenshtein returns 0 rows on the testdata at every oracle
-    // scale (no fuzzy pairs exist), so without this fixture the blocked
-    // join + distance gate would only ever be vacuously validated —
-    // same risk class the ngram boundary fixture covers
+    // the %2 sample meets real pairs at sf0.01 (oracle-compared), but
+    // this fixture stays: it pins the exact pair/dist CONTENT on known
+    // ground truth, including the distant-doc exclusion the testdata
+    // pairs don't exercise
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lev").toString
     val a = "the quick brown fox jumps over the lazy dog and keeps running onward" // 69 chars
