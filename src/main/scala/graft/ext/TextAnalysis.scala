@@ -343,6 +343,10 @@ object TextAnalysis {
       // %2 yields real pairs whose dist column the oracle hash-compares
       val sample = t(s, dir, "documents")
         .filter(col("doc_id") % 2 === 0)
+        // spread the pair DP across cores (the dedup_ngram_jaccard
+        // precedent): the sample reads as ONE file split, and without
+        // this the per-pair Levenshtein matrix runs serially
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 40).as("head40"),
           // integer DIV, not cast(double): DuckDB's double→int cast
@@ -415,22 +419,13 @@ object TextAnalysis {
       t(s, dir, "documents")
         .filter(length(col("text")) > 0)
         .withColumn("n", length(col("text")))
-        .withColumn("codes",
-          expr("transform(split(text, ''), x -> CAST(ascii(x) AS BIGINT))"))
-        .withColumn("cuts", expr(
-          """filter(transform(
-            |  CASE WHEN n >= 8 THEN sequence(1, n - 7)
-            |       ELSE CAST(array() AS ARRAY<INT>) END,
-            |  i -> CASE WHEN (element_at(codes, i) * 1L
-            |      + element_at(codes, i + 1) * 31L
-            |      + element_at(codes, i + 2) * 961L
-            |      + element_at(codes, i + 3) * 29791L
-            |      + element_at(codes, i + 4) * 923521L
-            |      + element_at(codes, i + 5) * 28629151L
-            |      + element_at(codes, i + 6) * 887503681L
-            |      + element_at(codes, i + 7) * 27512614111L) % 64 = 0
-            |      AND i + 7 < n THEN i + 7 ELSE -1 END),
-            |  p -> p >= 0)""".stripMargin))
+        // native rolling-hash boundary scan (see CdcCuts scaladoc): the
+        // HOF window formulation (8 element_at per position through
+        // interpreted lambda frames) was the slowest bench query at
+        // 3.3 s — the DuckDB oracle below KEEPS that formulation as the
+        // independent mirror of the same cut rule
+        .withColumn("cuts",
+          graft.functions.HashExpressions.cdc_cuts(col("text")))
         .withColumn("ch", expr(
           """transform(sequence(1, size(cuts) + 1), k ->
             |  substring(text,

@@ -431,6 +431,70 @@ object HashExpressions {
   def char_entropy(c: Column): Column =
     Bridge.column(CharEntropy(Bridge.expression(c)))
 
+  /** Content-defined chunk boundaries (`text_cdc_chunks`): 1-based cut
+    * positions where the 8-code-point Rabin window Σ code·31^j ≡ 0
+    * (mod 64), excluding a cut at the very end (no empty trailing
+    * chunk). One code-point pass per row with an exact integer rolling
+    * update — h(i+1) = (h(i) − c_i)/31 + c_{i+7}·31⁷, division exact
+    * because every remaining term carries the factor 31. The HOF
+    * formulation (transform + 8 element_at per window through
+    * interpreted lambda frames) was the slowest bench query at 3.3 s;
+    * same move as [[CharEntropy]], which measured 62× for this class.
+    * Positions are code-point indices, matching `substring`/`length`
+    * semantics in BOTH engines (the DuckDB oracle keeps the HOF
+    * formulation as the independent mirror). */
+  case class CdcCuts(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    private val W = 8
+    private val B = 31L
+    private val B7 = 27512614111L // 31^7
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    def kernel(u: UTF8String): ArrayData = {
+      val s = u.toString
+      // code points, indexed like substring/length count them
+      var cap = s.length
+      val codes = new Array[Long](cap)
+      var n = 0
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        codes(n) = cp.toLong
+        n += 1
+        i += Character.charCount(cp)
+      }
+      if (n < W) return new GenericArrayData(Array.emptyIntArray)
+      val cuts = new scala.collection.mutable.ArrayBuffer[Int]()
+      var h = 0L
+      var j = 0
+      while (j < W) { h += codes(j) * pow31(j); j += 1 }
+      var start = 0
+      while (start <= n - W) {
+        // 0-based window start ≡ 1-based i = start+1; cut = i+7 = start+W
+        val cut = start + W
+        if (h % 64 == 0 && cut < n) cuts += cut
+        if (start < n - W)
+          h = (h - codes(start)) / B + codes(start + W) * B7
+        start += 1
+      }
+      new GenericArrayData(cuts.toArray)
+    }
+    private def pow31(j: Int): Long = { var p = 1L; var k = 0
+      while (k < j) { p *= B; k += 1 }; p }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cdcCuts", this, classOf[CdcCuts].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): CdcCuts = copy(child = c)
+    override def prettyName: String = "cdc_cuts"
+  }
+
+  def cdc_cuts(c: Column): Column =
+    Bridge.column(CdcCuts(Bridge.expression(c)))
+
   def word_shingles(c: Column, n: Int, distinct: Boolean = true): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n, distinct))
 

@@ -31,6 +31,7 @@ object Registry {
     }},
     "simhash64" -> { exprs: Seq[Expression] => SimHash64(exprs.head) },
     "char_entropy" -> { exprs: Seq[Expression] => CharEntropy(exprs.head) },
+    "cdc_cuts" -> { exprs: Seq[Expression] => CdcCuts(exprs.head) },
     "word_shingles" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => WordShingles(c, 3, distinct = true)
       case Seq(c, n) => WordShingles(c, intArg(n, "word_shingles n"), distinct = true)

@@ -61,6 +61,12 @@ class CodegenSpec extends SparkSpecBase {
     }
   }
 
+  test("cdc_cuts codegen compiles and matches interpreted eval") {
+    bothWays("cdc_cuts") {
+      docs.select(col("doc_id"), cdc_cuts(col("text")).as("cuts"))
+    }
+  }
+
   test("word_shingles codegen compiles and matches interpreted eval") {
     bothWays("word_shingles") {
       docs.select(col("doc_id"),
