@@ -422,15 +422,15 @@ object Pipeline {
     // xxhash64(tile), the oracle on the tile string.)
     "pipe_span_scrub" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // native ceil-split tiling (WordTiles): the HOF chain it replaces
+      // (split → filter → transform → slice → array_join) ran twice per
+      // doc through interpreted lambda frames — see the expression's
+      // scaladoc; the oracle keeps the HOF formulation in DuckDB as the
+      // independent mirror
       val tiled = docs
         .select(col("doc_id"),
-          filter(split(lower(col("text")), "[^a-z0-9]+"),
-            x => length(x) > 0).as("tk"))
-        .filter(size(col("tk")) > 0)
-        .withColumn("tiles", expr(
-          "transform(sequence(0, (size(tk)+9) div 10 - 1)," +
-            " i -> array_join(slice(tk, i*10+1, 10), ' '))"))
-        .select(col("doc_id"), col("tiles"))
+          graft.functions.HashExpressions.word_tiles(col("text"), 10).as("tiles"))
+        .filter(size(col("tiles")) > 0)
       // (doc_id, tile_idx) packed into one BIGINT so the first-winner
       // aggregate is min(long) — a codegen'd HashAggregate with map-side
       // partials; min(struct(..)) would force a SortAggregate, i.e. a

@@ -203,20 +203,7 @@ object HashExpressions {
     override protected def nullSafeEval(input: Any): Any =
       kernel(input.asInstanceOf[UTF8String])
     def kernel(u: UTF8String): ArrayData = {
-      val text = u.toLowerCase.toString
-      val tokens = new scala.collection.mutable.ArrayBuffer[String]()
-      val len = text.length
-      var i = 0
-      var start = -1
-      while (i <= len) {
-        val isTok = i < len && {
-          val c = text.charAt(i)
-          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-        }
-        if (isTok && start < 0) start = i
-        else if (!isTok && start >= 0) { tokens += text.substring(start, i); start = -1 }
-        i += 1
-      }
+      val tokens = HashExpressions.tokenizeLower(u)
       val out =
         if (tokens.length < n) Seq.empty[String]
         else {
@@ -497,6 +484,75 @@ object HashExpressions {
 
   def word_shingles(c: Column, n: Int, distinct: Boolean = true): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n, distinct))
+
+  /** Shared tokenizer of the shingle/tile family: lowercase, maximal
+    * [a-z0-9] runs — the exact `split(lower(text), '[^a-z0-9]+')`
+    * contract every oracle replays. */
+  private[functions] def tokenizeLower(
+      u: UTF8String): scala.collection.mutable.ArrayBuffer[String] = {
+    val text = u.toLowerCase.toString
+    val tokens = new scala.collection.mutable.ArrayBuffer[String]()
+    val len = text.length
+    var i = 0
+    var start = -1
+    while (i <= len) {
+      val isTok = i < len && {
+        val c = text.charAt(i)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (isTok && start < 0) start = i
+      else if (!isTok && start >= 0) { tokens += text.substring(start, i); start = -1 }
+      i += 1
+    }
+    tokens
+  }
+
+  /** Non-overlapping n-word tiles over the [[tokenizeLower]] token
+    * stream — `pipe_span_scrub`'s tiling unit: ceil(tokens/n) tiles, the
+    * last one short. The HOF chain this replaces (split → filter →
+    * transform(sequence) → slice → array_join, ~5 interpreted lambda
+    * frames per tile) ran twice per document (tile frame + reassembly
+    * frame) and held the span-scrub bench row at ~2.3 s; one compiled
+    * pass per row. Empty/whitespace-only docs yield an EMPTY array (the
+    * query's size(..) > 0 filter drops them, mirroring the oracle's
+    * `WHERE len(tk) > 0`). */
+  case class WordTiles(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    def kernel(u: UTF8String): ArrayData = {
+      val tokens = HashExpressions.tokenizeLower(u)
+      val nt = tokens.length
+      val tiles = new Array[Any]((nt + n - 1) / n)
+      val sb = new StringBuilder
+      var t = 0
+      while (t < tiles.length) {
+        sb.clear()
+        var k = t * n
+        val end = math.min(k + n, nt)
+        while (k < end) {
+          if (k > t * n) sb.append(' ')
+          sb.append(tokens(k)); k += 1
+        }
+        tiles(t) = UTF8String.fromString(sb.toString())
+        t += 1
+      }
+      new GenericArrayData(tiles)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordTiles", this, classOf[WordTiles].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): WordTiles = copy(child = c)
+    override def prettyName: String = "word_tiles"
+  }
+
+  def word_tiles(c: Column, n: Int): Column =
+    Bridge.column(WordTiles(Bridge.expression(c), n))
 
   /** Bloom-filter membership test against a BROADCAST filter — the
     * map-side prefilter primitive of the scalable decontamination path

@@ -32,6 +32,11 @@ object Registry {
     "simhash64" -> { exprs: Seq[Expression] => SimHash64(exprs.head) },
     "char_entropy" -> { exprs: Seq[Expression] => CharEntropy(exprs.head) },
     "cdc_cuts" -> { exprs: Seq[Expression] => CdcCuts(exprs.head) },
+    "word_tiles" -> { exprs: Seq[Expression] => exprs match {
+      case Seq(c) => WordTiles(c, 10)
+      case Seq(c, n) => WordTiles(c, intArg(n, "word_tiles n"))
+      case _ => throw new IllegalArgumentException("word_tiles(text[, n])")
+    }},
     "word_shingles" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => WordShingles(c, 3, distinct = true)
       case Seq(c, n) => WordShingles(c, intArg(n, "word_shingles n"), distinct = true)

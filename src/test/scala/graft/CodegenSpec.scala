@@ -67,6 +67,12 @@ class CodegenSpec extends SparkSpecBase {
     }
   }
 
+  test("word_tiles codegen compiles and matches interpreted eval") {
+    bothWays("word_tiles") {
+      docs.select(col("doc_id"), word_tiles(col("text"), 10).as("tiles"))
+    }
+  }
+
   test("word_shingles codegen compiles and matches interpreted eval") {
     bothWays("word_shingles") {
       docs.select(col("doc_id"),
