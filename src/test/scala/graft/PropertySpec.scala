@@ -37,6 +37,34 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("cdc_cuts rolling update ≡ direct window recompute on random strings") {
+    // the kernel derives h(i+1) = (h(i) − c_i)/31 + c_{i+7}·31⁷; this
+    // pins that algebra against the DEFINITION (recompute each window
+    // from scratch) on random ASCII + unicode-ish strings and the short/
+    // empty edges, independently of the DuckDB oracle mirror
+    val pows = Array.iterate(1L, 8)(_ * 31L)
+    def naive(s: String): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      (0 to n - 8).flatMap { st =>
+        val h = (0 until 8).map(j => cps(st + j).toLong * pows(j)).sum
+        if (h % 64 == 0 && st + 8 < n) Some(st + 8) else None
+      }
+    }
+    val gen = for {
+      len <- Gen.chooseNum(0, 300)
+      s <- Gen.listOfN(len, Gen.frequency(
+        9 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.oneOf('é', 'ß', '中')))
+    } yield s.mkString
+    val expr = graft.functions.HashExpressions.CdcCuts(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    (samples(gen, 60) ++ Seq("", "short", "exactly8", "exactly8!")).foreach { s =>
+      val got = expr.kernel(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toIntArray().toSeq
+      assert(got == naive(s), s"cuts diverge for ${s.take(40)}…: $got vs ${naive(s)}")
+    }
+  }
+
   test("sum_custom ≈ reference sum under random data and partitioning") {
     Udafs.registerAll(spark)
     import spark.implicits._
