@@ -401,6 +401,48 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // FineWeb-style per-language percentile gate: keep each language's
+    // docs at/above its own P75 of a quality signal (n_chars here — the
+    // signal is pluggable, the GATE is the operator). The exact quantile
+    // is computed by rank selection over ONE shuffle-sort — row_number +
+    // count windows stream per partition, then the two interpolation
+    // neighbors at floor/ceil of t = 0.75·(n−1) are picked by rank
+    // (R-7 linear interpolation, exact in double: BIGINT values and a
+    // quarter-grid fraction). Spark's own percentile() aggregate would
+    // buffer every group value in the agg buffer — the per-group OOM
+    // shape at corpus scale; this formulation never materializes a
+    // group. The K-row cutoff frame broadcasts back for a map-side
+    // gate. Oracle: DuckDB's quantile_cont — an INDEPENDENT
+    // implementation of the same R-7 definition.
+    "pipe_quality_cut" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val byLang = Window.partitionBy(col("lang"))
+      val r = docs
+        .withColumn("rn",
+          row_number().over(byLang.orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .withColumn("t", lit(0.75) * (col("n") - 1))
+      val picks = r
+        .groupBy(col("lang"))
+        .agg(
+          max(when(col("rn") === floor(col("t")).cast("long") + 1,
+            col("n_chars"))).as("vlo"),
+          max(when(col("rn") === ceil(col("t")).cast("long") + 1,
+            col("n_chars"))).as("vhi"),
+          max(col("t") - floor(col("t"))).as("f"))
+        .select(col("lang"),
+          (col("vlo") + (col("vhi") - col("vlo")) * col("f")).as("cutoff"))
+      docs.join(broadcast(picks), Seq("lang"))
+        .filter(col("n_chars") >= col("cutoff"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        .join(broadcast(picks), Seq("lang"))
+        .select(col("lang"), col("cutoff"), col("n_kept"), col("chars_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // C4-style duplicate-span REMOVAL — the corpus-rewrite stage
     // downstream of `dedup_substring`'s detection pass (C4 removed any
     // three-sentence span occurring more than once, keeping one copy;
@@ -613,6 +655,21 @@ object Pipeline {
         |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM b WHERE bucket < keep
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // pipe_quality_cut: quantile_cont IS the independent mirror of the
+    // rank-selection plan (same R-7 definition, different implementation)
+    "pipe_quality_cut" ->
+      """WITH cuts AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.75) AS cutoff
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.lang, c.cutoff,
+        |  count(*) AS n_kept,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+        |FROM documents d JOIN cuts c USING (lang)
+        |WHERE d.n_chars >= c.cutoff
+        |GROUP BY d.lang, c.cutoff
+        |ORDER BY d.lang""".stripMargin,
 
     // pipe_span_scrub: the oracle ranks duplicate tiles by the tile
     // STRING (Spark keys on xxhash64 — identical unless 64-bit collision)

@@ -548,6 +548,24 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out.values.map(v => v._1 - v._2).sum == distinctTiles)
   }
 
+  test("quality cut: R-7 interpolated P75 and the gate on a literal fixture") {
+    import spark.implicits._
+    // xx: [100,200,300,400] → t = 0.75·3 = 2.25 → 300 + (400−300)·0.25
+    // = 325, keeps only the 400-char doc; yy: single doc → cutoff =
+    // its own value, doc survives its own gate
+    val rows = Seq(
+      (1L, "xx", 100L), (2L, "xx", 200L), (3L, "xx", 300L), (4L, "xx", 400L),
+      (9L, "yy", 777L))
+    val tmp = java.nio.file.Files.createTempDirectory("qcut").toString
+    rows.toDF("doc_id", "lang", "n_chars").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipe_quality_cut")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("xx") == ((325.0, 1L, 400L)), s"xx: ${out("xx")}")
+    assert(out("yy") == ((777.0, 1L, 777L)), s"yy: ${out("yy")}")
+  }
+
   test("CDC chunks are shift-robust: prefix insertion preserves interior fingerprints") {
     import spark.implicits._
     // same body behind two different-length prefixes: a fixed tiling
