@@ -351,7 +351,25 @@ object Scale {
           sum(col("n_chars")).cast("long").as("sum_chars"),
           min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"))
         .orderBy(col("lang"))
-    })
+    }),
+
+    // order-independent table checksum — the migration/rewrite
+    // validator at corpus scale: after a compaction, upsert, format
+    // conversion or cluster move, "same content?" must be answerable
+    // WITHOUT sorting 100 TB. bit_xor of a per-row md5-long over a
+    // canonical row rendering is commutative/associative, so it
+    // map-side combines to 8 bytes per partition, no sort, no width
+    // growth (contrast sum: overflow semantics differ per engine).
+    // Restricted to string/BIGINT columns — double→string rendering
+    // is the one cross-engine hazard, and docs has none.
+    "q_table_checksum" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(conv(substring(md5(concat_ws("|",
+          col("doc_id").cast("string"), col("lang"), col("source"),
+          col("n_chars").cast("string"), col("text"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("checksum")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -412,6 +430,14 @@ object Scale {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS id_min, max(doc_id) AS id_max
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_table_checksum" ->
+      """SELECT count(*) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
+        |    CAST(n_chars AS VARCHAR) || '|' || text), 1, 15))::BIGINT)
+        |    AS checksum
+        |FROM documents""".stripMargin
   )
 }

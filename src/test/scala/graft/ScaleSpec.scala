@@ -157,6 +157,29 @@ class ScaleSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("table checksum: partition-order independent, single-char sensitive") {
+    import spark.implicits._
+    val base = SparkEntry.queries("q_table_checksum")(spark, sfDir).head()
+    // order independence: an adversarial reshuffle + reversed sort must
+    // not move the xor — the property that makes it a valid 100 TB
+    // migration validator (no canonical global order exists up there)
+    val shuffled = graft.engine.Engine.table(spark, sfDir, "documents")
+      .repartition(7, col("lang")).sortWithinPartitions(col("doc_id").desc)
+    val tmp = java.nio.file.Files.createTempDirectory("cksum").toString
+    shuffled.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val re = SparkEntry.queries("q_table_checksum")(spark, tmp).head()
+    assert(re.getLong(0) == base.getLong(0) && re.getLong(1) == base.getLong(1),
+      s"checksum moved under reshuffle: $base vs $re")
+    // sensitivity: one flipped character in one row must change it
+    val mutated = graft.engine.Engine.table(spark, sfDir, "documents")
+      .withColumn("text", when(col("doc_id") === 0, concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val tmp2 = java.nio.file.Files.createTempDirectory("cksum2").toString
+    mutated.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val mu = SparkEntry.queries("q_table_checksum")(spark, tmp2).head()
+    assert(mu.getLong(1) != base.getLong(1), "checksum blind to a 1-char edit")
+  }
+
   test("streaming sessionization emits sessions for every active user") {
     val q = Sessionize.run(spark, sfDir, "sess_test")
     try {
