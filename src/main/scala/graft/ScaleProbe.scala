@@ -86,6 +86,19 @@ object ScaleProbe {
     println(s"[probe] merged probes.$name into $f")
   }
 
+  /** Order-independent reduction of `text_inverted_index`'s full output
+    * (term, df, cf, postings_head) — bit_xor of per-row md5-longs, the
+    * `q_table_checksum` fold. Shared by the unconstrained probe run and
+    * [[SpillProbe]]'s squeezed rerun so the two values cannot drift. */
+  private[graft] def invertedIndexChecksum(
+      spark: SparkSession, dir: String): Long =
+    graft.SparkEntry.queries("text_inverted_index")(spark, dir)
+      .select(conv(substring(md5(concat_ws("|",
+        col("term"), col("df").cast("string"), col("cf").cast("string"),
+        expr("concat_ws(',', transform(postings_head, x -> CAST(x AS STRING)))"))),
+        1, 15), 16, 10).cast("long").as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -198,6 +211,18 @@ object ScaleProbe {
       def r1(v: Double): Double = math.rint(v * 10) / 10
       mergeProbeRow(factor, n,
         s"""{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)}}""")
+    }
+    // order-independent output checksum of the inverted index over this
+    // shard — the reference value graft.SpillProbe compares its
+    // memory-squeezed rerun against (the window_range_prefix
+    // framed_total pattern: spill must change the cost, not the answer)
+    val invChecksum: Option[Long] =
+      if (rows.exists(_._1 == "text_inverted_index"))
+        Some(invertedIndexChecksum(spark, out))
+      else None
+    invChecksum.foreach { c =>
+      if (onlyProbes.isDefined)
+        mergeArtifact(factor, "inverted_index_checksum", s"""{"checksum":$c}""")
     }
     // durable artifact (only for unfiltered runs — a partial probe must
     // not overwrite a full one): walls are single-run ±30%; the

@@ -110,6 +110,44 @@ object SpillProbe {
       Files.writeString(probeFile, mapper.writeValueAsString(rootNode) + "\n")
       println(s"merged window_range_prefix_spill into $probeFile")
     } else println(s"[spill] $probeFile missing — row not recorded (run ScaleProbe first)")
+
+    // ---- second squeeze target: the inverted-index term window -------
+    // text_inverted_index's 100× peak task (159 MB on the DESIGNED
+    // adversarial ~31-term vocab, where one term's posting partition is
+    // corpus÷31) is a row_number/count window sort — the same spillable
+    // UnsafeExternalSorter class as the prefix-sum rewrite. Same claim,
+    // same treatment: under the squeezed pool it must finish by
+    // SPILLING, and its full-output checksum must equal the
+    // unconstrained run's value recorded by ScaleProbe.
+    memSpill.set(0L); diskSpill.set(0L); peakTask.set(0L)
+    val t1 = System.nanoTime()
+    val invCk = ScaleProbe.invertedIndexChecksum(spark, out)
+    val invWall = (System.nanoTime() - t1) / 1e9
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    val invDiskMb = diskSpill.get() / 1e6
+    val invPeakMb = peakTask.get() / 1e6
+    println(f"SPILL PROBE (inverted index): checksum=$invCk wall=$invWall%.1fs " +
+      f"disk_spill=$invDiskMb%.1f MB peak_task=$invPeakMb%.1f MB")
+    require(invDiskMb > 0,
+      s"inverted-index window did not spill under fraction=$frac — claim untested")
+    if (Files.exists(probeFile)) {
+      val mapper = new ObjectMapper()
+      val rootNode = mapper.readTree(Files.readString(probeFile)).asInstanceOf[ObjectNode]
+      val ref = rootNode.path("inverted_index_checksum").path("checksum")
+      if (!ref.isMissingNode)
+        require(ref.asLong() == invCk,
+          s"spilled inverted index diverged: unconstrained=${ref.asLong()} spilled=$invCk")
+      def r1(v: Double): Double = math.rint(v * 10) / 10
+      val row = rootNode.putObject("inverted_index_spill")
+      row.put("mem_fraction", frac.toDouble)
+      row.put("checksum", invCk)
+      row.put("matches_unconstrained", !ref.isMissingNode)
+      row.put("wall_s", r1(invWall))
+      row.put("disk_spill_mb", r1(invDiskMb))
+      row.put("peak_task_mem_mb", r1(invPeakMb))
+      Files.writeString(probeFile, mapper.writeValueAsString(rootNode) + "\n")
+      println(s"merged inverted_index_spill into $probeFile")
+    }
     spark.stop()
   }
 }

@@ -55,6 +55,34 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_table_checksum: pure two-phase aggregate — no sort, no wide exchange") {
+    // the operator's whole claim is "validate 100 TB without sorting it":
+    // the plan must be scan → partial agg → single-row exchange → final
+    val p = plan("q_table_checksum")
+    assert(!p.contains("Sort "), s"checksum plan sorts:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate found:\n$p")
+    // count in the TREE section only (formatted mode re-lists every
+    // node in the details below it)
+    val tree = p.split("\n\n").head
+    assert("Exchange".r.findAllIn(tree).length <= 1,
+      s"more than the single final-agg exchange:\n$p")
+  }
+
+  test("pipe_quality_cut: cutoffs broadcast back — the corpus gate is map-side") {
+    val p = plan("pipe_quality_cut")
+    assert(p.contains("BroadcastHashJoin"), s"gate join did not broadcast:\n$p")
+  }
+
+  test("pipe_span_scrub: removal marking broadcasts; no corpus text re-shuffle") {
+    val p = plan("pipe_span_scrub")
+    // three broadcast joins: dup winners → tiles, removed → docs, rebuilt
+    // → docs; the only hash exchanges carry the 8B/tile count frame and
+    // the small removed frame
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ appeared:\n$p")
+  }
+
   test("q_join_cross is the only intentional cartesian") {
     val p = plan("q_join_cross")
     assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
