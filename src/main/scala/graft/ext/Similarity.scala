@@ -400,6 +400,45 @@ object Similarity {
           size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("vec_id"))),
 
+    // contrastive-training negative sampling: per query, K deterministic
+    // "random" negatives = the first K of an md5-ordered candidate pool
+    // whose cosine is UNDER the similarity floor τ (near-duplicates and
+    // semantic neighbors must never be labeled negative). The τ-floor —
+    // not a rank-band exclusion — is what keeps the shape linear at
+    // corpus scale: the M-candidate pool is a hash-range scan
+    // (TakeOrdered on md5, NO scoring of the corpus), queries broadcast,
+    // and only M×Q pairs are ever scored, where brute-force rank
+    // exclusion would pair-score the whole corpus per query. md5 order
+    // makes the sample retry-safe (the pipe_split determinism rule). A
+    // query with fewer than K sub-τ candidates in the pool yields fewer
+    // rows — the caller's cue to widen M, never silently refilled.
+    "emb_negative_sample" -> ((s, dir) => {
+      val M = 60
+      val K = 5
+      val tau = 0.1
+      val emb = t(s, dir, "embeddings")
+        .withColumn("nrm", l2norm(col("embedding")))
+      val q = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm")))
+      val cand = emb.filter(col("vec_id") >= 10)
+        .withColumn("h",
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .orderBy(col("h"), col("vec_id")).limit(M)
+      cand.crossJoin(q)
+        .select(col("q_id"), col("vec_id"), col("h"),
+          cosineWithNorms(col("q_vec"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("sim"))
+        .filter(col("sim") < tau)
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("h"), col("vec_id"))))
+        .filter(col("neg_rank") <= K)
+        .select(col("q_id"), col("neg_rank").cast("long").as("neg_rank"),
+          col("vec_id"), round(col("sim"), 5).as("sim"))
+        .orderBy(col("q_id"), col("neg_rank"))
+    }),
+
     // int8 affine quantization — the memory-4× primitive a 100 TB ANN
     // corpus stores and scans (full-precision floats live only at the
     // final rerank). Per vector: code(x) = floor((x−mn)·255/(mx−mn) + ½)
@@ -570,6 +609,31 @@ object Similarity {
         |       ELSE CAST(floor((CAST(embedding[-1] AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)
         |       END AS q_last
         |FROM d ORDER BY vec_id""".stripMargin,
+
+    // emb_negative_sample: the cosine doubles are the same comparison
+    // the ann_bruteforce oracle already hash-validates; the only new
+    // algebra is the md5-ordered pool + τ-floor, replayed verbatim
+    "emb_negative_sample" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+        |           FROM embeddings WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT vec_id, embedding,
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM embeddings WHERE vec_id >= 10
+        |  ORDER BY h, vec_id LIMIT 60
+        |), scored AS (
+        |  SELECT q.q_id, c.vec_id, c.h,
+        |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM cand c CROSS JOIN q
+        |), negs AS (
+        |  SELECT q_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY h, vec_id) AS neg_rank
+        |  FROM scored WHERE sim < 0.1
+        |)
+        |SELECT q_id, CAST(neg_rank AS BIGINT) AS neg_rank, vec_id,
+        |  round(sim, 5) AS sim
+        |FROM negs WHERE neg_rank <= 5 ORDER BY q_id, neg_rank""".stripMargin,
 
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

@@ -548,6 +548,33 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out.values.map(v => v._1 - v._2).sum == distinctTiles)
   }
 
+  test("negative sampling: sims under the floor, ranks contiguous, floor non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("emb_negative_sample")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // no semantic neighbor may be labeled negative: every emitted sim
+    // sits under the τ = 0.1 floor
+    assert(rows.forall(_._3 < 0.1), s"sim >= tau leaked: ${rows.filter(_._3 >= 0.1).toSeq}")
+    // ranks contiguous from 1 per query (the floor filters BEFORE ranking)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"rank gap for q=$q")
+    }
+    // the floor must actually exclude someone from the pool, or the
+    // spec validates a pass-through: recompute the M=60 pool and count
+    val emb = graft.engine.Engine.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val excluded = emb.filter(col("vec_id") >= 10)
+      .withColumn("h",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .orderBy(col("h"), col("vec_id")).limit(60)
+      .crossJoin(q)
+      .filter(graft.ext.Similarity.cosine(col("q_vec"), col("embedding")) >= 0.1)
+      .count()
+    assert(excluded > 0, "vacuous floor: no pool candidate was ever excluded")
+  }
+
   test("quality cut: R-7 interpolated P75 and the gate on a literal fixture") {
     import spark.implicits._
     // xx: [100,200,300,400] → t = 0.75·3 = 2.25 → 300 + (400−300)·0.25
