@@ -434,6 +434,43 @@ object ScaleProbe {
         s""""window_range_prefix":{"framed_total":$total,"wall_s":${math.rint(wall * 10) / 10},"peak_task_mem_mb":${math.rint(peakMb * 10) / 10}}"""
       } else None
 
+    // ---- quality-cut formulation comparison --------------------------
+    // pipe_quality_cut's comment claims Spark's percentile() aggregate
+    // "buffers every group value — the per-group OOM shape at corpus
+    // scale" while the rank-selection plan streams. Measure BOTH
+    // formulations over the shard's documents: same cutoffs required
+    // (they implement the same R-7 definition), peak task memory is the
+    // verdict metric.
+    val qualityCutAlt: Option[String] =
+      if (onlyProbes.forall(_.contains("quality_cut_alternative"))) Some {
+        val docs = Engine.table(spark, out, "documents")
+          .select(col("lang"), col("n_chars"))
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        peakTask.set(0L)
+        val t0 = System.nanoTime()
+        val buffered = docs.groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, 0.75)").as("cutoff"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val bufWall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        val bufPeak = peakTask.get() / 1e6
+        peakTask.set(0L)
+        val t1 = System.nanoTime()
+        val ranked = graft.SparkEntry.queries("pipe_quality_cut")(spark, out)
+          .select(col("lang"), col("cutoff"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val rkWall = (System.nanoTime() - t1) / 1e9
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        val rkPeak = peakTask.get() / 1e6
+        require(buffered == ranked,
+          s"formulations diverged: percentile()=$buffered rank=$ranked")
+        println(f"QUALITY CUT ALT: percentile() wall=$bufWall%.1fs peak=$bufPeak%.1f MB " +
+          f"vs rank-selection wall=$rkWall%.1fs peak=$rkPeak%.1f MB, cutoffs agree")
+        s""""quality_cut_alternative":{"cutoffs_agree":true,"percentile_wall_s":${math.rint(bufWall * 10) / 10},"percentile_peak_task_mb":${math.rint(bufPeak * 10) / 10},"rank_wall_s":${math.rint(rkWall * 10) / 10},"rank_peak_task_mb":${math.rint(rkPeak * 10) / 10}}"""
+      } else None
+    if (onlyProbes.isDefined && qualityCutAlt.isDefined)
+      mergeArtifact(factor, "quality_cut_alternative", qualityCutAlt.get)
+
     // ---- z-order layout pruning demonstration ------------------------
     // writeZOrdered claims parquet footer stats prune 2-D box predicates.
     // Measure it against the honest alternative — the same shard sorted
@@ -838,7 +875,7 @@ object ScaleProbe {
       }.mkString(
         s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
           (Seq(ivfPruning, incrBucketed, windowRange, windowRangePrefix,
-              zorderPruning).flatten ++
+              zorderPruning, qualityCutAlt).flatten ++
             dppPruning.map(s => s""""dpp_pruning":$s""") ++
             compaction.map(s => s""""compaction":$s""") ++
             skewJoin.map(s => s""""aqe_skew_join":$s""") ++

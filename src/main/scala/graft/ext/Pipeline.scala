@@ -408,12 +408,18 @@ object Pipeline {
     // count windows stream per partition, then the two interpolation
     // neighbors at floor/ceil of t = 0.75·(n−1) are picked by rank
     // (R-7 linear interpolation, exact in double: BIGINT values and a
-    // quarter-grid fraction). Spark's own percentile() aggregate would
-    // buffer every group value in the agg buffer — the per-group OOM
-    // shape at corpus scale; this formulation never materializes a
-    // group. The K-row cutoff frame broadcasts back for a map-side
-    // gate. Oracle: DuckDB's quantile_cont — an INDEPENDENT
-    // implementation of the same R-7 definition.
+    // quarter-grid fraction). Spark's own percentile() aggregate
+    // buffers every group value in the agg buffer — MEASURED against
+    // this plan (PROBE_LOCAL_100x.json `quality_cut_alternative`):
+    // percentile() is faster on the 500k-doc shard (1.5 vs 4.3s,
+    // identical cutoffs) precisely because its per-group buffer sits in
+    // UNTRACKED heap — peakExecutionMemory reads 0.0 MB while it holds
+    // the whole group — and untracked means unspillable: its failure
+    // mode at corpus scale is an executor OOM, not a slow spill. This
+    // formulation pays ~3s at probe scale for a TRACKED spillable sort.
+    // The K-row cutoff frame broadcasts back for a map-side gate.
+    // Oracle: DuckDB's quantile_cont — an INDEPENDENT implementation
+    // of the same R-7 definition.
     "pipe_quality_cut" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
