@@ -182,7 +182,7 @@ object ScaleProbe {
       "pipe_chunk", "dedup_substring", "pipe_decontam_bloom",
       "pipe_token_budget", "ann_pq", "ann_lsh_multiprobe",
       "pipe_span_scrub", "text_inverted_index", "text_cdc_chunks",
-      "pipe_quality_cut", "emb_negative_sample")
+      "pipe_quality_cut", "emb_negative_sample", "pipe_length_buckets")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -401,6 +401,40 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // padding-minimizing batch assembly — the FINE-TUNING/inference
+    // counterpart of pipe_pack (which concatenates docs to fill
+    // pretraining context windows): sequences of similar length batch
+    // together so per-batch padding (to the batch's common pad length)
+    // is bounded. pad_to = tokens rounded UP to a multiple of 16 — a
+    // pure integer grid, deliberately not ceil(log2(·)) (a float
+    // boundary both engines would have to agree on); every doc in a
+    // pad_to group pads to the same length, so waste is exact integer
+    // algebra. Batches are md5-ordered B=32 slices within each pad_to
+    // group (the pipe_split retry-safe determinism rule). Scale: one
+    // narrow (doc_id, tokens) shuffle keyed by pad_to; the ranking
+    // window streams per group, batch count ∝ corpus.
+    "pipe_length_buckets" -> ((s, dir) => {
+      val B = 32
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+            .cast("long").as("tokens"))
+        .withColumn("pad_to", expr("((tokens + 15) div 16) * 16"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+      val ranked = toks.withColumn("rn", row_number().over(
+        Window.partitionBy(col("pad_to")).orderBy(col("h"), col("doc_id"))))
+        .withColumn("batch_no", expr(s"(rn - 1) div $B"))
+      ranked.groupBy(col("pad_to"), col("batch_no"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("sum_tokens"))
+        .withColumn("padded_tokens", col("n_docs") * col("pad_to"))
+        .withColumn("waste6", TextAnalysis.ratioRound(
+          col("padded_tokens") - col("sum_tokens"), col("padded_tokens"), 6))
+        .select(col("pad_to"), col("batch_no"), col("n_docs"),
+          col("sum_tokens"), col("padded_tokens"), col("waste6"))
+        .orderBy(col("pad_to"), col("batch_no"))
+    }),
+
     // FineWeb-style per-language percentile gate: keep each language's
     // docs at/above its own P75 of a quality signal (n_chars here — the
     // signal is pluggable, the GATE is the operator). The exact quantile
@@ -661,6 +695,33 @@ object Pipeline {
         |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM b WHERE bucket < keep
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipe_length_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> length(x) > 0)) AS BIGINT) AS tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, tokens, ((tokens + 15) // 16) * 16 AS pad_to, h
+        |  FROM toks
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY pad_to ORDER BY h, doc_id) AS rn
+        |  FROM g
+        |), batched AS (
+        |  SELECT pad_to, (rn - 1) // 32 AS batch_no, tokens FROM ranked
+        |), agg AS (
+        |  SELECT pad_to, batch_no, count(*) AS n_docs,
+        |    CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |  FROM batched GROUP BY 1, 2
+        |)
+        |SELECT pad_to, batch_no, n_docs, sum_tokens,
+        |  n_docs * pad_to AS padded_tokens,
+        |  CAST((2 * (n_docs * pad_to - sum_tokens) * 1000000
+        |        + greatest(n_docs * pad_to, 1))
+        |    // (2 * greatest(n_docs * pad_to, 1)) AS DOUBLE) / 1000000.0 AS waste6
+        |FROM agg ORDER BY pad_to, batch_no""".stripMargin,
 
     // pipe_quality_cut: quantile_cont IS the independent mirror of the
     // rank-selection plan (same R-7 definition, different implementation)

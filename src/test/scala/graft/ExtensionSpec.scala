@@ -548,6 +548,26 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out.values.map(v => v._1 - v._2).sum == distinctTiles)
   }
 
+  test("length buckets: doc conservation, batch cap, non-negative bounded waste") {
+    val rows = SparkEntry.queries("pipe_length_buckets")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val total = graft.engine.Engine.table(spark, sfDir, "documents").count()
+    assert(rows.map(_._3).sum == total, "docs lost or duplicated across batches")
+    assert(rows.forall(_._3 <= 32), "batch cap exceeded")
+    // waste is non-negative and < 16/pad_to + rounding: every doc pads
+    // at most 15 tokens up to its own pad_to grid line
+    rows.foreach { case (padTo, b, n, sum, padded, waste) =>
+      assert(padded == n * padTo && sum <= padded, s"padding algebra broke at ($padTo,$b)")
+      assert(waste >= 0.0 && waste <= 15.0 * n / padded + 1e-6,
+        s"waste out of bounds at ($padTo,$b): $waste")
+    }
+    // batch numbering contiguous from 0 within each pad_to group
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length), s"batch gap in pad_to=$p")
+    }
+  }
+
   test("negative sampling: sims under the floor, ranks contiguous, floor non-vacuous") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("emb_negative_sample")(spark, "/root/testdata/sf0.01")
