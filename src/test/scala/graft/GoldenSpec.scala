@@ -137,6 +137,27 @@ class GoldenSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS golden_arrow_nation")
   }
 
+  test("golden REPL transcript: round-7 native text functions through SQL") {
+    // pins the SQL-visible surface of the round-7 expressions with exact
+    // literal results, the same way the arrow transcript pins the DDL
+    // path: a regression that silently un-registers or re-semantics one
+    // of these fails here, not in a user's session
+    Engine.configure(spark)
+    val script =
+      """-- golden transcript: tiling, CDC boundaries, checksum fold
+        |SELECT word_tiles('Alpha bravo charlie delta echo', 2) AS tiles;
+        |SELECT cdc_cuts('xyz') AS short_cuts;
+        |SELECT word_tiles('', 3) AS empty_tiles;
+        |""".stripMargin
+    val stmts = Main.splitStatements(script)
+    assert(stmts.length == 3, stmts.mkString("|"))
+    val r = stmts.map(spark.sql(_).head())
+    assert(r(0).getSeq[String](0) == Seq("alpha bravo", "charlie delta", "echo"),
+      r(0).toString) // lowercased, ceil split, short tail kept
+    assert(r(1).getSeq[Int](0) == Seq.empty, r(1).toString) // < 8 code points
+    assert(r(2).getSeq[String](0) == Seq.empty, r(2).toString)
+  }
+
   test("golden checksums pin crc32/xxhash64 exactly (no DuckDB mirror exists)") {
     // q_crc32 / text_fingerprint_xx are rows-only in the driver gate
     // because DuckDB has no in-query crc32/xxhash64; these pins are the
