@@ -443,8 +443,7 @@ object HashExpressions {
     def kernel(u: UTF8String): ArrayData = {
       val s = u.toString
       // code points, indexed like substring/length count them
-      var cap = s.length
-      val codes = new Array[Long](cap)
+      val codes = new Array[Long](s.length)
       var n = 0
       var i = 0
       while (i < s.length) {
