@@ -95,7 +95,7 @@ object ScaleProbe {
     graft.SparkEntry.queries("text_inverted_index")(spark, dir)
       .select(conv(substring(md5(concat_ws("|",
         col("term"), col("df").cast("string"), col("cf").cast("string"),
-        expr("concat_ws(',', transform(postings_head, x -> CAST(x AS STRING)))"))),
+        col("postings_head"))),
         1, 15), 16, 10).cast("long").as("h"))
       .agg(expr("bit_xor(h)")).head().getLong(0)
 

@@ -415,6 +415,9 @@ object TextAnalysis {
     // no shuffle but the output sort; fingerprints are md5-prefix
     // longs so both engines derive them identically. Empty/NULL docs
     // have no chunkable content and are absent on both sides.
+    // Output grain is one ROW per chunk (doc_id, chunk_idx) — scalar
+    // columns only, so the oracle harness hash-compares every single
+    // chunk fingerprint (an array<bigint> column is unhashable there).
     "text_cdc_chunks" -> ((s, dir) =>
       t(s, dir, "documents")
         .filter(length(col("text")) > 0)
@@ -435,13 +438,13 @@ object TextAnalysis {
             .stripMargin))
         .select(col("doc_id"),
           size(col("ch")).cast("long").as("n_chunks"),
-          expr("CAST(array_min(transform(ch, x -> length(x))) AS BIGINT)")
-            .as("min_len"),
-          expr("CAST(array_max(transform(ch, x -> length(x))) AS BIGINT)")
-            .as("max_len"),
-          expr("transform(ch, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
-            .as("fps"))
-        .orderBy(col("doc_id"))),
+          posexplode(col("ch")).as(Seq("i", "chunk")))
+        .select(col("doc_id"), col("n_chunks"),
+          (col("i") + 1).cast("long").as("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          expr("CAST(conv(substring(md5(chunk), 1, 15), 16, 10) AS BIGINT)")
+            .as("fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
 
     "text_inverted_index" -> ((s, dir) => {
       val cap = 20
@@ -457,9 +460,14 @@ object TextAnalysis {
         .withColumn("cf", sum(col("tf")).over(byTerm))
         .withColumn("rn", row_number().over(byTerm.orderBy(col("doc_id"))))
         .filter(col("rn") <= cap)
+      // postings_head is rendered as a comma-joined STRING (doc ids in
+      // ascending numeric order): the driver's oracle harness lexsorts
+      // then hashes the frame, and array columns are unhashable there —
+      // the join keeps the full head verbatim in one scalar cell.
       headed.groupBy(col("term"))
         .agg(max(col("df")).as("df"), max(col("cf")).as("cf"),
-          sort_array(collect_list(col("doc_id"))).as("postings_head"))
+          expr("array_join(transform(sort_array(collect_list(doc_id))," +
+            " x -> CAST(x AS STRING)), ',')").as("postings_head"))
         .orderBy(col("term"))
     })
   )
@@ -728,12 +736,15 @@ object TextAnalysis {
         |          - (CASE WHEN k = 1 THEN 0 ELSE cuts[k-1] END))) AS ch
         |  FROM cuts WHERE n > 0
         |)
-        |SELECT doc_id,
-        |  CAST(len(ch) AS BIGINT) AS n_chunks,
-        |  CAST(list_min(list_transform(ch, x -> length(x))) AS BIGINT) AS min_len,
-        |  CAST(list_max(list_transform(ch, x -> length(x))) AS BIGINT) AS max_len,
-        |  list_transform(ch, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS fps
-        |FROM chunks ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, n_chunks, chunk_idx,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |  ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS fp
+        |FROM (
+        |  SELECT doc_id, CAST(len(ch) AS BIGINT) AS n_chunks,
+        |    CAST(unnest(generate_series(1, len(ch))) AS BIGINT) AS chunk_idx,
+        |    unnest(ch) AS chunk
+        |  FROM chunks)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_inverted_index" ->
       """WITH toks AS (
@@ -751,7 +762,7 @@ object TextAnalysis {
         |  FROM p
         |)
         |SELECT term, CAST(max(df) AS BIGINT) AS df, CAST(max(cf) AS BIGINT) AS cf,
-        |  list_sort(list(doc_id)) AS postings_head
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings_head
         |FROM w WHERE rn <= 20
         |GROUP BY term ORDER BY term""".stripMargin
   )

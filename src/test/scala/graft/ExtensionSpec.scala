@@ -627,8 +627,10 @@ class ExtensionSpec extends SparkSpecBase {
     val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
     rows.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
+    // one row per chunk now: (doc_id, n_chunks, chunk_idx, chunk_len, fp)
     val out = SparkEntry.queries("text_cdc_chunks")(spark, tmp)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](4).toSet).toMap
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(4)).toSet }
     val shared = out(1L).intersect(out(2L))
     assert(shared.nonEmpty,
       s"no shared chunk fingerprints: ${out(1L).size} vs ${out(2L).size}")
@@ -651,7 +653,8 @@ class ExtensionSpec extends SparkSpecBase {
       .parquet(s"$tmp/documents.parquet")
     val out = SparkEntry.queries("text_inverted_index")(spark, tmp)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+        ((r.getLong(1), r.getLong(2),
+          r.getString(3).split(",").map(_.toLong).toSeq))).toMap
     assert(out("common") == ((25L, 26L, (0L until 20L))))
     assert(out("rare") == ((1L, 1L, Seq(3L))))
   }
