@@ -879,7 +879,13 @@ object ScaleProbe {
             dppPruning.map(s => s""""dpp_pruning":$s""") ++
             compaction.map(s => s""""compaction":$s""") ++
             skewJoin.map(s => s""""aqe_skew_join":$s""") ++
-            bloomJoin.map(s => s""""runtime_bloom_join":$s"""))
+            bloomJoin.map(s => s""""runtime_bloom_join":$s""") ++
+            // the checksum is computed on every run that includes the
+            // inverted index; persist it on unfiltered sweeps too, or a
+            // full rewrite of this file would clobber the merged key and
+            // silently downgrade SpillProbe's cross-run equality check
+            invChecksum.map(c =>
+              s""""inverted_index_checksum":{"checksum":$c}"""))
             .map(_ + ",").mkString + s""""probes":{""",
         ",", "}}")
       val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",

@@ -428,8 +428,13 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("tokens")).as("sum_tokens"))
         .withColumn("padded_tokens", col("n_docs") * col("pad_to"))
+        // greatest()-guard per ratioRound's den >= 1 contract: an all-
+        // whitespace doc has tokens=0 → pad_to=0 → padded_tokens=0, and
+        // the ANSI IntegralDivide would throw; the oracle guards the
+        // same way (greatest(n_docs*pad_to, 1)) and reports waste 0.0
         .withColumn("waste6", TextAnalysis.ratioRound(
-          col("padded_tokens") - col("sum_tokens"), col("padded_tokens"), 6))
+          col("padded_tokens") - col("sum_tokens"),
+          greatest(col("padded_tokens"), lit(1L)), 6))
         .select(col("pad_to"), col("batch_no"), col("n_docs"),
           col("sum_tokens"), col("padded_tokens"), col("waste6"))
         .orderBy(col("pad_to"), col("batch_no"))

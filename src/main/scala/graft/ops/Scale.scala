@@ -359,9 +359,15 @@ object Scale {
     // WITHOUT sorting 100 TB. bit_xor of a per-row md5-long over a
     // canonical row rendering is commutative/associative, so it
     // map-side combines to 8 bytes per partition, no sort, no width
-    // growth (contrast sum: overflow semantics differ per engine).
-    // Restricted to string/BIGINT columns — double→string rendering
-    // is the one cross-engine hazard, and docs has none.
+    // growth. xor alone has an even-multiplicity blind spot ({X,X} →
+    // {Y,Y} preserves n_rows AND the xor — and accidental row
+    // duplication is precisely a migration failure mode), so the fold
+    // is PAIRED with the multiset sum of the same md5-longs, carried
+    // as three 20-bit limb sums: sum(limb_k) is overflow-safe to
+    // ~8.8e12 rows under ANSI (each term < 2^20, no wrap semantics to
+    // match cross-engine), and limb-sum equality ⟺ full mod-2^64 sum
+    // equality. Restricted to string/BIGINT columns — double→string
+    // rendering is the one cross-engine hazard, and docs has none.
     "q_table_checksum" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(conv(substring(md5(concat_ws("|",
@@ -369,7 +375,10 @@ object Scale {
           col("n_chars").cast("string"), col("text"))), 1, 15), 16, 10)
           .cast("long").as("h"))
         .agg(count(lit(1)).as("n_rows"),
-          expr("bit_xor(h)").as("checksum")))
+          expr("bit_xor(h)").as("checksum"),
+          expr("sum(h % 1048576)").as("sum_lo"),
+          expr("sum((h div 1048576) % 1048576)").as("sum_mid"),
+          expr("sum(h div 1099511627776)").as("sum_hi")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -433,11 +442,15 @@ object Scale {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_table_checksum" ->
-      """SELECT count(*) AS n_rows,
-        |  bit_xor(('0x' || substr(md5(
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(
         |    CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
-        |    CAST(n_chars AS VARCHAR) || '|' || text), 1, 15))::BIGINT)
-        |    AS checksum
-        |FROM documents""".stripMargin
+        |    CAST(n_chars AS VARCHAR) || '|' || text), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT count(*) AS n_rows, bit_xor(h) AS checksum,
+        |  CAST(sum(h % 1048576) AS BIGINT) AS sum_lo,
+        |  CAST(sum((h // 1048576) % 1048576) AS BIGINT) AS sum_mid,
+        |  CAST(sum(h // 1099511627776) AS BIGINT) AS sum_hi
+        |FROM h""".stripMargin
   )
 }

@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Parquet schema of events, with ts as Long nanos (see Engine.table). */
+  /** Parquet schema of events: ts is TIMESTAMP_NTZ (parquet
+    * TIMESTAMP(MICROS), no zone) — arithmetic on it goes through
+    * Engine.eventTs / Engine.eventTsMicros, never raw integers. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampNTZType), // parquet TIMESTAMP(MICROS), no zone

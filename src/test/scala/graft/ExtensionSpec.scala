@@ -568,6 +568,21 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("length buckets: zero-token docs land in pad_to=0 with waste 0, no ANSI divide") {
+    import spark.implicits._
+    // whitespace-only/empty docs are legal inputs (word_tiles and CDC
+    // handle them); pad_to=0 → padded_tokens=0 once hit the unguarded
+    // ratioRound denominator and threw under ANSI
+    val rows = Seq((1L, "   "), (2L, ""), (3L, "one two three"))
+    val tmp = java.nio.file.Files.createTempDirectory("lbz").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipe_length_buckets")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(5)))).toMap
+    assert(out(0L) == ((2L, 0.0)), s"zero-token batch: ${out.get(0L)}")
+    assert(out(16L) == ((1L, 0.8125)), s"3-token batch: ${out.get(16L)}") // 13/16
+  }
+
   test("negative sampling: sims under the floor, ranks contiguous, floor non-vacuous") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("emb_negative_sample")(spark, "/root/testdata/sf0.01")

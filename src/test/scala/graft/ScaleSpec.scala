@@ -168,7 +168,7 @@ class ScaleSpec extends SparkSpecBase {
     val tmp = java.nio.file.Files.createTempDirectory("cksum").toString
     shuffled.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val re = SparkEntry.queries("q_table_checksum")(spark, tmp).head()
-    assert(re.getLong(0) == base.getLong(0) && re.getLong(1) == base.getLong(1),
+    assert((0 to 4).forall(i => re.getLong(i) == base.getLong(i)),
       s"checksum moved under reshuffle: $base vs $re")
     // sensitivity: one flipped character in one row must change it
     val mutated = graft.engine.Engine.table(spark, sfDir, "documents")
@@ -178,6 +178,25 @@ class ScaleSpec extends SparkSpecBase {
     mutated.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
     val mu = SparkEntry.queries("q_table_checksum")(spark, tmp2).head()
     assert(mu.getLong(1) != base.getLong(1), "checksum blind to a 1-char edit")
+    // the xor blind spot the limb sums close: even-multiplicity
+    // multisets {X,X} vs {Y,Y} agree on n_rows AND xor (pairs cancel
+    // to 0 on both sides) — only the multiset sum tells them apart,
+    // and duplicated rows are exactly a migration failure mode
+    val docs = graft.engine.Engine.table(spark, sfDir, "documents")
+    for ((src, dst) <- Seq(docs -> "cksum3", mutated -> "cksum4")) {
+      val d = java.nio.file.Files.createTempDirectory(dst).toString
+      src.unionAll(src).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val r = SparkEntry.queries("q_table_checksum")(spark, d).head()
+      assert(r.getLong(1) == 0L, s"paired xor should cancel: $r")
+      if (dst == "cksum3")
+        assert(Seq(2, 3, 4).map(r.getLong) ==
+          Seq(2, 3, 4).map(i => 2 * base.getLong(i)),
+          s"limb sums should double under row duplication: $r vs $base")
+      else
+        assert(Seq(2, 3, 4).map(r.getLong) !=
+          Seq(2, 3, 4).map(i => 2 * base.getLong(i)),
+          "limb sums blind to {X,X}->{Y,Y}")
+    }
   }
 
   test("streaming sessionization emits sessions for every active user") {
