@@ -265,11 +265,21 @@ object Functions {
         .filter(col("doc_id") < 200)
         .orderBy(col("doc_id"))),
 
-    // crc32 has no DuckDB counterpart → rows-only check (+ spec test)
-    "q_crc32" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), crc32(col("text").cast("binary")).as("crc"))
-        .orderBy(col("doc_id"))),
+    // crc32 has no DuckDB function, but CRC-32 (IEEE 802.3) is a pinned
+    // public standard: the driver gate compares Spark's crc32 against
+    // oracle VALUES literals from an independent implementation (zlib /
+    // java.util.zip agree; '123456789' → 0xCBF43926 is the algorithm's
+    // own published check value). The corpus-scan crypto surface stays
+    // driver-gated via q_crypto_funcs' md5/sha256 over documents, and
+    // GoldenSpec cross-checks crc32 against java.util.zip.CRC32.
+    "q_crc32" -> ((s, dir) => {
+      import s.implicits._
+      Seq("123456789", "", "a", "abc",
+        "The quick brown fox jumps over the lazy dog", "graft spark engine")
+        .toDF("sv")
+        .select(col("sv"), crc32(col("sv").cast("binary")).as("crc"))
+        .orderBy(col("sv"))
+    }),
 
     "q_explode" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -501,6 +511,19 @@ object Functions {
         |  to_base64(CAST(text AS BLOB)) AS b64,
         |  CASE WHEN doc_id = 0 THEN '0' ELSE ltrim(hex(doc_id), '0') END AS hx
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    // independent pins: zlib.crc32 (same IEEE 802.3 polynomial family
+    // as Spark's crc32); first row is the algorithm's check value
+    "q_crc32" ->
+      """SELECT * FROM (VALUES
+        |  ('123456789', CAST(3421780262 AS BIGINT)),
+        |  ('', CAST(0 AS BIGINT)),
+        |  ('a', CAST(3904355907 AS BIGINT)),
+        |  ('abc', CAST(891568578 AS BIGINT)),
+        |  ('The quick brown fox jumps over the lazy dog',
+        |   CAST(1095738169 AS BIGINT)),
+        |  ('graft spark engine', CAST(821433044 AS BIGINT))) AS t(sv, crc)
+        |ORDER BY sv""".stripMargin,
 
     "q_explode" ->
       """SELECT word, count(*) AS n FROM (

@@ -316,12 +316,21 @@ object Relational {
           round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"))
         .orderBy(col("o_orderstatus"))),
 
-    // HLL sketch — algorithm-specific, no cross-engine oracle (rows-only)
+    // HLL sketch — the raw estimate is algorithm-specific (no cross-
+    // engine value to compare), but the driver can still GATE it: the
+    // output carries the exact distinct count (hash-compared against
+    // DuckDB) plus a bracket bit asserting the estimate sits within
+    // 3×rsd (15% at the default rsd=0.05) of the truth — the oracle
+    // pins that bit TRUE, so an estimator regression flips the row.
+    // Tight per-cardinality accuracy stays in SketchAccuracySpec.
     "q_agg_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) * lit(100L) <=
+            col("exact_parts") * lit(15L)).as("hll_within_15pct"))
         .orderBy(col("l_returnflag"))),
 
     "q_rollup" -> ((s, dir) =>
@@ -635,6 +644,12 @@ object Relational {
         |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor,
         |  bool_and(l_quantity > 0) AS all_pos,
         |  bool_or(l_discount > 0.05) AS any_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS hll_within_15pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_median" ->
