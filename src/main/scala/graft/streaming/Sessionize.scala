@@ -106,7 +106,8 @@ object Sessionize {
     * the trailing open one) is emitted immediately and state is dropped —
     * no timeout is registered (`GroupStateTimeout.NoTimeout`). For the
     * unbounded form see [[incremental]]. */
-  def run(spark: SparkSession, dir: String, name: String, gapMinutes: Int = 30): StreamingQuery = {
+  def run(spark: SparkSession, dir: String, name: String, gapMinutes: Int = 30,
+      availableNow: Boolean = false): StreamingQuery = {
     import spark.implicits._
     val events: Dataset[Event] = spark.readStream
       .schema(EventsStream.eventsSchema)
@@ -128,9 +129,17 @@ object Sessionize {
           all.iterator
         })
 
-    val q = sessions.writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    q.processAllAvailable()
+    // AvailableNow: run micro-batches until the source is exhausted,
+    // then terminate — the batch-replay trigger the driver-gated
+    // q_sessionize_stream entry uses; the default path keeps the query
+    // alive for the specs that probe its state store
+    val writer = sessions.writeStream
+      .outputMode("append").format("memory").queryName(name)
+    val q =
+      if (availableNow)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      else writer.start()
+    if (availableNow) q.awaitTermination() else q.processAllAvailable()
     q
   }
 }

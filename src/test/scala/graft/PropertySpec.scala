@@ -51,14 +51,26 @@ class PropertySpec extends SparkSpecBase {
         if (h % 64 == 0 && st + 8 < n) Some(st + 8) else None
       }
     }
+    // astral-plane code points render as surrogate PAIRS in the JVM
+    // string, so they stress exactly the codePointAt/charCount indexing
+    // the kernel relies on (a char-indexed bug would shift every cut
+    // after the first emoji); 😀 U+1F600, 𝕏 U+1D54F, 🝖 U+1F756
+    val astral = Seq("😀", "𝕏", "🕖")
     val gen = for {
       len <- Gen.chooseNum(0, 300)
       s <- Gen.listOfN(len, Gen.frequency(
-        9 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.oneOf('é', 'ß', '中')))
+        9 -> Gen.alphaNumChar.map(_.toString), 3 -> Gen.const(" "),
+        1 -> Gen.oneOf("é", "ß", "中"), 1 -> Gen.oneOf(astral)))
     } yield s.mkString
     val expr = graft.functions.HashExpressions.CdcCuts(
       org.apache.spark.sql.catalyst.expressions.Literal("x"))
-    (samples(gen, 60) ++ Seq("", "short", "exactly8", "exactly8!")).foreach { s =>
+    val edges = Seq("", "short", "exactly8", "exactly8!",
+      astral.mkString * 3,                    // astral-only, 9 code points
+      "abcdefg" + astral.head,                // astral closes the window
+      astral.head + "abcdefgh")               // astral opens it
+    val cases = samples(gen, 120) ++ edges
+    assert(cases.size >= 120)
+    cases.foreach { s =>
       val got = expr.kernel(org.apache.spark.unsafe.types.UTF8String.fromString(s))
         .toIntArray().toSeq
       assert(got == naive(s), s"cuts diverge for ${s.take(40)}…: $got vs ${naive(s)}")
