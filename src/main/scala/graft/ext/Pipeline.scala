@@ -549,6 +549,112 @@ object Pipeline {
           coalesce(col("n_removed"), lit(0L)).as("n_removed"),
           coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── END-TO-END CORPUS BUILD ───────────────────────────────────────
+    // the composition a production 100 TB run executes as ONE job:
+    //   curation gate → exact dedup → MinHash near-dup removal →
+    //   benchmark decontamination → mixture sampling → per-language
+    //   token-budget selection → sequence packing.
+    // Every stage was driver-verified ALONE before round 8; this entry
+    // chains them so the stage CONTRACTS (who feeds whom, which doc
+    // survives end to end, where each survivor lands in its shard) are
+    // gated too. The oracle replays the same chain as one CTE pipeline
+    // reusing the per-stage SQL fragments (the minhash CTEs by
+    // reference — Dedup.minhashBandedCtes — so the two replays cannot
+    // drift). Scale shape is inherited from the stages: after the scan
+    // projections the text never crosses an exchange (narrow id/stat
+    // frames only), candidate banding runs corpus-wide (the ingest-time
+    // shape) with pairs restricted to survivors, the bench gram set
+    // broadcasts, budget admission is the two-phase bucket cut, packing
+    // windows per (lang, shard).
+    "pipe_end_to_end" -> ((s, dir) => {
+      val ctxLen = 512L
+      val budget = 2000L
+      val docs = t(s, dir, "documents")
+      val nTok = TextAnalysis.nTokens(col("text"))
+      // stage 1 — curation: narrow projection + quality gate
+      val gated = docs.select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"),
+          nTok.cast("long").as("n_tok"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopEn)
+            .cast("long").as("stops"))
+        .filter(col("n_chars").between(50, 5000) && col("n_tok") >= 10)
+      // stage 2 — exact dedup: keep-first per normalized content hash
+      val exactKept = gated
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tok"), col("stops"))
+      // stage 3 — near-dup removal: banding corpus-wide, pairs
+      // restricted to exact survivors, exact-Jaccard ≥ 0.7 verify,
+      // keep-first (drop the larger id of each verified pair)
+      val sig = Dedup.signatures(docs)
+      val ids = exactKept.select(col("doc_id"))
+      val nearDup = Dedup.minhashCandidates(sig) // doc_a < doc_b
+        .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+        .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("doc_b"))
+        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.7)
+        .select(col("doc_b").as("doc_id")).distinct()
+      // stage 4 — decontamination: bench docs (doc_id % 50 = 0) never
+      // enter the corpus; survivors sharing any word 8-gram with the
+      // bench set are dropped (the broadcast semi-join of pipe_decontam)
+      val surv = exactKept.join(nearDup, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 50 =!= 0)
+      val benchGrams = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(
+          graft.functions.HashExpressions.word_shingles(col("text"), 8)).as("gram"))
+        .distinct()
+      val contaminated = docs
+        .join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(
+          graft.functions.HashExpressions.word_shingles(col("text"), 8)).as("gram"))
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = surv.join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 5 — mixture: per-source md5-bucket keep rates (pipe_mixture)
+      val rate = Map("src0" -> 30, "src1" -> 90, "src2" -> 100, "src3" -> 60)
+      val keep = rate.foldLeft(lit(80)) { case (acc, (src, r)) =>
+        when(col("source") === src, lit(r)).otherwise(acc) }
+      val mixed = clean
+        .filter(md5Bucket(col("doc_id").cast("string"), 100) < keep)
+      // stage 6 — per-language token budget (pipe_token_budget's
+      // two-phase bucket admission, budget 2000)
+      val d = mixed
+        .withColumn("score6", expr("(stops * 1000000) div greatest(n_tok, 1)"))
+        .withColumn("bkt", expr("score6 div 1000"))
+      val wBkt = Window.partitionBy(col("lang")).orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val admitted = d.groupBy(col("lang"), col("bkt"))
+        .agg(sum(col("n_tok")).as("tok"))
+        .withColumn("cum_excl", sum(col("tok")).over(wBkt) - col("tok"))
+        .filter(col("cum_excl") < budget)
+        .select(col("lang"), col("bkt"))
+      val wDoc = Window.partitionBy(col("lang"))
+        .orderBy(col("score6").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val selected = d.join(broadcast(admitted), Seq("lang", "bkt"))
+        .withColumn("tok_end", sum(col("n_tok")).over(wDoc))
+        .filter(col("tok_end") - col("n_tok") < budget)
+      // stage 7 — pack the selected mix into context windows (pipe_pack)
+      val wPack = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      selected
+        .withColumn("shard",
+          md5Bucket(col("doc_id").cast("string"), packShards).cast("long"))
+        .withColumn("pk_end", sum(col("n_tok")).over(wPack))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+          col("score6"), col("shard"),
+          (col("pk_end") - col("n_tok")).as("tok_start"),
+          expr(s"(pk_end - n_tok) div $ctxLen").as("bin"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -824,7 +930,101 @@ object Pipeline {
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin)
 
+  // the end-to-end chain replayed as ONE CTE pipeline: the minhash
+  // stages ride Dedup.minhashBandedCtes by reference (same text the
+  // dedup oracle replays), and each later CTE is the corresponding
+  // stage oracle's fragment applied to the previous stage's survivors
+  private val endToEndOracle: (String, String) = "pipe_end_to_end" ->
+    (graft.ext.Dedup.minhashBandedCtes +
+      s""", okbuckets AS (
+        |  SELECT band, bkey FROM banded
+        |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 64
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a
+        |  JOIN okbuckets ok ON a.band = ok.band AND a.bkey = ok.bkey
+        |  JOIN banded b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+        |), narrow AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+        |    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\\b(the|a|and|of|to|in|is|on|for|with)\\b')) AS BIGINT) AS stops
+        |  FROM documents
+        |  WHERE n_chars BETWEEN 50 AND 5000
+        |    AND length(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 10
+        |), exact_kept AS (
+        |  SELECT doc_id, lang, source, n_tok, stops FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |    FROM narrow)
+        |  WHERE rn = 1
+        |), near_dup AS (
+        |  SELECT DISTINCT c.doc_b AS doc_id
+        |  FROM cands c
+        |  JOIN exact_kept ka ON ka.doc_id = c.doc_a
+        |  JOIN exact_kept kb ON kb.doc_id = c.doc_b
+        |  JOIN hexsig sa ON sa.doc_id = c.doc_a
+        |  JOIN hexsig sb ON sb.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.7
+        |), surv AS (
+        |  SELECT * FROM exact_kept
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
+        |    AND doc_id % 50 <> 0
+        |), g8 AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |           || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+        |           || ' ' || tk[i+7])) AS sh8
+        |  FROM toks
+        |), bench AS (
+        |  SELECT DISTINCT unnest(sh8) AS gram FROM g8 WHERE doc_id % 50 = 0
+        |), contam AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT s.doc_id, unnest(g.sh8) AS gram
+        |    FROM surv s JOIN g8 g USING (doc_id)) x
+        |  JOIN bench USING (gram)
+        |), clean AS (
+        |  SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |), mixed AS (
+        |  SELECT * FROM clean
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+        |    CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 90
+        |                WHEN 'src2' THEN 100 WHEN 'src3' THEN 60 ELSE 80 END
+        |), b AS (
+        |  SELECT *, (stops * 1000000) // greatest(n_tok, 1) AS score6,
+        |    ((stops * 1000000) // greatest(n_tok, 1)) // 1000 AS bkt
+        |  FROM mixed
+        |), bs AS (SELECT lang, bkt, sum(n_tok) AS tok FROM b GROUP BY 1, 2),
+        |bc AS (
+        |  SELECT lang, bkt,
+        |    sum(tok) OVER (PARTITION BY lang ORDER BY bkt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cum_excl
+        |  FROM bs),
+        |adm AS (SELECT lang, bkt FROM bc WHERE cum_excl < 2000),
+        |sel AS (
+        |  SELECT b.*, sum(b.n_tok) OVER (PARTITION BY b.lang
+        |      ORDER BY b.score6 DESC, b.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+        |  FROM b JOIN adm USING (lang, bkt)),
+        |packed AS (
+        |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % $packShards AS shard
+        |  FROM sel WHERE tok_end - n_tok < 2000),
+        |pk AS (
+        |  SELECT *, sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk_end
+        |  FROM packed)
+        |SELECT doc_id, lang, source, n_tok,
+        |  CAST(score6 AS BIGINT) AS score6,
+        |  CAST(shard AS BIGINT) AS shard,
+        |  CAST(pk_end - n_tok AS BIGINT) AS tok_start,
+        |  CAST((pk_end - n_tok) // 512 AS BIGINT) AS bin
+        |FROM pk ORDER BY doc_id""".stripMargin)
+
   val oracleSql: Map[String, String] =
     oracleSql0 + ("pipe_decontam_bloom" -> oracleSql0("pipe_decontam")) +
-      upsertOracle + fuzzyDecontamOracle
+      upsertOracle + fuzzyDecontamOracle + endToEndOracle
 }

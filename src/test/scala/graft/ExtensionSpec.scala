@@ -583,6 +583,30 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out(16L) == ((1L, 0.8125)), s"3-token batch: ${out.get(16L)}") // 13/16
   }
 
+  test("end-to-end corpus build: stages prune, budget holds, packing contiguous") {
+    val rows = SparkEntry.queries("pipe_end_to_end")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "vacuous chain")
+    val total = graft.engine.Engine.table(spark, sfDir, "documents").count()
+    assert(rows.length < total, "no stage pruned anything")
+    // bench docs must never survive decontamination's corpus split
+    assert(rows.forall(_.getLong(0) % 50 != 0), "bench doc leaked into the mix")
+    // per-language budget: every selected doc STARTS under the 2000-token
+    // line (the admission rule), so per-lang mass < budget + max doc
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val toks = rs.map(_.getLong(3))
+      assert(toks.sum < 2000 + toks.max, s"budget blown for $lang: ${toks.sum}")
+    }
+    // packing offsets contiguous within each (lang, shard) in doc order
+    rows.groupBy(r => (r.getString(1), r.getLong(5))).foreach { case (k, rs) =>
+      var expected = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(6) == expected, s"offset gap in $k at doc ${r.getLong(0)}")
+        assert(r.getLong(7) == r.getLong(6) / 512, "bin != tok_start div 512")
+        expected += r.getLong(3)
+      }
+    }
+  }
+
   test("negative sampling: sims under the floor, ranks contiguous, floor non-vacuous") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("emb_negative_sample")(spark, "/root/testdata/sf0.01")
