@@ -436,14 +436,20 @@ object TextAnalysis {
             |    (CASE WHEN k = size(cuts) + 1 THEN n ELSE element_at(cuts, k) END)
             |      - (CASE WHEN k = 1 THEN 0 ELSE element_at(cuts, k - 1) END)))"""
             .stripMargin))
+        // length/fp are computed INSIDE the transform, so the generate
+        // emits 16-byte structs, never the chunk text itself — the
+        // chunk strings die in the projection and only scalars reach
+        // the explode and the output sort
         .select(col("doc_id"),
           size(col("ch")).cast("long").as("n_chunks"),
-          posexplode(col("ch")).as(Seq("i", "chunk")))
+          posexplode(expr(
+            """transform(ch, x -> struct(
+              |  CAST(length(x) AS BIGINT) AS len,
+              |  CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) AS fp))"""
+              .stripMargin)).as(Seq("i", "cf")))
         .select(col("doc_id"), col("n_chunks"),
           (col("i") + 1).cast("long").as("chunk_idx"),
-          length(col("chunk")).cast("long").as("chunk_len"),
-          expr("CAST(conv(substring(md5(chunk), 1, 15), 16, 10) AS BIGINT)")
-            .as("fp"))
+          col("cf.len").as("chunk_len"), col("cf.fp").as("fp"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
     "text_inverted_index" -> ((s, dir) => {
