@@ -593,12 +593,20 @@ object Pipeline {
       // keep-first (drop the larger id of each verified pair)
       val sig = Dedup.signatures(docs)
       val ids = exactKept.select(col("doc_id"))
+      // verification sides come from a DEDICATED shingle frame — joining
+      // `sig` back would re-execute its 64-slot minhash kernel once per
+      // side (the dedup_minhash_lsh precedent); shingles alone are the
+      // cheap third of that pass
+      val shH = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), Dedup.shingles(col("text")).as("shv"))
+        .filter(size(col("shv")) > 0)
       val nearDup = Dedup.minhashCandidates(sig) // doc_a < doc_b
         .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-        .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        .join(shH.select(col("doc_id").as("doc_a"), col("shv").as("sh_a")),
           Seq("doc_a"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        .join(shH.select(col("doc_id").as("doc_b"), col("shv").as("sh_b")),
           Seq("doc_b"))
         .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.7)
         .select(col("doc_b").as("doc_id")).distinct()
