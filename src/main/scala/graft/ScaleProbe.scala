@@ -182,7 +182,8 @@ object ScaleProbe {
       "pipe_chunk", "dedup_substring", "pipe_decontam_bloom",
       "pipe_token_budget", "ann_pq", "ann_lsh_multiprobe",
       "pipe_span_scrub", "text_inverted_index", "text_cdc_chunks",
-      "pipe_quality_cut", "emb_negative_sample", "pipe_length_buckets")
+      "pipe_quality_cut", "emb_negative_sample", "pipe_length_buckets",
+      "pipe_end_to_end")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -223,6 +224,26 @@ object ScaleProbe {
     invChecksum.foreach { c =>
       if (onlyProbes.isDefined)
         mergeArtifact(factor, "inverted_index_checksum", s"""{"checksum":$c}""")
+    }
+    // survivor funnel of the end-to-end corpus build — the evidence the
+    // bare probe row can't carry on this shard: near-dup replicas
+    // collapse, then the shard's bench-id arithmetic puts every original
+    // text in the bench gram set and decontamination empties the corpus
+    // (AQE then propagates EmptyRelation, which is also why the probe's
+    // shuffle metric reads 0 for the final plan). Each count re-executes
+    // the chain prefix — probe-only diagnostics, not an operator.
+    val e2eFunnel: Option[String] =
+      if (rows.exists(_._1 == "pipe_end_to_end")) Some {
+        val t0 = System.nanoTime()
+        val funnel = ext.Pipeline.endToEndStages(spark, out)
+          .map { case (stage, df) => s""""$stage":${df.count()}""" }
+        val secs = math.rint((System.nanoTime() - t0) / 1e8) / 10
+        val json = funnel.mkString("{", ",", s""","wall_s":$secs}""")
+        println(s"PROBE e2e_funnel $json")
+        json
+      } else None
+    e2eFunnel.foreach { json =>
+      if (onlyProbes.isDefined) mergeArtifact(factor, "e2e_funnel", json)
     }
     // durable artifact (only for unfiltered runs — a partial probe must
     // not overwrite a full one): walls are single-run ±30%; the
@@ -885,7 +906,8 @@ object ScaleProbe {
             // full rewrite of this file would clobber the merged key and
             // silently downgrade SpillProbe's cross-run equality check
             invChecksum.map(c =>
-              s""""inverted_index_checksum":{"checksum":$c}"""))
+              s""""inverted_index_checksum":{"checksum":$c}""") ++
+            e2eFunnel.map(s => s""""e2e_funnel":$s"""))
             .map(_ + ",").mkString + s""""probes":{""",
         ",", "}}")
       val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",
