@@ -5,18 +5,37 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-gated entries that exercise the STREAMING code paths
-  * themselves (SURVEY §2.10): the batch gaps-and-islands twin
-  * (`q_sessionize`) verifies the SEMANTICS, but until round 8 no
-  * CORRECTNESS row ran the `flatMapGroupsWithState` operator — its
-  * specs lived only in ScalaTest. Here the finite events table is
-  * replayed through the real streaming engine with
-  * `Trigger.AvailableNow` (micro-batches until the source is
-  * exhausted, then terminate) into a memory sink, and the emitted
-  * sessions are numbered per user by session start — producing the
-  * exact frame the batch twin yields, so BOTH entries share one
-  * oracle SQL and the stream path is hash-compared against DuckDB.
+  * themselves (SURVEY §2.10): the batch twins verify the SEMANTICS,
+  * but a CORRECTNESS row must run the streaming OPERATOR — watermarked
+  * windowed agg, `dropDuplicatesWithinWatermark`, stream-static join,
+  * watermarked stream-stream join, `flatMapGroupsWithState` — through
+  * the real micro-batch engine. Here the finite testdata parquet is
+  * replayed through readStream into a memory sink, drained to
+  * completion, and the sink is projected onto a DETERMINISTIC surface
+  * that one DuckDB oracle can hash:
+  *
+  *  - the finite file source delivers every file in the FIRST
+  *    micro-batch (no `maxFilesPerTrigger` cap), so nothing is ever
+  *    late against a watermark and the append-mode output is the exact
+  *    batch-equivalent set;
+  *  - where the stream's row CHOICE is arrival-order-dependent (which
+  *    duplicate `dropDuplicatesWithinWatermark` keeps), the projection
+  *    keeps only the copy-invariant columns — the kept-row identity is
+  *    the documented nondeterminism of the operator itself, not of
+  *    this harness.
+  *
+  * Each entry stops its query after the drain so repeated runs (bench
+  * medians) never accumulate active streams against one sink name.
   */
 object StreamQueries {
+
+  /** Drain a runToMemory-style stream and read back its sink table. */
+  private def drained(s: SparkSession, sink: String)(
+      run: => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val q = run
+    q.stop()
+    s.table(sink)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize_stream" -> ((s, dir) => {
@@ -32,12 +51,109 @@ object StreamQueries {
           row_number().over(w).cast("long").as("sess_no"),
           col("n_events"), col("start_us"), col("end_us"))
         .orderBy(col("user_id"), col("sess_no"))
+    }),
+
+    // watermarked tumbling-window agg through the streaming engine;
+    // complete mode = the final window states, the batch twin's frame
+    "q_events_window_stream" -> ((s, dir) => {
+      val sink = "q_events_window_stream_sink"
+      drained(s, sink)(EventsStream.runToMemory(s, dir, sink))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // dropDuplicatesWithinWatermark: WHICH duplicate survives is
+    // arrival-order-dependent, so the gate hashes the surviving content
+    // identity set — exactly the operator's guaranteed output
+    "q_stream_dedup" -> ((s, dir) => {
+      val sink = "q_stream_dedup_sink"
+      drained(s, sink)(DedupStream.runToMemory(s, dir, sink))
+        .select(col("h")).distinct().orderBy(col("h"))
+    }),
+
+    // stream-static broadcast enrichment: stateless, exactly-once per
+    // event — the full joined frame is deterministic
+    "q_stream_enrich" -> ((s, dir) => {
+      val sink = "q_stream_enrich_sink"
+      drained(s, sink)(EnrichStream.runToMemory(s, dir, sink))
+        .orderBy(col("event_id"))
+    }),
+
+    // watermarked stream-stream join: every (purchase, click-within-24h)
+    // pair appended exactly once; timestamps rendered as strings for the
+    // cross-engine hash
+    "q_stream_join" -> ((s, dir) => {
+      val sink = "q_stream_join_sink"
+      drained(s, sink)(JoinStream.runToMemory(s, dir, sink))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_t"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_t"),
+          col("value"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    // curation stream: the gate stats are copy-invariant by construction
+    // (see CurationStream), so the content-keyed projection is the
+    // deterministic surface; the survivor doc_id is not
+    "q_stream_curation" -> ((s, dir) => {
+      val sink = "q_stream_curation_sink"
+      drained(s, sink)(CurationStream.runToMemory(s, dir, sink))
+        .select(col("h"), col("lang"), col("n_tok"), col("stop_ratio"))
+        .distinct() // robust to >watermark-apart re-emergence of a content key
+        .orderBy(col("h"), col("lang"))
+    }),
+
+    // two-stage (bloom + exact) decontamination on the stream: verdict
+    // is content-determined, row-identical to batch pipe_decontam
+    "q_stream_decontam" -> ((s, dir) => {
+      val sink = "q_stream_decontam_sink"
+      drained(s, sink)(DecontamStream.runToMemory(s, dir, sink))
+        .orderBy(col("doc_id"))
     })
   )
 
-  /** Same oracle as the batch twin — shared by reference so the two
-    * entries can never drift. */
+  /** Batch twins' oracles, shared by reference where one exists so the
+    * stream and batch entries can never drift. */
   val oracleSql: Map[String, String] = Map(
-    "q_sessionize_stream" -> graft.ops.Analytical.oracleSql("q_sessionize")
+    "q_sessionize_stream" -> graft.ops.Analytical.oracleSql("q_sessionize"),
+    "q_events_window_stream" -> graft.ops.Relational.oracleSql("q_events_window"),
+    "q_stream_decontam" -> graft.ext.Extensions.oracleSql("pipe_decontam"),
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(user_id || '|' || event_type || '|' || props) AS h
+        |FROM events ORDER BY h""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_t,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_t,
+        |  p.value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOURS
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "q_stream_curation" ->
+      """WITH norm AS (
+        |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+        |    lang,
+        |    length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      AS n_chars_norm,
+        |    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |      AS n_tok,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS BIGINT) AS stops
+        |  FROM documents)
+        |SELECT DISTINCT h, lang, n_tok,
+        |  CAST(stops AS DOUBLE) / greatest(n_tok, 1) AS stop_ratio
+        |FROM norm
+        |WHERE n_chars_norm BETWEEN 50 AND 5000 AND n_tok >= 10
+        |ORDER BY h, lang""".stripMargin
   )
 }
