@@ -568,7 +568,56 @@ object Pipeline {
     // shape) with pairs restricted to survivors, the bench gram set
     // broadcasts, budget admission is the two-phase bucket cut, packing
     // windows per (lang, shard).
-    "pipe_end_to_end" -> ((s, dir) => endToEndStages(s, dir).last._2)
+    "pipe_end_to_end" -> ((s, dir) => endToEndStages(s, dir).last._2),
+
+    // dataset card / corpus statistics report — the per-language summary
+    // a training-data release ships (HF dataset-card style): doc and
+    // source counts, token mass, exact mean and R-7 P50/P95 token
+    // quantiles, corpus share. Scale shape: ONE narrow (lang, n_tok,
+    // source) projection off the scan; the exact quantiles reuse the
+    // pipe_quality_cut rank-selection pattern (one window sort per
+    // language partition, no per-group buffering — percentile() would
+    // collect each group into one aggregation buffer); every other
+    // stat is a map-side-combinable aggregate. Mean and share are
+    // computed on the exact BIGINT grid (ratioRound) — no float-ratio
+    // rounding hazard.
+    "pipe_dataset_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tok"))
+      val byLang = Window.partitionBy(col("lang"))
+      val r = d
+        .withColumn("rn",
+          row_number().over(byLang.orderBy(col("n_tok"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(byLang))
+      def pick(p: Double, name: String) = {
+        val tt = lit(p) * (col("n") - 1)
+        Seq(
+          max(when(col("rn") === floor(tt).cast("long") + 1, col("n_tok")))
+            .as(s"${name}_lo"),
+          max(when(col("rn") === ceil(tt).cast("long") + 1, col("n_tok")))
+            .as(s"${name}_hi"),
+          max(tt - floor(tt)).as(s"${name}_f"))
+      }
+      val aggs = Seq(
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tok")).as("tok_total")) ++
+        pick(0.5, "p50") ++ pick(0.95, "p95")
+      val perLang = r.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      val tot = d.agg(count(lit(1)).as("total_docs"))
+      perLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_sources"), col("tok_total"),
+          TextAnalysis.ratioRound(col("tok_total"), col("n_docs"), 6)
+            .as("tok_mean"),
+          (col("p50_lo") + (col("p50_hi") - col("p50_lo")) * col("p50_f"))
+            .as("tok_p50"),
+          (col("p95_lo") + (col("p95_hi") - col("p95_lo")) * col("p95_f"))
+            .as("tok_p95"),
+          TextAnalysis.ratioRound(col("n_docs"), col("total_docs"), 6)
+            .as("share"))
+        .orderBy(col("lang"))
+    })
   )
 
   /** Stage boundaries of the end-to-end corpus build, exposed so the
@@ -908,7 +957,28 @@ object Pipeline {
         |FROM documents d
         |LEFT JOIN stats s USING (doc_id)
         |LEFT JOIN rebuilt r USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // quantile_cont is DuckDB's own R-7 implementation — an independent
+    // route to the same interpolation the rank-selection computes
+    "pipe_dataset_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents
+        |), tot AS (SELECT count(*) AS total_docs FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+        |  CAST((2 * sum(n_tok) * 1000000 + count(*)) // (2 * count(*))
+        |       AS DOUBLE) / 1000000 AS tok_mean,
+        |  quantile_cont(n_tok, 0.5) AS tok_p50,
+        |  quantile_cont(n_tok, 0.95) AS tok_p95,
+        |  CAST((2 * count(*) * 1000000 + total_docs) // (2 * total_docs)
+        |       AS DOUBLE) / 1000000 AS share
+        |FROM d CROSS JOIN tot
+        |GROUP BY lang, total_docs ORDER BY lang""".stripMargin
   )
 
   /** The bloom variant's contract is "identical output to the exact

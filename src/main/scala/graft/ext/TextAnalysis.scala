@@ -475,6 +475,81 @@ object TextAnalysis {
           expr("array_join(transform(sort_array(collect_list(doc_id))," +
             " x -> CAST(x AS STRING)), ',')").as("postings_head"))
         .orderBy(col("term"))
+    }),
+
+    // BM25 ranked retrieval (Lucene's 1+ idf variant, k1=1.2, b=0.75) —
+    // the relevance scorer a corpus-search / hard-negative-mining stage
+    // runs over the same postings `text_inverted_index` materializes.
+    // The query set is data-derived (first 5 tokens of docs 0..4), so
+    // the entry is self-contained on any corpus. Scale shape: ONE
+    // corpus explode; the broadcast query-term semi-join cuts the
+    // (doc, term) shuffle to query-term hits before any aggregation;
+    // df/avgdl/N are K-row / 1-row broadcast frames; per-(query, doc)
+    // scores aggregate hit-sized frames only. Cross-engine float
+    // determinism: each TERM contribution is rounded onto a 1e-6
+    // integer grid (identical double in both engines — all fractional
+    // literals forced to double in the oracle), and the per-doc score
+    // is the exact BIGINT sum of grid values, so summation order can
+    // never flip a hash.
+    "text_bm25" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def toks(df: DataFrame) = df.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => length(x) > 0)).as("term"))
+      val qterms = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0), 1, 5)).as("term"))
+        .distinct()
+      val dl = toks(d).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val hits = toks(d)
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfr = hits.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score_u6").desc, col("doc_id"))
+      hits
+        .join(broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .join(broadcast(qterms), "term")
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("c_u", round(col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) * lit(1e6))
+          .cast("long"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("c_u")).as("score_u6"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("score_u6"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // BPE pair statistics — the inner loop of byte-pair-encoding
+    // tokenizer training: the weighted adjacent-pair counts whose argmax
+    // is the next merge. The pivotal scale property: pair counting runs
+    // over the DISTINCT-WORD vocabulary weighted by word frequency, not
+    // over the corpus — one corpus-wide (word → count) aggregation
+    // (map-side combinable, ~word-sized rows), then all pair work is
+    // vocab-sized. At 100 TB the vocab is MBs while the corpus is TBs,
+    // which is exactly why real BPE trainers count over the vocab.
+    "text_bpe_pairs" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => length(x) > 0)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      words.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
     })
   )
 
@@ -770,6 +845,68 @@ object TextAnalysis {
         |SELECT term, CAST(max(df) AS BIGINT) AS df, CAST(max(cf) AS BIGINT) AS cf,
         |  array_to_string(list_sort(list(doc_id)), ',') AS postings_head
         |FROM w WHERE rn <= 20
-        |GROUP BY term ORDER BY term""".stripMargin
+        |GROUP BY term ORDER BY term""".stripMargin,
+
+    // every fractional literal is CAST to DOUBLE: DuckDB would otherwise
+    // type them DECIMAL and take an exact-decimal route to a DIFFERENT
+    // double than Spark's all-double arithmetic (2.2 is not binary-exact)
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS term
+        |  FROM documents
+        |), qterms AS (
+        |  SELECT DISTINCT doc_id AS q_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)[1:5]) AS term
+        |  FROM documents WHERE doc_id < 5
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), hits AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2
+        |), dfr AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+        |), contrib AS (
+        |  SELECT q.q_id, h.doc_id,
+        |    CAST(round(
+        |      ln(1 + (s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+        |             / (f.df + CAST(0.5 AS DOUBLE)))
+        |      * (h.tf * CAST(2.2 AS DOUBLE))
+        |      / (h.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
+        |      * 1e6) AS BIGINT) AS c_u
+        |  FROM hits h
+        |  JOIN dfr f USING (term)
+        |  JOIN dl l USING (doc_id)
+        |  CROSS JOIN stats s
+        |  JOIN qterms q USING (term)
+        |), scored AS (
+        |  SELECT q_id, doc_id, sum(c_u) AS score_u6,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY sum(c_u) DESC, doc_id) AS rk
+        |  FROM contrib GROUP BY 1, 2
+        |)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  CAST(score_u6 AS BIGINT) AS score_u6
+        |FROM scored WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+        |  FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
+        |  WHERE length(w) >= 2
+        |)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
   )
 }

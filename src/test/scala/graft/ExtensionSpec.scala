@@ -712,4 +712,85 @@ class ExtensionSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("BM25 matches a brute-force reimplementation on a literal fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana"), (1L, "zebra"),
+      (5L, "apple apple apple banana"), (6L, "apple"),
+      (7L, "cherry cherry"))
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    // brute-force BM25 (Lucene 1+ idf, k1=1.2, b=0.75) in plain Scala,
+    // same 1e-6 integer grid — exact equality expected
+    val toks = docs.map { case (id, tx) => id -> tx.split(" ").toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val queries = docs.filter(_._1 < 5)
+      .map { case (id, tx) => id -> tx.split(" ").take(5).distinct.toSeq }
+    val expected = (for {
+      (qid, qts) <- queries
+      (did, dts) <- toks.toSeq
+      scoreU = qts.map { term =>
+        val tf = dts.count(_ == term)
+        if (tf == 0) 0L
+        else {
+          val df = toks.values.count(_.contains(term)).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          val c = idf * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * dts.size / avgdl))
+          math.round(c * 1e6)
+        }
+      }.sum
+      if scoreU != 0L
+    } yield (qid, did) -> scoreU).toMap
+    val got = SparkEntry.queries("text_bm25")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // ranking sanity on the fixture itself: cherry-only doc never
+    // retrieved, zebra's sole match is its own query doc
+    assert(!got.keys.exists(_._2 == 7L))
+    assert(got.keys.filter(_._1 == 1L).map(_._2).toSet == Set(1L))
+  }
+
+  test("BPE pair counts are vocab-weighted and hand-verifiable") {
+    import spark.implicits._
+    // vocab: abab ×3, abc ×1, z ×1 (length-1: no pairs)
+    // pairs: abab → ab,ba,ab; abc → ab,bc
+    // ab: 3·2 + 1 = 7, ba: 3, bc: 1
+    val docs = Seq((1L, "abab abc abab"), (2L, "abab z"))
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("text_bpe_pairs")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("ab" -> 7L, "ba" -> 3L, "bc" -> 1L), s"got $got")
+  }
+
+  test("dataset card: R-7 quantiles, exact-grid mean and share on a fixture") {
+    import spark.implicits._
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    // xx n_tok [10,20,30,40]: p50 = 25.0, p95 = 30 + 10·frac(0.95·3)
+    // (≈38.5 — computed below in the same double arithmetic, since
+    // 0.95·3 = 2.849999…96 in IEEE doubles), mean = 25.0; yy single
+    // doc of 8 tokens: both quantiles = 8
+    val rows = Seq(
+      (1L, "xx", "s1", words(10)), (2L, "xx", "s1", words(20)),
+      (3L, "xx", "s2", words(30)), (4L, "xx", "s2", words(40)),
+      (9L, "yy", "s1", words(8)))
+    val tmp = java.nio.file.Files.createTempDirectory("card").toString
+    rows.toDF("doc_id", "lang", "source", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipe_dataset_card")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    val t95 = 0.95 * 3
+    val p95xx = 30.0 + (40.0 - 30.0) * (t95 - math.floor(t95))
+    assert(out("xx") == ((4L, 2L, 100L, 25.0, 25.0, p95xx, 0.8)),
+      s"xx: ${out("xx")}")
+    assert(out("yy") == ((1L, 1L, 8L, 8.0, 8.0, 8.0, 0.2)),
+      s"yy: ${out("yy")}")
+  }
 }
