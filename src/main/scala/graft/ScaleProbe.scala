@@ -183,7 +183,8 @@ object ScaleProbe {
       "pipe_token_budget", "ann_pq", "ann_lsh_multiprobe",
       "pipe_span_scrub", "text_inverted_index", "text_cdc_chunks",
       "pipe_quality_cut", "emb_negative_sample", "pipe_length_buckets",
-      "pipe_end_to_end")
+      "pipe_end_to_end", "text_bm25", "text_bpe_pairs", "text_bpe_merge",
+      "pipe_dataset_card")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -244,6 +245,56 @@ object ScaleProbe {
       } else None
     e2eFunnel.foreach { json =>
       if (onlyProbes.isDefined) mergeArtifact(factor, "e2e_funnel", json)
+    }
+    // Remapped-id twin of the funnel. The zero tail above is an artifact
+    // of the shard BUILDER's id arithmetic (doc_id = orig·factor + k ⇒
+    // id % 50 collapses onto k % 50, so the bench rule selects two full
+    // replicas of EVERY original and decontamination correctly empties
+    // the corpus). A real 100× corpus has no correlation between id
+    // residue and duplication, so the builder artifact also suppresses
+    // the decontam → mixture → budget → pack stages from ever running at
+    // shard scale. Remapping rid = orig + k·M (M = a multiple of 50 ≥
+    // max orig id + 1) preserves each ORIGINAL's residue class — the
+    // bench set is 2% of originals, exactly as at 1× — and the whole
+    // tail runs live; wall/shuffle/peak of the full chain are recorded
+    // alongside the stage counts.
+    val e2eRemapFunnel: Option[String] =
+      if (rows.exists(_._1 == "pipe_end_to_end")) Some {
+        val remapDir = s"$out/e2e_remap"
+        if (!Files.exists(Paths.get(s"$remapDir/documents.parquet/_SUCCESS"))) {
+          val docs = Engine.table(spark, out, "documents")
+          val maxOrig = docs
+            .agg(max(expr(s"doc_id div $factor")).as("m")).head().getLong(0)
+          val m = ((maxOrig + 1 + 49) / 50) * 50
+          docs.select(
+              (expr(s"doc_id div $factor") + (col("doc_id") % factor) * m)
+                .as("doc_id"),
+              col("text"), col("lang"), col("source"), col("n_chars"))
+            .repartition(cpus.toInt)
+            .write.mode("overwrite").parquet(s"$remapDir/documents.parquet")
+        }
+        val t0 = System.nanoTime()
+        val funnel = ext.Pipeline.endToEndStages(spark, remapDir)
+          .map { case (stage, df) => s""""$stage":${df.count()}""" }
+        peakTask.set(0L)
+        val chain = Explain.analyze(
+            ext.Pipeline.endToEndStages(spark, remapDir).last._2)
+          .filter(col("metric") === "shuffleBytesWritten")
+          .agg(sum(col("value")).as("bytes"))
+          .collect() // 1 row — diagnostic main, not an operator
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        val shuffleMb = chain.headOption.filterNot(_.isNullAt(0))
+          .map(_.getLong(0) / 1e6).getOrElse(0.0)
+        def r1(v: Double): Double = math.rint(v * 10) / 10
+        val secs = r1((System.nanoTime() - t0) / 1e9)
+        val json = funnel.mkString("{", ",",
+          s""","wall_s":$secs,"chain_shuffle_mb":${r1(shuffleMb)}""" +
+            s""","chain_peak_task_mem_mb":${r1(peakTask.get() / 1e6)}}""")
+        println(s"PROBE e2e_funnel_remapped $json")
+        json
+      } else None
+    e2eRemapFunnel.foreach { json =>
+      if (onlyProbes.isDefined) mergeArtifact(factor, "e2e_funnel_remapped", json)
     }
     // durable artifact (only for unfiltered runs — a partial probe must
     // not overwrite a full one): walls are single-run ±30%; the
@@ -907,7 +958,8 @@ object ScaleProbe {
             // silently downgrade SpillProbe's cross-run equality check
             invChecksum.map(c =>
               s""""inverted_index_checksum":{"checksum":$c}""") ++
-            e2eFunnel.map(s => s""""e2e_funnel":$s"""))
+            e2eFunnel.map(s => s""""e2e_funnel":$s""") ++
+            e2eRemapFunnel.map(s => s""""e2e_funnel_remapped":$s"""))
             .map(_ + ",").mkString + s""""probes":{""",
         ",", "}}")
       val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT_DIR",

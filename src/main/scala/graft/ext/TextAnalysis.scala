@@ -540,18 +540,61 @@ object TextAnalysis {
     // vocab-sized. At 100 TB the vocab is MBs while the corpus is TBs,
     // which is exactly why real BPE trainers count over the vocab.
     "text_bpe_pairs" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
-        .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
-          x => length(x) > 0)).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      val words = wordCounts(s, dir)
       words.filter(length(col("w")) >= 2)
         .select(col("wc"), explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)
+    }),
+
+    // the SECOND BPE iteration — `text_bpe_pairs` is the argmax input,
+    // this applies that merge to the vocabulary and recounts: symbol
+    // sequences ride as '~'-separated strings (words are [a-z0-9]+ so
+    // the separator can't occur in a symbol), the merge is plain
+    // non-overlapping left-to-right string replace (identical semantics
+    // in both engines, and safe here because iteration 1 merges over
+    // single-char symbols — no multi-char symbol exists yet for the
+    // pattern to straddle; a further iteration would switch to a
+    // boundary-anchored '~a~' encoding), and the new pair counts come
+    // off the merged sequences. Still vocab-sized work end-to-end; the
+    // 1-row argmax broadcasts.
+    "text_bpe_merge" -> ((s, dir) => {
+      val words = wordCounts(s, dir).filter(length(col("w")) >= 2)
+      val top = words
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1)," +
+            " i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as("merge_applied"))
+      words
+        .select(col("wc"),
+          concat_ws("~", split(col("w"), "")).as("sym"))
+        .crossJoin(broadcast(top))
+        .withColumn("sym2", expr(
+          "replace(sym, replace(merge_applied, ' ', '~')," +
+            " replace(merge_applied, ' ', ''))"))
+        .filter(size(split(col("sym2"), "~")) >= 2)
+        .select(col("wc"), col("merge_applied"), explode(expr(
+          "transform(sequence(1, size(split(sym2, '~')) - 1)," +
+            " i -> concat(element_at(split(sym2, '~'), i), ' '," +
+            " element_at(split(sym2, '~'), i + 1)))")).as("pair"))
+        .groupBy(col("merge_applied"), col("pair"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
     })
   )
+
+  /** Corpus → (distinct word, frequency): the one corpus-wide pass the
+    * BPE family shares; everything downstream is vocab-sized. */
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => length(x) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
 
   val oracleSql: Map[String, String] = Map(
     "text_quality" ->
@@ -907,6 +950,38 @@ object TextAnalysis {
         |  WHERE length(w) >= 2
         |)
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
-        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "text_bpe_merge" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY 1 HAVING length(w) >= 2
+        |), p1 AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 1) || ' '
+        |      || substr(w, CAST(i AS INTEGER) + 1, 1) AS pair, wc
+        |  FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
+        |), top1 AS (
+        |  SELECT pair AS merge_applied FROM (
+        |    SELECT pair, sum(wc) AS n FROM p1 GROUP BY 1
+        |    ORDER BY n DESC, pair LIMIT 1)
+        |), m AS (
+        |  SELECT wc, merge_applied,
+        |    replace(array_to_string(string_split(w, ''), '~'),
+        |            replace(merge_applied, ' ', '~'),
+        |            replace(merge_applied, ' ', '')) AS sym2
+        |  FROM w CROSS JOIN top1
+        |), syms AS (
+        |  SELECT wc, merge_applied, string_split(sym2, '~') AS a
+        |  FROM m WHERE len(string_split(sym2, '~')) >= 2
+        |), p2 AS (
+        |  SELECT wc, merge_applied,
+        |    a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS pair
+        |  FROM syms, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        |)
+        |SELECT merge_applied, pair, CAST(sum(wc) AS BIGINT) AS n
+        |FROM p2 GROUP BY 1, 2 ORDER BY n DESC, pair LIMIT 20""".stripMargin
   )
 }

@@ -766,6 +766,13 @@ class ExtensionSpec extends SparkSpecBase {
     val got = SparkEntry.queries("text_bpe_pairs")(spark, tmp)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(got == Seq("ab" -> 7L, "ba" -> 3L, "bc" -> 1L), s"got $got")
+    // iteration 2: argmax merge is (a b); abab → [ab, ab], abc → [ab, c]
+    // — overlapping 'a b' occurrences merge left-to-right
+    // non-overlapping, and the merged symbol participates in new pairs
+    val merged = SparkEntry.queries("text_bpe_merge")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merged == Seq(("a b", "ab ab", 3L), ("a b", "ab c", 1L)),
+      s"got $merged")
   }
 
   test("dataset card: R-7 quantiles, exact-grid mean and share on a fixture") {
