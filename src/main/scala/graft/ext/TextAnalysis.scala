@@ -501,7 +501,13 @@ object TextAnalysis {
           explode(slice(filter(split(lower(col("text")), "[^a-z0-9]+"),
             x => length(x) > 0), 1, 5)).as("term"))
         .distinct()
-      val dl = toks(d).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // doc length is a PER-ROW expression (array size), not an
+      // explode+groupBy — one corpus-wide aggregation less; only docs
+      // with ≥1 token count (the explode-side definition of "document")
+      val dl = d.select(col("doc_id"),
+          size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0)).cast("long").as("dl"))
+        .filter(col("dl") >= 1)
       val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
       val hits = toks(d)
@@ -905,7 +911,12 @@ object TextAnalysis {
         |                       x -> length(x) > 0)[1:5]) AS term
         |  FROM documents WHERE doc_id < 5
         |), dl AS (
-        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                         x -> length(x) > 0)) AS BIGINT) AS dl
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                        x -> length(x) > 0)) >= 1
         |), stats AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
         |), hits AS (
