@@ -591,6 +591,37 @@ object TextAnalysis {
         .groupBy(col("merge_applied"), col("pair"))
         .agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)
+    }),
+
+    // Count-Min Sketch heavy hitters (d=4 rows × w=1024 md5-derived
+    // buckets): the FIXED-SIZE frequency summary a streaming/merging
+    // pipeline keeps when the vocabulary itself is too big to hold —
+    // the sketch is 4096 cells no matter the corpus, cells merge by
+    // addition across shards, and est(term) = min over rows of its
+    // cell. Here the estimates are joined back against exact counts
+    // for the top-20 terms so the CMS overestimate guarantee
+    // (est ≥ true, equality when a term's 4 cells are collision-free)
+    // is driver-checked cross-engine, not just asserted. Scale shape:
+    // one vocab-sized aggregation feeds the sketch; cell build and
+    // estimate join are sketch-sized (broadcast).
+    "text_cms_topk" -> ((s, dir) => {
+      import graft.functions.HashExpressions.md5Bucket
+      val words = wordCounts(s, dir)
+      val seeds = array((0 to 3).map(i => lit(i.toString)): _*)
+      def bucket(sd: Column, w: Column): Column =
+        md5Bucket(concat(sd, lit(":"), w), 1024)
+      val cells = words
+        .select(col("w"), col("wc"), explode(seeds).as("sd"))
+        .groupBy(col("sd"), bucket(col("sd"), col("w")).as("b"))
+        .agg(sum(col("wc")).as("m"))
+      val top = words.orderBy(col("wc").desc, col("w")).limit(20)
+      top
+        .select(col("w"), col("wc"), explode(seeds).as("sd"))
+        .withColumn("b", bucket(col("sd"), col("w")))
+        .join(broadcast(cells), Seq("sd", "b"))
+        .groupBy(col("w"), col("wc")).agg(min(col("m")).as("cms_est"))
+        .select(col("w").as("term"), col("wc").as("n"), col("cms_est"))
+        .orderBy(col("n").desc, col("term"))
     })
   )
 
@@ -993,6 +1024,30 @@ object TextAnalysis {
         |  FROM syms, unnest(generate_series(1, len(a) - 1)) AS t(i)
         |)
         |SELECT merge_applied, pair, CAST(sum(wc) AS BIGINT) AS n
-        |FROM p2 GROUP BY 1, 2 ORDER BY n DESC, pair LIMIT 20""".stripMargin
+        |FROM p2 GROUP BY 1, 2 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "text_cms_topk" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY 1
+        |), seeds AS (
+        |  SELECT unnest(['0', '1', '2', '3']) AS sd
+        |), cells AS (
+        |  SELECT sd,
+        |    ('0x' || substr(md5(sd || ':' || w), 1, 8))::BIGINT % 1024 AS b,
+        |    sum(wc) AS m
+        |  FROM w CROSS JOIN seeds GROUP BY 1, 2
+        |), top AS (
+        |  SELECT w, wc FROM w ORDER BY wc DESC, w LIMIT 20
+        |)
+        |SELECT t.w AS term, CAST(t.wc AS BIGINT) AS n,
+        |  CAST(min(c.m) AS BIGINT) AS cms_est
+        |FROM top t CROSS JOIN seeds s
+        |JOIN cells c ON c.sd = s.sd
+        | AND c.b = ('0x' || substr(md5(s.sd || ':' || t.w), 1, 8))::BIGINT % 1024
+        |GROUP BY 1, 2 ORDER BY n DESC, term""".stripMargin
   )
 }

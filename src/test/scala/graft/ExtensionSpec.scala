@@ -775,6 +775,33 @@ class ExtensionSpec extends SparkSpecBase {
       s"got $merged")
   }
 
+  test("count-min sketch: estimates match a brute-force mirror, est >= truth") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa cc aa bb"), (2L, "bb dd aa"))
+    val tmp = java.nio.file.Files.createTempDirectory("cms").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    // brute-force CMS with the same md5-derived buckets
+    def bucket(sd: String, w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$sd:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    val wc = Map("aa" -> 4L, "bb" -> 3L, "cc" -> 1L, "dd" -> 1L)
+    val cells = (for {
+      sd <- Seq("0", "1", "2", "3"); (w, c) <- wc
+    } yield (sd, bucket(sd, w)) -> c)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = wc.map { case (w, c) =>
+      w -> (c, Seq("0", "1", "2", "3").map(sd => cells((sd, bucket(sd, w)))).min)
+    }
+    val got = SparkEntry.queries("text_cms_topk")(spark, tmp)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    got.values.foreach { case (n, est) => assert(est >= n, "CMS underestimated") }
+  }
+
   test("dataset card: R-7 quantiles, exact-grid mean and share on a fixture") {
     import spark.implicits._
     def words(k: Int) = Seq.fill(k)("w").mkString(" ")
