@@ -83,6 +83,23 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ appeared:\n$p")
   }
 
+  test("text_bm25: query terms and sketch frames broadcast; no corpus SMJ on them") {
+    val p = plan("text_bm25")
+    // qterms (semi filter + fanout), df, stats are all broadcast — the
+    // only corpus-sized shuffles are the hits aggregation and the
+    // adaptive dl join; text never sort-merges against a tiny side
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"expected >=3 broadcast joins (qterms/df/fanout):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row stats frame should broadcast-nested-loop:\n$p")
+  }
+
+  test("text_cms_topk: sketch cells broadcast — estimates never shuffle the vocab") {
+    val p = plan("text_cms_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cells join did not broadcast:\n$p")
+  }
+
   test("q_join_cross is the only intentional cartesian") {
     val p = plan("q_join_cross")
     assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
