@@ -378,7 +378,35 @@ object Scale {
           expr("bit_xor(h)").as("checksum"),
           expr("sum(h % 1048576)").as("sum_lo"),
           expr("sum((h div 1048576) % 1048576)").as("sum_mid"),
-          expr("sum(h div 1099511627776)").as("sum_hi")))
+          expr("sum(h div 1099511627776)").as("sum_hi"))),
+
+    // skew DIAGNOSIS — the report you run before choosing between a
+    // plain shuffle join, AQE skew handling, and explicit salting
+    // (q_salted_join): per-key counts of the join key, the top-10 heavy
+    // keys with their corpus share, and the skew factor max·K/N (1.0 =
+    // uniform; a key at 10% of 100 TB shows up here as skew ≈ 0.1·K).
+    // Scale shape: ONE map-side-combinable groupBy count (8 B/key),
+    // top-10 via TakeOrderedAndProject, the global stats as a 1-row
+    // broadcast — the report never materializes more than K counter
+    // rows, so it costs a fraction of the join it diagnoses.
+    "q_skew_report" -> ((s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"), max(col("n")).as("mx"))
+      counts.orderBy(col("n").desc, col("key")).limit(10)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("n").desc, col("key")))
+            .cast("long"))
+        .crossJoin(broadcast(stats))
+        .select(col("rk"), col("key"), col("n"),
+          graft.ext.TextAnalysis.ratioRound(col("n"), col("n_rows"), 6)
+            .as("share"),
+          col("n_keys"),
+          graft.ext.TextAnalysis.ratioRound(col("mx") * col("n_keys"),
+            col("n_rows"), 3).as("skew"))
+        .orderBy(col("rk"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -451,6 +479,23 @@ object Scale {
         |  CAST(sum(h % 1048576) AS BIGINT) AS sum_lo,
         |  CAST(sum((h // 1048576) % 1048576) AS BIGINT) AS sum_mid,
         |  CAST(sum(h // 1099511627776) AS BIGINT) AS sum_hi
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1
+        |), s AS (
+        |  SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS mx FROM c
+        |), t AS (
+        |  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rk
+        |  FROM c ORDER BY n DESC, key LIMIT 10
+        |)
+        |SELECT CAST(t.rk AS BIGINT) AS rk, t.key, CAST(t.n AS BIGINT) AS n,
+        |  CAST((2 * t.n * 1000000 + s.n_rows) // (2 * s.n_rows) AS DOUBLE)
+        |    / 1000000 AS share,
+        |  CAST(s.n_keys AS BIGINT) AS n_keys,
+        |  CAST((2 * s.mx * s.n_keys * 1000 + s.n_rows) // (2 * s.n_rows)
+        |       AS DOUBLE) / 1000 AS skew
+        |FROM t CROSS JOIN s ORDER BY rk""".stripMargin
   )
 }

@@ -212,4 +212,22 @@ class ScaleSpec extends SparkSpecBase {
       assert(total == 1000L)
     } finally q.stop()
   }
+
+  test("skew report: shares and max·K/N factor on a hand-computed fixture") {
+    import spark.implicits._
+    // keys: 1×5, 2×3, 3×1, 4×1 → N=10, K=4, mx=5, skew = 5·4/10 = 2.0
+    val rows = Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L)
+    val tmp = java.nio.file.Files.createTempDirectory("skew").toString
+    rows.toDF("o_custkey").write.mode("overwrite")
+      .parquet(s"$tmp/orders.parquet")
+    val out = SparkEntry.queries("q_skew_report")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5))))
+    assert(out.length == 4)
+    assert(out.head == 1L -> ((1L, 5L, 0.5, 4L, 2.0)), s"got ${out.head}")
+    assert(out(1) == 2L -> ((2L, 3L, 0.3, 4L, 2.0)))
+    // ties broken by key ascending
+    assert(out(2)._2._1 == 3L && out(3)._2._1 == 4L)
+  }
 }
