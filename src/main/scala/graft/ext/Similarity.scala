@@ -307,70 +307,54 @@ object Similarity {
     // one boundary value at sf0.01). Argmin ties break by codeword id;
     // the 4-term ADC sum is a BIGINT sum.
     "ann_pq" -> ((s, dir) => {
-      val M = 4; val subDim = 16; val nCw = 16
-      // hoisted-self-dot distance (the cosineWithNorms precedent): ss is
-      // computed once per subvector ROW, cc once per CODEWORD — only the
-      // cross term runs per pair, cutting 2/3 of the encode-stage dot
-      // work (measured 38.8s → the README row at the 100× probe)
-      def d2h(ss: Column, a: Column, b: Column, cc: Column): Column =
-        ss - lit(2.0) * dot_f32(a, b) + cc
-      val emb = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      // (vec_id, m, s, ss): the m-th 16-dim subvector, grid-quantized
-      // (integers ≤ ~10³ are exact in float32, so dot_f32 stays exact)
-      val sub = emb.select(col("vec_id"),
-          explode(sequence(lit(0), lit(M - 1))).as("m"), col("embedding"))
-        .select(col("vec_id"), col("m"),
-          transform(slice(col("embedding"), col("m") * subDim + 1, lit(subDim)),
-            x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
+      val sub = pqSub(s, dir)
+      val cbB = pqCodebooks(s, sub)
+      pqRankAdc(
+        pqCodes(sub, cbB).join(pqQueryAdc(s, sub, cbB),
+          col("m") === col("qm") && col("code") === col("cw")))
+    }),
+
+    // IVF-PQ — the production ANN composition: the coarse quantizer
+    // prunes WHICH vectors are scored (the shared integer-grid k-means,
+    // so the cell structure is byte-identical to emb_kmeans /
+    // dedup_semantic and the oracle reuses kmeansCtes by reference),
+    // and PQ codes shrink WHAT is scored (ADC over 4 codeword ids —
+    // queries never touch raw corpus vectors). Scale shape: probe
+    // selection is a 10×K driver-local frame; the candidate set is the
+    // probed cells' membership joined map-side against the broadcast
+    // probe list; ADC scoring then touches only candidates × 4 subspace
+    // rows. Everything stays on the exact 1e-6 integer grid end to end,
+    // so the full composed pipeline hash-compares against DuckDB.
+    "ann_ivf_pq" -> ((s, dir) => {
+      val nProbe = 3
+      val (assigned, cents) = kmeansGrid(s, dir)
+      // query-side probe list from a direct cheap scan (re-deriving the
+      // 10 quantized queries from `assigned` would re-run the whole
+      // corpus clustering chain once more just to filter 10 rows)
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float"))
+            .as("s"))
         .withColumn("ss", dot_f32(col("s"), col("s")))
-      // per-subspace codebooks: first-nCw seeds + one Lloyd step
-      val seeds = broadcast(toLocal(s, sub.filter(col("vec_id") < nCw)
-        .select(col("m"), col("vec_id").as("cw"), col("s").as("c"),
-          col("ss").as("cc"))))
-      val a0 = sub.join(seeds, Seq("m"))
-        .withColumn("__d", d2h(col("ss"), col("s"), col("c"), col("cc")))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(struct(col("cw"), col("s")), struct(col("__d"), col("cw"))).as("best"))
-        .select(col("m"), col("best.cw").as("cw"), col("best.s").as("s"))
-      // centroid mean per (m, cw, dim), re-quantized to the same grid:
-      // BIGINT sum (associative) + one double division + floor
-      val cb = a0
-        .select(col("m"), col("cw"), posexplode(col("s")).as(Seq("dim", "v")))
-        .groupBy(col("m"), col("cw"), col("dim"))
-        .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("mu"))
-        .groupBy(col("m"), col("cw"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
-        .select(col("m"), col("cw"),
-          transform(col("dm"),
-            x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
-        .withColumn("cc", dot_f32(col("c"), col("c")))
-      val cbB = broadcast(toLocal(s, cb))
-      // encode: nearest codeword per (corpus vector, subspace)
-      val codes = sub.filter(col("vec_id") >= 10)
-        .join(cbB, Seq("m"))
-        .withColumn("__d", d2h(col("ss"), col("s"), col("c"), col("cc")))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("cw"), struct(col("__d"), col("cw"))).as("code"))
-      // ADC tables: query × codeword distances (exact integers in 1e-6)
-      val qd = broadcast(toLocal(s, sub.filter(col("vec_id") < 10)
-        .join(cbB, Seq("m"))
-        .select(col("vec_id").as("q_id"), col("m").as("qm"), col("cw"),
-          d2h(col("ss"), col("s"), col("c"), col("cc")).cast("long").as("d6"))))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("adc6"), col("vec_id"))
-      codes.join(qd, col("m") === col("qm") && col("code") === col("cw"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("d6")).as("adc6"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        // round at the GRID's own scale (6), never coarser: adc6/1e6 is
-        // within 1 ulp of a 1e-6 grid point, so round(·,6) recovers the
-        // grid exactly in both engines. round(·,5) put ~10% of rows
-        // (adc6 ending in 5) exactly on the half-way boundary where
-        // Spark HALF_UP and DuckDB's binary std::round disagree.
-        .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
-          round(col("adc6") / lit(1000000.0), 6).as("adc_dist"))
-        .orderBy(col("q_id"), col("rk"))
+      val probes = broadcast(toLocal(s, q
+        .crossJoin(broadcast(cents))
+        .withColumn("__d", pqD2h(col("ss"), col("s"), col("c"), col("cc")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("__d"), col("k"))))
+        .filter(col("rn") <= nProbe)
+        .select(col("q_id"), col("k"))))
+      val cand = assigned.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("k"))
+        .join(probes, Seq("k"))
+        .select(col("q_id"), col("vec_id"))
+      val sub = pqSub(s, dir)
+      val cbB = pqCodebooks(s, sub)
+      val qd = pqQueryAdc(s, sub, cbB).withColumnRenamed("q_id", "qq")
+      pqRankAdc(
+        cand.join(pqCodes(sub, cbB), Seq("vec_id"))
+          .join(qd, col("m") === col("qm") && col("code") === col("cw") &&
+            col("q_id") === col("qq")))
     }),
 
     // per-vector norm stats — sanity surface for the embedding column
@@ -556,7 +540,95 @@ object Similarity {
    * CTE chain — see [[kmeansCtes]]) rather than a drift-prone copy.
    * Returns the final assignment: (vec_id, k, s: grid-int float array,
    * d6: exact squared-L2 to the centroid in 1e-6 units). */
-  private def kmeansAssignGrid(s: SparkSession, dir: String): DataFrame = {
+  /** Hoisted-self-dot squared-L2 (the cosineWithNorms precedent): ss is
+    * computed once per ROW, cc once per CODEWORD/CENTROID — only the
+    * cross term runs per pair, cutting 2/3 of the pairwise dot work
+    * (measured 38.8s → the README row at the 100× probe). Exact on the
+    * integer grid because dot_f32 accumulates in double. */
+  private def pqD2h(ss: Column, a: Column, b: Column, cc: Column): Column =
+    ss - lit(2.0) * dot_f32(a, b) + cc
+
+  /** (vec_id, m, s, ss): the m-th 16-dim subvector of every embedding,
+    * grid-quantized — integers ≤ ~10³ are exact in float32, so the PQ
+    * chain is hash-comparable end to end. Shared by ann_pq / ann_ivf_pq. */
+  private def pqSub(s: SparkSession, dir: String): DataFrame = {
+    val M = 4; val subDim = 16
+    t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(M - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        transform(slice(col("embedding"), col("m") * subDim + 1, lit(subDim)),
+          x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
+      .withColumn("ss", dot_f32(col("s"), col("s")))
+  }
+
+  /** Per-subspace codebooks (m, cw, c, cc): first-16 seeds + one Lloyd
+    * step — centroid mean per (m, cw, dim) via BIGINT partial sums
+    * (associative, order-immune), one double division, re-quantized to
+    * the grid. Returned as a broadcast driver-local relation. */
+  private def pqCodebooks(s: SparkSession, sub: DataFrame): DataFrame = {
+    val nCw = 16
+    val seeds = broadcast(toLocal(s, sub.filter(col("vec_id") < nCw)
+      .select(col("m"), col("vec_id").as("cw"), col("s").as("c"),
+        col("ss").as("cc"))))
+    val a0 = sub.join(seeds, Seq("m"))
+      .withColumn("__d", pqD2h(col("ss"), col("s"), col("c"), col("cc")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("cw"), col("s")), struct(col("__d"), col("cw"))).as("best"))
+      .select(col("m"), col("best.cw").as("cw"), col("best.s").as("s"))
+    val cb = a0
+      .select(col("m"), col("cw"), posexplode(col("s")).as(Seq("dim", "v")))
+      .groupBy(col("m"), col("cw"), col("dim"))
+      .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("mu"))
+      .groupBy(col("m"), col("cw"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+      .select(col("m"), col("cw"),
+        transform(col("dm"),
+          x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
+      .withColumn("cc", dot_f32(col("c"), col("c")))
+    broadcast(toLocal(s, cb))
+  }
+
+  /** Corpus codes (vec_id, m, code): nearest codeword per subspace. */
+  private def pqCodes(sub: DataFrame, cbB: DataFrame): DataFrame =
+    sub.filter(col("vec_id") >= 10)
+      .join(cbB, Seq("m"))
+      .withColumn("__d", pqD2h(col("ss"), col("s"), col("c"), col("cc")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cw"), struct(col("__d"), col("cw"))).as("code"))
+
+  /** ADC tables (q_id, qm, cw, d6): query × codeword exact integer
+    * distances, broadcast driver-local. */
+  private def pqQueryAdc(s: SparkSession, sub: DataFrame, cbB: DataFrame): DataFrame =
+    broadcast(toLocal(s, sub.filter(col("vec_id") < 10)
+      .join(cbB, Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("cw"),
+        pqD2h(col("ss"), col("s"), col("c"), col("cc")).cast("long").as("d6"))))
+
+  /** Shared ADC tail: sum the 4 subspace distances per (query, vector),
+    * rank, and round at the GRID's own scale (6), never coarser: adc6/1e6
+    * is within 1 ulp of a 1e-6 grid point, so round(·,6) recovers the
+    * grid exactly in both engines. round(·,5) put ~10% of rows (adc6
+    * ending in 5) exactly on the half-way boundary where Spark HALF_UP
+    * and DuckDB's binary std::round disagree. */
+  private def pqRankAdc(joined: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc6"), col("vec_id"))
+    joined
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d6")).as("adc6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
+        round(col("adc6") / lit(1000000.0), 6).as("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Integer-grid k-means (K=8, 2 Lloyd iterations): returns the final
+    * assignment frame `(vec_id, k, s, d6)` AND the driver-local centroid
+    * frame `(k, c, cc)` — the latter doubles as the IVF coarse quantizer
+    * for [[ann_ivf_pq]]'s probe selection. */
+  private def kmeansGrid(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val K = 8
     def d2h(ss: Column, a: Column, b: Column, cc: Column): Column =
       ss - lit(2.0) * dot_f32(a, b) + cc
@@ -595,8 +667,11 @@ object Similarity {
             x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
         .withColumn("cc", dot_f32(col("c"), col("c"))))
     val cFinal = refine(assign(refine(assign(seeds))))
-    assign(cFinal)
+    (assign(cFinal), cFinal)
   }
+
+  private def kmeansAssignGrid(s: SparkSession, dir: String): DataFrame =
+    kmeansGrid(s, dir)._1
 
   val oracleSql: Map[String, String] = Map(
     "emb_quantize" ->
@@ -787,56 +862,38 @@ object Similarity {
     // pairing, with no rounding possible below 2^53), Lloyd means are
     // BIGINT sums + one division + floor, the ADC sum is BIGINT.
     "ann_pq" ->
-      """WITH sub AS (
-        |  SELECT vec_id, t.m,
-        |    list_transform(CAST(embedding[t.m*16+1 : t.m*16+16] AS DOUBLE[]),
-        |      x -> floor(x * 1000 + 0.5)) AS s
-        |  FROM embeddings, range(0, 4) t(m)
-        |), seeds AS (
-        |  SELECT m, vec_id AS cw, s AS c FROM sub WHERE vec_id < 16
-        |), a0 AS (
-        |  SELECT m, cw, s FROM (
-        |    SELECT sub.vec_id, sub.m, seeds.cw, sub.s,
-        |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
-        |        ORDER BY list_inner_product(sub.s, sub.s)
-        |          - 2*list_inner_product(sub.s, seeds.c)
-        |          + list_inner_product(seeds.c, seeds.c), seeds.cw) AS rn
-        |    FROM sub JOIN seeds USING (m)) WHERE rn = 1
-        |), expl AS (
-        |  SELECT m, cw, unnest(range(len(s))) AS dim, unnest(s) AS v FROM a0
-        |), means AS (
-        |  SELECT m, cw, dim,
-        |    CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mu
-        |  FROM expl GROUP BY m, cw, dim
-        |), cb AS (
-        |  SELECT m, cw, list(floor(mu + 0.5) ORDER BY dim) AS c
-        |  FROM means GROUP BY m, cw
-        |), codes AS (
-        |  SELECT vec_id, m, code FROM (
-        |    SELECT sub.vec_id, sub.m, cb.cw AS code,
-        |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
-        |        ORDER BY list_inner_product(sub.s, sub.s)
-        |          - 2*list_inner_product(sub.s, cb.c)
-        |          + list_inner_product(cb.c, cb.c), cb.cw) AS rn
-        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id >= 10) WHERE rn = 1
-        |), qd AS (
-        |  SELECT sub.vec_id AS q_id, sub.m, cb.cw,
-        |    CAST(list_inner_product(sub.s, sub.s)
-        |      - 2*list_inner_product(sub.s, cb.c)
-        |      + list_inner_product(cb.c, cb.c) AS BIGINT) AS d6
-        |  FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10
-        |), adc AS (
+      s"""WITH $pqCtes, adc AS (
         |  SELECT qd.q_id, codes.vec_id, sum(qd.d6) AS adc6
         |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cw
         |  GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT q_id, vec_id, adc6,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY adc6, vec_id) AS rk
-        |  FROM adc
-        |)
-        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
-        |  round(adc6 / 1000000.0, 6) AS adc_dist
-        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+        |)$pqRankSql""".stripMargin,
+
+    // IVF-PQ composition: the SAME kmeansCtes chain as emb_kmeans /
+    // dedup_semantic supplies the coarse cells (fin + c2), the SAME
+    // pqCtes chain as ann_pq supplies codes + ADC tables; only the
+    // probe selection and candidate restriction are new. The three
+    // oracles replay byte-identical sub-pipelines by reference.
+    "ann_ivf_pq" ->
+      s"""WITH $kmeansCtes, $pqCtes, probes AS (
+        |  SELECT q_id, k FROM (
+        |    SELECT qv.vec_id AS q_id, c2.k,
+        |      row_number() OVER (PARTITION BY qv.vec_id
+        |        ORDER BY list_inner_product(qv.s, qv.s)
+        |          - 2*list_inner_product(qv.s, c2.c)
+        |          + list_inner_product(c2.c, c2.c), c2.k) AS rn
+        |    FROM qv CROSS JOIN c2 WHERE qv.vec_id < 10) WHERE rn <= 3
+        |), cand AS (
+        |  SELECT p.q_id, f.vec_id
+        |  FROM fin f JOIN probes p ON f.k = p.k
+        |  WHERE f.vec_id >= 10
+        |), adc AS (
+        |  SELECT c.q_id, c.vec_id, sum(qd.d6) AS adc6
+        |  FROM cand c
+        |  JOIN codes ON codes.vec_id = c.vec_id
+        |  JOIN qd ON qd.m = codes.m AND qd.cw = codes.code
+        |         AND qd.q_id = c.q_id
+        |  GROUP BY 1, 2
+        |)$pqRankSql""".stripMargin,
 
     "emb_diversity_sample" ->
       s"""WITH e AS (
@@ -899,9 +956,66 @@ object Similarity {
         |ORDER BY f.vec_id""".stripMargin
   )
 
-  /** DuckDB replay of [[kmeansAssignGrid]] — the shared CTE chain ending
-   * in `fin(vec_id, k, s, d6)`. Spelled once so every consumer
-   * (emb_kmeans, dedup_semantic) replays the identical clustering. */
+  /** DuckDB replay of the PQ sub-pipeline ([[pqSub]] → [[pqCodebooks]] →
+    * [[pqCodes]] + [[pqQueryAdc]]) — the shared CTE chain ending in
+    * `codes(vec_id, m, code)` and `qd(q_id, m, cw, d6)`. Spelled once so
+    * ann_pq and ann_ivf_pq replay the identical quantizer. */
+  private def pqCtes: String =
+    """sub AS (
+      |  SELECT vec_id, t.m,
+      |    list_transform(CAST(embedding[t.m*16+1 : t.m*16+16] AS DOUBLE[]),
+      |      x -> floor(x * 1000 + 0.5)) AS s
+      |  FROM embeddings, range(0, 4) t(m)
+      |), seeds AS (
+      |  SELECT m, vec_id AS cw, s AS c FROM sub WHERE vec_id < 16
+      |), a0 AS (
+      |  SELECT m, cw, s FROM (
+      |    SELECT sub.vec_id, sub.m, seeds.cw, sub.s,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+      |        ORDER BY list_inner_product(sub.s, sub.s)
+      |          - 2*list_inner_product(sub.s, seeds.c)
+      |          + list_inner_product(seeds.c, seeds.c), seeds.cw) AS rn
+      |    FROM sub JOIN seeds USING (m)) WHERE rn = 1
+      |), expl AS (
+      |  SELECT m, cw, unnest(range(len(s))) AS dim, unnest(s) AS v FROM a0
+      |), means AS (
+      |  SELECT m, cw, dim,
+      |    CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mu
+      |  FROM expl GROUP BY m, cw, dim
+      |), cb AS (
+      |  SELECT m, cw, list(floor(mu + 0.5) ORDER BY dim) AS c
+      |  FROM means GROUP BY m, cw
+      |), codes AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT sub.vec_id, sub.m, cb.cw AS code,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+      |        ORDER BY list_inner_product(sub.s, sub.s)
+      |          - 2*list_inner_product(sub.s, cb.c)
+      |          + list_inner_product(cb.c, cb.c), cb.cw) AS rn
+      |    FROM sub JOIN cb USING (m) WHERE sub.vec_id >= 10) WHERE rn = 1
+      |), qd AS (
+      |  SELECT sub.vec_id AS q_id, sub.m, cb.cw,
+      |    CAST(list_inner_product(sub.s, sub.s)
+      |      - 2*list_inner_product(sub.s, cb.c)
+      |      + list_inner_product(cb.c, cb.c) AS BIGINT) AS d6
+      |  FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10
+      |)""".stripMargin
+
+  /** Shared ADC ranking tail (mirrors [[pqRankAdc]]). */
+  private def pqRankSql: String =
+    """, ranked AS (
+      |  SELECT q_id, vec_id, adc6,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc6, vec_id) AS rk
+      |  FROM adc
+      |)
+      |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
+      |  round(adc6 / 1000000.0, 6) AS adc_dist
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** DuckDB replay of [[kmeansGrid]] — the shared CTE chain ending
+   * in `fin(vec_id, k, s, d6)` (and centroids `c2`). Spelled once so
+   * every consumer (emb_kmeans, dedup_semantic, ann_ivf_pq) replays the
+   * identical clustering. */
   private def kmeansCtes: String =
     """qv AS (
       |  SELECT vec_id,

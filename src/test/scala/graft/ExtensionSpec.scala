@@ -414,6 +414,32 @@ class ExtensionSpec extends SparkSpecBase {
     assert(overlap >= 0.2, s"avg top-5 recall vs brute force too low: $overlap")
   }
 
+  test("IVF-PQ: pruned results agree with full PQ on shared pairs") {
+    // the composition must not change the quantizer: any (query, vector)
+    // pair ranked by BOTH ann_pq and ann_ivf_pq carries the identical
+    // ADC distance (same codebooks, same grid); ivf_pq answers every
+    // query with contiguous ranks; and because IVF only RESTRICTS the
+    // candidate set, a shared hit's rank in the pruned run can only be
+    // equal or BETTER than in the full run (competitors were pruned)
+    val pq = ext.Similarity.queries("ann_pq")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val ivf = ext.Similarity.queries("ann_ivf_pq")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(ivf.nonEmpty, "ivf_pq returned rows")
+    val qs = ivf.keys.map(_._1).toSet
+    qs.foreach { q =>
+      val rks = ivf.collect { case ((`q`, _), (rk, _)) => rk }.toSeq.sorted
+      assert(rks == (1L to rks.length).toSeq, s"ranks not contiguous for $q: $rks")
+    }
+    val shared = ivf.keySet intersect pq.keySet
+    assert(shared.nonEmpty, "no shared (query, vector) pairs to cross-check")
+    shared.foreach { k =>
+      assert(ivf(k)._2 == pq(k)._2, s"ADC distance drifted on $k")
+      assert(ivf(k)._1 <= pq(k)._1,
+        s"pruned run ranked $k worse than full PQ: ${ivf(k)._1} > ${pq(k)._1}")
+    }
+  }
+
   test("k-means covers the corpus and improves on the seed centroids") {
     import graft.functions.HashExpressions.dot_f32
     val km = ext.Similarity.queries("emb_kmeans")(spark, sfDir).collect()
