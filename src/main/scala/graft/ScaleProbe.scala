@@ -99,6 +99,16 @@ object ScaleProbe {
         1, 15), 16, 10).cast("long").as("h"))
       .agg(expr("bit_xor(h)")).head().getLong(0)
 
+  /** Order-independent checksum of the full text_bm25 output — the
+    * reference value SpillProbe's memory-squeezed rerun must reproduce. */
+  private[graft] def bm25Checksum(spark: SparkSession, dir: String): Long =
+    graft.SparkEntry.queries("text_bm25")(spark, dir)
+      .select(conv(substring(md5(concat_ws("|",
+        col("q_id").cast("string"), col("rk").cast("string"),
+        col("doc_id").cast("string"), col("score_u6").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -225,6 +235,15 @@ object ScaleProbe {
     invChecksum.foreach { c =>
       if (onlyProbes.isDefined)
         mergeArtifact(factor, "inverted_index_checksum", s"""{"checksum":$c}""")
+    }
+    // same pattern for BM25 — its 100× hits aggregation + dl join are the
+    // spill-squeeze target SpillProbe reruns against this reference value
+    val bm25Ck: Option[Long] =
+      if (rows.exists(_._1 == "text_bm25")) Some(bm25Checksum(spark, out))
+      else None
+    bm25Ck.foreach { c =>
+      if (onlyProbes.isDefined)
+        mergeArtifact(factor, "bm25_checksum", s"""{"checksum":$c}""")
     }
     // survivor funnel of the end-to-end corpus build — the evidence the
     // bare probe row can't carry on this shard: near-dup replicas
@@ -958,6 +977,7 @@ object ScaleProbe {
             // silently downgrade SpillProbe's cross-run equality check
             invChecksum.map(c =>
               s""""inverted_index_checksum":{"checksum":$c}""") ++
+            bm25Ck.map(c => s""""bm25_checksum":{"checksum":$c}""") ++
             e2eFunnel.map(s => s""""e2e_funnel":$s""") ++
             e2eRemapFunnel.map(s => s""""e2e_funnel_remapped":$s"""))
             .map(_ + ",").mkString + s""""probes":{""",

@@ -148,6 +148,42 @@ object SpillProbe {
       Files.writeString(probeFile, mapper.writeValueAsString(rootNode) + "\n")
       println(s"merged inverted_index_spill into $probeFile")
     }
+
+    // ---- third squeeze target: BM25's hits aggregation + dl join -----
+    // text_bm25's corpus-side shape is one exploded (doc, term) hash
+    // aggregation plus the doc-length shuffle join — both back onto the
+    // same spillable hash/sort machinery. Under the squeezed pool the
+    // ranked output must still be byte-identical to the unconstrained
+    // run's checksum recorded by ScaleProbe.
+    memSpill.set(0L); diskSpill.set(0L); peakTask.set(0L)
+    val t2 = System.nanoTime()
+    val bmCk = ScaleProbe.bm25Checksum(spark, out)
+    val bmWall = (System.nanoTime() - t2) / 1e9
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    val bmDiskMb = diskSpill.get() / 1e6
+    val bmPeakMb = peakTask.get() / 1e6
+    println(f"SPILL PROBE (bm25): checksum=$bmCk wall=$bmWall%.1fs " +
+      f"disk_spill=$bmDiskMb%.1f MB peak_task=$bmPeakMb%.1f MB")
+    require(bmDiskMb > 0,
+      s"bm25 did not spill under fraction=$frac — claim untested")
+    if (Files.exists(probeFile)) {
+      val mapper = new ObjectMapper()
+      val rootNode = mapper.readTree(Files.readString(probeFile)).asInstanceOf[ObjectNode]
+      val ref = rootNode.path("bm25_checksum").path("checksum")
+      if (!ref.isMissingNode)
+        require(ref.asLong() == bmCk,
+          s"spilled bm25 diverged: unconstrained=${ref.asLong()} spilled=$bmCk")
+      def r1(v: Double): Double = math.rint(v * 10) / 10
+      val row = rootNode.putObject("bm25_spill")
+      row.put("mem_fraction", frac.toDouble)
+      row.put("checksum", bmCk)
+      row.put("matches_unconstrained", !ref.isMissingNode)
+      row.put("wall_s", r1(bmWall))
+      row.put("disk_spill_mb", r1(bmDiskMb))
+      row.put("peak_task_mem_mb", r1(bmPeakMb))
+      Files.writeString(probeFile, mapper.writeValueAsString(rootNode) + "\n")
+      println(s"merged bm25_spill into $probeFile")
+    }
     spark.stop()
   }
 }
