@@ -103,6 +103,62 @@ object StreamStateProbe {
           s""""sessions_closed":$closed,"state_rows_max":${stateRows.max},""" +
           s""""state_rows_final":${stateRows.last},"state_mb_final":${r1(stateMb.last)}}""")
     } finally q.stop()
+
+    // ---- second claim: stream-stream join state PLATEAUS -------------
+    // JoinStream's retention bound is O(rate × (window + delay)) per
+    // side, never O(stream length) — the spec proves eviction with
+    // sentinels; this measures the PLATEAU: drive batches that each
+    // advance event time by 6 h (4 clicks + 2 purchases per user per
+    // batch), so with the 24 h window + 1 h watermark the state store
+    // must level off at ~5 batches of rows while input grows linearly.
+    if (!rocks) {
+      val users2 = 500
+      val batches2 = 12
+      val hourUs = 3600L * 1000000L
+      val clicks = MemoryStream[JoinProbeEvent]
+      val purchases = MemoryStream[JoinProbeEvent]
+      val jq = graft.streaming.JoinStream
+        .attribution(clicks.toDF(), purchases.toDF())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("join_state_probe").start()
+      val jRows = new Array[Long](batches2)
+      try {
+        for (b <- 0 until batches2) {
+          val t0 = base + b.toLong * 6 * hourUs
+          clicks.addData((for {
+            u <- 0 until users2; j <- 0 until 4
+          } yield JoinProbeEvent(u.toLong, b.toLong * 100000 + u * 10 + j,
+            ts(t0 + j * 15 * minUs), 0.0)): _*)
+          purchases.addData((for {
+            u <- 0 until users2; j <- 0 until 2
+          } yield JoinProbeEvent(u.toLong, b.toLong * 100000 + 50000 + u * 10 + j,
+            ts(t0 + (j + 4) * 15 * minUs), 1.0)): _*)
+          jq.processAllAvailable()
+          val so = jq.lastProgress.stateOperators
+          require(so.nonEmpty, "no join state operator in progress")
+          jRows(b) = so.map(_.numRowsTotal).sum
+          println(f"JOIN BATCH $b%2d rows_in=${(b + 1).toLong * users2 * 6}%8d " +
+            f"state_rows=${jRows(b)}%7d")
+        }
+        val rowsIn = batches2.toLong * users2 * 6
+        // plateau: once the window has filled (~5 batches), doubling the
+        // input must not grow state materially
+        require(jRows(batches2 - 1) <= (jRows(5) * 13) / 10,
+          s"join state kept growing past the window fill: ${jRows.toSeq}")
+        // linear-growth refutation: final state ≪ everything ever buffered
+        require(jRows(batches2 - 1) * 2 < rowsIn,
+          s"join state ~ stream length: ${jRows.last} of $rowsIn rows retained")
+        ScaleProbe.mergeArtifact(100, "stream_join_state",
+          s"""{"users":$users2,"batches":$batches2,"rows_in":$rowsIn,""" +
+            s""""state_rows_at_fill":${jRows(5)},""" +
+            s""""state_rows_final":${jRows.last}}""")
+      } finally jq.stop()
+    }
     spark.stop()
   }
 }
+
+/** MemoryStream row for the stream-stream join probe (top-level for the
+  * case-class Encoder). */
+case class JoinProbeEvent(user_id: Long, event_id: Long,
+  ts: java.sql.Timestamp, value: Double)
