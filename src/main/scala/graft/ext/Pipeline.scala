@@ -617,6 +617,32 @@ object Pipeline {
           TextAnalysis.ratioRound(col("n_docs"), col("total_docs"), 6)
             .as("share"))
         .orderBy(col("lang"))
+    }),
+
+    // deterministic source-interleaved training order — the "don't feed
+    // the model a source at a time" primitive: docs are md5-shuffled
+    // WITHIN each source (retry-safe, the pipe_split rule), then dealt
+    // round-robin across sources; exhausted sources drop out of later
+    // rounds. The global position needs NO global sort: doc (source s,
+    // rank rn) sits at pos = Σ_s' min(size_s', rn−1) + |{s' < s with
+    // size_s' ≥ rn}| — per-source sizes are a K-row broadcast, so the
+    // position is a doc×K map-side aggregate; the only corpus-scale
+    // work is one ranking window per source over a narrow frame.
+    "pipe_interleave" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("hsh"))
+      val bySrc = Window.partitionBy(col("source"))
+        .orderBy(col("hsh"), col("doc_id"))
+      val sizes = d.groupBy(col("source").as("s2")).agg(count(lit(1)).as("sz"))
+      d.withColumn("rn", row_number().over(bySrc).cast("long"))
+        .crossJoin(broadcast(sizes))
+        .groupBy(col("doc_id"), col("source"), col("rn"))
+        .agg(sum(least(col("sz"), col("rn") - 1) +
+          when(col("s2") < col("source") && col("sz") >= col("rn"), 1L)
+            .otherwise(0L)).as("pos"))
+        .select(col("pos"), col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("pos"))
     })
   )
 
@@ -978,7 +1004,27 @@ object Pipeline {
         |  CAST((2 * count(*) * 1000000 + total_docs) // (2 * total_docs)
         |       AS DOUBLE) / 1000000 AS share
         |FROM d CROSS JOIN tot
-        |GROUP BY lang, total_docs ORDER BY lang""".stripMargin
+        |GROUP BY lang, total_docs ORDER BY lang""".stripMargin,
+
+    "pipe_interleave" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hsh
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |                            ORDER BY hsh, doc_id) AS BIGINT) AS rn
+        |  FROM d
+        |), sz AS (
+        |  SELECT source AS s2, count(*) AS sz FROM d GROUP BY 1
+        |)
+        |SELECT CAST(sum(least(sz.sz, r.rn - 1)
+        |    + CASE WHEN sz.s2 < r.source AND sz.sz >= r.rn
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |  r.doc_id, r.source, r.rn
+        |FROM r CROSS JOIN sz
+        |GROUP BY r.doc_id, r.source, r.rn
+        |ORDER BY pos""".stripMargin
   )
 
   /** The bloom variant's contract is "identical output to the exact

@@ -828,6 +828,30 @@ class ExtensionSpec extends SparkSpecBase {
     got.values.foreach { case (n, est) => assert(est >= n, "CMS underestimated") }
   }
 
+  test("interleave: dense round-robin positions, exhausted sources drop out") {
+    import spark.implicits._
+    // sources: A has 3 docs, B has 1 — round-robin deals A,B,A,A
+    // (B exhausts after round 1); within-source order is md5(doc_id)
+    val rows = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+    val tmp = java.nio.file.Files.createTempDirectory("ilv").toString
+    rows.toDF("doc_id", "source").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipe_interleave")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // positions dense 0..3, ordered
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), s"got $out")
+    // round 1 deals one doc from A then one from B; rounds 2-3 are A only
+    assert(out(0)._3 == "A" && out(1)._3 == "B")
+    assert(out(2)._3 == "A" && out(3)._3 == "A")
+    // within-source order follows md5(doc_id): verify rank 1 of A is the
+    // md5-minimal A doc
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val aOrder = Seq(1L, 2L, 3L).sortBy(h)
+    assert(out(0)._2 == aOrder.head && out(2)._2 == aOrder(1) &&
+      out(3)._2 == aOrder(2), s"md5 order broken: $out vs $aOrder")
+  }
+
   test("dataset card: R-7 quantiles, exact-grid mean and share on a fixture") {
     import spark.implicits._
     def words(k: Int) = Seq.fill(k)("w").mkString(" ")
