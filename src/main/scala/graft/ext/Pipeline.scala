@@ -623,19 +623,39 @@ object Pipeline {
     // the model a source at a time" primitive: docs are md5-shuffled
     // WITHIN each source (retry-safe, the pipe_split rule), then dealt
     // round-robin across sources; exhausted sources drop out of later
-    // rounds. The global position needs NO global sort: doc (source s,
-    // rank rn) sits at pos = Σ_s' min(size_s', rn−1) + |{s' < s with
-    // size_s' ≥ rn}| — per-source sizes are a K-row broadcast, so the
-    // position is a doc×K map-side aggregate; the only corpus-scale
-    // work is one ranking window per source over a narrow frame.
+    // rounds. NO global sort exists anywhere:
+    //  - the within-source dense rank is the standard two-level
+    //    construction — docs range-shard on the md5 PREFIX (first hex
+    //    byte, order-consistent with the full-hash sort), rank locally
+    //    per (source, shard) window, and add the broadcast prefix-sum
+    //    offset of earlier shards. A per-source window would put one
+    //    whole source (TBs at corpus scale, with few sources) in one
+    //    sort task; the shard windows are 256× finer and the offset
+    //    table is K×256 rows.
+    //  - the global position is a CLOSED FORM over the K-row broadcast
+    //    size table: doc (source s, rank rn) sits at pos =
+    //    Σ_s' min(size_s', rn−1) + |{s' < s with size_s' ≥ rn}| —
+    //    a doc×K map-side aggregate.
     "pipe_interleave" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           md5(col("doc_id").cast("string")).as("hsh"))
-      val bySrc = Window.partitionBy(col("source"))
+        .withColumn("shard",
+          conv(substring(col("hsh"), 1, 2), 16, 10).cast("long"))
+      val byShard = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("hsh"), col("doc_id"))
-      val sizes = d.groupBy(col("source").as("s2")).agg(count(lit(1)).as("sz"))
-      d.withColumn("rn", row_number().over(bySrc).cast("long"))
+      val shardSizes = d.groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n"))
+      val offsets = shardSizes
+        .withColumn("off", coalesce(sum(col("n")).over(
+          Window.partitionBy(col("source")).orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("shard"), col("off"))
+      val sizes = shardSizes.groupBy(col("source").as("s2"))
+        .agg(sum(col("n")).as("sz"))
+      d.withColumn("lrn", row_number().over(byShard).cast("long"))
+        .join(broadcast(offsets), Seq("source", "shard"))
+        .withColumn("rn", col("lrn") + col("off"))
         .crossJoin(broadcast(sizes))
         .groupBy(col("doc_id"), col("source"), col("rn"))
         .agg(sum(least(col("sz"), col("rn") - 1) +
@@ -1006,15 +1026,30 @@ object Pipeline {
         |FROM d CROSS JOIN tot
         |GROUP BY lang, total_docs ORDER BY lang""".stripMargin,
 
+    // mirrors the two-level rank: prefix-byte shard, local window rank,
+    // prefix-sum offset — the identical rn as one big per-source window
     "pipe_interleave" ->
       """WITH d AS (
-        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hsh
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hsh,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+        |      AS shard
         |  FROM documents
-        |), r AS (
-        |  SELECT doc_id, source,
-        |    CAST(row_number() OVER (PARTITION BY source
-        |                            ORDER BY hsh, doc_id) AS BIGINT) AS rn
+        |), lr AS (
+        |  SELECT doc_id, source, shard,
+        |    CAST(row_number() OVER (PARTITION BY source, shard
+        |                            ORDER BY hsh, doc_id) AS BIGINT) AS lrn
         |  FROM d
+        |), ssz AS (
+        |  SELECT source, shard, count(*) AS n FROM d GROUP BY 1, 2
+        |), offs AS (
+        |  SELECT source, shard,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM ssz
+        |), r AS (
+        |  SELECT lr.doc_id, lr.source, lr.lrn + offs.off AS rn
+        |  FROM lr JOIN offs USING (source, shard)
         |), sz AS (
         |  SELECT source AS s2, count(*) AS sz FROM d GROUP BY 1
         |)
