@@ -154,7 +154,31 @@ object Multimodal {
         .select(col("media_id"),
           explode(sequence(lit(0), col("n_frames") - 1, lit(7))).as("frame_no"))
         .orderBy(col("media_id"), col("frame_no"))
-    })
+    }),
+
+    // media-payload dedup + the storage-savings report a blob store runs
+    // before perceptual passes: content identity by a BOUNDED-WINDOW
+    // digest (at most MaxDecodeBytes of the blob hashes — per-row CPU
+    // independent of blob size, the same cap the decode stub enforces),
+    // keep-first winner per group, bytes reclaimed = group mass minus
+    // the kept copy. Scale shape: one map-side-combinable groupBy on
+    // the 16-byte digest — payload bytes never cross an exchange.
+    // (Testdata blobs are ≪ the cap, so the digest sees the full
+    // payload and the oracle's md5(text) is the exact mirror — the
+    // KNOWN BOUND note below applies here too.)
+    "mm_payload_dedup" -> ((s, dir) =>
+      mediaTable(s, dir)
+        .select(col("media_id"),
+          md5(expr(s"substring(payload, 1, ${FakeCodec.MaxDecodeBytes})"))
+            .as("dg"),
+          octet_length(col("payload")).cast("long").as("n_bytes"))
+        .groupBy(col("dg"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          min_by(col("n_bytes"), col("media_id")).as("n_bytes_kept"),
+          (sum(col("n_bytes")) - min_by(col("n_bytes"), col("media_id")))
+            .as("bytes_saved"))
+        .orderBy(col("keep_id")))
   )
 
   // Every multimodal query is oracle-checked: the stub codec derives its
@@ -212,6 +236,17 @@ object Multimodal {
         |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 30 + 2 AS n_frames
         |  FROM documents)
         |SELECT media_id, unnest(range(0, n_frames, 7)) AS frame_no
-        |FROM m ORDER BY media_id, frame_no""".stripMargin
+        |FROM m ORDER BY media_id, frame_no""".stripMargin,
+
+    "mm_payload_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS dg,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT dg, min(media_id) AS keep_id, count(*) AS n_copies,
+        |  arg_min(n_bytes, media_id) AS n_bytes_kept,
+        |  CAST(sum(n_bytes) - arg_min(n_bytes, media_id) AS BIGINT)
+        |    AS bytes_saved
+        |FROM m GROUP BY dg ORDER BY keep_id""".stripMargin
   )
 }

@@ -828,6 +828,24 @@ class ExtensionSpec extends SparkSpecBase {
     got.values.foreach { case (n, est) => assert(est >= n, "CMS underestimated") }
   }
 
+  test("media payload dedup: group accounting on planted duplicate blobs") {
+    import spark.implicits._
+    // docs 1,2,4 share one payload (10 bytes); 3 is unique (4 bytes)
+    val rows = Seq((1L, "same bytes"), (2L, "same bytes"),
+      (3L, "diff"), (4L, "same bytes"))
+    val tmp = java.nio.file.Files.createTempDirectory("mmdedup").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("mm_payload_dedup")(spark, tmp)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // keeper 1: 3 copies of 10 bytes, 20 reclaimed; keeper 3: singleton
+    assert(out == Map(1L -> ((3L, 10L, 20L)), 3L -> ((1L, 4L, 0L))),
+      s"got $out")
+  }
+
   test("interleave: dense round-robin positions, exhausted sources drop out") {
     import spark.implicits._
     // sources: A has 3 docs, B has 1 — round-robin deals A,B,A,A
