@@ -108,6 +108,54 @@ object StreamQueries {
       val sink = "q_stream_decontam_sink"
       drained(s, sink)(DecontamStream.runToMemory(s, dir, sink))
         .orderBy(col("doc_id"))
+    }),
+
+    // foreachBatch — the ONE sink API the memory-sink entries above
+    // don't exercise, and the standard production pattern for
+    // non-append sinks: each micro-batch of recrawl updates/new docs is
+    // MERGED into a versioned parquet corpus with the same anti-join ∪
+    // batch copy-on-write rule as batch `pipe_upsert` (whose oracle
+    // this entry shares by reference — updates touch disjoint docs, so
+    // any micro-batch split folds to the same final corpus). Versioned
+    // dirs, not in-place overwrite: a batch reads corpus_vN and writes
+    // corpus_vN+1, the real table-format pattern (and Spark cannot
+    // overwrite a path it is reading).
+    "q_stream_upsert" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("stream_upsert").toString
+      graft.engine.Engine.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(s"$root/corpus_v0")
+      val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+      val src = s.readStream.schema(CurationStream.docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val q = src.writeStream
+        .foreachBatch { (batchDf: DataFrame, _: Long) =>
+          val v = ver.get()
+          val corpus = batchDf.sparkSession.read.parquet(s"$root/corpus_v$v")
+          val updates = batchDf.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), col("lang"),
+              concat(col("text"), lit(" [recrawl]")).as("text"))
+          val inserts = batchDf.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+              concat(lit("NEW "), col("text")).as("text"))
+          val b = updates.unionAll(inserts)
+          corpus.join(b.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .unionAll(b)
+            .write.mode("overwrite").parquet(s"$root/corpus_v${v + 1}")
+          ver.set(v + 1)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/corpus_v${ver.get()}")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -117,6 +165,7 @@ object StreamQueries {
     "q_sessionize_stream" -> graft.ops.Analytical.oracleSql("q_sessionize"),
     "q_events_window_stream" -> graft.ops.Relational.oracleSql("q_events_window"),
     "q_stream_decontam" -> graft.ext.Extensions.oracleSql("pipe_decontam"),
+    "q_stream_upsert" -> graft.ext.Extensions.oracleSql("pipe_upsert"),
 
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(user_id || '|' || event_type || '|' || props) AS h

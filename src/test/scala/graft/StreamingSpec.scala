@@ -237,6 +237,70 @@ class StreamingSpec extends SparkSpecBase {
         s"state did not collapse to the sentinels: $after rows retained")
     } finally q.stop()
   }
+
+  test("foreachBatch upsert folds identically under a forced micro-batch split") {
+    // the q_stream_upsert claim: because updates touch disjoint docs,
+    // ANY split of the source into micro-batches produces the same final
+    // corpus as one batch merge — drive the same versioned copy-on-write
+    // foreachBatch over TWO MemoryStream batches and compare to the
+    // one-shot batch merge of the union
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("fb_upsert").toString
+    val baseRows = Seq((1L, "a"), (7L, "b"), (13L, "c"), (14L, "d"), (20L, "e"))
+    baseRows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").parquet(s"$root/corpus_v0")
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .writeStream.foreachBatch { (batchDf: DataFrame, _: Long) =>
+        val v = ver.get()
+        val corpus = batchDf.sparkSession.read.parquet(s"$root/corpus_v$v")
+        val updates = batchDf.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("lang"),
+            concat(col("text"), lit(" [recrawl]")).as("text"))
+        val inserts = batchDf.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+            concat(lit("NEW "), col("text")).as("text"))
+        val b = updates.unionAll(inserts)
+        corpus.join(b.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionAll(b)
+          .write.mode("overwrite").parquet(s"$root/corpus_v${v + 1}")
+        ver.set(v + 1)
+        ()
+      }.start()
+    try {
+      src.addData((7L, "b2"), (14L, "d2"))  // batch 1: one update, one no-op
+      q.processAllAvailable()
+      src.addData((13L, "c2"), (20L, "e2")) // batch 2: update+insert, no-op
+      q.processAllAvailable()
+      assert(ver.get() == 2, s"expected 2 merge versions, got ${ver.get()}")
+      val streamed = spark.read.parquet(s"$root/corpus_v2")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      // one-shot merge of the SAME four rows over the same base
+      val all = Seq((7L, "b2"), (14L, "d2"), (13L, "c2"), (20L, "e2"))
+        .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      val base = spark.read.parquet(s"$root/corpus_v0")
+      val up = all.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" [recrawl]")).as("text"))
+      val ins = all.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          concat(lit("NEW "), col("text")).as("text"))
+      val oneShot = base
+        .join(up.unionAll(ins).select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionAll(up.unionAll(ins))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(streamed == oneShot, s"streamed=$streamed\noneShot=$oneShot")
+      // and the merge really happened: 7 recrawled, 13-insert present
+      assert(streamed.contains((7L, "b2 [recrawl]")))
+      assert(streamed.contains((10000013L, "NEW c2")))
+    } finally q.stop()
+  }
 }
 
 /** MemoryStream row for the stream-stream join spec (top-level for the
