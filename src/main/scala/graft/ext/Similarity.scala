@@ -116,33 +116,39 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Brute-force cosine top-k per query (q = vec_id < qMax, candidates
+    * = vec_id ≥ qMax) — shared by `ann_bruteforce` (qMax=10, k=5) and
+    * `text_rrf_fusion`'s dense side (qMax=5, k=20). Small single-split
+    * input: spread the dot-product work over cores; norms computed once
+    * per row on each side, never per pair. */
+  private[ext] def bruteForceTopK(s: SparkSession, dir: String,
+      qMax: Int, k: Int): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val q = broadcast(
+      emb.filter(col("vec_id") < qMax)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm")))
+    val scored = emb.filter(col("vec_id") >= qMax)
+      .crossJoin(q)
+      .select(col("q_id"), col("vec_id"),
+        cosineWithNorms(col("q_vec"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), round(col("sim"), 5).as("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // brute-force cosine top-k (k=5) for a broadcast query set
-    "ann_bruteforce" -> ((s, dir) => {
-      // small single-split input: spread the dot-product work over cores;
-      // norms computed once per row on each side, never per pair
-      val emb = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .withColumn("nrm", l2norm(col("embedding")))
-      val q = broadcast(
-        emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-            col("nrm").as("q_nrm")))
-      val scored = emb.filter(col("vec_id") >= 10)
-        .crossJoin(q)
-        .select(col("q_id"), col("vec_id"),
-          cosineWithNorms(col("q_vec"), col("embedding"),
-            col("q_nrm"), col("nrm")).as("sim"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      scored
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk").cast("long").as("rk"),
-          col("vec_id"), round(col("sim"), 5).as("sim"))
-        .orderBy(col("q_id"), col("rk"))
-    }),
+    "ann_bruteforce" -> ((s, dir) => bruteForceTopK(s, dir, qMax = 10, k = 5)),
 
     // LSH-bucketed ANN: 8-bit hyperplane signature, exact rerank in-bucket
     "ann_lsh" -> ((s, dir) => lshTopK(s, dir, b => array(b))),

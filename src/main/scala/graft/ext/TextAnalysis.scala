@@ -491,49 +491,40 @@ object TextAnalysis {
     // literals forced to double in the oracle), and the per-doc score
     // is the exact BIGINT sum of grid values, so summation order can
     // never flip a hash.
-    "text_bm25" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      def toks(df: DataFrame) = df.select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
-          x => length(x) > 0)).as("term"))
-      val qterms = d.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(filter(split(lower(col("text")), "[^a-z0-9]+"),
-            x => length(x) > 0), 1, 5)).as("term"))
-        .distinct()
-      // doc length is a PER-ROW expression (array size), not an
-      // explode+groupBy — one corpus-wide aggregation less; only docs
-      // with ≥1 token count (the explode-side definition of "document")
-      val dl = d.select(col("doc_id"),
-          size(filter(split(lower(col("text")), "[^a-z0-9]+"),
-            x => length(x) > 0)).cast("long").as("dl"))
-        .filter(col("dl") >= 1)
-      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl"))
-      val hits = toks(d)
-        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfr = hits.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+    "text_bm25" -> ((s, dir) => bm25TopK(s, dir, 10)),
+
+    // hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009,
+    // k=60) of the two ranking systems this engine already runs: BM25
+    // over the documents postings and brute-force cosine over the
+    // embeddings (the systems never exchange scores, only RANKS, which
+    // is RRF's whole point — no score calibration across modalities).
+    // This is the hard-negative-mining / retrieval stage of an LLM data
+    // pipeline: lexical recall catches literal matches, dense recall
+    // catches paraphrases, and the fusion is what's actually indexed.
+    // Scale shape: all corpus-scale work lives in the two upstream
+    // retrieval shapes (each already probed); the fusion itself joins
+    // two (queries × k)-row frames — a full outer join on (q_id, id)
+    // over K-sized inputs, broadcastable at any corpus size. The rank
+    // contribution 10^6 div (60 + rank) is exact BIGINT division in
+    // both engines, so fused scores (and thus the fused order) can
+    // never drift on a float.
+    "text_rrf_fusion" -> ((s, dir) => {
+      val lex = bm25TopK(s, dir, 20)
+        .select(col("q_id"), col("doc_id").as("id"), col("rk").as("rk_lex"))
+      val sem = Similarity.bruteForceTopK(s, dir, qMax = 5, k = 20)
+        .select(col("q_id"), col("vec_id").as("id"), col("rk").as("rk_sem"))
       val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("score_u6").desc, col("doc_id"))
-      hits
-        .join(broadcast(dfr), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .join(broadcast(qterms), "term")
-        .withColumn("idf", log(lit(1.0) +
-          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-        .withColumn("c_u", round(col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) * lit(1e6))
-          .cast("long"))
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(sum(col("c_u")).as("score_u6"))
+        .orderBy(col("rrf_u").desc, col("id"))
+      lex.join(sem, Seq("q_id", "id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(expr("1000000 div (60 + rk_lex)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rk_sem)"), lit(0L)))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .select(col("q_id"), col("rk").cast("long").as("rk"),
-          col("doc_id"), col("score_u6"))
+          col("id").as("doc_id"), col("rrf_u"),
+          coalesce(col("rk_lex"), lit(0L)).as("rk_lex"),
+          coalesce(col("rk_sem"), lit(0L)).as("rk_sem"))
         .orderBy(col("q_id"), col("rk"))
     }),
 
@@ -627,11 +618,110 @@ object TextAnalysis {
 
   /** Corpus → (distinct word, frequency): the one corpus-wide pass the
     * BPE family shares; everything downstream is vocab-sized. */
+  /** BM25 top-k per query (Lucene's 1+ idf variant, k1=1.2, b=0.75) —
+    * shared by `text_bm25` (k=10) and `text_rrf_fusion` (k=20). See the
+    * `text_bm25` entry's scaladoc for the scale shape and the 1e-6
+    * integer-grid float-determinism argument. */
+  private[ext] def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val d = t(s, dir, "documents")
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => length(x) > 0)).as("term"))
+    val qterms = d.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => length(x) > 0), 1, 5)).as("term"))
+      .distinct()
+    // doc length is a PER-ROW expression (array size), not an
+    // explode+groupBy — one corpus-wide aggregation less; only docs
+    // with ≥1 token count (the explode-side definition of "document")
+    val dl = d.select(col("doc_id"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => length(x) > 0)).cast("long").as("dl"))
+      .filter(col("dl") >= 1)
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val hits = toks(d)
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = hits.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_u6").desc, col("doc_id"))
+    hits
+      .join(broadcast(dfr), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c_u", round(col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) * lit(1e6))
+        .cast("long"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c_u")).as("score_u6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score_u6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
         x => length(x) > 0)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  /** The BM25 oracle CTE chain through `scored` (q_id, doc_id,
+    * score_u6, rk) — shared by the text_bm25 and text_rrf_fusion
+    * oracles so the two mirrors can never drift. */
+  private val bm25OracleCtes: String =
+    """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS term
+        |  FROM documents
+        |), qterms AS (
+        |  SELECT DISTINCT doc_id AS q_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)[1:5]) AS term
+        |  FROM documents WHERE doc_id < 5
+        |), dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                         x -> length(x) > 0)) AS BIGINT) AS dl
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                        x -> length(x) > 0)) >= 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), hits AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2
+        |), dfr AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+        |), contrib AS (
+        |  SELECT q.q_id, h.doc_id,
+        |    CAST(round(
+        |      ln(1 + (s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+        |             / (f.df + CAST(0.5 AS DOUBLE)))
+        |      * (h.tf * CAST(2.2 AS DOUBLE))
+        |      / (h.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
+        |      * 1e6) AS BIGINT) AS c_u
+        |  FROM hits h
+        |  JOIN dfr f USING (term)
+        |  JOIN dl l USING (doc_id)
+        |  CROSS JOIN stats s
+        |  JOIN qterms q USING (term)
+        |), scored AS (
+        |  SELECT q_id, doc_id, sum(c_u) AS score_u6,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY sum(c_u) DESC, doc_id) AS rk
+        |  FROM contrib GROUP BY 1, 2
+        |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_quality" ->
@@ -930,54 +1020,49 @@ object TextAnalysis {
     // every fractional literal is CAST to DOUBLE: DuckDB would otherwise
     // type them DECIMAL and take an exact-decimal route to a DIFFERENT
     // double than Spark's all-double arithmetic (2.2 is not binary-exact)
-    "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                       x -> length(x) > 0)) AS term
-        |  FROM documents
-        |), qterms AS (
-        |  SELECT DISTINCT doc_id AS q_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                       x -> length(x) > 0)[1:5]) AS term
-        |  FROM documents WHERE doc_id < 5
-        |), dl AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                         x -> length(x) > 0)) AS BIGINT) AS dl
-        |  FROM documents
-        |  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                        x -> length(x) > 0)) >= 1
-        |), stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
-        |), hits AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks
-        |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2
-        |), dfr AS (
-        |  SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
-        |), contrib AS (
-        |  SELECT q.q_id, h.doc_id,
-        |    CAST(round(
-        |      ln(1 + (s.n_docs - f.df + CAST(0.5 AS DOUBLE))
-        |             / (f.df + CAST(0.5 AS DOUBLE)))
-        |      * (h.tf * CAST(2.2 AS DOUBLE))
-        |      / (h.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |           + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
-        |      * 1e6) AS BIGINT) AS c_u
-        |  FROM hits h
-        |  JOIN dfr f USING (term)
-        |  JOIN dl l USING (doc_id)
-        |  CROSS JOIN stats s
-        |  JOIN qterms q USING (term)
-        |), scored AS (
-        |  SELECT q_id, doc_id, sum(c_u) AS score_u6,
-        |    row_number() OVER (PARTITION BY q_id
-        |                       ORDER BY sum(c_u) DESC, doc_id) AS rk
-        |  FROM contrib GROUP BY 1, 2
-        |)
+    "text_bm25" -> (bm25OracleCtes + """
         |SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id,
         |  CAST(score_u6 AS BIGINT) AS score_u6
-        |FROM scored WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+        |FROM scored WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin),
+
+    // RRF fusion: the BM25 CTE chain is shared BY REFERENCE with the
+    // text_bm25 oracle (the two can never drift); the dense side is the
+    // ann_bruteforce-validated cosine comparison; the fused score is
+    // exact BIGINT `//` division — no float anywhere past the two
+    // already-validated rankers
+    "text_rrf_fusion" -> (bm25OracleCtes + """
+        |, lex AS (
+        |  SELECT q_id, doc_id AS id, rk AS rk_lex FROM scored WHERE rk <= 20
+        |), qv AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec
+        |  FROM embeddings WHERE vec_id < 5
+        |), sscore AS (
+        |  SELECT qv.q_id, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(qv.q_vec AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id >= 5
+        |), sem AS (
+        |  SELECT q_id, id, rk_sem FROM (
+        |    SELECT q_id, id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id)
+        |        AS rk_sem
+        |    FROM sscore) WHERE rk_sem <= 20
+        |), fused AS (
+        |  SELECT coalesce(l.q_id, s.q_id) AS q_id, coalesce(l.id, s.id) AS id,
+        |    coalesce(1000000 // (60 + l.rk_lex), 0)
+        |      + coalesce(1000000 // (60 + s.rk_sem), 0) AS rrf_u,
+        |    coalesce(l.rk_lex, 0) AS rk_lex, coalesce(s.rk_sem, 0) AS rk_sem
+        |  FROM lex l FULL OUTER JOIN sem s ON l.q_id = s.q_id AND l.id = s.id
+        |), franked AS (
+        |  SELECT q_id, id, rrf_u, rk_lex, rk_sem,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY rrf_u DESC, id) AS rk
+        |  FROM fused
+        |)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, id AS doc_id,
+        |  CAST(rrf_u AS BIGINT) AS rrf_u, CAST(rk_lex AS BIGINT) AS rk_lex,
+        |  CAST(rk_sem AS BIGINT) AS rk_sem
+        |FROM franked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin),
+
 
     "text_bpe_pairs" ->
       """WITH w AS (
