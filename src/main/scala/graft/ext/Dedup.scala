@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
 
@@ -179,6 +180,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected-component labels (doc_id → min doc_id of its near-dup
+    * component) over the MinHash-LSH candidate edges, by label
+    * propagation to fixpoint — shared by `dedup_clusters` (size
+    * histogram) and `dedup_canonical` (survivor selection).
+    *
+    * Iterative algorithms need lineage truncation, not columnar
+    * caching: measured, `.persist()` here is a 13× LOSS (columnar
+    * cache build serializes the upstream), while localCheckpoint
+    * materializes the tiny edge list once and keeps each round's plan
+    * flat. On a cluster swap for reliable checkpoint (executor-loss
+    * tolerance); semantics identical.
+    *
+    * Propagates to FIXPOINT (true connected components, matching the
+    * oracle's transitive closure), not a fixed round count: each round
+    * checkpoints the new labels and counts changes — an aggregate
+    * action, no collect of data. Near-dup clusters are shallow, so
+    * this converges in a handful of rounds; the cap is a runaway guard. */
+  private[ext] def clusterLabels(docs: DataFrame): DataFrame = {
+    val sig = signatures(docs)
+    val cand = minhashCandidates(sig)
+    val edges = cand
+      .union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = sig.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 20) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(prop.select(col("doc_a").as("doc_id"), col("nbr_label")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: one survivor (min doc_id) per md5(text) group
@@ -281,48 +327,45 @@ object Dedup {
     // node keeps the minimum. Converges in O(cluster diameter) rounds —
     // near-dup clusters are shallow, so a fixed small round count is the
     // scalable choice (no driver-side union-find, no collect).
-    "dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sig = signatures(docs)
-      // Iterative algorithms need lineage truncation, not columnar
-      // caching: measured, `.persist()` here is a 13× LOSS (columnar
-      // cache build serializes the upstream), while localCheckpoint
-      // materializes the tiny edge list once and keeps each round's plan
-      // flat. On a cluster swap for reliable checkpoint (executor-loss
-      // tolerance); semantics identical.
-      val cand = minhashCandidates(sig)
-      val edges = cand
-        .union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint(true)
-      var labels = sig.select(col("doc_id"), col("doc_id").as("label"))
-        .localCheckpoint(true)
-      // propagate to FIXPOINT (true connected components, matching the
-      // oracle's transitive closure), not a fixed round count: each round
-      // checkpoints the new labels and counts changes — an aggregate
-      // action, no collect of data. Near-dup clusters are shallow, so
-      // this converges in a handful of rounds; the cap is a runaway guard
-      var changed = 1L
-      var round = 0
-      while (changed > 0 && round < 20) {
-        val prop = edges
-          .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
-          .groupBy(col("doc_a")).agg(min(col("label")).as("nbr_label"))
-        val next = labels
-          .join(prop.select(col("doc_a").as("doc_id"), col("nbr_label")), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .localCheckpoint(true)
-        changed = next
-          .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
-          .filter(col("label") =!= col("old_label")).count()
-        labels = next
-        round += 1
-      }
-      labels.groupBy(col("label"))
+    "dedup_clusters" -> ((s, dir) =>
+      clusterLabels(t(s, dir, "documents"))
+        .groupBy(col("label"))
         .agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
-        .orderBy(col("cluster_size"))
+        .orderBy(col("cluster_size"))),
+
+    // canonical-survivor selection — the decision stage downstream of
+    // clustering that a production dedup actually ships: within each
+    // near-dup cluster keep the BEST document (not the lowest id), where
+    // "best" is the stopword-density quality signal on the exact 1e-6
+    // integer grid (ratioRoundInt — cross-engine BIGINT, so the argmax
+    // can never flip on a float), ties broken by doc_id. Scale shape:
+    // the cluster labels come from the same fixpoint label propagation
+    // as dedup_clusters (probed there); the survivor argmax is one
+    // row_number window over (label) — labels frames carry (doc_id,
+    // label, score) longs only, never text, and multi-member clusters
+    // are a dup-mass-sized subset of the corpus.
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val score = TextAnalysis.ratioRoundInt(
+        TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopEn),
+        greatest(TextAnalysis.nTokens(col("text")), lit(1)), 6)
+      val labeled = clusterLabels(docs)
+        .join(docs.select(col("doc_id"), score.as("score_u6")), "doc_id")
+      val multi = labeled
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("label"))))
+        .filter(col("cluster_size") >= 2)
+      multi
+        .withColumn("rn", row_number().over(Window.partitionBy(col("label"))
+          .orderBy(col("score_u6").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("label").as("cluster"), col("cluster_size"),
+          col("doc_id").as("survivor_id"),
+          col("score_u6").as("survivor_score_u6"),
+          (col("cluster_size") - 1).as("n_removed"))
+        .orderBy(col("cluster"))
     }),
 
     // exact word-3-gram Jaccard over a deterministic blocked sample.
@@ -460,6 +503,58 @@ object Dedup {
       |  FROM hexsig, range(0, 16) t(band)
       |)""".stripMargin
 
+  /** The LSH-candidate + recursive-transitive-closure oracle CTE chain
+    * through `comp` (node, label) — shared by the dedup_clusters and
+    * dedup_canonical oracles so the two mirrors can never drift. */
+  private val ccOracleCtes: String =
+    """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), shng AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM toks
+        |), mh AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s2 -> ('0x' || substr(md5(s2),1,16))::UBIGINT) AS hv
+        |  FROM shng WHERE len(sh) > 0
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), j ->
+        |      list_min(list_transform(hv, h ->
+        |        xor(h, ('0x' || substr(md5(concat('seed_', j)),1,16))::UBIGINT)))) AS sg
+        |  FROM mh
+        |), hexsig AS (
+        |  SELECT doc_id, list_transform(sg, x -> lower(lpad(hex(x), 16, '0'))) AS hx
+        |  FROM sig
+        |), banded AS (
+        |  SELECT doc_id, t.band,
+        |    md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')) AS bkey
+        |  FROM hexsig, range(0, 16) t(band)
+        |), okbuckets AS (
+        |  SELECT band, bkey FROM banded
+        |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 64
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a
+        |  JOIN okbuckets ok ON a.band = ok.band AND a.bkey = ok.bkey
+        |  JOIN banded b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM cands
+        |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM cands
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM mh
+        |  UNION
+        |  SELECT e.doc_a AS node, r.label
+        |  FROM edges e JOIN reach r ON r.node = e.doc_b
+        |), comp AS (
+        |  SELECT node, min(label) AS label FROM reach GROUP BY node
+        |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -567,58 +662,41 @@ object Dedup {
     // dedup_clusters: same LSH candidate edges as dedup_minhash_lsh,
     // then TRUE connected components via recursive transitive closure —
     // the fixpoint the Spark label propagation converges to
-    "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                x -> length(x) > 0) AS tk
-        |  FROM documents
-        |), shng AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      generate_series(1, greatest(len(tk) - 2, 0)),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-        |  FROM toks
-        |), mh AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(sh, s2 -> ('0x' || substr(md5(s2),1,16))::UBIGINT) AS hv
-        |  FROM shng WHERE len(sh) > 0
-        |), sig AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 64), j ->
-        |      list_min(list_transform(hv, h ->
-        |        xor(h, ('0x' || substr(md5(concat('seed_', j)),1,16))::UBIGINT)))) AS sg
-        |  FROM mh
-        |), hexsig AS (
-        |  SELECT doc_id, list_transform(sg, x -> lower(lpad(hex(x), 16, '0'))) AS hx
-        |  FROM sig
-        |), banded AS (
-        |  SELECT doc_id, t.band,
-        |    md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')) AS bkey
-        |  FROM hexsig, range(0, 16) t(band)
-        |), okbuckets AS (
-        |  SELECT band, bkey FROM banded
-        |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 64
-        |), cands AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a
-        |  JOIN okbuckets ok ON a.band = ok.band AND a.bkey = ok.bkey
-        |  JOIN banded b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
-        |), edges AS (
-        |  SELECT doc_a, doc_b FROM cands
-        |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM cands
-        |), reach AS (
-        |  SELECT doc_id AS node, doc_id AS label FROM mh
-        |  UNION
-        |  SELECT e.doc_a AS node, r.label
-        |  FROM edges e JOIN reach r ON r.node = e.doc_b
-        |), comp AS (
-        |  SELECT node, min(label) AS label FROM reach GROUP BY node
-        |), sizes AS (
+    "dedup_clusters" -> (ccOracleCtes + """
+        |, sizes AS (
         |  SELECT label, count(*) AS cluster_size FROM comp GROUP BY label
         |)
         |SELECT cluster_size, count(*) AS n_clusters
-        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+
+    // dedup_canonical: same components, then the survivor argmax on the
+    // 1e-6 integer-grid stopword-density score (exact BIGINT `//`
+    // half-up — the text_quality-validated grid), ties by doc_id
+    "dedup_canonical" -> (ccOracleCtes + """
+        |, score AS (
+        |  SELECT doc_id,
+        |    (2 * CAST(length(regexp_extract_all(lower(text),
+        |         '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS BIGINT)
+        |       * 1000000
+        |     + greatest(CAST(length(regexp_extract_all(text,
+        |         '[A-Za-z0-9]+')) AS BIGINT), 1))
+        |    // (2 * greatest(CAST(length(regexp_extract_all(text,
+        |         '[A-Za-z0-9]+')) AS BIGINT), 1)) AS score_u6
+        |  FROM documents
+        |), labeled AS (
+        |  SELECT c.node AS doc_id, c.label, s.score_u6,
+        |    count(*) OVER (PARTITION BY c.label) AS cluster_size
+        |  FROM comp c JOIN score s ON s.doc_id = c.node
+        |), ranked AS (
+        |  SELECT doc_id, label, score_u6, cluster_size,
+        |    row_number() OVER (PARTITION BY label
+        |        ORDER BY score_u6 DESC, doc_id) AS rn
+        |  FROM labeled WHERE cluster_size >= 2
+        |)
+        |SELECT label AS cluster, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  doc_id AS survivor_id, CAST(score_u6 AS BIGINT) AS survivor_score_u6,
+        |  CAST(cluster_size - 1 AS BIGINT) AS n_removed
+        |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin),
 
     // dedup_substring: the oracle groups by the gram STRING (the Spark
     // side groups by xxhash64(gram) — per-doc counts are identical
