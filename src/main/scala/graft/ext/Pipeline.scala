@@ -320,6 +320,39 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // epoch / repeat-factor planning — the budgeting step BEFORE any
+    // mixture is sampled: given a token budget of 3× the corpus (the
+    // multi-epoch regime) spread uniformly across sources, how many
+    // epochs (repeats) must each source run to meet its target, where
+    // does the repeat cap (3.5 epochs — past which repeated data stops
+    // helping) bind, and what does each source actually contribute
+    // under the cap. Pure planning arithmetic on per-source totals:
+    // one map-side-combinable 20-row aggregate, a 1-row broadcast
+    // total — nothing corpus-sized moves, at any corpus size. All
+    // ratios live on the exact 1e-4 BIGINT grid (ratioRoundInt), and
+    // targets/effective chars are integer `div` — no float can drift
+    // the plan across engines.
+    "pipe_epoch_plan" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("long").as("avail"))
+      val tot = per.agg(sum(col("avail")).as("total"),
+        count(lit(1)).as("n_src"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(3 * total) div n_src"))
+        .withColumn("e_u4", TextAnalysis.ratioRoundInt(
+          col("target"), greatest(col("avail"), lit(1L)), 4))
+        .select(col("source"), col("avail").as("available_chars"),
+          col("target").as("target_chars"),
+          (col("e_u4").cast("double") / 10000.0).as("epochs"),
+          (least(col("e_u4"), lit(35000L)).cast("double") / 10000.0)
+            .as("epochs_capped"),
+          expr("(least(e_u4, 35000) * avail) div 10000")
+            .as("effective_chars"),
+          (col("e_u4") > 35000L).as("over_cap"))
+        .orderBy(col("source"))
+    }),
+
     // weighted mixture sampling: per-source keep-rates applied via the
     // doc's own hash bucket — deterministic, retry-safe, no shuffle; the
     // sampled mixture is then summarized per source
@@ -913,6 +946,29 @@ object Pipeline {
         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(coalesce(k.chars_kept, 0) AS BIGINT) AS chars_kept
         |FROM t LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
+
+    "pipe_epoch_plan" ->
+      """WITH per AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(avail) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_src
+        |  FROM per
+        |), plan AS (
+        |  SELECT source, avail, (3 * total) // n_src AS target,
+        |    (2 * ((3 * total) // n_src) * 10000 + greatest(avail, 1))
+        |      // (2 * greatest(avail, 1)) AS e_u4
+        |  FROM per CROSS JOIN tot
+        |)
+        |SELECT source, avail AS available_chars,
+        |  CAST(target AS BIGINT) AS target_chars,
+        |  CAST(e_u4 AS DOUBLE) / 10000.0 AS epochs,
+        |  CAST(least(e_u4, 35000) AS DOUBLE) / 10000.0 AS epochs_capped,
+        |  CAST((least(e_u4, 35000) * avail) // 10000 AS BIGINT)
+        |    AS effective_chars,
+        |  e_u4 > 35000 AS over_cap
+        |FROM plan ORDER BY source""".stripMargin,
 
     "pipe_mixture" ->
       """WITH b AS (

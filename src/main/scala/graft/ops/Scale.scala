@@ -330,6 +330,36 @@ object Scale {
         .orderBy(col("ivl_id"))
     }),
 
+    // Hive-style partitioned layout + static partition pruning — the
+    // bread-and-butter 100 TB table layout (daily partitions; at a
+    // 1000-executor scale a date filter must prune at the DIRECTORY
+    // listing, before any file is opened). Writes events partitioned by
+    // event_date and reads back a 3-of-30-day window: the scan's
+    // PartitionFilters prune 27/30 partitions (asserted in ScaleSpec —
+    // `partitions read` in the formatted plan), and this entry proves
+    // the partitioned rewrite is value-invariant in the driver contract
+    // (oracle over the ORIGINAL unpartitioned table). The partition
+    // column derives from the NTZ timestamp's literal date — the same
+    // value DuckDB's CAST(ts AS DATE) yields, no zone math anywhere.
+    "q_partition_prune" -> ((s, dir) => {
+      val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse").toString
+      val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val path = s"$wh/events_bydate_$sfTag"
+      if (!java.nio.file.Files.exists(Paths.get(s"$path/_SUCCESS")))
+        t(s, dir, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .write.partitionBy("event_date").mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_date").between(lit("2024-01-10"), lit("2024-01-12")))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"),
+          (col("cents").cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // compaction is content-invariant: fragment a copy of documents into
     // 64 shard files, compact to ~target-size files, and aggregate the
     // COMPACTED table — must hash-match the oracle over the original.
@@ -461,6 +491,17 @@ object Scale {
         |  CAST(coalesce(a.cents, 0) AS DOUBLE) / 100.0 AS sum_value
         |FROM ivl i LEFT JOIN agg a ON i.ivl_id = a.ivl_id
         |ORDER BY i.ivl_id""".stripMargin,
+
+    // oracle over the ORIGINAL unpartitioned table: the partitioned
+    // rewrite + pruned scan must not change content
+    "q_partition_prune" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     // oracle over the ORIGINAL table: compaction must not change content
     "q_compact" ->

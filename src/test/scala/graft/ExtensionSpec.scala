@@ -895,4 +895,83 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out("yy") == ((1L, 1L, 8L, 8.0, 8.0, 8.0, 0.2)),
       s"yy: ${out("yy")}")
   }
+
+  test("rrf fusion: score algebra, rank shape, and list provenance") {
+    val rows = SparkEntry.queries("text_rrf_fusion")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L), s"q set: ${byQ.keySet}")
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).toSeq.sorted == (1L to rs.length).toSeq)
+    }
+    rows.foreach { r =>
+      val (rrf, lex, sem) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val expected = (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+        (if (sem > 0) 1000000L / (60 + sem) else 0L)
+      assert(rrf == expected, s"rrf mismatch: $r")
+      assert(lex > 0 || sem > 0, s"row in neither list: $r")
+      assert(lex <= 20 && sem <= 20)
+    }
+    // fused order is non-increasing in rrf_u within each query
+    byQ.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(ordered == ordered.sorted.reverse, s"not sorted: $ordered")
+    }
+  }
+
+  test("dedup_canonical: survivors consistent with the cluster histogram") {
+    val canon = SparkEntry.queries("dedup_canonical")(spark, sfDir).collect()
+    val hist = SparkEntry.queries("dedup_clusters")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one survivor row per multi-member cluster, matching the histogram
+    val bySize = canon.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    hist.filter(_._1 >= 2).foreach { case (size, n) =>
+      assert(bySize.getOrElse(size, 0) == n.toInt,
+        s"size-$size clusters: canon=$bySize hist=$hist")
+    }
+    assert(bySize.keys.forall(_ >= 2))
+    canon.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) - 1) // n_removed = size - 1
+      // the cluster label is the component's min doc_id, so the chosen
+      // survivor can never be smaller than it
+      assert(r.getLong(2) >= r.getLong(0), s"survivor below label: $r")
+    }
+  }
+
+  test("pipe_epoch_plan: cap binds exactly where epochs exceed it") {
+    val rows = SparkEntry.queries("pipe_epoch_plan")(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    val target = rows.head.getLong(2)
+    rows.foreach { r =>
+      assert(r.getLong(2) == target, "uniform target per source")
+      val (epochs, capped, overCap) =
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(6))
+      assert(overCap == (epochs > 3.5), s"cap flag wrong: $r")
+      assert(capped == math.min(epochs, 3.5), s"capped value wrong: $r")
+      // effective = floor(capped_u4 * avail / 1e4) ≤ avail * 3.5
+      val avail = r.getLong(1)
+      val effective = r.getLong(5)
+      assert(effective == math.round(capped * 10000).toLong * avail / 10000L,
+        s"effective chars wrong: $r")
+    }
+    // the 3×-corpus budget means the typical source runs ~3 epochs
+    assert(rows.exists(_.getDouble(3) > 1.0))
+  }
+
+  test("q_partition_prune: pruned aggregate equals direct filter on the source") {
+    val pruned = SparkEntry.queries("q_partition_prune")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val direct = graft.engine.Engine.table(spark, sfDir, "events")
+      .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .filter(col("day").between("2024-01-10", "2024-01-12"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(pruned == direct, s"pruned=$pruned direct=$direct")
+    assert(pruned.keys.map(_._1).toSet.size == 3, "3 partition days")
+  }
 }

@@ -40,6 +40,25 @@ class PlanHygieneSpec extends SparkSpecBase {
       p.contains("LessThanOrEqual(o_totalprice,150000"), s"totalprice bounds not pushed:\n$p")
   }
 
+  test("q_partition_prune: date bounds land in PartitionFilters — directory-level pruning") {
+    val p = plan("q_partition_prune")
+    // the filter must appear as a PARTITION filter (pruned at listing
+    // time, before any file opens), not only as a data filter
+    assert(p.contains("PartitionFilters"), s"no PartitionFilters section:\n$p")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("event_date"), s"event_date not in PartitionFilters:\n$pf")
+    assert(pf.contains(">=") && pf.contains("<="),
+      s"range bounds not in PartitionFilters:\n$pf")
+  }
+
+  test("text_rrf_fusion: fusion joins K-sized frames — no corpus-sized exchange past the rankers") {
+    val p = plan("text_rrf_fusion")
+    // the two ranker outputs are ≤ 5 queries × 20 rows; their full outer
+    // join must not introduce a cartesian/BNLJ
+    assert(!p.contains("CartesianProduct"), s"cartesian in fusion:\n$p")
+    assert(p.contains("FullOuter"), s"full outer fusion join missing:\n$p")
+  }
+
   test("q_join_inner: dimension joins broadcast (no shuffle of the fact side for dims)") {
     val p = plan("q_join_inner")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
