@@ -195,7 +195,8 @@ object ScaleProbe {
       "pipe_quality_cut", "emb_negative_sample", "pipe_length_buckets",
       "pipe_end_to_end", "text_bm25", "text_bpe_pairs", "text_bpe_merge",
       "pipe_dataset_card", "text_cms_topk", "ann_ivf_pq", "pipe_interleave",
-      "mm_payload_dedup")
+      "mm_payload_dedup", "text_rrf_fusion", "dedup_canonical",
+      "pipe_epoch_plan")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
