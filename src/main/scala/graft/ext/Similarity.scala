@@ -400,6 +400,49 @@ object Similarity {
           size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("vec_id"))),
 
+    // distributed covariance of the embedding matrix — the PCA /
+    // whitening / decorrelation precursor (the Σ = E[xxᵀ] − μμᵀ every
+    // dimensionality-reduction stage needs). The classic distributed
+    // linear-algebra shape: each vector contributes its d(d+1)/2
+    // upper-triangle cross products through ONE generator, which
+    // collapse in the map-side hash aggregate to ≤ d(d+1)/2 keys per
+    // partition — the exchange carries partitions × 2080 rows (d=64),
+    // never anything corpus-sized; the per-dimension sums are a d-row
+    // broadcast. Everything rides the same 1e-3 integer grid as the
+    // k-means family, so the covariance NUMERATOR n·Σxᵢxⱼ − Σxᵢ·Σxⱼ is
+    // exact BIGINT in both engines (cov = num / (n²·10⁶); the double
+    // division is left to the consumer — no float ever crosses the
+    // oracle hash). Grid-sum magnitude bounds the single-pass variant
+    // to ~10⁹ rows per aggregation; past that, shard the pass and sum
+    // the per-shard (n, Σx, Σxy) moments — they merge exactly. The
+    // PCA step itself (power iteration on the 64×64 result) is
+    // driver-side by design — the matrix is KB-sized at any corpus
+    // size — and is pinned in ExtensionSpec, not the oracle.
+    "emb_covariance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      val sums = emb
+        .select(posexplode(col("qv")).as(Seq("i", "v")))
+        .groupBy(col("i")).agg(sum(col("v")).as("sx"))
+        .select(col("i").cast("long").as("i"), col("sx"))
+      val pairs = emb.select(explode(expr(
+        """flatten(transform(qv, (x, i) ->
+          |  transform(slice(qv, i + 1, size(qv) - i), (y, j) ->
+          |    struct(CAST(i AS BIGINT) AS i, CAST(i + j AS BIGINT) AS j,
+          |           x * y AS xy))))""".stripMargin)).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sxy"))
+      pairs
+        .join(broadcast(sums.select(col("i"), col("sx").as("sx_i"))), "i")
+        .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
+        .select(col("i"), col("j"), col("n"),
+          (col("n") * col("sxy") - col("sx_i") * col("sx_j")).as("cov_num"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // contrastive-training negative sampling: per query, K deterministic
     // "random" negatives = the first K of an md5-ordered candidate pool
     // whose cosine is UNDER the similarity floor τ (near-duplicates and
@@ -920,6 +963,34 @@ object Similarity {
          |SELECT bucket, CAST(rk AS BIGINT) AS rk, vec_id
          |FROM r WHERE rk <= 20
          |ORDER BY bucket, rk""".stripMargin,
+
+    // emb_covariance: the same 1e-3 grid quantization as the k-means
+    // family, pairs via an index-range self-join — exact BIGINT end to
+    // end, so both engines hash the identical numerator
+    "emb_covariance" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |    qv[CAST(i AS INTEGER)] AS v
+        |  FROM q, unnest(generate_series(1, len(qv))) AS t(i)
+        |), sums AS (
+        |  SELECT i, CAST(sum(v) AS BIGINT) AS sx FROM e GROUP BY 1
+        |), agg AS (
+        |  SELECT a.i AS i, b.i AS j, count(*) AS n,
+        |    CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT agg.i, agg.j, CAST(n AS BIGINT) AS n,
+        |  n * sxy - sa.sx * sb.sx AS cov_num
+        |FROM agg
+        |JOIN sums sa ON sa.i = agg.i
+        |JOIN sums sb ON sb.i = agg.j
+        |ORDER BY agg.i, agg.j""".stripMargin,
 
     "emb_norms" ->
       """SELECT vec_id, label,

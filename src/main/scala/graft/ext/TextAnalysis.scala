@@ -81,6 +81,57 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // the Gopher rule battery (Rae et al. 2021, §A1.1) — the canonical
+    // pre-training quality gate, distinct from text_quality's ratio
+    // report: hard per-rule pass/fail bits whose thresholds are applied
+    // as exact INTEGER comparisons (3 ≤ mean word len ≤ 10 is checked
+    // as 3·n_words ≤ Σlen ≤ 10·n_words, symbol ratio ≤ 0.1 as
+    // 10·n_sym ≤ n_words, alpha ratio ≥ 0.8 as 5·n_alpha ≥ 4·n_words)
+    // so no float boundary can flip a verdict cross-engine; the ratio
+    // columns are grid-rounded report values only. The stopword rule is
+    // Gopher's DISTINCT-presence count (≥ 2 of its named 8), not a
+    // density. Pure per-row expression work — no shuffle but the output
+    // sort, the linear 100 TB filter-pass shape.
+    "text_gopher_rules" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val words = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+      val nW = size(words).cast("long")
+      val sumLen = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+      val nAlpha = size(filter(words, x => x.rlike("[A-Za-z]"))).cast("long")
+      val nSym = ((length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).cast("long") +
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("long") / 3)
+      // the rule SEMANTICS (≥ 2 distinct stopwords present) is Gopher's;
+      // the word list is the corpus-calibrated stopEn set — the paper's
+      // exact 8 words target crawled web English, and a faithful gate
+      // must use a list its corpus can actually contain
+      val gopherStops = stopEn
+      val nStop = gopherStops.map(w =>
+        when(lower(col("text")).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      d.select(col("doc_id"), nW.as("n_words"), sumLen.as("sum_word_len"),
+          nAlpha.as("n_alpha"), nSym.as("n_sym"), nStop.as("n_stop_distinct"))
+        .select(col("doc_id"), col("n_words"),
+          ratioRound(col("sum_word_len"), greatest(col("n_words"), lit(1L)), 4)
+            .as("mean_word_len"),
+          ratioRound(col("n_sym"), greatest(col("n_words"), lit(1L)), 6)
+            .as("symbol_ratio"),
+          ratioRound(col("n_alpha"), greatest(col("n_words"), lit(1L)), 6)
+            .as("alpha_ratio"),
+          col("n_stop_distinct"),
+          col("n_words").between(50L, 100000L).as("r_word_count"),
+          (col("sum_word_len") >= col("n_words") * 3L &&
+            col("sum_word_len") <= col("n_words") * 10L).as("r_mean_len"),
+          (col("n_sym") * 10L <= col("n_words")).as("r_symbol"),
+          (col("n_alpha") * 5L >= col("n_words") * 4L).as("r_alpha"),
+          (col("n_stop_distinct") >= 2L).as("r_stopwords"))
+        .withColumn("passes_gopher",
+          col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+            col("r_alpha") && col("r_stopwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     // language ID: argmax of per-language stopword density
     "text_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -743,6 +794,52 @@ object TextAnalysis {
         |  (nc BETWEEN 100 AND 10000
         |   AND CAST(ns AS DOUBLE) / greatest(nt, 1) > 0.01
         |   AND CAST(np AS DOUBLE) / greatest(nc, 1) < 0.2) AS passes_quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+        |      AS sum_word_len,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(text, '\s+'),
+        |        x -> length(x) > 0),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, '...', ''))
+        |          AS BIGINT) // 3 AS n_sym,
+        |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\ba\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bin\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bis\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bon\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bfor\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+        |    )::BIGINT AS n_stop_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CAST((2 * sum_word_len * 10000 + greatest(n_words, 1))
+        |    // (2 * greatest(n_words, 1)) AS DOUBLE) / 10000.0 AS mean_word_len,
+        |  CAST((2 * n_sym * 1000000 + greatest(n_words, 1))
+        |    // (2 * greatest(n_words, 1)) AS DOUBLE) / 1000000.0 AS symbol_ratio,
+        |  CAST((2 * n_alpha * 1000000 + greatest(n_words, 1))
+        |    // (2 * greatest(n_words, 1)) AS DOUBLE) / 1000000.0 AS alpha_ratio,
+        |  n_stop_distinct,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10)
+        |    AS r_mean_len,
+        |  n_sym * 10 <= n_words AS r_symbol,
+        |  n_alpha * 5 >= n_words * 4 AS r_alpha,
+        |  n_stop_distinct >= 2 AS r_stopwords,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+        |   AND n_sym * 10 <= n_words AND n_alpha * 5 >= n_words * 4
+        |   AND n_stop_distinct >= 2) AS passes_gopher
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->

@@ -958,6 +958,61 @@ class ExtensionSpec extends SparkSpecBase {
     assert(rows.exists(_.getDouble(3) > 1.0))
   }
 
+  test("gopher rules: each rule fails exactly where planted") {
+    import spark.implicits._
+    // 65 words, mean word length ≈ 4.5, stopwords present
+    val good = (("the quick brown foxes jumped with vigor and courage " +
+      "of champions to win ") * 5).trim
+    val short = "the and of tiny doc" // 5 words → word-count fail
+    val symbols = ("the and " + "#### " * 60).trim // symbol soup
+    val tiny = ("a b c d " * 15 + "the and").trim // mean word len ~1 → fail
+    val rows = Seq((1L, good), (2L, short), (3L, symbols), (4L, tiny))
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_gopher_rules")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+          r.getBoolean(10), r.getBoolean(11)))).toMap
+    // (r_word_count, r_mean_len, r_symbol, r_alpha, r_stopwords, passes)
+    assert(out(1L) == ((true, true, true, true, true, true)), s"good: ${out(1L)}")
+    assert(out(2L)._1 == false && out(2L)._6 == false, s"short: ${out(2L)}")
+    assert(out(3L)._3 == false && out(3L)._4 == false, s"symbols: ${out(3L)}")
+    assert(out(4L)._2 == false, s"tiny words: ${out(4L)}")
+  }
+
+  test("emb_covariance: PSD grid matrix; driver-side power iteration finds the top eigenpair") {
+    val rows = SparkEntry.queries("emb_covariance")(spark, sfDir).collect()
+    val d = 64
+    assert(rows.length == d * (d + 1) / 2, s"${rows.length} triangle entries")
+    val n = rows.head.getLong(2).toDouble
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      // cov = num / (n²·10⁶): back out of the exact grid numerator
+      val c = r.getLong(3).toDouble / (n * n * 1e6)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    // an exact covariance of (integer-grid) data: variances non-negative
+    (0 until d).foreach(i => assert(cov(i)(i) >= 0, s"var($i) < 0"))
+    def mul(v: Array[Double]) =
+      Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    for (_ <- 0 until 300) {
+      val av = mul(v)
+      val nrm = math.sqrt(av.map(x => x * x).sum)
+      v = av.map(_ / nrm)
+    }
+    val av = mul(v)
+    val lambda = v.zip(av).map { case (a, b) => a * b }.sum // Rayleigh
+    val resid = math.sqrt(
+      av.zip(v).map { case (a, b) => (a - lambda * b) * (a - lambda * b) }.sum)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(lambda > 0, s"top eigenvalue $lambda")
+    assert(lambda <= trace + 1e-9, s"lambda $lambda above trace $trace")
+    assert(resid <= 1e-3 * lambda, s"eigen residual $resid vs lambda $lambda")
+  }
+
   test("q_partition_prune: pruned aggregate equals direct filter on the source") {
     val pruned = SparkEntry.queries("q_partition_prune")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
