@@ -406,9 +406,13 @@ object Similarity {
     // linear-algebra shape: each vector contributes its d(d+1)/2
     // upper-triangle cross products through ONE generator, which
     // collapse in the map-side hash aggregate to ≤ d(d+1)/2 keys per
-    // partition — the exchange carries partitions × 2080 rows (d=64),
-    // never anything corpus-sized; the per-dimension sums are a d-row
-    // broadcast. Everything rides the same 1e-3 integer grid as the
+    // partition — the AGGREGATION exchange carries partitions × 2080
+    // rows (d=64), never anything corpus-sized; the per-dimension sums
+    // are a d-row broadcast. (The one corpus-sized movement below is
+    // the up-front repartition that spreads the few-split local input
+    // across cores — measured 108 MB at the 100× probe, exactly the
+    // quantized vectors; on a real many-split corpus drop it and the
+    // scan feeds the generator in place.) Everything rides the same 1e-3 integer grid as the
     // k-means family, so the covariance NUMERATOR n·Σxᵢxⱼ − Σxᵢ·Σxⱼ is
     // exact BIGINT in both engines (cov = num / (n²·10⁶); the double
     // division is left to the consumer — no float ever crosses the
