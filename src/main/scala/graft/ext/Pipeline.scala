@@ -320,6 +320,67 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // the INCREMENTAL corpus-maintenance loop as one job — the other
+    // production composite next to pipe_end_to_end's from-scratch build:
+    // a new crawl shard is (1) gated by the Gopher battery, (2)
+    // exact-deduped against the ingested corpus AND within itself
+    // (keep-first per content hash), (3) upserted, and (4) the merged
+    // corpus is summarized per language WITH a content checksum — the
+    // validation a real migration pipeline runs after every merge.
+    // Scale shape per stage: the gate is per-row map work; the dedup is
+    // an 8B-hash anti-join (never text) + one keep-first window over
+    // shard-sized frames; the merge is a union (no shuffle); the
+    // summary is one map-side-combinable aggregate whose checksum is
+    // the q_table_checksum xor fold. Stage frames share by reference
+    // the gate (gopherFrame), so the chain and the standalone
+    // text_gopher_rules can never drift.
+    "pipe_incremental_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val shard = docs.filter(col("doc_id") % 2 =!= 0)
+      val gated = TextAnalysis.gopherFrame(shard)
+        .filter(col("passes_gopher"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          md5(col("text")).as("h"))
+      val corpusH = base.select(md5(col("text")).as("h")).distinct()
+      val marked = gated
+        .join(corpusH.withColumn("dup", lit(true)), Seq("h"), "left")
+      val survivors = marked.filter(!coalesce(col("dup"), lit(false)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val merged = base.unionAll(survivors)
+      def g(df: DataFrame, c: String) =
+        df.groupBy(col("lang")).agg(count(lit(1)).as(c))
+      val fin = merged
+        .withColumn("rh", conv(substring(md5(concat_ws("|",
+          col("doc_id").cast("string"), col("text"))), 1, 15), 16, 10)
+          .cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_final"),
+          sum(length(col("text")).cast("long")).as("chars_final"),
+          expr("bit_xor(rh)").as("checksum"))
+      docs.select(col("lang")).distinct()
+        .join(g(base, "n_base"), Seq("lang"), "left")
+        .join(g(shard, "n_shard"), Seq("lang"), "left")
+        .join(g(gated, "n_gated"), Seq("lang"), "left")
+        .join(g(survivors, "n_inserted"), Seq("lang"), "left")
+        .join(fin, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_shard"), lit(0L)).as("n_shard"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+          (coalesce(col("n_gated"), lit(0L)) -
+            coalesce(col("n_inserted"), lit(0L))).as("n_dup_dropped"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("chars_final"), lit(0L)).as("chars_final"),
+          coalesce(col("checksum"), lit(0L)).as("checksum"))
+        .orderBy(col("lang"))
+    }),
+
     // epoch / repeat-factor planning — the budgeting step BEFORE any
     // mixture is sampled: given a token budget of 3× the corpus (the
     // multi-epoch regime) spread uniformly across sources, how many
@@ -946,6 +1007,56 @@ object Pipeline {
         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(coalesce(k.chars_kept, 0) AS BIGINT) AS chars_kept
         |FROM t LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
+
+    // the oracle replays the identical chain; the Gopher gate CTE and
+    // pass condition are shared BY REFERENCE with text_gopher_rules
+    "pipe_incremental_e2e" -> (s"""WITH m AS (${TextAnalysis.gopherOracleM}),
+        |base AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+        |), shard AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 <> 0
+        |), gated AS (
+        |  SELECT s.doc_id, s.lang, s.text, md5(s.text) AS h
+        |  FROM shard s JOIN m ON m.doc_id = s.doc_id
+        |  WHERE ${TextAnalysis.gopherPassCond}
+        |), corpush AS (
+        |  SELECT DISTINCT md5(text) AS h FROM base
+        |), surv AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT g.doc_id, g.lang, g.text,
+        |      row_number() OVER (PARTITION BY g.h ORDER BY g.doc_id) AS rn
+        |    FROM gated g
+        |    WHERE NOT EXISTS (SELECT 1 FROM corpush c WHERE c.h = g.h))
+        |  WHERE rn = 1
+        |), merged AS (
+        |  SELECT doc_id, lang, text FROM base
+        |  UNION ALL SELECT doc_id, lang, text FROM surv
+        |), fin AS (
+        |  SELECT lang, count(*) AS n_final,
+        |    CAST(sum(length(text)) AS BIGINT) AS chars_final,
+        |    bit_xor(('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT)
+        |      AS checksum
+        |  FROM merged GROUP BY 1
+        |), spine AS (SELECT DISTINCT lang FROM documents)
+        |SELECT sp.lang,
+        |  coalesce(b.n, 0) AS n_base, coalesce(sh.n, 0) AS n_shard,
+        |  coalesce(ga.n, 0) AS n_gated, coalesce(sv.n, 0) AS n_inserted,
+        |  coalesce(ga.n, 0) - coalesce(sv.n, 0) AS n_dup_dropped,
+        |  coalesce(f.n_final, 0) AS n_final,
+        |  coalesce(f.chars_final, 0) AS chars_final,
+        |  coalesce(f.checksum, 0) AS checksum
+        |FROM spine sp
+        |LEFT JOIN (SELECT lang, count(*) AS n FROM base GROUP BY 1) b
+        |  ON b.lang = sp.lang
+        |LEFT JOIN (SELECT lang, count(*) AS n FROM shard GROUP BY 1) sh
+        |  ON sh.lang = sp.lang
+        |LEFT JOIN (SELECT lang, count(*) AS n FROM gated GROUP BY 1) ga
+        |  ON ga.lang = sp.lang
+        |LEFT JOIN (SELECT lang, count(*) AS n FROM surv GROUP BY 1) sv
+        |  ON sv.lang = sp.lang
+        |LEFT JOIN fin f ON f.lang = sp.lang
+        |ORDER BY sp.lang""".stripMargin),
 
     "pipe_epoch_plan" ->
       """WITH per AS (

@@ -92,26 +92,8 @@ object TextAnalysis {
     // Gopher's DISTINCT-presence count (≥ 2 of its named 8), not a
     // density. Pure per-row expression work — no shuffle but the output
     // sort, the linear 100 TB filter-pass shape.
-    "text_gopher_rules" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val words = filter(split(col("text"), "\\s+"), x => length(x) > 0)
-      val nW = size(words).cast("long")
-      val sumLen = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
-      val nAlpha = size(filter(words, x => x.rlike("[A-Za-z]"))).cast("long")
-      val nSym = ((length(col("text")) -
-        length(regexp_replace(col("text"), "#", ""))).cast("long") +
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("long") / 3)
-      // the rule SEMANTICS (≥ 2 distinct stopwords present) is Gopher's;
-      // the word list is the corpus-calibrated stopEn set — the paper's
-      // exact 8 words target crawled web English, and a faithful gate
-      // must use a list its corpus can actually contain
-      val gopherStops = stopEn
-      val nStop = gopherStops.map(w =>
-        when(lower(col("text")).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      d.select(col("doc_id"), nW.as("n_words"), sumLen.as("sum_word_len"),
-          nAlpha.as("n_alpha"), nSym.as("n_sym"), nStop.as("n_stop_distinct"))
+    "text_gopher_rules" -> ((s, dir) =>
+      gopherFrame(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_words"),
           ratioRound(col("sum_word_len"), greatest(col("n_words"), lit(1L)), 4)
             .as("mean_word_len"),
@@ -119,18 +101,10 @@ object TextAnalysis {
             .as("symbol_ratio"),
           ratioRound(col("n_alpha"), greatest(col("n_words"), lit(1L)), 6)
             .as("alpha_ratio"),
-          col("n_stop_distinct"),
-          col("n_words").between(50L, 100000L).as("r_word_count"),
-          (col("sum_word_len") >= col("n_words") * 3L &&
-            col("sum_word_len") <= col("n_words") * 10L).as("r_mean_len"),
-          (col("n_sym") * 10L <= col("n_words")).as("r_symbol"),
-          (col("n_alpha") * 5L >= col("n_words") * 4L).as("r_alpha"),
-          (col("n_stop_distinct") >= 2L).as("r_stopwords"))
-        .withColumn("passes_gopher",
-          col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
-            col("r_alpha") && col("r_stopwords"))
-        .orderBy(col("doc_id"))
-    }),
+          col("n_stop_distinct"), col("r_word_count"), col("r_mean_len"),
+          col("r_symbol"), col("r_alpha"), col("r_stopwords"),
+          col("passes_gopher"))
+        .orderBy(col("doc_id"))),
 
     // language ID: argmax of per-language stopword density
     "text_langid" -> ((s, dir) => {
@@ -669,6 +643,42 @@ object TextAnalysis {
 
   /** Corpus → (distinct word, frequency): the one corpus-wide pass the
     * BPE family shares; everything downstream is vocab-sized. */
+  /** Gopher rule counters + per-rule bits + `passes_gopher`, appended to
+    * the input frame's columns (every input column survives, so callers
+    * can gate and carry lang/text through). Shared by `text_gopher_rules`
+    * and the incremental-maintenance chain. The rule SEMANTICS
+    * (≥ 2 DISTINCT stopwords present) is Gopher's; the word list is the
+    * corpus-calibrated stopEn set — the paper's exact 8 words target
+    * crawled web English, and a faithful gate must use a list its
+    * corpus can actually contain. */
+  private[ext] def gopherFrame(d: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    val nSym = ((length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long") +
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("long") / 3)
+    val nStop = stopEn.map(w =>
+      when(lower(col("text")).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    d.withColumn("n_words", size(words).cast("long"))
+      .withColumn("sum_word_len",
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(words, x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_sym", nSym)
+      .withColumn("n_stop_distinct", nStop)
+      .withColumn("r_word_count", col("n_words").between(50L, 100000L))
+      .withColumn("r_mean_len",
+        col("sum_word_len") >= col("n_words") * 3L &&
+          col("sum_word_len") <= col("n_words") * 10L)
+      .withColumn("r_symbol", col("n_sym") * 10L <= col("n_words"))
+      .withColumn("r_alpha", col("n_alpha") * 5L >= col("n_words") * 4L)
+      .withColumn("r_stopwords", col("n_stop_distinct") >= 2L)
+      .withColumn("passes_gopher",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_alpha") && col("r_stopwords"))
+  }
+
   /** BM25 top-k per query (Lucene's 1+ idf variant, k1=1.2, b=0.75) —
     * shared by `text_bm25` (k=10) and `text_rrf_fusion` (k=20). See the
     * `text_bm25` entry's scaladoc for the scale shape and the 1e-6
@@ -774,6 +784,43 @@ object TextAnalysis {
         |  FROM contrib GROUP BY 1, 2
         |)""".stripMargin
 
+  /** Gopher per-doc counters as an oracle CTE body (everything the
+    * rule bits derive from) — shared by the text_gopher_rules and
+    * pipe_incremental_e2e oracles so the gate can never drift. */
+  private[ext] val gopherOracleM: String =
+    """SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      x -> length(x) > 0)) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+      AS sum_word_len,
+    CAST(len(list_filter(
+      list_filter(string_split_regex(text, '\s+'),
+        x -> length(x) > 0),
+      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST(length(text) - length(replace(text, '...', ''))
+          AS BIGINT) // 3 AS n_sym,
+    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\ba\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bin\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bis\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bon\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bfor\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+    )::BIGINT AS n_stop_distinct
+  FROM documents"""
+
+  /** The composite Gopher pass condition over [[gopherOracleM]]'s
+    * columns — integer comparisons only. */
+  private[ext] val gopherPassCond: String =
+    """(n_words BETWEEN 50 AND 100000
+      | AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+      | AND n_sym * 10 <= n_words AND n_alpha * 5 >= n_words * 4
+      | AND n_stop_distinct >= 2)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_quality" ->
       """WITH m AS (
@@ -796,32 +843,7 @@ object TextAnalysis {
         |   AND CAST(np AS DOUBLE) / greatest(nc, 1) < 0.2) AS passes_quality
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    "text_gopher_rules" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
-        |      x -> length(x) > 0)) AS BIGINT) AS n_words,
-        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
-        |      AS sum_word_len,
-        |    CAST(len(list_filter(
-        |      list_filter(string_split_regex(text, '\s+'),
-        |        x -> length(x) > 0),
-        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, '...', ''))
-        |          AS BIGINT) // 3 AS n_sym,
-        |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\ba\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bin\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bis\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bon\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bfor\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
-        |    )::BIGINT AS n_stop_distinct
-        |  FROM documents)
+    "text_gopher_rules" -> (s"""WITH m AS ($gopherOracleM)
         |SELECT doc_id, n_words,
         |  CAST((2 * sum_word_len * 10000 + greatest(n_words, 1))
         |    // (2 * greatest(n_words, 1)) AS DOUBLE) / 10000.0 AS mean_word_len,
@@ -836,11 +858,8 @@ object TextAnalysis {
         |  n_sym * 10 <= n_words AS r_symbol,
         |  n_alpha * 5 >= n_words * 4 AS r_alpha,
         |  n_stop_distinct >= 2 AS r_stopwords,
-        |  (n_words BETWEEN 50 AND 100000
-        |   AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
-        |   AND n_sym * 10 <= n_words AND n_alpha * 5 >= n_words * 4
-        |   AND n_stop_distinct >= 2) AS passes_gopher
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |  $gopherPassCond AS passes_gopher
+        |FROM m ORDER BY doc_id""".stripMargin),
 
     "text_langid" ->
       """WITH h AS (

@@ -1013,6 +1013,65 @@ class ExtensionSpec extends SparkSpecBase {
     assert(resid <= 1e-3 * lambda, s"eigen residual $resid vs lambda $lambda")
   }
 
+  test("emb_covariance: per-shard moments merge exactly to the full-corpus numerator") {
+    // the >10⁹-row scale path claimed in the scaladoc: split the corpus,
+    // run the same grid pipeline per shard, merge (n, Σx, Σxy) moments —
+    // the merged numerator must be BIT-identical to the single pass
+    import spark.implicits._
+    val full = SparkEntry.queries("emb_covariance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    def moments(pred: org.apache.spark.sql.Column) = {
+      val emb = graft.engine.Engine.table(spark, sfDir, "embeddings")
+        .filter(pred)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      val sums = emb.select(posexplode(col("qv")).as(Seq("i", "v")))
+        .groupBy(col("i")).agg(sum(col("v")).as("sx"), count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getLong(2)))).toMap
+      val sxy = emb.select(explode(expr(
+        """flatten(transform(qv, (x, i) ->
+          |  transform(slice(qv, i + 1, size(qv) - i), (y, j) ->
+          |    struct(CAST(i AS BIGINT) AS i, CAST(i + j AS BIGINT) AS j,
+          |           x * y AS xy))))""".stripMargin)).as("p"))
+        .groupBy(col("p.i"), col("p.j")).agg(sum(col("p.xy")).as("sxy"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      (sums, sxy)
+    }
+    val (sa, xa) = moments(col("vec_id") % 2 === 0)
+    val (sb, xb) = moments(col("vec_id") % 2 =!= 0)
+    val n = sa(0L)._2 + sb(0L)._2
+    full.foreach { case ((i, j), num) =>
+      val sxy = xa.getOrElse((i, j), 0L) + xb.getOrElse((i, j), 0L)
+      val sxI = sa(i)._1 + sb(i)._1
+      val sxJ = sa(j)._1 + sb(j)._1
+      assert(n * sxy - sxI * sxJ == num, s"moment merge drifted at ($i,$j)")
+    }
+  }
+
+  test("pipe_incremental_e2e: stage counts reconcile with the standalone operators") {
+    val e2e = SparkEntry.queries("pipe_incremental_e2e")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // the gate stage must equal the standalone Gopher operator's pass
+    // count restricted to the shard side (odd doc_ids)
+    val docs = graft.engine.Engine.table(spark, sfDir, "documents")
+    val gopherPassOdd = SparkEntry.queries("text_gopher_rules")(spark, sfDir)
+      .filter(col("doc_id") % 2 =!= 0 && col("passes_gopher"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    e2e.foreach { case (lang, (nBase, nShard, nGated, nIns, nDup, nFinal)) =>
+      assert(nGated == gopherPassOdd.getOrElse(lang, 0L),
+        s"$lang gate drifted from text_gopher_rules")
+      assert(nFinal == nBase + nIns, s"$lang merge count broken")
+      assert(nDup >= 0 && nIns <= nGated && nGated <= nShard, s"$lang monotone")
+    }
+    val totals = e2e.values.map(_._2).sum + e2e.values.map(_._1).sum
+    assert(totals == docs.count(), "base + shard partition the corpus")
+  }
+
   test("q_partition_prune: pruned aggregate equals direct filter on the source") {
     val pruned = SparkEntry.queries("q_partition_prune")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->

@@ -59,6 +59,18 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(p.contains("FullOuter"), s"full outer fusion join missing:\n$p")
   }
 
+  test("emb_covariance: d-row sums broadcast; the pair aggregation is the only wide exchange") {
+    val p = plan("emb_covariance")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"per-dimension sums should broadcast twice:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ against a d-row frame:\n$p")
+    // tree exchanges: the input-spreading repartition, the pair agg, the
+    // two d-row sum aggregates feeding broadcasts — never more
+    val tree = p.split("\n\n").head
+    assert("Exchange".r.findAllIn(tree).length <= 4,
+      s"unexpected extra exchange:\n$p")
+  }
+
   test("q_join_inner: dimension joins broadcast (no shuffle of the fact side for dims)") {
     val p = plan("q_join_inner")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
