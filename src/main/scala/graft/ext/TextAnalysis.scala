@@ -653,10 +653,14 @@ object TextAnalysis {
     * corpus can actually contain. */
   private[ext] def gopherFrame(d: DataFrame): DataFrame = {
     val words = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    // the '...' char-count delta is always a multiple of 3 (replace
+    // removes whole occurrences), so the div-3 is exact and the long
+    // cast lossless — n_sym stays BIGINT like its oracle mirror
     val nSym = ((length(col("text")) -
       length(regexp_replace(col("text"), "#", ""))).cast("long") +
-      (length(col("text")) -
+      ((length(col("text")) -
         length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("long") / 3)
+        .cast("long"))
     val nStop = stopEn.map(w =>
       when(lower(col("text")).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
       .reduce(_ + _)
