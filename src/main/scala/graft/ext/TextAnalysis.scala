@@ -553,6 +553,39 @@ object TextAnalysis {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // tokenizer vocabulary coverage — the OOV analysis that sizes a
+    // word-level vocab: for candidate sizes K ∈ {10, 20, 1000} (sized so the curve is
+    // non-degenerate on the bundled corpus, whose vocab is ~31 types), what
+    // fraction of the corpus' TOKEN MASS the top-K words capture and
+    // how much is out-of-vocabulary. One corpus word-count aggregation
+    // (map-side combinable, the wordCounts pass the BPE family shares);
+    // everything after is vocab-sized — the global frequency rank is a
+    // sort of the VOCAB (MBs at 100 TB corpus scale), never the corpus,
+    // which is why the single-partition rank window is acceptable here
+    // and nowhere else. Coverage ratios ride the exact 1e-6 grid; ties
+    // in frequency break on the raw [a-z0-9]+ word bytes, identical
+    // binary order in both engines.
+    "text_vocab_coverage" -> ((s, dir) => {
+      val wc = wordCounts(s, dir)
+      val ranked = wc.withColumn("rn", row_number().over(
+        Window.orderBy(col("wc").desc, col("w"))))
+      val tot = wc.agg(sum(col("wc")).as("tokens_total"),
+        count(lit(1)).as("n_types"))
+      ranked.select(col("wc"), col("rn"))
+        .crossJoin(broadcast(tot))
+        .withColumn("k", explode(array(Seq(10L, 20L, 1000L).map(lit): _*)))
+        .filter(col("rn") <= col("k"))
+        .groupBy(col("k"), col("n_types"), col("tokens_total"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("wc")).as("tokens_covered"))
+        .select(col("k"), col("n_types"), col("tokens_total"),
+          col("n_vocab"), col("tokens_covered"),
+          ratioRound(col("tokens_covered"), col("tokens_total"), 6)
+            .as("coverage"),
+          (col("tokens_total") - col("tokens_covered")).as("oov_tokens"))
+        .orderBy(col("k"))
+    }),
+
     // BPE pair statistics — the inner loop of byte-pair-encoding
     // tokenizer training: the weighted adjacent-pair counts whose argmax
     // is the next merge. The pivotal scale property: pair counting runs
@@ -1183,6 +1216,34 @@ object TextAnalysis {
         |  CAST(rk_sem AS BIGINT) AS rk_sem
         |FROM franked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin),
 
+
+    "text_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT wc, row_number() OVER (ORDER BY wc DESC, w) AS rn FROM w
+        |), tot AS (
+        |  SELECT CAST(sum(wc) AS BIGINT) AS tokens_total,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM w
+        |), ks AS (
+        |  SELECT unnest([10, 20, 1000]) AS k
+        |), g AS (
+        |  SELECT CAST(k AS BIGINT) AS k, n_types, tokens_total,
+        |    CAST(count(*) AS BIGINT) AS n_vocab,
+        |    CAST(sum(wc) AS BIGINT) AS tokens_covered
+        |  FROM r CROSS JOIN tot CROSS JOIN ks WHERE rn <= k
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT k, n_types, tokens_total, n_vocab, tokens_covered,
+        |  CAST((2 * tokens_covered * 1000000 + tokens_total)
+        |    // (2 * tokens_total) AS DOUBLE) / 1000000.0 AS coverage,
+        |  tokens_total - tokens_covered AS oov_tokens
+        |FROM g ORDER BY k""".stripMargin,
 
     "text_bpe_pairs" ->
       """WITH w AS (

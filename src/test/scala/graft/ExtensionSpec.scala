@@ -1049,6 +1049,28 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("vocab coverage: monotone in K, exact vocab sizes, OOV complements") {
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 20L, 1000L))
+    val (types, total) = (rows.head.getLong(1), rows.head.getLong(2))
+    var prev = 0L
+    rows.foreach { r =>
+      val (k, nVocab, covered, oov) =
+        (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(6))
+      assert(nVocab == math.min(k, types), s"vocab size at K=$k")
+      assert(covered >= prev, s"coverage not monotone at K=$k")
+      assert(oov == total - covered, s"OOV complement at K=$k")
+      assert(covered <= total)
+      prev = covered
+    }
+    // the frequency rank must matter where the vocab is truncated:
+    // top-10 of a skewed distribution covers more than 10/n_types mass
+    if (types > 10)
+      assert(rows.head.getLong(4).toDouble / total > 10.0 / types,
+        "top-10 words cover no more than uniform — rank is broken")
+  }
+
   test("pipe_incremental_e2e: stage counts reconcile with the standalone operators") {
     val e2e = SparkEntry.queries("pipe_incremental_e2e")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
