@@ -684,7 +684,7 @@ object TextAnalysis {
     * corpus-calibrated stopEn set — the paper's exact 8 words target
     * crawled web English, and a faithful gate must use a list its
     * corpus can actually contain. */
-  private[ext] def gopherFrame(d: DataFrame): DataFrame = {
+  private[graft] def gopherFrame(d: DataFrame): DataFrame = {
     val words = filter(split(col("text"), "\\s+"), x => length(x) > 0)
     // the '...' char-count delta is always a multiple of 3 (replace
     // removes whole occurrences), so the div-3 is exact and the long

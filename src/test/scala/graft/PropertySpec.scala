@@ -37,6 +37,40 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("gopher counters ≡ plain-Scala recount on random word soups") {
+    // the gate's five counters are regex-derived; pin each against a
+    // direct Scala recount so a regex change can never silently shift
+    // a rule threshold
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vocab = Seq("the", "and", "zq", "##", "a1", "BBBB", "for", "...",
+      "x", "longerword", "with", "7", "#tag", "W.", "is")
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 120).map { i =>
+      val n = rnd.nextInt(30) + 1
+      (i.toLong, (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val out = graft.ext.TextAnalysis.gopherFrame(docs.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+        col("n_alpha"), col("n_sym"), col("n_stop_distinct"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+    docs.foreach { case (id, text) =>
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val wantSym = text.count(_ == '#') +
+        "\\.\\.\\.".r.findAllIn(text).length
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSet
+      val want = (words.length.toLong,
+        words.map(_.length).sum.toLong,
+        words.count(_.exists(_.isLetter)).toLong,
+        wantSym.toLong,
+        stops.count(toks.contains).toLong)
+      assert(out(id) == want, s"doc $id '$text': got ${out(id)} want $want")
+    }
+  }
+
   test("cdc_cuts rolling update ≡ direct window recompute on random strings") {
     // the kernel derives h(i+1) = (h(i) − c_i)/31 + c_{i+7}·31⁷; this
     // pins that algebra against the DEFINITION (recompute each window
