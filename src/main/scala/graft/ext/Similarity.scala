@@ -428,10 +428,13 @@ object Similarity {
         .select(col("vec_id"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
           .as("qv"))
-      val sums = emb
+      // the d-row sums frame is materialized to a driver-local relation
+      // (the K-row broadcast pattern): joined TWICE below, leaving it
+      // lazy would re-run its whole corpus scan chain once per side
+      val sums = toLocal(s, emb
         .select(posexplode(col("qv")).as(Seq("i", "v")))
         .groupBy(col("i")).agg(sum(col("v")).as("sx"))
-        .select(col("i").cast("long").as("i"), col("sx"))
+        .select(col("i").cast("long").as("i"), col("sx")))
       val pairs = emb.select(explode(expr(
         """flatten(transform(qv, (x, i) ->
           |  transform(slice(qv, i + 1, size(qv) - i), (y, j) ->

@@ -64,11 +64,15 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       s"per-dimension sums should broadcast twice:\n$p")
     assert(!p.contains("SortMergeJoin"), s"SMJ against a d-row frame:\n$p")
-    // tree exchanges: the input-spreading repartition, the pair agg, the
-    // two d-row sum aggregates feeding broadcasts — never more
+    // shuffle exchanges in the tree (BroadcastExchange excluded): the
+    // input-spreading repartition, the 2080-key pair aggregation, and
+    // the 2080-row output sort — the d-row sums are driver-local
+    // relations, so no second corpus chain may appear
     val tree = p.split("\n\n").head
-    assert("Exchange".r.findAllIn(tree).length <= 4,
-      s"unexpected extra exchange:\n$p")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(tree).length <= 3,
+      s"unexpected extra shuffle exchange:\n$p")
+    assert("Scan parquet".r.findAllIn(tree).length == 1,
+      s"corpus scanned more than once:\n$p")
   }
 
   test("q_join_inner: dimension joins broadcast (no shuffle of the fact side for dims)") {
