@@ -67,9 +67,12 @@ object CurationStream {
   }
 
   def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    val q = curatedDocs(spark, dir)
-      .select(col("doc_id"), col("h"), col("lang"), col("n_tok"), col("stop_ratio"))
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    // 8 state partitions: see StreamQueries.withStatePartitions
+    val q = StreamQueries.withStatePartitions(spark, 8) {
+      curatedDocs(spark, dir)
+        .select(col("doc_id"), col("h"), col("lang"), col("n_tok"), col("stop_ratio"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+    }
     q.processAllAvailable()
     q
   }

@@ -32,9 +32,12 @@ object DedupStream {
   }
 
   def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    val q = dedupedEvents(spark, dir)
-      .select(col("event_id"), col("h"))
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    // 8 state partitions: see StreamQueries.withStatePartitions
+    val q = StreamQueries.withStatePartitions(spark, 8) {
+      dedupedEvents(spark, dir)
+        .select(col("event_id"), col("h"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+    }
     q.processAllAvailable()
     q
   }

@@ -45,11 +45,14 @@ object EventsStream {
   /** Run the streaming query to completion against the (finite) parquet
     * input via the memory sink; returns the query for inspection. */
   def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    val q = hourlyAgg(spark, dir).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
+    // 8 state partitions: see StreamQueries.withStatePartitions
+    val q = StreamQueries.withStatePartitions(spark, 8) {
+      hourlyAgg(spark, dir).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
     q.processAllAvailable()
     q
   }

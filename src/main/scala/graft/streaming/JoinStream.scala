@@ -76,14 +76,10 @@ object JoinStream {
     * is the proof). Session conf is restored after start — the
     * partition count is baked into the query at plan time. */
   def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val q =
-      try {
-        spark.conf.set(key, "8")
-        attributed(spark, dir).writeStream
-          .outputMode("append").format("memory").queryName(name).start()
-      } finally spark.conf.set(key, prev)
+    val q = StreamQueries.withStatePartitions(spark, 8) {
+      attributed(spark, dir).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+    }
     q.processAllAvailable()
     q
   }

@@ -135,10 +135,12 @@ object Sessionize {
     // alive for the specs that probe its state store
     val writer = sessions.writeStream
       .outputMode("append").format("memory").queryName(name)
-    val q =
+    // 8 state partitions: see StreamQueries.withStatePartitions
+    val q = StreamQueries.withStatePartitions(spark, 8) {
       if (availableNow)
         writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       else writer.start()
+    }
     if (availableNow) q.awaitTermination() else q.processAllAvailable()
     q
   }

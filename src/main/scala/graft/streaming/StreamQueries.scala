@@ -29,6 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object StreamQueries {
 
+  /** Plan a streaming query with `n` state partitions instead of the
+    * session's 32, restoring the session conf after `start` returns.
+    * A stateful operator commits one state-store file PER PARTITION
+    * (per side, for joins) PER BATCH; on the finite single-batch
+    * replays below that fixed commit overhead dominates wall time
+    * (measured on the stream-stream join: 6.1 s → 3.1 s). The
+    * state-partition count is a per-QUERY layout choice fixed at first
+    * start — a production deployment sizes it to ingest rate × state
+    * volume, exactly like sizing shuffle partitions for a batch job —
+    * and output content is partitioning-invariant (every drain below
+    * stays oracle-hash-checked). */
+  private[streaming] def withStatePartitions[T](spark: SparkSession, n: Int)(
+      start: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try { spark.conf.set(key, n.toString); start }
+    finally spark.conf.set(key, prev)
+  }
+
   /** Drain a runToMemory-style stream and read back its sink table. */
   private def drained(s: SparkSession, sink: String)(
       run: => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
