@@ -320,6 +320,47 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // contamination-rate REPORT across gram sizes — the go/no-go number
+    // a training run reads before it starts (the decontam passes flag
+    // and drop; this reports HOW contaminated the corpus is, and how
+    // the verdict moves with the gram size: 4-grams over-flag common
+    // phrases, 13-grams under-flag paraphrase — the standard
+    // sensitivity sweep). One corpus scan on each side: every size's
+    // shingles are tagged and exploded through a single generator, the
+    // bench gram set broadcasts per (size, gram), and the per-(size,
+    // doc) aggregation partial-aggregates map-side, so the exchange
+    // carries 3 rows per document, never grams. Docs shorter than a
+    // gram size have no grams AT that size and drop from that size's
+    // denominator (mirrored exactly in the oracle).
+    "pipe_decontam_report" -> ((s, dir) => {
+      val sizes = Seq(4, 8, 13)
+      def tagged(df: DataFrame) = df
+        .select(col("doc_id"), explode(flatten(array(
+          sizes.map(n => transform(
+            graft.functions.HashExpressions.word_shingles(col("text"), n),
+            g => struct(lit(n.toLong).as("n"), g.as("gram")))): _*))).as("t"))
+        .select(col("doc_id"), col("t.n").as("n"), col("t.gram").as("gram"))
+      val docs = t(s, dir, "documents")
+      val bench = broadcast(tagged(docs.filter(col("doc_id") % 50 === 0))
+        .select(col("n"), col("gram")).distinct()
+        .withColumn("hit", lit(true)))
+      val per = tagged(docs.filter(col("doc_id") % 50 =!= 0))
+        .join(bench, Seq("n", "gram"), "left")
+        .groupBy(col("n"), col("doc_id"))
+        .agg(count(lit(1)).as("grams"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      per.groupBy(col("n"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("grams")).as("grams_total"),
+          sum(col("hits")).as("grams_hit"))
+        .select(col("n"), col("n_docs"), col("n_flagged"),
+          TextAnalysis.ratioRound(col("n_flagged"),
+            greatest(col("n_docs"), lit(1L)), 6).as("flagged_pct"),
+          col("grams_total"), col("grams_hit"))
+        .orderBy(col("n"))
+    }),
+
     // the INCREMENTAL corpus-maintenance loop as one job — the other
     // production composite next to pipe_end_to_end's from-scratch build:
     // a new crawl shard is (1) gated by the Gopher battery, (2)
@@ -1007,6 +1048,43 @@ object Pipeline {
         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(coalesce(k.chars_kept, 0) AS BIGINT) AS chars_kept
         |FROM t LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
+
+    "pipe_decontam_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), ns AS (
+        |  SELECT unnest([4, 8, 13]) AS n
+        |), sh AS (
+        |  SELECT t.doc_id, ns.n,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - ns.n + 1, 0)),
+        |      i -> array_to_string(tk[i:i+ns.n-1], ' '))) AS sh
+        |  FROM toks t CROSS JOIN ns
+        |), bench AS (
+        |  SELECT DISTINCT n, unnest(sh) AS gram FROM sh WHERE doc_id % 50 = 0
+        |), corpus AS (
+        |  SELECT doc_id, n, unnest(sh) AS gram FROM sh WHERE doc_id % 50 != 0
+        |), per AS (
+        |  SELECT c.n, c.doc_id, count(*) AS grams, count(b.gram) AS hits
+        |  FROM corpus c
+        |  LEFT JOIN bench b ON b.n = c.n AND b.gram = c.gram
+        |  GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT CAST(n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_flagged,
+        |    CAST(sum(grams) AS BIGINT) AS grams_total,
+        |    CAST(sum(hits) AS BIGINT) AS grams_hit
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT n, n_docs, n_flagged,
+        |  CAST((2 * n_flagged * 1000000 + greatest(n_docs, 1))
+        |    // (2 * greatest(n_docs, 1)) AS DOUBLE) / 1000000.0 AS flagged_pct,
+        |  grams_total, grams_hit
+        |FROM agg ORDER BY n""".stripMargin,
 
     // the oracle replays the identical chain; the Gopher gate CTE and
     // pass condition are shared BY REFERENCE with text_gopher_rules

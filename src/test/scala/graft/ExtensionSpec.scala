@@ -1071,6 +1071,26 @@ class ExtensionSpec extends SparkSpecBase {
         "top-10 words cover no more than uniform — rank is broken")
   }
 
+  test("decontam report: flagged docs shrink as the gram size grows") {
+    val rows = SparkEntry.queries("pipe_decontam_report")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 8L, 13L))
+    // an 8-gram match implies every embedded 4-gram matches, so the
+    // flagged set can only shrink with n (and so can the denominator —
+    // shorter docs age out of larger gram sizes)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) >= b.getLong(2), s"flags grew with n: $a -> $b")
+      assert(a.getLong(1) >= b.getLong(1), s"denominator grew with n")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(4), "hits exceed grams")
+      assert(r.getLong(2) <= r.getLong(1), "flags exceed docs")
+    }
+    // the report must be non-vacuous: the bundled corpus has planted
+    // overlap at the smallest size
+    assert(rows.head.getLong(2) > 0, "nothing flagged at n=4")
+  }
+
   test("pipe_incremental_e2e: stage counts reconcile with the standalone operators") {
     val e2e = SparkEntry.queries("pipe_incremental_e2e")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
