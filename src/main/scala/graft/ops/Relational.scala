@@ -423,6 +423,32 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("hour"), col("event_type"))),
 
+    // time-grid densification (gap-fill): every (hour, event_type) cell
+    // of the observed range exists in the output — empty hours as 0 —
+    // plus the running cumulative, the shape every metrics/monitoring
+    // readout needs (a missing hour must read as zero, not vanish).
+    // Scale shape: the only corpus-sized work is the first hourly
+    // aggregation (map-side partial); the grid is TIME-RANGE-sized
+    // (hours × types, independent of corpus row count), built from a
+    // 1-row bounds aggregate exploded through sequence(), so the
+    // densify join and the cumulative window cost the same at any SF.
+    "q_events_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("h", date_trunc("hour", Engine.eventTs(col("ts"))))
+      val counts = ev.groupBy(col("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      grid.join(counts, Seq("h", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("cum_n"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // JSON-ish extraction from the props payload (regex, engine-portable)
     "q_events_props" -> ((s, dir) =>
       t(s, dir, "events")
@@ -718,6 +744,29 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_gapfill" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type FROM events
+        |), counts AS (
+        |  SELECT h, event_type, count(*) AS n FROM ev GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(h) AS h0, max(h) AS h1 FROM ev
+        |), grid AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds
+        |), typ AS (
+        |  SELECT DISTINCT event_type FROM ev
+        |), f AS (
+        |  SELECT g.h, t2.event_type, coalesce(c.n, 0) AS n
+        |  FROM grid g CROSS JOIN typ t2
+        |  LEFT JOIN counts c ON c.h = g.h AND c.event_type = t2.event_type
+        |)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT)
+        |    AS cum_n
+        |FROM f ORDER BY hour, event_type""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_id,

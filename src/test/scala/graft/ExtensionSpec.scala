@@ -1114,6 +1114,21 @@ class ExtensionSpec extends SparkSpecBase {
     assert(totals == docs.count(), "base + shard partition the corpus")
   }
 
+  test("q_events_gapfill: dense grid, zero-filled holes, cumulative totals reconcile") {
+    val rows = SparkEntry.queries("q_events_gapfill")(spark, sfDir).collect()
+    val events = graft.engine.Engine.table(spark, sfDir, "events")
+    val types = events.select(col("event_type")).distinct().count()
+    val hours = rows.map(_.getString(0)).distinct.length
+    assert(rows.length == hours * types, "grid is not dense")
+    assert(rows.exists(_.getLong(2) == 0L), "no zero-filled hour — gapfill vacuous")
+    // final cumulative per type equals that type's total event count
+    val lastCum = rows.groupBy(_.getString(1))
+      .map { case (t2, rs) => t2 -> rs.maxBy(_.getString(0)).getLong(3) }
+    val totals = events.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lastCum == totals, s"cumulative drifted: $lastCum vs $totals")
+  }
+
   test("q_partition_prune: pruned aggregate equals direct filter on the source") {
     val pruned = SparkEntry.queries("q_partition_prune")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
