@@ -449,6 +449,42 @@ object Relational {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // forward-fill (LOCF) over the same dense grid — the OTHER fill
+    // mode a metrics readout needs: a gauge keeps its last observed
+    // value across empty hours (counts zero-fill, gauges carry
+    // forward). Per (hour, type) the observation is the LAST event's
+    // value in that hour (cents grid, ties by event_id — deterministic
+    // in both engines); holes then take the most recent observation via
+    // an ignore-nulls last() window. Hours before a type's first
+    // observation stay NULL — rendered as -1 so the oracle hash has no
+    // NULL-ordering hazard. Same scale shape as q_events_gapfill: one
+    // corpus aggregation, then everything is time-range-sized.
+    "q_events_locf" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", Engine.eventTs(col("ts")))
+        .withColumn("h", date_trunc("hour", col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val byHour = Window.partitionBy(col("h"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val obs = ev.withColumn("rn", row_number().over(byHour))
+        .filter(col("rn") === 1)
+        .select(col("h"), col("event_type"), col("cents"))
+      val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      val locf = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("h", "event_type"), "left")
+        .withColumn("filled",
+          last(col("cents"), ignoreNulls = true).over(locf))
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"),
+          col("cents").isNotNull.as("observed"),
+          (coalesce(col("filled"), lit(-100L)).cast("double") / 100.0)
+            .as("gauge"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // JSON-ish extraction from the props payload (regex, engine-portable)
     "q_events_props" -> ((s, dir) =>
       t(s, dir, "events")
@@ -767,6 +803,37 @@ object Relational {
         |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT)
         |    AS cum_n
         |FROM f ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_locf" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, date_trunc('hour', ts) AS h, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), obs AS (
+        |  SELECT h, event_type, cents FROM (
+        |    SELECT h, event_type, cents,
+        |      row_number() OVER (PARTITION BY h, event_type
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1
+        |), bounds AS (
+        |  SELECT min(h) AS h0, max(h) AS h1 FROM ev
+        |), grid AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds
+        |), typ AS (
+        |  SELECT DISTINCT event_type FROM ev
+        |), g AS (
+        |  SELECT gr.h, t2.event_type, o.cents
+        |  FROM grid gr CROSS JOIN typ t2
+        |  LEFT JOIN obs o ON o.h = gr.h AND o.event_type = t2.event_type
+        |)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  cents IS NOT NULL AS observed,
+        |  CAST(coalesce(last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -100)
+        |    AS DOUBLE) / 100.0 AS gauge
+        |FROM g ORDER BY hour, event_type""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_id,

@@ -1129,6 +1129,24 @@ class ExtensionSpec extends SparkSpecBase {
     assert(lastCum == totals, s"cumulative drifted: $lastCum vs $totals")
   }
 
+  test("q_events_locf: gauges persist across holes and change only on observation") {
+    val rows = SparkEntry.queries("q_events_locf")(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getBoolean(2), r.getDouble(3)))
+    assert(rows.exists(r => !r._3), "no holes — forward-fill vacuous")
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(prev, cur) =>
+          // an unobserved hour must carry the previous gauge verbatim
+          if (!cur._3) assert(cur._4 == prev._4,
+            s"hole changed the gauge: $prev -> $cur")
+        case _ =>
+      }
+      // before the first observation the sentinel holds
+      ordered.takeWhile(!_._3).foreach(r => assert(r._4 == -1.0))
+    }
+  }
+
   test("q_partition_prune: pruned aggregate equals direct filter on the source") {
     val pruned = SparkEntry.queries("q_partition_prune")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
