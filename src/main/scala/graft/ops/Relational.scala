@@ -22,6 +22,23 @@ import graft.engine.Engine
   */
 object Relational {
 
+  /** Dense (hour, event_type, n) grid over the observed range — empty
+    * hours as 0. Shared by q_events_gapfill / q_events_anomaly. Only
+    * the hourly count aggregation is corpus-sized; the grid comes from
+    * a 1-row bounds aggregate exploded through sequence(), so the
+    * densify join costs the same at any SF. */
+  private def denseHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("h", date_trunc("hour", Engine.eventTs(col("ts"))))
+    val counts = ev.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    grid.join(counts, Seq("h", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
@@ -433,19 +450,43 @@ object Relational {
     // 1-row bounds aggregate exploded through sequence(), so the
     // densify join and the cumulative window cost the same at any SF.
     "q_events_gapfill" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("h", date_trunc("hour", Engine.eventTs(col("ts"))))
-      val counts = ev.groupBy(col("h"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-        .crossJoin(ev.select(col("event_type")).distinct())
       val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-      grid.join(counts, Seq("h", "event_type"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
+      denseHourlyCounts(s, dir)
         .withColumn("cum_n", sum(col("n")).over(w))
         .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("cum_n"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // trailing-window anomaly detection on the dense hourly counts —
+    // the alerting readout downstream of gap-fill: an hour is anomalous
+    // when its count deviates from the trailing 24 h mean by more than
+    // 3 sample standard deviations. The 3σ test is evaluated ENTIRELY
+    // in BIGINT — (n·x − Σx)²·(n−1) > 9·n·(n·Σx² − (Σx)²) is the z² > 9
+    // inequality cleared of divisions — so the verdict can never flip
+    // on a float accumulation order (stddev over a window is exactly
+    // the cross-engine float hazard this avoids). Warm-up hours with
+    // fewer than 12 trailing observations never flag. Same scale shape
+    // as the grid family: one corpus aggregation, then time-range-sized.
+    "q_events_anomaly" -> ((s, dir) => {
+      val trail = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-24, -1)
+      denseHourlyCounts(s, dir)
+        .withColumn("w_n", count(lit(1)).over(trail))
+        .withColumn("w_sum", coalesce(sum(col("n")).over(trail), lit(0L)))
+        .withColumn("w_sum2",
+          coalesce(sum(col("n") * col("n")).over(trail), lit(0L)))
+        .withColumn("dev2w",
+          (col("w_n") * col("n") - col("w_sum")) *
+            (col("w_n") * col("n") - col("w_sum")) * (col("w_n") - 1L))
+        .withColumn("var_w",
+          lit(9L) * col("w_n") *
+            (col("w_n") * col("w_sum2") - col("w_sum") * col("w_sum")))
+        .withColumn("is_anomaly",
+          col("w_n") >= 12L && col("dev2w") > col("var_w"))
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("w_n"), col("w_sum"),
+          col("dev2w"), col("var_w"), col("is_anomaly"))
         .orderBy(col("hour"), col("event_type"))
     }),
 
@@ -803,6 +844,39 @@ object Relational {
         |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT)
         |    AS cum_n
         |FROM f ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type FROM events
+        |), counts AS (
+        |  SELECT h, event_type, count(*) AS n FROM ev GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(h) AS h0, max(h) AS h1 FROM ev
+        |), grid AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds
+        |), typ AS (SELECT DISTINCT event_type FROM ev
+        |), dense AS (
+        |  SELECT g.h, t2.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM grid g CROSS JOIN typ t2
+        |  LEFT JOIN counts c ON c.h = g.h AND c.event_type = t2.event_type
+        |), win AS (
+        |  SELECT h, event_type, n,
+        |    CAST(count(*) OVER tw AS BIGINT) AS w_n,
+        |    CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT) AS w_sum,
+        |    CAST(coalesce(sum(n * n) OVER tw, 0) AS BIGINT) AS w_sum2
+        |  FROM dense
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+        |  w_n, w_sum,
+        |  (w_n * n - w_sum) * (w_n * n - w_sum) * (w_n - 1) AS dev2w,
+        |  9 * w_n * (w_n * w_sum2 - w_sum * w_sum) AS var_w,
+        |  (w_n >= 12 AND
+        |   (w_n * n - w_sum) * (w_n * n - w_sum) * (w_n - 1)
+        |     > 9 * w_n * (w_n * w_sum2 - w_sum * w_sum)) AS is_anomaly
+        |FROM win ORDER BY hour, event_type""".stripMargin,
 
     "q_events_locf" ->
       """WITH ev AS (

@@ -1129,6 +1129,33 @@ class ExtensionSpec extends SparkSpecBase {
     assert(lastCum == totals, s"cumulative drifted: $lastCum vs $totals")
   }
 
+  test("q_events_anomaly: integer 3-sigma verdict matches a double-math recompute") {
+    val rows = SparkEntry.queries("q_events_anomaly")(spark, sfDir).collect()
+    assert(rows.exists(_.getBoolean(7)), "no anomaly flagged — vacuous")
+    rows.foreach { r =>
+      val (n, wn, wsum, dev2w, varw, flag) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7))
+      if (wn < 12) assert(!flag, s"warm-up hour flagged: $r")
+      else {
+        // exact recompute of the cleared inequality from the outputs
+        val lhs = BigInt(wn * n - wsum).pow(2) * BigInt(wn - 1)
+        assert(lhs == BigInt(dev2w), s"dev2w drifted: $r")
+        assert(flag == (lhs > BigInt(varw)), s"verdict drifted: $r")
+        assert(dev2w >= 0 && varw >= 0)
+        // loose double cross-check: a flag means z² is comfortably > 9
+        // away from the boundary band (the exact integer test is the
+        // authority ON the boundary — that is its purpose)
+        val sVar = varw.toDouble / (9.0 * wn * wn * (wn - 1))
+        if (sVar > 0) {
+          val z2 = math.pow(n - wsum.toDouble / wn, 2) / sVar * 9.0 / 9.0
+          if (z2 > 9.5) assert(flag, s"clear anomaly unflagged: $r")
+          if (z2 < 8.5) assert(!flag, s"clear normal flagged: $r")
+        }
+      }
+    }
+  }
+
   test("q_events_locf: gauges persist across holes and change only on observation") {
     val rows = SparkEntry.queries("q_events_locf")(spark, sfDir).collect()
       .map(r => (r.getString(1), r.getString(0), r.getBoolean(2), r.getDouble(3)))
