@@ -65,6 +65,32 @@ object Relational2 {
     }),
 
     // UNION with distinct semantics
+    // equi-width histogram — the value-distribution report (the first
+    // thing a data profile shows; also the stats a cost model feeds on).
+    // Bucketing is EXACT INTEGER on the cents grid: bucket =
+    // (v − vmin)·20 div (vmax − vmin + 1) — every boundary decision is
+    // BIGINT, so a value on a bucket edge can never land differently
+    // across engines (the float (x−mn)/width route can). 1-row min/max
+    // broadcast, one map-side-combinable 20-row count — the profile
+    // costs one scan at any SF. Bucket bounds are reported back on the
+    // cents grid as exact doubles.
+    "q_histogram" -> ((s, dir) => {
+      val B = 20
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val v = t(s, dir, "orders").select(cents.as("v"))
+      val mm = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      v.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          expr(s"((v - vmin) * $B) div (vmax - vmin + 1)"))
+        .groupBy(col("bucket"), col("vmin"), col("vmax"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"),
+          (expr(s"vmin + (bucket * (vmax - vmin + 1)) div $B")
+            .cast("double") / 100.0).as("lo_approx"),
+          col("n"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_setop_union" -> ((s, dir) => {
       val a = t(s, dir, "orders").select(col("o_orderpriority").as("v"))
       val b = t(s, dir, "orders").select(col("o_orderstatus").as("v"))
@@ -246,6 +272,19 @@ object Relational2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |), mm AS (
+        |  SELECT min(v) AS vmin, max(v) AS vmax FROM v
+        |)
+        |SELECT ((v - vmin) * 20) // (vmax - vmin + 1) AS bucket,
+        |  CAST(vmin + ((((v - vmin) * 20) // (vmax - vmin + 1))
+        |    * (vmax - vmin + 1)) // 20 AS DOUBLE) / 100.0 AS lo_approx,
+        |  count(*) AS n
+        |FROM v CROSS JOIN mm
+        |GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
     "q_agg_approx_percentile" ->
       """SELECT o_orderstatus,
         |  round(median(o_totalprice), 4) AS p50_exact,

@@ -1156,6 +1156,18 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("q_histogram: buckets partition the value range and counts total the table") {
+    val rows = SparkEntry.queries("q_histogram")(spark, sfDir).collect()
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 20))
+    assert(buckets.distinct.length == buckets.length)
+    val total = graft.engine.Engine.table(spark, sfDir, "orders").count()
+    assert(rows.map(_.getLong(2)).sum == total, "histogram loses rows")
+    // lower bounds strictly increase with the bucket index
+    val lows = rows.sortBy(_.getLong(0)).map(_.getDouble(1))
+    assert(lows.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+  }
+
   test("q_events_locf: gauges persist across holes and change only on observation") {
     val rows = SparkEntry.queries("q_events_locf")(spark, sfDir).collect()
       .map(r => (r.getString(1), r.getString(0), r.getBoolean(2), r.getDouble(3)))
