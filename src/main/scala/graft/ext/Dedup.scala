@@ -291,6 +291,45 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Jaccard-threshold sensitivity sweep — the tuning report for the
+    // near-dup pass: how many pairs qualify and how many documents
+    // would be removed at each τ of the sweep, from ONE candidate
+    // generation + ONE exact verification (the sweep re-thresholds the
+    // already-computed j, it never re-pairs). The j comparisons are
+    // divisions of small exact integers — bit-identical doubles in
+    // both engines (the ≥ 0.7 filter in dedup_minhash_lsh is the
+    // hash-validated precedent). Removal counts doc_b per pair
+    // (candidates are oriented doc_a < doc_b), the keep-first rule.
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = signatures(docs)
+      val cands = minhashCandidates(sig)
+      val shH = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), shingles(col("text")).as("shv"))
+        .filter(size(col("shv")) > 0)
+      val pairs = cands
+        .join(shH.select(col("doc_id").as("doc_a"), col("shv").as("sh_a")), "doc_a")
+        .join(shH.select(col("doc_id").as("doc_b"), col("shv").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("j"))
+      // 0.7 is the production default; the 0.96/0.975/0.985 band is
+      // where THIS corpus's replica-style near-dups actually separate
+      // (a sweep that can't move the counts tunes nothing)
+      val taus = Seq("0.70" -> 0.7, "0.96" -> 0.96,
+        "0.975" -> 0.975, "0.985" -> 0.985)
+      pairs
+        .select(col("doc_a"), col("doc_b"), explode(array(taus.map {
+          case (name, tv) =>
+            struct(lit(name).as("tau"), (col("j") >= lit(tv)).as("hit"))
+        }: _*)).as("x"))
+        .filter(col("x.hit"))
+        .groupBy(col("x.tau").as("tau"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_docs_removed"))
+        .orderBy(col("tau"))
+    }),
+
     // 64-bit SimHash fingerprints + Hamming-band near-dup flag
     "dedup_simhash" -> ((s, dir) => {
       val fp = t(s, dir, "documents")
@@ -573,6 +612,32 @@ object Dedup {
 
     // dedup_minhash_lsh: full pipeline mirror — md5-xor signature family,
     // md5 band keys, [2,64] bucket guard, exact-Jaccard verification
+    // same banded chain BY REFERENCE; the sweep only re-thresholds j
+    "dedup_threshold_sweep" -> (minhashBandedCtes +
+      """, okbuckets AS (
+        |  SELECT band, bkey FROM banded
+        |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 64
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a
+        |  JOIN okbuckets ok ON a.band = ok.band AND a.bkey = ok.bkey
+        |  JOIN banded b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+        |), jpairs AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
+        |  FROM cands
+        |  JOIN hexsig sa ON sa.doc_id = doc_a
+        |  JOIN hexsig sb ON sb.doc_id = doc_b
+        |), taus AS (
+        |  SELECT unnest(['0.70', '0.96', '0.975', '0.985']) AS tau,
+        |         unnest([0.7, 0.96, 0.975, 0.985]) AS t
+        |)
+        |SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_removed
+        |FROM jpairs CROSS JOIN taus WHERE j >= t
+        |GROUP BY tau ORDER BY tau""".stripMargin),
+
     "dedup_minhash_lsh" -> (minhashBandedCtes +
       """, okbuckets AS (
         |  SELECT band, bkey FROM banded

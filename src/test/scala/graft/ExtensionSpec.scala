@@ -1071,6 +1071,22 @@ class ExtensionSpec extends SparkSpecBase {
         "top-10 words cover no more than uniform — rank is broken")
   }
 
+  test("threshold sweep: monotone in tau and consistent with the 0.7 dedup pass") {
+    val rows = SparkEntry.queries("dedup_threshold_sweep")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("0.70", "0.96", "0.975", "0.985"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3, s"sweep not monotone: $a -> $b")
+    }
+    assert(rows.head._2 > rows.last._2, "sweep is flat — tunes nothing")
+    // τ=0.7 removal count equals the production pass's flagged docs
+    val lshFlagged = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      .filter(col("is_near_dup")).count()
+    assert(rows.head._3 == lshFlagged,
+      s"sweep(0.70)=${rows.head._3} vs lsh flagged=$lshFlagged")
+  }
+
   test("decontam report: flagged docs shrink as the gram size grows") {
     val rows = SparkEntry.queries("pipe_decontam_report")(spark, sfDir)
       .collect().sortBy(_.getLong(0))
