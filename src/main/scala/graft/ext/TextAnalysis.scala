@@ -586,6 +586,28 @@ object TextAnalysis {
         .orderBy(col("k"))
     }),
 
+    // Zipf-law fit of the word-frequency distribution — the corpus
+    // NATURALNESS statistic: log-frequency regressed on log-rank slopes
+    // ≈ −1 for natural language; a strong deviation is the
+    // synthetic/garbage/boilerplate signal a corpus profile reports
+    // next to the entropy and repetition scores. Same vocab-sized rank
+    // as text_vocab_coverage (one corpus word-count pass; the global
+    // sort is vocab-sized); the regression sums 2·|vocab| doubles —
+    // rounded at 4, the q_agg_regr precedent for cross-engine regr_*.
+    "text_zipf_fit" -> ((s, dir) => {
+      val ranked = wordCounts(s, dir)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("wc").desc, col("w"))))
+      ranked.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("wc")).as("n_tokens"),
+        round(regr_slope(log(col("wc")), log(col("rank"))), 4)
+          .as("zipf_slope"),
+        round(regr_intercept(log(col("wc")), log(col("rank"))), 4)
+          .as("zipf_intercept"),
+        round(regr_r2(log(col("wc")), log(col("rank"))), 4).as("r2"))
+    }),
+
     // BPE pair statistics — the inner loop of byte-pair-encoding
     // tokenizer training: the weighted adjacent-pair counts whose argmax
     // is the next merge. The pivotal scale property: pair counting runs
@@ -1216,6 +1238,23 @@ object TextAnalysis {
         |  CAST(rk_sem AS BIGINT) AS rk_sem
         |FROM franked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin),
 
+
+    "text_zipf_fit" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT wc, row_number() OVER (ORDER BY wc DESC, w) AS rank FROM w
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(wc) AS BIGINT) AS n_tokens,
+        |  round(regr_slope(ln(wc), ln(rank)), 4) AS zipf_slope,
+        |  round(regr_intercept(ln(wc), ln(rank)), 4) AS zipf_intercept,
+        |  round(regr_r2(ln(wc), ln(rank)), 4) AS r2
+        |FROM r""".stripMargin,
 
     "text_vocab_coverage" ->
       """WITH w AS (

@@ -1049,6 +1049,27 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("zipf fit: planted power law reads ~-1, uniform word salad does not") {
+    import spark.implicits._
+    // planted Zipfian corpus: word k appears floor(2000/k) times
+    val words = (1 to 30).flatMap(k => Seq.fill(2000 / k)(s"word$k"))
+    val rnd = new scala.util.Random(11)
+    val shuffled = rnd.shuffle(words)
+    val docs = shuffled.grouped(200).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val fit = SparkEntry.queries("text_zipf_fit")(spark, tmp).head()
+    val (slope, r2) = (fit.getDouble(2), fit.getDouble(4))
+    assert(slope > -1.3 && slope < -0.7, s"planted Zipf slope $slope")
+    assert(r2 > 0.9, s"planted Zipf r2 $r2")
+    // the bundled corpus is uniform word salad — the fit must SAY so
+    val real = SparkEntry.queries("text_zipf_fit")(spark, sfDir).head()
+    assert(real.getDouble(4) < 0.5,
+      s"word-salad corpus reads as natural: r2=${real.getDouble(4)}")
+  }
+
   test("vocab coverage: monotone in K, exact vocab sizes, OOV complements") {
     val rows = SparkEntry.queries("text_vocab_coverage")(spark, sfDir)
       .collect().sortBy(_.getLong(0))
