@@ -153,6 +153,35 @@ object Similarity {
     // LSH-bucketed ANN: 8-bit hyperplane signature, exact rerank in-bucket
     "ann_lsh" -> ((s, dir) => lshTopK(s, dir, b => array(b))),
 
+    // recall@5 evaluation of the bucketed ANN variants against the
+    // brute-force ground truth — the accept/reject number an ANN
+    // deployment is tuned on (the multi-probe row quantifies exactly
+    // what the 9-bucket probe buys over single-bucket). All three
+    // rankers run their existing oracle-validated shapes; the eval
+    // itself joins (queries × 5)-row frames. Recall rides the 1e-6
+    // integer grid — no float division near the hash. The absolute
+    // numbers are regime-dependent: at 500 vectors an 8-bit signature
+    // leaves ~2 vectors per bucket, so single-bucket recall@5 is near
+    // zero BY CONSTRUCTION and the row quantifies precisely what the
+    // 9-bucket multiprobe buys back; as the corpus grows, buckets fill
+    // and both curves rise (the tuning decision this eval feeds).
+    "ann_recall_eval" -> ((s, dir) => {
+      val truth = bruteForceTopK(s, dir, qMax = 10, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      def row(name: String, variant: DataFrame) =
+        truth.join(variant.select(col("q_id"), col("vec_id"))
+            .withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(name).as("variant"), col("n_truth"), col("n_hit"),
+            TextAnalysis.ratioRound(col("n_hit"),
+              greatest(col("n_truth"), lit(1L)), 6).as("recall"))
+      row("lsh", lshTopK(s, dir, b => array(b)))
+        .unionAll(row("lsh_multiprobe", lshTopK(s, dir, b =>
+          array(b +: (0 until 8).map(j => b.bitwiseXOR(lit(1L << j))): _*))))
+        .orderBy(col("variant"))
+    }),
+
     // multi-probe LSH: probe the query's home bucket PLUS every
     // single-bit-flip neighbor (9 buckets at 8 bits) — the standard
     // recall/latency knob: near-misses land in Hamming-adjacent buckets,
@@ -852,6 +881,63 @@ object Similarity {
     // ann_lsh / dedup_embedding gained real oracles once the signature
     // moved to md5-parity hyperplanes + integer quantization (exactly
     // expressible in DuckDB — see hyperplaneSigDuck).
+    // recall eval: truth + both variants replayed in one WITH chain —
+    // the same comparisons the three per-variant oracles already
+    // hash-validate, composed
+    "ann_recall_eval" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |  ${hyperplaneSigDuck("embedding", 8)} AS bucket
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, bucket
+         |  FROM e WHERE vec_id < 10
+         |), truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+         |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+         |    FROM e c CROSS JOIN q WHERE c.vec_id >= 10)
+         |  WHERE rk <= 5
+         |), lsh AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+         |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+         |    FROM e c JOIN q ON c.bucket = q.bucket WHERE c.vec_id >= 10)
+         |  WHERE rk <= 5
+         |), mpq AS (
+         |  SELECT q_id, q_vec,
+         |    unnest(list_concat([bucket],
+         |      list_transform(range(0, 8), j -> xor(bucket, 1 << j))))
+         |      AS bucket
+         |  FROM q
+         |), mp AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+         |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+         |    FROM e c JOIN mpq q ON c.bucket = q.bucket WHERE c.vec_id >= 10)
+         |  WHERE rk <= 5
+         |), evalr AS (
+         |  SELECT 'lsh' AS variant, CAST(count(*) AS BIGINT) AS n_truth,
+         |    CAST(count(l.vec_id) AS BIGINT) AS n_hit
+         |  FROM truth t LEFT JOIN lsh l
+         |    ON l.q_id = t.q_id AND l.vec_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe', CAST(count(*) AS BIGINT),
+         |    CAST(count(m.vec_id) AS BIGINT)
+         |  FROM truth t LEFT JOIN mp m
+         |    ON m.q_id = t.q_id AND m.vec_id = t.vec_id
+         |)
+         |SELECT variant, n_truth, n_hit,
+         |  CAST((2 * n_hit * 1000000 + greatest(n_truth, 1))
+         |    // (2 * greatest(n_truth, 1)) AS DOUBLE) / 1000000.0 AS recall
+         |FROM evalr ORDER BY variant""".stripMargin,
+
     "ann_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding,

@@ -1049,6 +1049,20 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("ann recall eval: multiprobe dominates single-bucket on the same truth") {
+    val rows = SparkEntry.queries("ann_recall_eval")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("lsh", "lsh_multiprobe"))
+    rows.values.foreach { case (t2, h, rec) =>
+      assert(t2 == 50, s"truth set should be 10 queries x 5: $t2")
+      assert(h <= t2 && rec >= 0.0 && rec <= 1.0)
+    }
+    assert(rows("lsh_multiprobe")._2 >= rows("lsh")._2,
+      s"multiprobe must dominate: $rows")
+    assert(rows("lsh_multiprobe")._2 > 0, "multiprobe recovered nothing")
+  }
+
   test("zipf fit: planted power law reads ~-1, uniform word salad does not") {
     import spark.implicits._
     // planted Zipfian corpus: word k appears floor(2000/k) times
