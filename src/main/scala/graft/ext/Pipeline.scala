@@ -320,6 +320,51 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // curriculum phasing — order the corpus into 4 difficulty phases by
+    // sequence length (the standard curriculum-learning proxy: short →
+    // easy first): phase boundaries are the exact R-7 quartiles of
+    // n_chars via the same rank-selection pattern pipe_quality_cut
+    // proved (one shuffle-sort, no per-group buffering), the 3-row
+    // cutoff frame broadcasts back, and phase assignment is a map-side
+    // CASE — the corpus is never re-sorted into phases, only tagged.
+    // Cutoff doubles derive from identical integer rank selections in
+    // both engines (the quality-cut precedent), so a boundary doc can
+    // never switch phases across engines.
+    "pipe_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      val r = docs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+      val cuts = Seq(1 -> 0.25, 2 -> 0.50, 3 -> 0.75).map { case (i, q) =>
+        r.withColumn("t", lit(q) * (col("n") - 1))
+          .groupBy()
+          .agg(
+            max(when(col("rn") === floor(col("t")).cast("long") + 1,
+              col("n_chars"))).as("vlo"),
+            max(when(col("rn") === ceil(col("t")).cast("long") + 1,
+              col("n_chars"))).as("vhi"),
+            max(col("t") - floor(col("t"))).as("f"))
+          .select(lit(i).as("i"),
+            (col("vlo") + (col("vhi") - col("vlo")) * col("f")).as("cut"))
+      }.reduce(_ unionAll _)
+      val c = broadcast(cuts.groupBy()
+        .pivot("i", Seq(1, 2, 3)).agg(first(col("cut")))
+        .select(col("1").as("c1"), col("2").as("c2"), col("3").as("c3")))
+      docs.crossJoin(c)
+        .withColumn("phase",
+          when(col("n_chars") <= col("c1"), 1L)
+            .when(col("n_chars") <= col("c2"), 2L)
+            .when(col("n_chars") <= col("c3"), 3L)
+            .otherwise(4L))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("n_chars")).as("len_min"), max(col("n_chars")).as("len_max"))
+        .orderBy(col("phase"))
+    }),
+
     // contamination-rate REPORT across gram sizes — the go/no-go number
     // a training run reads before it starts (the decontam passes flag
     // and drop; this reports HOW contaminated the corpus is, and how
@@ -1048,6 +1093,24 @@ object Pipeline {
         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(coalesce(k.chars_kept, 0) AS BIGINT) AS chars_kept
         |FROM t LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
+
+    "pipe_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |), c AS (
+        |  SELECT quantile_cont(n_chars, 0.25) AS c1,
+        |         quantile_cont(n_chars, 0.50) AS c2,
+        |         quantile_cont(n_chars, 0.75) AS c3
+        |  FROM d
+        |)
+        |SELECT CAST(CASE WHEN n_chars <= c1 THEN 1
+        |            WHEN n_chars <= c2 THEN 2
+        |            WHEN n_chars <= c3 THEN 3
+        |            ELSE 4 END AS BIGINT) AS phase,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS len_min, max(n_chars) AS len_max
+        |FROM d CROSS JOIN c
+        |GROUP BY 1 ORDER BY phase""".stripMargin,
 
     "pipe_decontam_report" ->
       """WITH toks AS (

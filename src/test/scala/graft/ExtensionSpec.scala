@@ -1142,6 +1142,22 @@ class ExtensionSpec extends SparkSpecBase {
     assert(rows.head.getLong(2) > 0, "nothing flagged at n=4")
   }
 
+  test("curriculum: quartile phases partition the corpus in length order") {
+    val rows = SparkEntry.queries("pipe_curriculum")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = graft.engine.Engine.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total, "phases lose docs")
+    // quartiles: each phase holds ~n/4 (ties can shift a few)
+    rows.foreach(r => assert(math.abs(r.getLong(1) - total / 4) <= total / 20,
+      s"phase ${r.getLong(0)} holds ${r.getLong(1)} of $total"))
+    // length ranges are disjoint and increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) < b.getLong(3),
+        s"phase ranges overlap: ${a.getLong(4)} vs ${b.getLong(3)}")
+    }
+  }
+
   test("pipe_incremental_e2e: stage counts reconcile with the standalone operators") {
     val e2e = SparkEntry.queries("pipe_incremental_e2e")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
