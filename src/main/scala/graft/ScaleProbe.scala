@@ -198,7 +198,7 @@ object ScaleProbe {
       "mm_payload_dedup", "text_rrf_fusion", "dedup_canonical",
       "pipe_epoch_plan", "text_gopher_rules", "emb_covariance",
       "pipe_incremental_e2e", "text_vocab_coverage", "pipe_decontam_report",
-      "dedup_threshold_sweep", "text_zipf_fit", "ann_recall_eval")
+      "dedup_threshold_sweep", "text_zipf_fit", "ann_recall_eval", "pipe_curriculum")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -329,7 +329,12 @@ object Pipeline {
     // CASE — the corpus is never re-sorted into phases, only tagged.
     // Cutoff doubles derive from identical integer rank selections in
     // both engines (the quality-cut precedent), so a boundary doc can
-    // never switch phases across engines.
+    // never switch phases across engines. The GLOBAL rank window is one
+    // sorted partition of narrow (doc_id, n_chars) rows — spill-tracked
+    // (measured: 57→127 MB peak task from 10× to 100×); past the spill
+    // comfort zone swap the exact quartiles for the two-level
+    // distributed rank (pipe_interleave's closed form) or sampled
+    // cutoffs — the map-side tagging stage is unchanged either way.
     "pipe_curriculum" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       val w = Window.orderBy(col("n_chars"), col("doc_id"))
