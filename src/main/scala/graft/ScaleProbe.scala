@@ -162,6 +162,22 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       println(f"generated ${factor}x embeddings in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    // events shard for the time-grid probes: N× the events at the SAME
+    // time range (ids remapped) — the load shape those operators claim
+    // to be immune to (their output is time-range-sized, so only the
+    // first hourly aggregation should grow with the factor)
+    if (!Files.exists(Paths.get(s"$out/events.parquet/_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      val ev = Engine.table(spark, base, "events")
+      val reps = spark.range(factor).select(col("id").as("k"))
+      ev.crossJoin(reps)
+        .select((col("event_id") * factor + col("k")).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(f"generated ${factor}x events in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     val nDocs = Engine.table(spark, out, "documents").count()
     val nVecs = Engine.table(spark, out, "embeddings").count()
     println(s"shard: $nDocs documents, $nVecs embeddings")
@@ -198,7 +214,8 @@ object ScaleProbe {
       "mm_payload_dedup", "text_rrf_fusion", "dedup_canonical",
       "pipe_epoch_plan", "text_gopher_rules", "emb_covariance",
       "pipe_incremental_e2e", "text_vocab_coverage", "pipe_decontam_report",
-      "dedup_threshold_sweep", "text_zipf_fit", "ann_recall_eval", "pipe_curriculum")
+      "dedup_threshold_sweep", "text_zipf_fit", "ann_recall_eval", "pipe_curriculum",
+      "q_events_gapfill", "q_events_locf", "q_events_anomaly")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
