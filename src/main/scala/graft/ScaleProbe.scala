@@ -215,14 +215,20 @@ object ScaleProbe {
       "pipe_epoch_plan", "text_gopher_rules", "emb_covariance",
       "pipe_incremental_e2e", "text_vocab_coverage", "pipe_decontam_report",
       "dedup_threshold_sweep", "text_zipf_fit", "ann_recall_eval", "pipe_curriculum",
-      "q_events_gapfill", "q_events_locf", "q_events_anomaly")
+      "q_events_gapfill", "q_events_locf", "q_events_anomaly",
+      "q_histogram")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map("dedup_minhash_inbucket" -> ((s, d) => ext.Dedup.minhashLshInBucket(s, d)))
     val onlyProbes = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val rows = probes.filter(n => onlyProbes.forall(_.contains(n))).map { name =>
+    val toRun = probes.filter(n => onlyProbes.forall(_.contains(n)))
+    // the histogram probe reads orders — generate that shard only when
+    // it will actually run (the other probes never touch it)
+    if (toRun.contains("q_histogram"))
+      ScaleProbe.ordersShard(spark, base, out, factor, cpus.toInt): Unit
+    val rows = toRun.map { name =>
       val q = SparkEntry.queries.getOrElse(name, extraProbes(name))
       peakTask.set(0L)
       val t0 = System.nanoTime()
