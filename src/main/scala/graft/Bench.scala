@@ -3,6 +3,11 @@ import java.nio.file.{Files, Paths}
 import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** One query's bench record: timing stats plus the task-metric columns
+  * that make a slow run attributable (see Bench scaladoc). */
+private[graft] case class BenchRow(name: String, median: Double, min: Double,
+    raw: Seq[Double], shufWriteB: Long, shufReadB: Long, gcMsRuns: Seq[Long])
+
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
   * Each query gets ONE UNTIMED execution first, then 3 timed runs; the
@@ -31,6 +36,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   private val Runs = 3
 
+  /** Per-run task-metric totals (shuffle write/read bytes, JVM GC ms),
+    * accumulated by a TaskEnd listener and drained through the
+    * listener-bus barrier before each snapshot (the ScaleProbe
+    * attribution pattern — without the drain a straggling async event
+    * credits its bytes to the NEXT query). These columns exist so a
+    * driver-window-vs-quiet-window divergence is attributable from the
+    * artifact alone: identical shuffle bytes + inflated gc_ms = JVM/
+    * co-tenant pressure; inflated shuffle bytes = a real plan change. */
+  private val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def resetMetrics(sc: org.apache.spark.SparkContext): Unit = {
+    org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+    shufWrite.set(0L); shufRead.set(0L); gcMs.set(0L)
+  }
+
+  private def snapMetrics(sc: org.apache.spark.SparkContext): (Long, Long, Long) = {
+    org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+    (shufWrite.get(), shufRead.get(), gcMs.get())
+  }
+
   /** Forces full materialization of every column; -1.0 = query failed.
     * Catches NonFatal only: after an OOM or other fatal JVM error the
     * session is undefined and every later median would be silently
@@ -58,6 +85,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          gcMs.addAndGet(m.jvmGCTime)
+        }
+      }
+    })
     // suite-level warmup: absorb JVM/classloader/parquet-footer startup
     // and build the bucketed tables once — bucketing is a write-once
     // layout whose cost amortizes across every later co-located join
@@ -67,48 +104,64 @@ object Bench {
     // optional name filter for local iteration (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val sc = spark.sparkContext
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val warm = timeOnce(fn(spark, sfDir))
         // a failed warmup means the query itself fails — don't run it
         // 3 more times just to fail 3 more times
-        val timed =
-          if (warm < 0) Seq.fill(Runs)(-1.0)
-          else (1 to Runs).map(_ => timeOnce(fn(spark, sfDir)))
+        val runsM =
+          if (warm < 0) Seq.fill(Runs)((-1.0, 0L, 0L, 0L))
+          else (1 to Runs).map { _ =>
+            resetMetrics(sc)
+            val sec = timeOnce(fn(spark, sfDir))
+            val (sw, sr, gc) = snapMetrics(sc)
+            (sec, sw, sr, gc)
+          }
+        val timed = runsM.map(_._1)
         // any failed run poisons the stats: report -1, never a
         // healthy-looking near-zero exception time
         val bad = timed.contains(-1.0)
         val median = if (bad) -1.0 else timed.sorted.apply(Runs / 2)
         val min = if (bad) -1.0 else timed.min
-        (name, median, min, warm +: timed)
+        // shuffle bytes are plan-determined (median across runs absorbs
+        // AQE jitter); gc is the per-run variance signal, kept as a list
+        def med(xs: Seq[Long]): Long = xs.sorted.apply(Runs / 2)
+        BenchRow(name, median, min, warm +: timed,
+          med(runsM.map(_._2)), med(runsM.map(_._3)), runsM.map(_._4))
       }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def mb(v: Long): Double = math.rint(v / 1e4) / 100
     def obj(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val medians = obj(results.map { case (k, m, _, _) => k -> r3(m).toString })
-    val mins = obj(results.map { case (k, _, mn, _) => k -> r3(mn).toString })
-    val runs = obj(results.map { case (k, _, _, ts) =>
-      k -> ts.map(r3).mkString("[", ",", "]")
-    })
-    val ok = results.filter(_._2 >= 0)
-    val failed = results.collect { case (k, m, _, _) if m < 0 => "\"" + k + "\"" }
-    val total = r3(ok.map(_._2).sum)
+    val medians = obj(results.map(r => r.name -> r3(r.median).toString))
+    val mins = obj(results.map(r => r.name -> r3(r.min).toString))
+    val runs = obj(results.map(r =>
+      r.name -> r.raw.map(r3).mkString("[", ",", "]")))
+    val shufW = obj(results.map(r => r.name -> mb(r.shufWriteB).toString))
+    val shufR = obj(results.map(r => r.name -> mb(r.shufReadB).toString))
+    val gc = obj(results.map(r =>
+      r.name -> r.gcMsRuns.mkString("[", ",", "]")))
+    val ok = results.filter(_.median >= 0)
+    val failed = results.collect { case r if r.median < 0 => "\"" + r.name + "\"" }
+    val total = r3(ok.map(_.median).sum)
     // drift guard: median/min > 2× means two of three timed runs were
     // inflated (a contention window wider than the warmup absorbed) —
     // the artifact self-reports suspects instead of requiring archaeology
     // over the raw runs. Sub-50ms queries are exempt: at scheduling-floor
     // timescales the ratio is all jitter, no signal.
     val suspects = ok.collect {
-      case (k, m, mn, _) if mn > 0.05 && m / mn > 2.0 => "\"" + k + "\""
+      case r if r.min > 0.05 && r.median / r.min > 2.0 => "\"" + r.name + "\""
     }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"failed":[${failed.mkString(",")}],"suspect":[${suspects.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min; suspect = median/min > 2x (contaminated window)"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"failed":[${failed.mkString(",")}],"suspect":[${suspects.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min; suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals — same-shuffle+high-gc reads as environment pressure, higher-shuffle reads as a plan change"}"""
     try Files.writeString(Paths.get(outFile), full + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] write failed: $e") }
     // stdout: short + complete beats long + truncated
     val top = obj(
-      ok.sortBy(-_._2).take(10).sortBy(_._1).map { case (k, m, _, _) => k -> r3(m).toString })
+      ok.sortBy(-_.median).take(10).sortBy(_.name)
+        .map(r => r.name -> r3(r.median).toString))
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"suspect":${suspects.size},"n":${results.size},"sf":"$sfDir","stat":"median_of_$Runs","file":"$outFile"}"""
     // silence shutdown logs, stop, THEN print: the line must be last

@@ -222,6 +222,17 @@ object Dedup {
       labels = next
       round += 1
     }
+    // the cap is a runaway guard, not a tolerance: labels returned with
+    // changed > 0 are NOT connected components, and downstream the
+    // symptom would be an unexplained oracle hash mismatch (the oracle
+    // computes true transitive closure). Fail loudly at the source so a
+    // diameter-20 component reads as a convergence failure, never as an
+    // engine divergence.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterLabels: label propagation did not converge after $round " +
+          s"rounds ($changed labels still changing) — a near-dup component's " +
+          "diameter exceeds the cap; raise the round cap for this corpus")
     labels
   }
 

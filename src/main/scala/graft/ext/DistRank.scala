@@ -1,0 +1,92 @@
+package graft.ext
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Exact global `row_number()` without a global sort — the two-level
+  * rank `pipe_interleave` proved, extracted as the shared helper for
+  * every corpus- or vocab-wide total order in the engine
+  * (`pipe_curriculum`, `text_vocab_coverage`, `text_zipf_fit`).
+  *
+  * A bare `Window.orderBy(...)` moves the WHOLE frame into one sort
+  * partition — the r7/r8 probes put its peak task memory at 57→127 MB
+  * from 10× to 100× on the curriculum rank, i.e. linear in the corpus
+  * and guaranteed to fall over at cluster scale. The two-level form
+  * keeps every sort partition shard-sized:
+  *
+  *  1. tag each row with a caller-supplied LONG `shard` key that is
+  *     ORDER-CONSISTENT with the sort order (shard(x) < shard(y) ⇒ x
+  *     sorts strictly before y; rows that compare equal on the columns
+  *     the shard derives from map to the SAME shard). Monotone integer
+  *     functions of the leading sort column qualify: a length bucket
+  *     `floor(n_chars/16)`, or `-wc·128 + ascii(first char)` for a
+  *     (count DESC, word ASC) order;
+  *  2. census: one map-side-combinable `groupBy(shard).count` whose
+  *     result is SHARD-TABLE-sized (an algorithm constant — length /
+  *     bit-length / first-byte buckets, never the corpus), collected
+  *     under the `toLocal` K-row contract and prefix-summed on the
+  *     driver — no single-partition window anywhere, so the "No
+  *     Partition Defined" WARN cannot fire;
+  *  3. rank locally per shard (`Window.partitionBy(shard)` — one hash
+  *     shuffle, shard-sized sort states) and add the broadcast offset
+  *     of all earlier shards.
+  *
+  * Global rank = local rank + offset is exact, not approximate: the
+  * offsets are exact census counts and order-consistency makes shard
+  * boundaries honest rank boundaries. Determinism: the census is a
+  * deterministic aggregate of deterministic columns, so the collect
+  * sees the same table every invocation.
+  *
+  * The census is one extra pass over `df`; callers whose input is
+  * itself an expensive derivation (the vocab word-count aggregation)
+  * should `localCheckpoint` it first so the pass re-reads blocks, not
+  * the lineage.
+  */
+private[graft] object DistRank {
+
+  /** `df` plus column `out` = exact global row_number by `order`.
+    * Also returns the exact total row count (a free by-product of the
+    * census — saves callers a second corpus aggregate). */
+  def rowNumberWithCount(s: SparkSession, df: DataFrame, shard: Column,
+      order: Seq[Column], out: String): (DataFrame, Long) = {
+    val tagged = df.withColumn("__shard", shard.cast("long"))
+    val census = tagged.groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = census.map(_._2).sum
+    val offsets = census.map(_._1)
+      .zip(census.map(_._2).scanLeft(0L)(_ + _))
+      .map { case (sh, off) => Row(sh, off) }
+    val offDf = broadcast(s.createDataFrame(
+      offsets.toList.asJava,
+      StructType(Seq(StructField("__shard", LongType, nullable = false),
+        StructField("__off", LongType, nullable = false)))))
+    val w = Window.partitionBy(col("__shard")).orderBy(order: _*)
+    val ranked = tagged
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+      .join(offDf, Seq("__shard"))
+      .withColumn(out, col("__lrn") + col("__off"))
+      .drop("__shard", "__lrn", "__off")
+    (ranked, total)
+  }
+
+  /** [[rowNumberWithCount]] without the count. */
+  def rowNumber(s: SparkSession, df: DataFrame, shard: Column,
+      order: Seq[Column], out: String): DataFrame =
+    rowNumberWithCount(s, df, shard, order, out)._1
+
+  /** The (count DESC, word ASC) shard key shared by the vocab ranks:
+    * `-wc·128 + ascii(first byte)`. The count term dominates (every
+    * printable first byte < 128), so shards are order-consistent with
+    * the descending count; the first-byte term splits the huge
+    * hapax-legomena band (wc = 1 is ~half a natural-language vocab —
+    * bucketing by count alone would put half the vocab in one sort
+    * task) into per-first-character shards, each still contiguous in
+    * (wc DESC, w ASC) order because within one count the order IS the
+    * word's binary order and [a-z0-9] first bytes are single-byte
+    * ASCII. */
+  def countDescWordShard(wc: Column, w: Column): Column =
+    negate(wc.cast("long") * lit(128L)) + ascii(substring(w, 1, 1)).cast("long")
+}

@@ -329,34 +329,39 @@ object Pipeline {
     // CASE — the corpus is never re-sorted into phases, only tagged.
     // Cutoff doubles derive from identical integer rank selections in
     // both engines (the quality-cut precedent), so a boundary doc can
-    // never switch phases across engines. The GLOBAL rank window is one
-    // sorted partition of narrow (doc_id, n_chars) rows — spill-tracked
-    // (measured: 57→127 MB peak task from 10× to 100×); past the spill
-    // comfort zone swap the exact quartiles for the two-level
-    // distributed rank (pipe_interleave's closed form) or sampled
-    // cutoffs — the map-side tagging stage is unchanged either way.
+    // never switch phases across engines. The rank is the two-level
+    // DISTRIBUTED form (DistRank — length-bucket shards + broadcast
+    // prefix-sum offsets): the r7/r8 global-window version's single
+    // sort partition measured 57→127 MB peak task from 10× to 100×
+    // (linear in the corpus = guaranteed fall-over at cluster scale);
+    // shard sorts stay length-bucket-sized at any SF. The census gives
+    // the exact total for free, so the 6 quartile-boundary ranks are
+    // driver constants and ALL cuts come from ONE filtered aggregate
+    // over ≤6 rank-selected rows (the r8 three-aggregation form
+    // re-executed the ranked frame once per quartile).
     "pipe_curriculum" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      val w = Window.orderBy(col("n_chars"), col("doc_id"))
-      val r = docs
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
-      val cuts = Seq(1 -> 0.25, 2 -> 0.50, 3 -> 0.75).map { case (i, q) =>
-        r.withColumn("t", lit(q) * (col("n") - 1))
-          .groupBy()
-          .agg(
-            max(when(col("rn") === floor(col("t")).cast("long") + 1,
-              col("n_chars"))).as("vlo"),
-            max(when(col("rn") === ceil(col("t")).cast("long") + 1,
-              col("n_chars"))).as("vhi"),
-            max(col("t") - floor(col("t"))).as("f"))
-          .select(lit(i).as("i"),
-            (col("vlo") + (col("vhi") - col("vlo")) * col("f")).as("cut"))
-      }.reduce(_ unionAll _)
-      val c = broadcast(cuts.groupBy()
-        .pivot("i", Seq(1, 2, 3)).agg(first(col("cut")))
-        .select(col("1").as("c1"), col("2").as("c2"), col("3").as("c3")))
+      val (ranked, n) = DistRank.rowNumberWithCount(s, docs,
+        floor(col("n_chars") / 16).cast("long"),
+        Seq(col("n_chars"), col("doc_id")), "rn")
+      // t = q·(n−1) in driver doubles — bit-identical to the in-plan
+      // lit(q)*(n-1) arithmetic it replaces (same IEEE ops, same order)
+      val targets = Seq(1 -> 0.25, 2 -> 0.50, 3 -> 0.75).map { case (i, q) =>
+        val tq = q * (n - 1).toDouble
+        (i, math.floor(tq).toLong + 1, math.ceil(tq).toLong + 1,
+          tq - math.floor(tq))
+      }
+      val wantedRanks = targets.flatMap { case (_, lo, hi, _) => Seq(lo, hi) }
+        .distinct.map(lit(_))
+      val aggs = targets.flatMap { case (i, lo, hi, _) => Seq(
+        max(when(col("rn") === lo, col("n_chars"))).as(s"vlo$i"),
+        max(when(col("rn") === hi, col("n_chars"))).as(s"vhi$i")) }
+      val c = broadcast(ranked
+        .filter(col("rn").isin(wantedRanks: _*))
+        .groupBy().agg(aggs.head, aggs.tail: _*)
+        .select(targets.map { case (i, _, _, f) =>
+          (col(s"vlo$i") + (col(s"vhi$i") - col(s"vlo$i")) * lit(f))
+            .as(s"c$i") }: _*))
       docs.crossJoin(c)
         .withColumn("phase",
           when(col("n_chars") <= col("c1"), 1L)

@@ -234,9 +234,17 @@ object Similarity {
       // exploits. 6/16 keeps the demo honest at testdata scale.
       val nCells = 16
       val nProbe = 6
+      // localCheckpoint (not toLocal — this frame is CORPUS-sized, and
+      // not persist() — the dedup_ngram_jaccard rationale): `emb` feeds
+      // the seed pick, the Lloyd assignment cross-join, the corpus side
+      // and the query side, so without materialization the scan+
+      // repartition+norm chain re-executes 4× per invocation — the r8
+      // driver-window divergence (8.7s driver vs 1.7s quiet was the
+      // repeated-scan cost under co-tenant contention, not compute).
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .withColumn("nrm", l2norm(col("embedding")))
+        .localCheckpoint(true)
       // coarse centroids: deterministic seed (first C vectors) refined by
       // one Lloyd iteration — assign every vector to its nearest seed,
       // then average each cell (posexplode → (cell, dim) partial means →
@@ -646,6 +654,10 @@ object Similarity {
         transform(slice(col("embedding"), col("m") * subDim + 1, lit(subDim)),
           x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
       .withColumn("ss", dot_f32(col("s"), col("s")))
+      // corpus×M frame with 3+ consumers per query (codebook seeds +
+      // Lloyd assign, corpus codes, query ADC tables): materialize once
+      // so the scan/explode/quantize chain never re-executes
+      .localCheckpoint(true)
   }
 
   /** Per-subspace codebooks (m, cw, c, cc): first-16 seeds + one Lloyd
@@ -723,6 +735,9 @@ object Similarity {
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float")).as("s"))
       .withColumn("ss", dot_f32(col("s"), col("s")))
+      // assign() runs 3× (+ the seed pick) over this corpus frame —
+      // materialize the quantized scan once per invocation
+      .localCheckpoint(true)
     // seeds: first K vectors (the deterministic IVF/PQ seeding rule);
     // K-row frames become driver-local relations (toLocal) so each
     // broadcast reference costs nothing and no checkpoint blocks leak

@@ -559,16 +559,22 @@ object TextAnalysis {
     // fraction of the corpus' TOKEN MASS the top-K words capture and
     // how much is out-of-vocabulary. One corpus word-count aggregation
     // (map-side combinable, the wordCounts pass the BPE family shares);
-    // everything after is vocab-sized — the global frequency rank is a
-    // sort of the VOCAB (MBs at 100 TB corpus scale), never the corpus,
-    // which is why the single-partition rank window is acceptable here
-    // and nowhere else. Coverage ratios ride the exact 1e-6 grid; ties
+    // everything after is vocab-sized — the global frequency rank runs
+    // over the VOCAB (MBs at 100 TB corpus scale), never the corpus,
+    // and even so it is the two-level DistRank form (count-band ×
+    // first-byte shards), not a single-partition window: a web-scale
+    // vocab is 10⁷–10⁸ types and the hapax band alone would be one
+    // multi-GB sort task (measured either way in the r9
+    // `vocab_rank_scale` probe). The word-count frame is checkpointed
+    // so the rank census re-reads blocks, not the corpus explode.
+    // Coverage ratios ride the exact 1e-6 grid; ties
     // in frequency break on the raw [a-z0-9]+ word bytes, identical
     // binary order in both engines.
     "text_vocab_coverage" -> ((s, dir) => {
-      val wc = wordCounts(s, dir)
-      val ranked = wc.withColumn("rn", row_number().over(
-        Window.orderBy(col("wc").desc, col("w"))))
+      val wc = wordCounts(s, dir).localCheckpoint(false)
+      val ranked = DistRank.rowNumber(s, wc,
+        DistRank.countDescWordShard(col("wc"), col("w")),
+        Seq(col("wc").desc, col("w")), "rn")
       val tot = wc.agg(sum(col("wc")).as("tokens_total"),
         count(lit(1)).as("n_types"))
       ranked.select(col("wc"), col("rn"))
@@ -590,14 +596,16 @@ object TextAnalysis {
     // NATURALNESS statistic: log-frequency regressed on log-rank slopes
     // ≈ −1 for natural language; a strong deviation is the
     // synthetic/garbage/boilerplate signal a corpus profile reports
-    // next to the entropy and repetition scores. Same vocab-sized rank
-    // as text_vocab_coverage (one corpus word-count pass; the global
-    // sort is vocab-sized); the regression sums 2·|vocab| doubles —
+    // next to the entropy and repetition scores. Same two-level
+    // distributed rank as text_vocab_coverage (one corpus word-count
+    // pass, checkpointed; shard-sized sorts, no single-partition
+    // window); the regression sums 2·|vocab| doubles —
     // rounded at 4, the q_agg_regr precedent for cross-engine regr_*.
     "text_zipf_fit" -> ((s, dir) => {
-      val ranked = wordCounts(s, dir)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("wc").desc, col("w"))))
+      val ranked = DistRank.rowNumber(s,
+        wordCounts(s, dir).localCheckpoint(false),
+        DistRank.countDescWordShard(col("wc"), col("w")),
+        Seq(col("wc").desc, col("w")), "rank")
       ranked.agg(
         count(lit(1)).as("n_types"),
         sum(col("wc")).as("n_tokens"),

@@ -249,15 +249,31 @@ object Relational {
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     }),
 
-    // distinct aggregates
-    "q_agg_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          count_distinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
-          round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"))
-        .orderBy(col("l_returnflag"))),
+    // distinct aggregates — deliberately NOT countDistinct(...)×3 in
+    // one agg: three distinct aggregates with different key sets force
+    // Catalyst through Expand (every input row ×3, each copy nulled
+    // down to one key set), tripling the shuffle and the sort-agg
+    // input. Measured in the r8 driver window as the single slowest
+    // non-ANN query (11.0s vs 1.2s quiet). The equivalent expand-free
+    // plan runs three independent distinct-project→agg branches — each
+    // scans only its 2–3 columns (pruned at the parquet footer), each
+    // partial-aggregates map-side before its shuffle — and joins the
+    // three 3-row results on the group key (auto-broadcast). At 100 TB
+    // the three pruned scans are together cheaper than one 3×-expanded
+    // shuffle of the full row set.
+    "q_agg_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def branch(keys: Seq[String], out: Column): DataFrame =
+        li.select(col("l_returnflag") +: keys.map(col): _*).distinct()
+          .groupBy(col("l_returnflag")).agg(out)
+      branch(Seq("l_suppkey"), count(lit(1)).as("n_supp"))
+        .join(branch(Seq("l_partkey", "l_suppkey"),
+          count(lit(1)).as("n_part_supp")), Seq("l_returnflag"))
+        .join(branch(Seq("l_quantity"),
+          round(sum(col("l_quantity")), 2).as("sum_dist_qty")),
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // statistical aggregate family
     "q_agg_stats" -> ((s, dir) =>
@@ -465,7 +481,15 @@ object Relational {
     // in BIGINT — (n·x − Σx)²·(n−1) > 9·n·(n·Σx² − (Σx)²) is the z² > 9
     // inequality cleared of divisions — so the verdict can never flip
     // on a float accumulation order (stddev over a window is exactly
-    // the cross-engine float hazard this avoids). Warm-up hours with
+    // the cross-engine float hazard this avoids). MAGNITUDE BOUND (the
+    // grid-note discipline): with per-(hour,type) counts ≤ C the
+    // cleared terms peak at ~(24·C)²·23 and ~9·24·24·C² — both stay
+    // under 2⁶³ for C ≲ 4·10⁷ events/hour/type (≈ 10 kHz sustained per
+    // type, ~400× the 100×-probe shard). Past that bound Spark wraps
+    // silently while DuckDB raises, so the engines diverge in
+    // DIFFERENT ways: before deploying against a corpus that hot,
+    // clear the inequality in DECIMAL(38,0) (bound then ~10¹⁵ C) or
+    // pre-scale the grid to coarser cells. Warm-up hours with
     // fewer than 12 trailing observations never flag. Same scale shape
     // as the grid family: one corpus aggregation, then time-range-sized.
     "q_events_anomaly" -> ((s, dir) => {

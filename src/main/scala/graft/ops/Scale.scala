@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.nio.file.Paths
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -343,7 +344,24 @@ object Scale {
     // value DuckDB's CAST(ts AS DATE) yields, no zone math anywhere.
     "q_partition_prune" -> ((s, dir) => {
       val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse").toString
-      val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      // cache key = source FINGERPRINT (file names + sizes + mtimes of
+      // the live events.parquet), not just a sanitized dir string: a
+      // regenerated source at the same path must invalidate the rewrite
+      // (the oracle reads the live table — a stale cache would silently
+      // aggregate old data), and the fingerprint also can't collide
+      // across dirs the way the old [^0-9a-zA-Z]→_ sanitization could
+      // ('sf-1' vs 'sf_1').
+      val src = Paths.get(dir, "events.parquet")
+      val fpIn = (if (java.nio.file.Files.isDirectory(src)) {
+          val st = java.nio.file.Files.list(src)
+          try st.iterator().asScala.toSeq finally st.close()
+        } else Seq(src))
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        .sorted.mkString(s"$src|", ",", "")
+      val sfTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(fpIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val path = s"$wh/events_bydate_$sfTag"
       if (!java.nio.file.Files.exists(Paths.get(s"$path/_SUCCESS")))
         t(s, dir, "events")

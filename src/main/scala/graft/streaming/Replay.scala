@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered multi-file replay input for the streaming CORRECTNESS rows.
+  *
+  * The r8 streaming rows replayed the finite events parquet as ONE
+  * micro-batch, so the watermark machinery was structurally idle:
+  * nothing was ever late (no row can trail a watermark that is only
+  * computed after the last row), and no state ever survived a batch
+  * boundary. This helper builds the input that actually exercises both
+  * paths: the events table split into `chunks` CHRONOLOGICAL parquet
+  * files (chunk k+1's every timestamp ≥ chunk k's — so an in-order
+  * replay never loses rows to the watermark), with strictly ascending
+  * modification times so `FileStreamSource` (latestFirst=false, sorted
+  * by modTime) + `maxFilesPerTrigger=1` delivers exactly one chunk per
+  * micro-batch in event-time order. An optional `extra` frame becomes
+  * the LAST file — the deliberately out-of-order delivery: by the time
+  * it arrives the watermark has advanced through every earlier chunk,
+  * so rows constructed to sit far behind it are dropped BY THE
+  * WATERMARK, deterministically (the construction, not scheduling,
+  * decides what is late).
+  *
+  * Chunk membership is exact integer arithmetic on epoch microseconds
+  * (`lo + span·k/chunks` bounds) — deterministic across runs, so the
+  * per-batch watermark trajectory is too. Each invocation builds a
+  * fresh temp dir: streaming sources checkpoint by path, and a reused
+  * dir would make the second bench run a no-new-files no-op.
+  */
+object Replay {
+
+  /** Move the single part file of a freshly-written one-file parquet
+    * dir into `root` under `name`, stamping `mtimeMs`. */
+  private def promote(stageDir: Path, root: Path, name: String,
+      mtimeMs: Long): Unit = {
+    val part = {
+      val st = Files.list(stageDir)
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .toList match {
+          case one :: Nil => one
+          case other => throw new IllegalStateException(
+            s"expected exactly one part file in $stageDir, got $other")
+        }
+      finally st.close()
+    }
+    val dst = root.resolve(name)
+    Files.move(part, dst)
+    if (!dst.toFile.setLastModified(mtimeMs))
+      throw new IllegalStateException(s"cannot stamp mtime on $dst")
+  }
+
+  /** Build the replay dir: `chunks` chronological event files plus the
+    * optional `extra` frame (schema-aligned with events) as the last
+    * file. Returns the dir to point `readStream.parquet` at. */
+  def eventsDir(s: SparkSession, dir: String, chunks: Int,
+      extra: Option[DataFrame] = None): String = {
+    val root = Files.createTempDirectory("graft_replay")
+    val stage = Files.createTempDirectory("graft_replay_stage")
+    val ev = graft.engine.Engine.table(s, dir, "events")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val Array(lo, hi) = ev.agg(min(us), max(us)).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val span = hi - lo + 1
+    // fixed epoch base: mtimes must only be distinct and ascending
+    val base = 1700000000000L
+    (0 until chunks).foreach { k =>
+      val b0 = lo + span * k / chunks
+      val b1 = lo + span * (k + 1) / chunks
+      ev.filter(us >= b0 && us < b1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/c$k")
+      promote(Paths.get(s"$stage/c$k"), root, f"f$k%03d.parquet",
+        base + k * 60000L)
+    }
+    extra.foreach { df =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stage/extra")
+      promote(Paths.get(s"$stage/extra"), root, f"f$chunks%03d.parquet",
+        base + chunks * 60000L)
+    }
+    root.toString
+  }
+
+  /** The earliest-chunk bound (lo + span/chunks in epoch µs) — callers
+    * construct the deliberately-late frame from rows strictly below it
+    * so "late" is defined by the same arithmetic that defined chunk 0. */
+  def firstChunkBoundUs(s: SparkSession, dir: String, chunks: Int): Long = {
+    val ev = graft.engine.Engine.table(s, dir, "events")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val r = ev.agg(min(us), max(us)).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    lo + (hi - lo + 1) / chunks
+  }
+}

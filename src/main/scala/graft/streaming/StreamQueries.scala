@@ -57,19 +57,90 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MULTI-batch sessionization through the UNBOUNDED operator
+    // (Sessionize.incremental — event-time watermark + timeout): the
+    // replay delivers 3 chronological chunks one per micro-batch, so
+    // sessions straddling a chunk boundary exercise real cross-batch
+    // state, and a far-future SENTINEL event as the last file advances
+    // the GLOBAL watermark past every real session's last+gap — the
+    // event-time timeouts fire inside the AvailableNow drain (the
+    // engine's closing no-data batch), emitting the trailing open
+    // sessions. The sentinel user (-1) is projected out; its own
+    // session stays un-timed-out in state by construction (nothing is
+    // ever later than it), which is exactly the unbounded contract.
+    // Oracle: the batch twin unchanged — multi-batch replay of an
+    // in-order chunking must reproduce the batch fold row for row.
     "q_sessionize_stream" -> ((s, dir) => {
+      import s.implicits._
       val sink = "q_sessionize_stream_sink"
-      // runs to completion inside the entry (AvailableNow terminates
-      // once caught up); the memory-sink rows outlive the query object
-      Sessionize.run(s, dir, sink, availableNow = true)
+      val sentinel = graft.engine.Engine.table(s, dir, "events")
+        .agg(max(col("ts")).as("mts"))
+        .select(lit(-1L).as("event_id"),
+          (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val rd = Replay.eventsDir(s, dir, 3, Some(sentinel))
+      val src = s.readStream.schema(EventsStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(rd)
+        .select(col("user_id"),
+          graft.engine.Engine.eventTs(col("ts")).as("ts"), col("event_type"))
+        .as[Sessionize.TimedEvent]
+      val q = withStatePartitions(s, 8) {
+        Sessionize.incremental(src, 30).writeStream
+          .outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+      q.stop()
       // sessions of one user are time-disjoint, so numbering by
       // start_us reproduces the batch twin's cumulative sess_no
       val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
       s.table(sink)
+        .filter(col("user_id") =!= -1L)
         .select(col("user_id"),
           row_number().over(w).cast("long").as("sess_no"),
           col("n_events"), col("start_us"), col("end_us"))
         .orderBy(col("user_id"), col("sess_no"))
+    }),
+
+    // watermark LATE-DATA DROP, proven by oracle: 3 in-order chunks
+    // advance the watermark to max(ts)−1h, then the LAST file re-plays
+    // clones (event_id+5M) of every first-chunk row — all of them now
+    // >9 days behind the watermark, all of their windows long emitted,
+    // so the engine must DROP every clone. The oracle is the batch
+    // hourly agg WITHOUT the clones, restricted to the finalized
+    // windows (end ≤ max(ts)−1h — append mode never emits the trailing
+    // in-watermark windows): green ⟺ the clones died at the watermark,
+    // not by any filter (no filter exists), and a non-dropping engine
+    // would emit duplicate window rows and hash-fail.
+    "q_stream_late_drop" -> ((s, dir) => {
+      val sink = "q_stream_late_drop_sink"
+      val ev = graft.engine.Engine.table(s, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val late = ev.filter(us < Replay.firstChunkBoundUs(s, dir, 3))
+        .select((col("event_id") + 5000000L).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      val rd = Replay.eventsDir(s, dir, 3, Some(late))
+      val agg = s.readStream.schema(EventsStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(rd)
+        .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+      val q = withStatePartitions(s, 8) {
+        agg.writeStream.outputMode("append").format("memory")
+          .queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+      q.stop()
+      s.table(sink).orderBy(col("hour"), col("event_type"))
     }),
 
     // watermarked tumbling-window agg through the streaming engine;
@@ -185,6 +256,25 @@ object StreamQueries {
     "q_events_window_stream" -> graft.ops.Relational.oracleSql("q_events_window"),
     "q_stream_decontam" -> graft.ext.Extensions.oracleSql("pipe_decontam"),
     "q_stream_upsert" -> graft.ext.Extensions.oracleSql("pipe_upsert"),
+
+    // the batch hourly agg MINUS the watermark-dropped clones (absent
+    // from the live table by construction) and MINUS the never-emitted
+    // trailing windows (append mode: only windows whose end the final
+    // watermark passed are final). The 1h-in-µs literal mirrors
+    // Spark's watermark = max event time − delay exactly; window ends
+    // are whole hours and max(ts) sits mid-hour, so the ≤ boundary is
+    // never exercised within watermark precision.
+    "q_stream_late_drop" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hh, event_type,
+        |         count(*) AS n, round(sum(value), 2) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mts FROM events)
+        |SELECT strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, n, total_value
+        |FROM h, m
+        |WHERE hh + INTERVAL 1 HOUR <= mts - INTERVAL 1 HOUR
+        |ORDER BY hour, event_type""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(user_id || '|' || event_type || '|' || props) AS h
