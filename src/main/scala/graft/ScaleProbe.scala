@@ -584,10 +584,66 @@ object ScaleProbe {
           s"formulations diverged: percentile()=$buffered rank=$ranked")
         println(f"QUALITY CUT ALT: percentile() wall=$bufWall%.1fs peak=$bufPeak%.1f MB " +
           f"vs rank-selection wall=$rkWall%.1fs peak=$rkPeak%.1f MB, cutoffs agree")
-        s""""quality_cut_alternative":{"cutoffs_agree":true,"percentile_wall_s":${math.rint(bufWall * 10) / 10},"percentile_peak_task_mb":${math.rint(bufPeak * 10) / 10},"rank_wall_s":${math.rint(rkWall * 10) / 10},"rank_peak_task_mb":${math.rint(rkPeak * 10) / 10}}"""
+        // bare JSON object (no key prefix): mergeArtifact parses this
+        // with Jackson, and a key-prefixed string parses as a lone text
+        // node — the bug that wrote "quality_cut_alternative" as its
+        // own value into the r8 artifact
+        s"""{"cutoffs_agree":true,"percentile_wall_s":${math.rint(bufWall * 10) / 10},"percentile_peak_task_mb":${math.rint(bufPeak * 10) / 10},"rank_wall_s":${math.rint(rkWall * 10) / 10},"rank_peak_task_mb":${math.rint(rkPeak * 10) / 10}}"""
       } else None
     if (onlyProbes.isDefined && qualityCutAlt.isDefined)
       mergeArtifact(factor, "quality_cut_alternative", qualityCutAlt.get)
+
+    // ---- vocab-scale rank: global window vs two-level DistRank -------
+    // text_vocab_coverage/text_zipf_fit rest on "the vocab is small
+    // relative to the corpus" — true, but a WEB-scale vocab is still
+    // 10⁷–10⁸ types. Turn the assumption into a measurement: synthesize
+    // a 10⁷-type Zipf vocab (wc = V div (rank+1), so ~half the types
+    // are hapax — the exact skew shape that breaks naive sharding),
+    // rank it BOTH ways over the same materialized frame, require
+    // bit-identical rank checksums, and record wall + peak task memory.
+    // The verdict metric is peak task memory: the global window puts
+    // all 10⁷ rows in ONE sort task; DistRank's biggest sort is a
+    // (count-band × first-byte) shard.
+    val vocabRankScale: Option[String] =
+      if (onlyProbes.forall(_.contains("vocab_rank_scale"))) Some {
+        val v = 10L * 1000 * 1000
+        val vocab = spark.range(v)
+          .select(md5(col("id").cast("string")).as("w"),
+            expr(s"greatest(1L, $v div (id + 1))").as("wc"))
+          .repartition(cpus.toInt)
+          .localCheckpoint(true) // both paths rank the SAME blocks
+        def checksum(ranked: org.apache.spark.sql.DataFrame): Long = ranked
+          .select(conv(substring(md5(concat_ws("|",
+            col("w"), col("rn").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+          .agg(expr("bit_xor(h)")).head().getLong(0)
+        def measure(ranked: => org.apache.spark.sql.DataFrame): (Long, Double, Double) = {
+          org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+          peakTask.set(0L)
+          val t0 = System.nanoTime()
+          val ck = checksum(ranked)
+          val wall = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+          (ck, wall, peakTask.get() / 1e6)
+        }
+        val (ckG, wallG, peakG) = measure(
+          vocab.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("wc").desc, col("w"))).cast("long")))
+        val (ckD, wallD, peakD) = measure(
+          graft.ext.DistRank.rowNumber(spark, vocab,
+            graft.ext.DistRank.countDescWordShard(col("wc"), col("w")),
+            Seq(col("wc").desc, col("w")), "rn"))
+        require(ckG == ckD,
+          s"rank formulations diverged: global=$ckG distributed=$ckD")
+        def r1(x: Double): Double = math.rint(x * 10) / 10
+        println(f"VOCAB RANK SCALE: types=$v global wall=$wallG%.1fs " +
+          f"peak=$peakG%.1f MB vs two-level wall=$wallD%.1fs peak=$peakD%.1f MB " +
+          "(checksums agree)")
+        s"""{"n_types":$v,"checksums_agree":true,"global_wall_s":${r1(wallG)},"global_peak_task_mb":${r1(peakG)},"twolevel_wall_s":${r1(wallD)},"twolevel_peak_task_mb":${r1(peakD)}}"""
+      } else None
+    if (onlyProbes.isDefined && vocabRankScale.isDefined)
+      mergeArtifact(factor, "vocab_rank_scale", vocabRankScale.get)
 
     // ---- z-order layout pruning demonstration ------------------------
     // writeZOrdered claims parquet footer stats prune 2-D box predicates.
@@ -993,7 +1049,9 @@ object ScaleProbe {
       }.mkString(
         s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
           (Seq(ivfPruning, incrBucketed, windowRange, windowRangePrefix,
-              zorderPruning, qualityCutAlt).flatten ++
+              zorderPruning).flatten ++
+            qualityCutAlt.map(s => s""""quality_cut_alternative":$s""") ++
+            vocabRankScale.map(s => s""""vocab_rank_scale":$s""") ++
             dppPruning.map(s => s""""dpp_pruning":$s""") ++
             compaction.map(s => s""""compaction":$s""") ++
             skewJoin.map(s => s""""aqe_skew_join":$s""") ++

@@ -487,6 +487,84 @@ object Similarity {
         .orderBy(col("i"), col("j"))
     }),
 
+    // top principal component of the embedding cloud — the whitening /
+    // dimensionality-reduction primitive an embedding pipeline runs
+    // before indexing (OPQ rotation, decorrelation, variance auditing).
+    // Scale split is the MLlib RowMatrix.computePrincipalComponents
+    // shape: the CORPUS-sized work is the one distributed pass that
+    // builds the exact-integer covariance numerators (emb_covariance's
+    // proven pipeline — d(d+1)/2 upper-triangle cells, map-side
+    // combinable); the eigen step then runs on a d×d matrix — an
+    // algorithm CONSTANT (4096 cells at d=64), collected under the
+    // toLocal K-row contract exactly like centroids and codebooks.
+    //
+    // The eigen step is 5 power iterations kept EXACT and
+    // cross-engine-stable end to end:
+    //  - the matrix is pre-scaled by a power of two: s = max(0,
+    //    bitlen(max|cov_num|) − 20), Ã = sign·(|cov_num| >> s) — so
+    //    every later product stays far inside 2^53 at ANY corpus scale
+    //    (|Ã| < 2^20, |x| ≤ 1000 ⇒ |y| ≤ d·2^20·1000 ≈ 6.7e10); the
+    //    shift is sign-magnitude (not arithmetic >> on negatives, whose
+    //    floor-vs-truncate behavior differs across engines);
+    //  - each iterate renormalizes to the 1e-3 grid by its max
+    //    magnitude: x′ = floor(y·1000/m + ½) with y, m exact integers
+    //    ≤ 6.4e13 — the double ops are identical IEEE in both engines;
+    //  - x₀ = all-1000 (grid all-ones), iteration count fixed at 5.
+    // Output: the grid-integer component per dimension plus the exact
+    // Rayleigh numerators (λ̃ ≈ rayleigh_num / xx_num / 2^shift) — the
+    // variance-explained readout. Power iteration is scale-invariant,
+    // so the pre-shift changes nothing but the overflow bound.
+    "emb_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      val sums = toLocal(s, emb
+        .select(posexplode(col("qv")).as(Seq("i", "v")))
+        .groupBy(col("i")).agg(sum(col("v")).as("sx"))
+        .select(col("i").cast("long").as("i"), col("sx")))
+      val upper = emb.select(explode(expr(
+        """flatten(transform(qv, (x, i) ->
+          |  transform(slice(qv, i + 1, size(qv) - i), (y, j) ->
+          |    struct(CAST(i AS BIGINT) AS i, CAST(i + j AS BIGINT) AS j,
+          |           x * y AS xy))))""".stripMargin)).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sxy"))
+        .join(broadcast(sums.select(col("i"), col("sx").as("sx_i"))), "i")
+        .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
+        .select(col("i"), col("j"),
+          (col("n") * col("sxy") - col("sx_i") * col("sx_j")).as("a"))
+      // d×d cells — the K-row contract (an algorithm constant, never
+      // corpus-sized); the driver loop below is the same arithmetic the
+      // oracle unrolls in SQL, op for op
+      val cells = upper.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val d = (cells.map(_._2).max + 1).toInt
+      val a = Array.ofDim[Long](d, d)
+      cells.foreach { case (i, j, v) => a(i.toInt)(j.toInt) = v; a(j.toInt)(i.toInt) = v }
+      val mA = a.flatten.map(math.abs).max
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(mA)
+      val shift = math.max(0, bitlen - 20)
+      val at = a.map(_.map(v => if (v < 0) -((-v) >> shift) else v >> shift))
+      var x = Array.fill(d)(1000L)
+      for (_ <- 1 to 5) {
+        val y = Array.tabulate(d)(i =>
+          (0 until d).map(j => at(i)(j) * x(j)).sum)
+        val m = y.map(math.abs).max
+        if (m > 0)
+          x = y.map(v => math.floor(v.toDouble * 1000.0 / m.toDouble + 0.5).toLong)
+      }
+      val rayleigh = (0 until d).map(i =>
+        (0 until d).map(j => x(i) * at(i)(j) * x(j)).sum).sum
+      val xx = x.map(v => v * v).sum
+      import s.implicits._
+      x.zipWithIndex
+        .map { case (v, i) => (i.toLong, v, shift.toLong, rayleigh, xx) }
+        .toSeq
+        .toDF("dim", "pc1_q", "shift", "rayleigh_num", "xx_num")
+        .orderBy(col("dim"))
+    }),
+
     // contrastive-training negative sampling: per query, K deterministic
     // "random" negatives = the first K of an md5-ordered candidate pool
     // whose cosine is UNDER the similarity floor τ (near-duplicates and
@@ -1099,6 +1177,84 @@ object Similarity {
         |JOIN sums sa ON sa.i = agg.i
         |JOIN sums sb ON sb.i = agg.j
         |ORDER BY agg.i, agg.j""".stripMargin,
+
+    // the covariance CTE chain (same text as emb_covariance so the two
+    // mirrors cannot drift), mirrored to the full symmetric matrix,
+    // power-of-two pre-scaled (the generate_series form computes
+    // max(0, bitlen−20) exactly — no float log2; series stops at 43 =
+    // the max shift a BIGINT magnitude can need, and 1<<(19+44) would
+    // itself overflow), then 5 unrolled power-iteration steps of the
+    // exact arithmetic the Spark driver loop runs: BIGINT matvec,
+    // max-magnitude, and the identical floor(y·1000/m + ½) double
+    // renormalization. Multi-referenced CTEs are AS MATERIALIZED:
+    // DuckDB inlines plain CTEs per reference, and the x_k → {y_k,
+    // x_{k-1}, m_k} chain re-expands the whole covariance subtree
+    // ~3^5 times without it (measured: the inlined form exhausts file
+    // handles before it finishes; materialized it runs in 0.1 s)
+    "emb_pca" -> {
+      val base =
+        """WITH q AS MATERIALIZED (
+          |  SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+          |  FROM embeddings
+          |), e AS MATERIALIZED (
+          |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+          |    qv[CAST(i AS INTEGER)] AS v
+          |  FROM q, unnest(generate_series(1, len(qv))) AS t(i)
+          |), sums AS (
+          |  SELECT i, CAST(sum(v) AS BIGINT) AS sx FROM e GROUP BY 1
+          |), agg AS (
+          |  SELECT a.i AS i, b.i AS j, count(*) AS n,
+          |    CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+          |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+          |  GROUP BY 1, 2
+          |), cov AS MATERIALIZED (
+          |  SELECT agg.i, agg.j, n * sxy - sa.sx * sb.sx AS a
+          |  FROM agg
+          |  JOIN sums sa ON sa.i = agg.i
+          |  JOIN sums sb ON sb.i = agg.j
+          |), fullm AS MATERIALIZED (
+          |  SELECT i, j, a FROM cov
+          |  UNION ALL
+          |  SELECT j AS i, i AS j, a FROM cov WHERE i <> j
+          |), mmax AS (SELECT max(abs(a)) AS m FROM fullm
+          |), sh AS MATERIALIZED (
+          |  SELECT coalesce((SELECT max(k)
+          |    FROM generate_series(1, 43) t(k), mmax
+          |    WHERE mmax.m >= (CAST(1 AS BIGINT) << (19 + k))), 0) AS s
+          |), at AS MATERIALIZED (
+          |  SELECT i, j,
+          |    CASE WHEN a < 0 THEN -((-a) >> s) ELSE a >> s END AS a
+          |  FROM fullm, sh
+          |), x0 AS MATERIALIZED (
+          |  SELECT DISTINCT i AS dim, CAST(1000 AS BIGINT) AS v FROM fullm
+          |)""".stripMargin
+      val iters = (1 to 5).map { k =>
+        val (px, y, m, x) = (s"x${k - 1}", s"y$k", s"m$k", s"x$k")
+        s""", $y AS MATERIALIZED (
+           |  SELECT at.i AS dim, CAST(sum(at.a * $px.v) AS BIGINT) AS y
+           |  FROM at JOIN $px ON $px.dim = at.j GROUP BY 1
+           |), $m AS (SELECT max(abs(y)) AS m FROM $y
+           |), $x AS MATERIALIZED (
+           |  SELECT $y.dim,
+           |    CASE WHEN $m.m = 0 THEN $px.v
+           |         ELSE CAST(floor(CAST($y.y AS DOUBLE) * 1000.0
+           |                / CAST($m.m AS DOUBLE) + 0.5) AS BIGINT)
+           |    END AS v
+           |  FROM $y JOIN $px ON $px.dim = $y.dim, $m
+           |)""".stripMargin
+      }.mkString
+      val tail =
+        """, ray AS (
+          |  SELECT CAST(sum(xa.v * at.a * xb.v) AS BIGINT) AS rayleigh_num
+          |  FROM at JOIN x5 xa ON xa.dim = at.i JOIN x5 xb ON xb.dim = at.j
+          |), xx AS (SELECT CAST(sum(v * v) AS BIGINT) AS xx_num FROM x5)
+          |SELECT x5.dim, x5.v AS pc1_q, CAST(sh.s AS BIGINT) AS shift,
+          |  ray.rayleigh_num, xx.xx_num
+          |FROM x5, sh, ray, xx ORDER BY dim""".stripMargin
+      base + iters + tail
+    },
 
     "emb_norms" ->
       """SELECT vec_id, label,

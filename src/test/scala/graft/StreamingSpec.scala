@@ -238,6 +238,53 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("outer join defers the null row until the click watermark closes the purchase") {
+    // the LEFT OUTER contract q_stream_outer_join's oracle can't see
+    // (it only checks the FINAL row set): the null-joined row for an
+    // unmatched purchase must NOT appear while a matching click could
+    // still arrive — only after the click-side watermark passes
+    // purchase_ts. Matched pairs emit immediately, like the inner join.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.JoinStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(1700000000L * 1000 + h * 3600L * 1000)
+    val clicks = MemoryStream[AttrEvent]
+    val purchases = MemoryStream[AttrEvent]
+    val q = JoinStream.attributionOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("outer_join_defer_test").start()
+    try {
+      def rows() = spark.table("outer_join_defer_test")
+        .select($"purchase_id", $"click_id")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      // batch 1: user 1 purchase matched by a click; user 3 purchase
+      // with no click at all
+      clicks.addData(AttrEvent(1L, 101L, ts(9), 0.0))
+      purchases.addData(AttrEvent(1L, 901L, ts(10), 42.0),
+        AttrEvent(3L, 903L, ts(10), 7.0))
+      q.processAllAvailable()
+      assert(rows() == Set((901L, Some(101L))),
+        s"unmatched purchase emitted before closure: ${rows()}")
+      // later batches: far-future rows on both sides advance both
+      // watermarks past purchase_ts=h10 (+delay) — now, and only now,
+      // the null row for 903 must emit. Two rounds: the first advances
+      // the watermark, the second runs the eviction/closure pass.
+      for (h <- Seq(1000L, 2000L)) {
+        clicks.addData(AttrEvent(99L, 9000L + h, ts(h), 0.0))
+        purchases.addData(AttrEvent(99L, 9100L + h, ts(h), 0.0))
+        q.processAllAvailable()
+      }
+      val finalRows = rows()
+      assert(finalRows.contains((903L, None)),
+        s"closure never emitted the null row: $finalRows")
+      assert(!finalRows.exists { case (p, c) => p == 901L && c.isEmpty },
+        s"matched purchase also got a null row: $finalRows")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert folds identically under a forced micro-batch split") {
     // the q_stream_upsert claim: because updates touch disjoint docs,
     // ANY split of the source into micro-batches produces the same final
