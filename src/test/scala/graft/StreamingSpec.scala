@@ -285,6 +285,56 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("late replay drops exactly the clone rows at the watermark (engine metrics)") {
+    // q_stream_late_drop's oracle proves the FINAL row set; this pins
+    // the mechanism from the engine's own accounting. Granularity
+    // matters: numRowsDroppedByWatermark counts at the STATE STORE,
+    // which sits above the partial aggregation — the late file's input
+    // rows collapse to their (hour, type) groups first, so the metric
+    // must equal the number of DISTINCT clone windows, no more (no
+    // real row is late in an in-order chunked replay) and no fewer
+    // (every clone window is behind the watermark by construction).
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Engine.table(spark, sfDir, "events")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val bound = graft.streaming.Replay.firstChunkBoundUs(spark, sfDir, 3)
+    val nClones = ev.filter(us < bound).count()
+    assert(nClones > 0, "vacuous fixture: empty first chunk")
+    val nCloneWindows = ev.filter(us < bound)
+      .select(date_trunc("hour",
+        graft.engine.Engine.eventTs(col("ts"))).as("h"), col("event_type"))
+      .distinct().count()
+    val late = ev.filter(us < bound)
+      .select((col("event_id") + 5000000L).as("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val rd = graft.streaming.Replay.eventsDir(spark, sfDir, 3, Some(late), "late-clones")
+    val agg = spark.readStream
+      .schema(graft.streaming.EventsStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(rd)
+      .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_drop_metrics_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    try {
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == nCloneWindows,
+        s"watermark dropped $dropped group rows, expected the " +
+          s"$nCloneWindows distinct clone windows (from $nClones clone rows)")
+      // and no window was ever emitted twice — the leak a non-dropping
+      // engine would show
+      val dup = spark.table("late_drop_metrics_test")
+        .groupBy(col("window"), col("event_type")).count()
+        .filter(col("count") > 1).count()
+      assert(dup == 0, s"$dup windows emitted more than once")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert folds identically under a forced micro-batch split") {
     // the q_stream_upsert claim: because updates touch disjoint docs,
     // ANY split of the source into micro-batches produces the same final
