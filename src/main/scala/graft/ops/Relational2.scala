@@ -258,6 +258,32 @@ object Relational2 {
           col("event_type"), col("n"))
         .orderBy(col("w_start"), col("event_type"))),
 
+    // NATIVE session-window aggregation (session_window(ts, gap) — the
+    // AGG-engine sessionizer, distinct from the flatMapGroupsWithState
+    // sessionize and from the batch gaps-and-islands twin): sessions
+    // merge inside the aggregation operator itself, window = [first
+    // event, last event + gap). Boundary rule is HALF-OPEN — an event
+    // exactly `gap` after the last one starts a NEW session — which the
+    // oracle mirrors with `diff >= gap` (the `>` rule belongs to
+    // q_sessionize, a deliberately different contract). Values ride
+    // the exact cents grid; window bounds render at second precision
+    // (micros truncate identically in both engines, and two sessions
+    // of one user are ≥ gap apart so the string order is total).
+    "q_events_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("tsx", Engine.eventTs(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(session_window(col("tsx"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("sess_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("sess_end"),
+          col("n_events"),
+          (col("cents").cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))),
+
     // correlated LATERAL subquery: top order per customer
     "q_lateral" -> ((s, dir) => {
       Engine.registerTestdata(s, dir)
@@ -440,6 +466,33 @@ object Relational2 {
         |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
         |  count(*) AS n
         |FROM starts GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // gaps-and-islands with session_window's HALF-OPEN boundary
+    // (diff >= gap starts a new session) and end = last + gap
+    "q_events_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, ts, ts_us, cents,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0
+        |    END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), numbered AS (
+        |  SELECT user_id, ts, cents,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+        |FROM numbered GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_start""".stripMargin,
 
     "q_lateral" ->
       """SELECT c.c_custkey, t.best_price

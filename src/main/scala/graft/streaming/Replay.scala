@@ -90,6 +90,15 @@ object Replay {
     val root = Paths.get(sys.props("java.io.tmpdir"), s"graft_replay_$fp")
     val marker = root.resolve("_REPLAY_COMPLETE")
     if (Files.exists(marker)) return root.toString
+    // a dir without the marker is a stale partial from a crashed build
+    // (builds within one JVM are serialized by the query map) — remove
+    // it or the promote moves below collide on existing file names
+    if (Files.exists(root)) {
+      val st = Files.walk(root)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+      finally st.close()
+    }
     Files.createDirectories(root)
     val stage = Files.createTempDirectory("graft_replay_stage")
     val ev = graft.engine.Engine.table(s, dir, "events")

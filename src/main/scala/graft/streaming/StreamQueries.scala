@@ -108,6 +108,52 @@ object StreamQueries {
         .orderBy(col("user_id"), col("sess_no"))
     }),
 
+    // NATIVE streaming session_window aggregation — the AGG-engine
+    // sessionizer (state-store session MERGING, a different operator
+    // from the flatMapGroupsWithState sessionize above): the 3-chunk
+    // replay forces sessions to merge across micro-batch boundaries
+    // inside the session state store, and the same far-future sentinel
+    // (identical frame + tag ⇒ the cached replay dir is shared with
+    // q_sessionize_stream) advances the watermark so every real
+    // session finalizes in append mode. Oracle shared by reference
+    // with the batch twin — the multi-batch merge must reproduce the
+    // batch gaps-and-islands fold exactly.
+    "q_stream_session_window" -> ((s, dir) => {
+      val sink = "q_stream_session_window_sink"
+      val sentinel = graft.engine.Engine.table(s, dir, "events")
+        .agg(max(col("ts")).as("mts"))
+        .select(lit(-1L).as("event_id"),
+          (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
+      val agg = s.readStream.schema(EventsStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(rd)
+        .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      val q = withStatePartitions(s, 8) {
+        agg.writeStream.outputMode("append").format("memory")
+          .queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+      q.stop()
+      s.table(sink)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("sess_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("sess_end"),
+          col("n_events"),
+          (col("cents").cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
     // watermark LATE-DATA DROP, proven by oracle: 3 in-order chunks
     // advance the watermark to max(ts)−1h, then the LAST file re-plays
     // clones (event_id+5M) of every first-chunk row — all of them now
@@ -308,6 +354,8 @@ object StreamQueries {
     * stream and batch entries can never drift. */
   val oracleSql: Map[String, String] = Map(
     "q_sessionize_stream" -> graft.ops.Analytical.oracleSql("q_sessionize"),
+    "q_stream_session_window" ->
+      graft.ops.Relational2.oracleSql("q_events_session_window"),
     "q_events_window_stream" -> graft.ops.Relational.oracleSql("q_events_window"),
     "q_stream_decontam" -> graft.ext.Extensions.oracleSql("pipe_decontam"),
     "q_stream_upsert" -> graft.ext.Extensions.oracleSql("pipe_upsert"),
