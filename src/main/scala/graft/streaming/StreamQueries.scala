@@ -261,7 +261,11 @@ object StreamQueries {
       val joined = JoinStream.attributionOuter(
         src.filter(col("event_type") === "click"),
         src.filter(col("event_type") === "purchase"))
-      val q = withStatePartitions(s, 8) {
+      // 4 state partitions, not the join default 8: a MULTI-batch outer
+      // join commits per partition PER SIDE PER BATCH (5 batches here),
+      // so the fixed commit cost doubles relative to the single-batch
+      // inner join — measured 8/4/2 partitions = 5.9/5.0/5.1 s
+      val q = withStatePartitions(s, 4) {
         joined.writeStream.outputMode("append").format("memory")
           .queryName(sink)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
