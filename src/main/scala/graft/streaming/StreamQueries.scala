@@ -108,6 +108,55 @@ object StreamQueries {
         .orderBy(col("user_id"), col("sess_no"))
     }),
 
+    // the SAME unbounded sessionization on transformWithState (Spark
+    // 4's arbitrary stateful API — named typed state + explicit
+    // event-time timers, RocksDB-backed state-v2): identical fold,
+    // identical input replay, identical oracle — two independent
+    // stateful-API implementations pinned to one hash. The RocksDB
+    // provider requirement is per-query conf, captured at start and
+    // restored after.
+    "q_sessionize_tws" -> ((s, dir) => {
+      import s.implicits._
+      val sink = "q_sessionize_tws_sink"
+      val sentinel = graft.engine.Engine.table(s, dir, "events")
+        .agg(max(col("ts")).as("mts"))
+        .select(lit(-1L).as("event_id"),
+          (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
+      val src = s.readStream.schema(EventsStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(rd)
+        .select(col("user_id"),
+          graft.engine.Engine.eventTs(col("ts")).as("ts"), col("event_type"))
+        .as[Sessionize.TimedEvent]
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      val q =
+        try {
+          s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          withStatePartitions(s, 8) {
+            SessionizeTws.incremental(src, 30).writeStream
+              .outputMode("append").format("memory").queryName(sink)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          }
+        } finally prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      q.awaitTermination()
+      q.stop()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      s.table(sink)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          row_number().over(w).cast("long").as("sess_no"),
+          col("n_events"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("sess_no"))
+    }),
+
     // NATIVE streaming session_window aggregation — the AGG-engine
     // sessionizer (state-store session MERGING, a different operator
     // from the flatMapGroupsWithState sessionize above): the 3-chunk
@@ -358,6 +407,7 @@ object StreamQueries {
     * stream and batch entries can never drift. */
   val oracleSql: Map[String, String] = Map(
     "q_sessionize_stream" -> graft.ops.Analytical.oracleSql("q_sessionize"),
+    "q_sessionize_tws" -> graft.ops.Analytical.oracleSql("q_sessionize"),
     "q_stream_session_window" ->
       graft.ops.Relational2.oracleSql("q_events_session_window"),
     "q_events_window_stream" -> graft.ops.Relational.oracleSql("q_events_window"),
