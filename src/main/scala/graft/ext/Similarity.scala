@@ -515,48 +515,7 @@ object Similarity {
     // variance-explained readout. Power iteration is scale-invariant,
     // so the pre-shift changes nothing but the overflow bound.
     "emb_pca" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
-          .as("qv"))
-      val sums = toLocal(s, emb
-        .select(posexplode(col("qv")).as(Seq("i", "v")))
-        .groupBy(col("i")).agg(sum(col("v")).as("sx"))
-        .select(col("i").cast("long").as("i"), col("sx")))
-      val upper = emb.select(explode(expr(
-        """flatten(transform(qv, (x, i) ->
-          |  transform(slice(qv, i + 1, size(qv) - i), (y, j) ->
-          |    struct(CAST(i AS BIGINT) AS i, CAST(i + j AS BIGINT) AS j,
-          |           x * y AS xy))))""".stripMargin)).as("p"))
-        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-        .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sxy"))
-        .join(broadcast(sums.select(col("i"), col("sx").as("sx_i"))), "i")
-        .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
-        .select(col("i"), col("j"),
-          (col("n") * col("sxy") - col("sx_i") * col("sx_j")).as("a"))
-      // d×d cells — the K-row contract (an algorithm constant, never
-      // corpus-sized); the driver loop below is the same arithmetic the
-      // oracle unrolls in SQL, op for op
-      val cells = upper.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val d = (cells.map(_._2).max + 1).toInt
-      val a = Array.ofDim[Long](d, d)
-      cells.foreach { case (i, j, v) => a(i.toInt)(j.toInt) = v; a(j.toInt)(i.toInt) = v }
-      val mA = a.flatten.map(math.abs).max
-      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(mA)
-      val shift = math.max(0, bitlen - 20)
-      val at = a.map(_.map(v => if (v < 0) -((-v) >> shift) else v >> shift))
-      var x = Array.fill(d)(1000L)
-      for (_ <- 1 to 5) {
-        val y = Array.tabulate(d)(i =>
-          (0 until d).map(j => at(i)(j) * x(j)).sum)
-        val m = y.map(math.abs).max
-        if (m > 0)
-          x = y.map(v => math.floor(v.toDouble * 1000.0 / m.toDouble + 0.5).toLong)
-      }
-      val rayleigh = (0 until d).map(i =>
-        (0 until d).map(j => x(i) * at(i)(j) * x(j)).sum).sum
-      val xx = x.map(v => v * v).sum
+      val (x, shift, rayleigh, xx) = pcaGrid(s, dir)
       import s.implicits._
       x.zipWithIndex
         .map { case (v, i) => (i.toLong, v, shift.toLong, rayleigh, xx) }
@@ -564,6 +523,30 @@ object Similarity {
         .toDF("dim", "pc1_q", "shift", "rayleigh_num", "xx_num")
         .orderBy(col("dim"))
     }),
+
+    // PC1 PROJECTION per vector — the APPLY step downstream of emb_pca
+    // (1-D reduce for binning / curriculum / drift monitoring): the
+    // grid component vector is a driver CONSTANT (d longs), inlined as
+    // an array literal so the projection is one map-side zip_with/
+    // aggregate per row — no join, no shuffle beyond the output sort.
+    // Everything is BIGINT (|qv|·|pc1_q|·d ≤ ~6.4e7), so the dot is
+    // exact and the oracle re-derives the identical component vector
+    // through the shared CTE chain and joins it per dimension.
+    "emb_pca_project" -> ((s, dir) => {
+      val (x, _, _, _) = pcaGrid(s, dir)
+      val xLit = x.mkString("array(", "L, ", "L)")
+      t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          expr(
+            s"""aggregate(zip_with(
+               |  transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)),
+               |  $xLit, (a, b) -> a * b), 0L, (acc, v) -> acc + v)""".stripMargin)
+            .as("pc1_dot"))
+        .orderBy(col("vec_id"))
+    }),
+
+
 
     // contrastive-training negative sampling: per query, K deterministic
     // "random" negatives = the first K of an md5-ordered candidate pool
@@ -799,6 +782,59 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** The emb_pca eigen computation, shared with emb_pca_project: the
+    * distributed exact-integer covariance numerators collected as the
+    * d×d constant (toLocal K-row contract), pre-scaled by
+    * 2^max(0, bitlen(max|a|)−20) in sign-magnitude, then 5 exact power
+    * iterations with 1e-3-grid max-renormalization (identical IEEE ops
+    * to the unrolled SQL oracle). Returns (component, shift,
+    * rayleigh_num, xx_num). */
+  private def pcaGrid(s: SparkSession, dir: String): (Array[Long], Int, Long, Long) = {
+    val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      val sums = toLocal(s, emb
+        .select(posexplode(col("qv")).as(Seq("i", "v")))
+        .groupBy(col("i")).agg(sum(col("v")).as("sx"))
+        .select(col("i").cast("long").as("i"), col("sx")))
+      val upper = emb.select(explode(expr(
+        """flatten(transform(qv, (x, i) ->
+          |  transform(slice(qv, i + 1, size(qv) - i), (y, j) ->
+          |    struct(CAST(i AS BIGINT) AS i, CAST(i + j AS BIGINT) AS j,
+          |           x * y AS xy))))""".stripMargin)).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sxy"))
+        .join(broadcast(sums.select(col("i"), col("sx").as("sx_i"))), "i")
+        .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
+        .select(col("i"), col("j"),
+          (col("n") * col("sxy") - col("sx_i") * col("sx_j")).as("a"))
+      // d×d cells — the K-row contract (an algorithm constant, never
+      // corpus-sized); the driver loop below is the same arithmetic the
+      // oracle unrolls in SQL, op for op
+      val cells = upper.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val d = (cells.map(_._2).max + 1).toInt
+      val a = Array.ofDim[Long](d, d)
+      cells.foreach { case (i, j, v) => a(i.toInt)(j.toInt) = v; a(j.toInt)(i.toInt) = v }
+      val mA = a.flatten.map(math.abs).max
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(mA)
+      val shift = math.max(0, bitlen - 20)
+      val at = a.map(_.map(v => if (v < 0) -((-v) >> shift) else v >> shift))
+      var x = Array.fill(d)(1000L)
+      for (_ <- 1 to 5) {
+        val y = Array.tabulate(d)(i =>
+          (0 until d).map(j => at(i)(j) * x(j)).sum)
+        val m = y.map(math.abs).max
+        if (m > 0)
+          x = y.map(v => math.floor(v.toDouble * 1000.0 / m.toDouble + 0.5).toLong)
+      }
+      val rayleigh = (0 until d).map(i =>
+        (0 until d).map(j => x(i) * at(i)(j) * x(j)).sum).sum
+      val xx = x.map(v => v * v).sum
+      (x, shift, rayleigh, xx)
+  }
+
   /** Integer-grid k-means (K=8, 2 Lloyd iterations): returns the final
     * assignment frame `(vec_id, k, s, d6)` AND the driver-local centroid
     * frame `(k, c, cc)` — the latter doubles as the IVF coarse quantizer
@@ -850,6 +886,71 @@ object Similarity {
 
   private def kmeansAssignGrid(s: SparkSession, dir: String): DataFrame =
     kmeansGrid(s, dir)._1
+
+  /** Shared CTE prefix of the emb_pca / emb_pca_project oracles —
+    * covariance chain + pre-scale + x0 (see the emb_pca comment for
+    * the MATERIALIZED and generate_series rationale). */
+  private val pcaOracleBase: String = {
+    val base =
+        """WITH q AS MATERIALIZED (
+          |  SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+          |  FROM embeddings
+          |), e AS MATERIALIZED (
+          |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+          |    qv[CAST(i AS INTEGER)] AS v
+          |  FROM q, unnest(generate_series(1, len(qv))) AS t(i)
+          |), sums AS (
+          |  SELECT i, CAST(sum(v) AS BIGINT) AS sx FROM e GROUP BY 1
+          |), agg AS (
+          |  SELECT a.i AS i, b.i AS j, count(*) AS n,
+          |    CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+          |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+          |  GROUP BY 1, 2
+          |), cov AS MATERIALIZED (
+          |  SELECT agg.i, agg.j, n * sxy - sa.sx * sb.sx AS a
+          |  FROM agg
+          |  JOIN sums sa ON sa.i = agg.i
+          |  JOIN sums sb ON sb.i = agg.j
+          |), fullm AS MATERIALIZED (
+          |  SELECT i, j, a FROM cov
+          |  UNION ALL
+          |  SELECT j AS i, i AS j, a FROM cov WHERE i <> j
+          |), mmax AS (SELECT max(abs(a)) AS m FROM fullm
+          |), sh AS MATERIALIZED (
+          |  SELECT coalesce((SELECT max(k)
+          |    FROM generate_series(1, 43) t(k), mmax
+          |    WHERE mmax.m >= (CAST(1 AS BIGINT) << (19 + k))), 0) AS s
+          |), at AS MATERIALIZED (
+          |  SELECT i, j,
+          |    CASE WHEN a < 0 THEN -((-a) >> s) ELSE a >> s END AS a
+          |  FROM fullm, sh
+          |), x0 AS MATERIALIZED (
+          |  SELECT DISTINCT i AS dim, CAST(1000 AS BIGINT) AS v FROM fullm
+          |)""".stripMargin
+          base
+  }
+
+  /** The 5 unrolled power-iteration CTE steps. */
+  private val pcaOracleIters: String = {
+    val iters = (1 to 5).map { k =>
+        val (px, y, m, x) = (s"x${k - 1}", s"y$k", s"m$k", s"x$k")
+        s""", $y AS MATERIALIZED (
+           |  SELECT at.i AS dim, CAST(sum(at.a * $px.v) AS BIGINT) AS y
+           |  FROM at JOIN $px ON $px.dim = at.j GROUP BY 1
+           |), $m AS (SELECT max(abs(y)) AS m FROM $y
+           |), $x AS MATERIALIZED (
+           |  SELECT $y.dim,
+           |    CASE WHEN $m.m = 0 THEN $px.v
+           |         ELSE CAST(floor(CAST($y.y AS DOUBLE) * 1000.0
+           |                / CAST($m.m AS DOUBLE) + 0.5) AS BIGINT)
+           |    END AS v
+           |  FROM $y JOIN $px ON $px.dim = $y.dim, $m
+           |)""".stripMargin
+      }.mkString
+          iters
+  }
 
   val oracleSql: Map[String, String] = Map(
     "emb_quantize" ->
@@ -1191,70 +1292,24 @@ object Similarity {
     // x_{k-1}, m_k} chain re-expands the whole covariance subtree
     // ~3^5 times without it (measured: the inlined form exhausts file
     // handles before it finishes; materialized it runs in 0.1 s)
-    "emb_pca" -> {
-      val base =
-        """WITH q AS MATERIALIZED (
-          |  SELECT vec_id,
-          |    list_transform(embedding,
-          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
-          |  FROM embeddings
-          |), e AS MATERIALIZED (
-          |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
-          |    qv[CAST(i AS INTEGER)] AS v
-          |  FROM q, unnest(generate_series(1, len(qv))) AS t(i)
-          |), sums AS (
-          |  SELECT i, CAST(sum(v) AS BIGINT) AS sx FROM e GROUP BY 1
-          |), agg AS (
-          |  SELECT a.i AS i, b.i AS j, count(*) AS n,
-          |    CAST(sum(a.v * b.v) AS BIGINT) AS sxy
-          |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
-          |  GROUP BY 1, 2
-          |), cov AS MATERIALIZED (
-          |  SELECT agg.i, agg.j, n * sxy - sa.sx * sb.sx AS a
-          |  FROM agg
-          |  JOIN sums sa ON sa.i = agg.i
-          |  JOIN sums sb ON sb.i = agg.j
-          |), fullm AS MATERIALIZED (
-          |  SELECT i, j, a FROM cov
-          |  UNION ALL
-          |  SELECT j AS i, i AS j, a FROM cov WHERE i <> j
-          |), mmax AS (SELECT max(abs(a)) AS m FROM fullm
-          |), sh AS MATERIALIZED (
-          |  SELECT coalesce((SELECT max(k)
-          |    FROM generate_series(1, 43) t(k), mmax
-          |    WHERE mmax.m >= (CAST(1 AS BIGINT) << (19 + k))), 0) AS s
-          |), at AS MATERIALIZED (
-          |  SELECT i, j,
-          |    CASE WHEN a < 0 THEN -((-a) >> s) ELSE a >> s END AS a
-          |  FROM fullm, sh
-          |), x0 AS MATERIALIZED (
-          |  SELECT DISTINCT i AS dim, CAST(1000 AS BIGINT) AS v FROM fullm
-          |)""".stripMargin
-      val iters = (1 to 5).map { k =>
-        val (px, y, m, x) = (s"x${k - 1}", s"y$k", s"m$k", s"x$k")
-        s""", $y AS MATERIALIZED (
-           |  SELECT at.i AS dim, CAST(sum(at.a * $px.v) AS BIGINT) AS y
-           |  FROM at JOIN $px ON $px.dim = at.j GROUP BY 1
-           |), $m AS (SELECT max(abs(y)) AS m FROM $y
-           |), $x AS MATERIALIZED (
-           |  SELECT $y.dim,
-           |    CASE WHEN $m.m = 0 THEN $px.v
-           |         ELSE CAST(floor(CAST($y.y AS DOUBLE) * 1000.0
-           |                / CAST($m.m AS DOUBLE) + 0.5) AS BIGINT)
-           |    END AS v
-           |  FROM $y JOIN $px ON $px.dim = $y.dim, $m
-           |)""".stripMargin
-      }.mkString
-      val tail =
-        """, ray AS (
-          |  SELECT CAST(sum(xa.v * at.a * xb.v) AS BIGINT) AS rayleigh_num
-          |  FROM at JOIN x5 xa ON xa.dim = at.i JOIN x5 xb ON xb.dim = at.j
-          |), xx AS (SELECT CAST(sum(v * v) AS BIGINT) AS xx_num FROM x5)
-          |SELECT x5.dim, x5.v AS pc1_q, CAST(sh.s AS BIGINT) AS shift,
-          |  ray.rayleigh_num, xx.xx_num
-          |FROM x5, sh, ray, xx ORDER BY dim""".stripMargin
-      base + iters + tail
-    },
+    "emb_pca" -> (pcaOracleBase + pcaOracleIters + """, ray AS (
+      |  SELECT CAST(sum(xa.v * at.a * xb.v) AS BIGINT) AS rayleigh_num
+      |  FROM at JOIN x5 xa ON xa.dim = at.i JOIN x5 xb ON xb.dim = at.j
+      |), xx AS (SELECT CAST(sum(v * v) AS BIGINT) AS xx_num FROM x5)
+      |SELECT x5.dim, x5.v AS pc1_q, CAST(sh.s AS BIGINT) AS shift,
+      |  ray.rayleigh_num, xx.xx_num
+      |FROM x5, sh, ray, xx ORDER BY dim""".stripMargin),
+
+    // the same chain, applied: per-vector exact BIGINT dot with the
+    // final component (e holds every vector's grid components)
+    "emb_pca_project" -> (pcaOracleBase + pcaOracleIters + """, proj AS (
+      |  SELECT e.vec_id, CAST(sum(e.v * x5.v) AS BIGINT) AS pc1_dot
+      |  FROM e JOIN x5 ON x5.dim = e.i GROUP BY 1
+      |)
+      |SELECT em.vec_id, em.label, p.pc1_dot
+      |FROM embeddings em JOIN proj p ON p.vec_id = em.vec_id
+      |ORDER BY em.vec_id""".stripMargin),
+
 
     "emb_norms" ->
       """SELECT vec_id, label,
