@@ -111,6 +111,28 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Content fingerprint of a parquet source (file names + sizes +
+    * mtimes, MD5'd with a caller salt) — the shared cache key for
+    * derivations that are pure functions of a source table
+    * (q_partition_prune's partitioned rewrite, Replay's chunk
+    * layout): a regenerated source invalidates the key, two distinct
+    * source dirs can never collide the way a sanitized dir string
+    * could, and distinct salts keep distinct derivations apart. */
+  private[graft] def contentFingerprint(
+      src: java.nio.file.Path, salt: String): String = {
+    import scala.jdk.CollectionConverters._
+    val files = (if (java.nio.file.Files.isDirectory(src)) {
+        val st = java.nio.file.Files.list(src)
+        try st.iterator().asScala.toSeq finally st.close()
+      } else Seq(src))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+      .sorted.mkString(s"$src|$salt|", ",", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -546,8 +546,6 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
-
-
     // contrastive-training negative sampling: per query, K deterministic
     // "random" negatives = the first K of an md5-ordered candidate pool
     // whose cosine is UNDER the similarity floor τ (near-duplicates and
@@ -795,6 +793,9 @@ object Similarity {
         .select(col("vec_id"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
           .as("qv"))
+        // two corpus consumers (sums + upper collects) — materialize
+        // once, the round-9 multi-consumer-scan rule
+        .localCheckpoint(true)
       val sums = toLocal(s, emb
         .select(posexplode(col("qv")).as(Seq("i", "v")))
         .groupBy(col("i")).agg(sum(col("v")).as("sx"))
@@ -890,9 +891,8 @@ object Similarity {
   /** Shared CTE prefix of the emb_pca / emb_pca_project oracles —
     * covariance chain + pre-scale + x0 (see the emb_pca comment for
     * the MATERIALIZED and generate_series rationale). */
-  private val pcaOracleBase: String = {
-    val base =
-        """WITH q AS MATERIALIZED (
+  private val pcaOracleBase: String =
+    """WITH q AS MATERIALIZED (
           |  SELECT vec_id,
           |    list_transform(embedding,
           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
@@ -929,12 +929,10 @@ object Similarity {
           |), x0 AS MATERIALIZED (
           |  SELECT DISTINCT i AS dim, CAST(1000 AS BIGINT) AS v FROM fullm
           |)""".stripMargin
-          base
-  }
 
   /** The 5 unrolled power-iteration CTE steps. */
-  private val pcaOracleIters: String = {
-    val iters = (1 to 5).map { k =>
+  private val pcaOracleIters: String =
+    (1 to 5).map { k =>
         val (px, y, m, x) = (s"x${k - 1}", s"y$k", s"m$k", s"x$k")
         s""", $y AS MATERIALIZED (
            |  SELECT at.i AS dim, CAST(sum(at.a * $px.v) AS BIGINT) AS y
@@ -949,8 +947,6 @@ object Similarity {
            |  FROM $y JOIN $px ON $px.dim = $y.dim, $m
            |)""".stripMargin
       }.mkString
-          iters
-  }
 
   val oracleSql: Map[String, String] = Map(
     "emb_quantize" ->
@@ -1309,7 +1305,6 @@ object Similarity {
       |SELECT em.vec_id, em.label, p.pc1_dot
       |FROM embeddings em JOIN proj p ON p.vec_id = em.vec_id
       |ORDER BY em.vec_id""".stripMargin),
-
 
     "emb_norms" ->
       """SELECT vec_id, label,

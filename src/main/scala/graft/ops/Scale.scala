@@ -1,7 +1,6 @@
 package graft.ops
 
 import java.nio.file.Paths
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -351,17 +350,8 @@ object Scale {
       // aggregate old data), and the fingerprint also can't collide
       // across dirs the way the old [^0-9a-zA-Z]→_ sanitization could
       // ('sf-1' vs 'sf_1').
-      val src = Paths.get(dir, "events.parquet")
-      val fpIn = (if (java.nio.file.Files.isDirectory(src)) {
-          val st = java.nio.file.Files.list(src)
-          try st.iterator().asScala.toSeq finally st.close()
-        } else Seq(src))
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
-        .sorted.mkString(s"$src|", ",", "")
-      val sfTag = java.security.MessageDigest.getInstance("MD5")
-        .digest(fpIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val sfTag = Engine.contentFingerprint(
+        Paths.get(dir, "events.parquet"), "bydate")
       val path = s"$wh/events_bydate_$sfTag"
       if (!java.nio.file.Files.exists(Paths.get(s"$path/_SUCCESS")))
         t(s, dir, "events")

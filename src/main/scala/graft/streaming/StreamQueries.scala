@@ -60,6 +60,28 @@ object StreamQueries {
     s.table(sink)
   }
 
+  /** Far-future heartbeat rows (user −1, max(ts) + 30 days), schema-
+    * aligned with events — one row per requested (event_id,
+    * event_type). Shared by every multi-batch replay entry: the frame
+    * must stay byte-identical per replay tag or the shared cached
+    * replay dir would silently fork semantics. */
+  private def sentinelEvents(s: SparkSession, dir: String,
+      rows: Seq[(Long, String)]): DataFrame =
+    graft.engine.Engine.table(s, dir, "events")
+      .agg(max(col("ts")).as("mts"))
+      .select(explode(array(rows.map { case (id, tpe) =>
+          struct(lit(id).as("event_id"), lit(tpe).as("event_type")) }: _*))
+        .as("sv"), col("mts"))
+      .select(col("sv.event_id").as("event_id"),
+        (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
+        lit(-1L).as("user_id"), col("sv.event_type").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+
+  /** One-file-per-micro-batch parquet stream over a replay dir. */
+  private def replaySrc(s: SparkSession, rd: String): DataFrame =
+    s.readStream.schema(EventsStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(rd)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MULTI-batch sessionization through the UNBOUNDED operator
     // (Sessionize.incremental — event-time watermark + timeout): the
@@ -77,15 +99,9 @@ object StreamQueries {
     "q_sessionize_stream" -> ((s, dir) => {
       import s.implicits._
       val sink = "q_sessionize_stream_sink"
-      val sentinel = graft.engine.Engine.table(s, dir, "events")
-        .agg(max(col("ts")).as("mts"))
-        .select(lit(-1L).as("event_id"),
-          (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
+      val sentinel = sentinelEvents(s, dir, Seq(-1L -> "sentinel"))
       val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
-      val src = s.readStream.schema(EventsStream.eventsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(rd)
+      val src = replaySrc(s, rd)
         .select(col("user_id"),
           graft.engine.Engine.eventTs(col("ts")).as("ts"), col("event_type"))
         .as[Sessionize.TimedEvent]
@@ -118,15 +134,9 @@ object StreamQueries {
     "q_sessionize_tws" -> ((s, dir) => {
       import s.implicits._
       val sink = "q_sessionize_tws_sink"
-      val sentinel = graft.engine.Engine.table(s, dir, "events")
-        .agg(max(col("ts")).as("mts"))
-        .select(lit(-1L).as("event_id"),
-          (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
+      val sentinel = sentinelEvents(s, dir, Seq(-1L -> "sentinel"))
       val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
-      val src = s.readStream.schema(EventsStream.eventsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(rd)
+      val src = replaySrc(s, rd)
         .select(col("user_id"),
           graft.engine.Engine.eventTs(col("ts")).as("ts"), col("event_type"))
         .as[Sessionize.TimedEvent]
@@ -169,15 +179,9 @@ object StreamQueries {
     // batch gaps-and-islands fold exactly.
     "q_stream_session_window" -> ((s, dir) => {
       val sink = "q_stream_session_window_sink"
-      val sentinel = graft.engine.Engine.table(s, dir, "events")
-        .agg(max(col("ts")).as("mts"))
-        .select(lit(-1L).as("event_id"),
-          (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
+      val sentinel = sentinelEvents(s, dir, Seq(-1L -> "sentinel"))
       val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
-      val agg = s.readStream.schema(EventsStream.eventsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(rd)
+      val agg = replaySrc(s, rd)
         .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .withWatermark("ts", "30 minutes")
@@ -221,8 +225,7 @@ object StreamQueries {
         .select((col("event_id") + 5000000L).as("event_id"), col("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
       val rd = Replay.eventsDir(s, dir, 3, Some(late), "late-clones")
-      val agg = s.readStream.schema(EventsStream.eventsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(rd)
+      val agg = replaySrc(s, rd)
         .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -293,19 +296,10 @@ object StreamQueries {
     // user projected out) — no partial-closure carve-outs needed.
     "q_stream_outer_join" -> ((s, dir) => {
       val sink = "q_stream_outer_join_sink"
-      val sentinel = graft.engine.Engine.table(s, dir, "events")
-        .agg(max(col("ts")).as("mts"))
-        .select(explode(array(
-            struct(lit(-1L).as("event_id"), lit("click").as("event_type")),
-            struct(lit(-2L).as("event_id"), lit("purchase").as("event_type"))))
-            .as("sv"), col("mts"))
-        .select(col("sv.event_id").as("event_id"),
-          (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
-          lit(-1L).as("user_id"), col("sv.event_type").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
+      val sentinel = sentinelEvents(s, dir,
+        Seq(-1L -> "click", -2L -> "purchase"))
       val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "outer-sentinels")
-      def src = s.readStream.schema(EventsStream.eventsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(rd)
+      def src = replaySrc(s, rd)
         .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
       val joined = JoinStream.attributionOuter(
         src.filter(col("event_type") === "click"),

@@ -182,10 +182,13 @@ class PlanHygieneSpec extends SparkSpecBase {
           dump ++= s"===== $name =====\n${normalizePlan(p)}\n"
           val cart = !intentionalCartesian(name) && p.contains("CartesianProduct")
           val udf = p.contains("ScalaUDF")
+          // empty partition spec OR an all-foldable one: partitionBy
+          // (lit(1)) is the same single sort task wearing a disguise
+          // (the r8 pipe_curriculum shape) and must not pass the sweep
           val gw = !allowedGlobalWindow(name) &&
             df.queryExecution.optimizedPlan.collect {
               case w: org.apache.spark.sql.catalyst.plans.logical.Window
-                if w.partitionSpec.isEmpty => w
+                if w.partitionSpec.forall(_.foldable) => w
             }.nonEmpty
           val msgs = Seq(
             if (cart) Some("CartesianProduct") else None,

@@ -323,9 +323,14 @@ class StreamingSpec extends SparkSpecBase {
     try {
       val dropped = q.recentProgress.flatMap(_.stateOperators)
         .map(_.numRowsDroppedByWatermark).sum
-      assert(dropped == nCloneWindows,
-        s"watermark dropped $dropped group rows, expected the " +
-          s"$nCloneWindows distinct clone windows (from $nClones clone rows)")
+      // ≥ distinct windows (each late group reaches the store at least
+      // once), ≤ input rows (a multi-split late file emits one partial
+      // per group × split, so exact equality would couple the spec to
+      // the file-split layout); at this suite's sf0.001 the file is one
+      // split and the value lands exactly on nCloneWindows
+      assert(dropped >= nCloneWindows && dropped <= nClones,
+        s"watermark dropped $dropped group rows, expected between " +
+          s"$nCloneWindows (distinct clone windows) and $nClones (clone rows)")
       // and no window was ever emitted twice — the leak a non-dropping
       // engine would show
       val dup = spark.table("late_drop_metrics_test")
