@@ -216,7 +216,21 @@ object ScaleProbe {
       "pipe_incremental_e2e", "text_vocab_coverage", "pipe_decontam_report",
       "dedup_threshold_sweep", "text_zipf_fit", "ann_recall_eval", "pipe_curriculum",
       "q_events_gapfill", "q_events_locf", "q_events_anomaly",
-      "q_histogram")
+      "q_histogram",
+      // streaming rows on the replicated events shard: the replay
+      // chunking, watermark trajectory and state machinery at 10M
+      // events (the shuffle metric covers only the post-drain
+      // projection — the dedup_clusters precedent — so wall + peak
+      // task memory are the probe signals here). The attribution
+      // JOINS are deliberately absent: the shard multiplies event
+      // DENSITY on a fixed time range, so clicks×purchases pairs grow
+      // quadratically (~10⁴× at 100×) and the memory sink must hold
+      // them all — a shard artifact, not an operator property (a real
+      // 100× corpus grows the TIME axis at similar density; the
+      // joins' O(rate × window) state bound is what matters at scale
+      // and is probed to collapse by StreamStateProbe/StreamingSpec)
+      "q_stream_late_drop", "q_sessionize_stream", "q_sessionize_tws",
+      "q_stream_session_window")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
