@@ -217,6 +217,18 @@ object ScaleProbe {
       "dedup_threshold_sweep", "text_zipf_fit", "ann_recall_eval", "pipe_curriculum",
       "q_events_gapfill", "q_events_locf", "q_events_anomaly",
       "q_histogram",
+      // round-9 additions. dedup_containment's DF-capped postings meet
+      // their design case head-on here: the 100-way replica shard puts
+      // every original shingle in ≥100 docs, so the cap drops the
+      // entire shared vocabulary and candidates survive only on the
+      // replica-distinct tail shingles — the probe measures the
+      // df-filter pass (the corpus-sized cost) with the quadratic
+      // blowup structurally excluded, exactly the common-shingle
+      // removal claim. (q_scd2/q_data_profile are absent: they read
+      // orders/lineitem, and their plans are per-key windows / pruned
+      // single-column aggregates with no corpus-growth axis here.)
+      "dedup_containment", "mm_shard_manifest", "text_dsir",
+      "emb_standardize", "ann_range_search", "q_stream_topk",
       // streaming rows on the replicated events shard: the replay
       // chunking, watermark trajectory and state machinery at 10M
       // events (the shuffle metric covers only the post-drain

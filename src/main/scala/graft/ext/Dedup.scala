@@ -472,6 +472,47 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // CONTAINMENT near-dup detection — the asymmetric complement of
+    // Jaccard: C = |A∩B| / min(|A|,|B|) catches a document EMBEDDED in
+    // a larger one (quote inclusion, page-within-crawl), which Jaccard
+    // misses because the union is dominated by the big side (and the
+    // ngram_jaccard size-bucket blocking never even pairs them).
+    // Candidates come from an inverted-index self-join on the shingle
+    // hash with DF-CAPPED postings (shingles in >64 docs are dropped
+    // from both the index AND the size denominators — the standard
+    // common-shingle removal, mirrored exactly by the oracle): per-gram
+    // join fanout is ≤ cap², every exchange carries 16-byte
+    // (doc_id, hash) rows, and the pair count IS the join's group-by —
+    // no array_intersect over pair-replicated shingle lists. The 0.5
+    // admission is the pure-integer 2·inter ≥ min(szа,szb); xxhash64
+    // collisions merge two grams with the same odds dedup_substring
+    // documents (~1e-9 at corpus scale, oracle-detectable at test
+    // scale).
+    "dedup_containment" -> ((s, dir) => {
+      val ex = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      val df = ex.groupBy(col("g")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") <= 64).select(col("g"))
+      val kept = ex.join(df, Seq("g")).localCheckpoint(true)
+      val sz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = kept.select(col("doc_id").as("doc_a"), col("g"))
+        .join(kept.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+        .withColumn("mn", least(col("sza"), col("szb")))
+        .filter(col("inter") * 2 >= col("mn"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("mn"),
+          TextAnalysis.ratioRound(col("inter"), col("mn"), 4).as("c"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // exact duplicated-SPAN detection — the "dedup training data"
     // substring pass (suffix-array method in the literature) re-expressed
     // relationally: every overlapping word 10-gram of every document,
@@ -734,6 +775,40 @@ object Dedup {
         |  CAST((2 * inter * 10000 + uni) // (2 * uni) AS DOUBLE) / 10000.0 AS j
         |FROM iu WHERE uni > 0 AND 20 * inter >= uni
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the oracle indexes by the gram STRING where Spark keys on
+    // xxhash64(gram) — identical sets unless two grams collide in 64
+    // bits (the dedup_substring bound)
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), sh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM toks
+        |), ex AS (SELECT doc_id, unnest(sh) AS g FROM sh0),
+        |df AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+        |kept AS (SELECT doc_id, ex.g FROM ex JOIN df ON ex.g = df.g),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b, p.inter,
+        |  CAST(least(sa.sz, sb.sz) AS BIGINT) AS mn,
+        |  CAST((2 * p.inter * 10000 + least(sa.sz, sb.sz))
+        |       // (2 * least(sa.sz, sb.sz)) AS DOUBLE) / 10000.0 AS c
+        |FROM pairs p
+        |JOIN sz sa ON p.doc_a = sa.doc_id
+        |JOIN sz sb ON p.doc_b = sb.doc_id
+        |WHERE 2 * p.inter >= least(sa.sz, sb.sz)
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     // dedup_clusters: same LSH candidate edges as dedup_minhash_lsh,
     // then TRUE connected components via recursive transitive closure —

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Engine
@@ -178,7 +179,49 @@ object Multimodal {
           min_by(col("n_bytes"), col("media_id")).as("n_bytes_kept"),
           (sum(col("n_bytes")) - min_by(col("n_bytes"), col("media_id")))
             .as("bytes_saved"))
-        .orderBy(col("keep_id")))
+        .orderBy(col("keep_id"))),
+
+    // WebDataset-style shard planner: assign every sample to a ~16 KB
+    // tar shard by cumulative payload bytes in a deterministic
+    // pseudo-shuffled order (md5 of the payload — IID shards without a
+    // random-seed dependency). The global byte prefix-sum uses the
+    // two-level form (DistRank's census pattern, here summing bytes):
+    // bucket by the key's first hex nibble (16 contiguous key ranges,
+    // order-consistent with the md5 sort), census the per-bucket byte
+    // mass (16 rows through the driver — an algorithm constant), then
+    // cumsum inside each bucket and add the broadcast offset. No global
+    // window, so sort state per task is bucket-sized at any corpus
+    // size; shard boundaries are exact, not approximate.
+    "mm_shard_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val shardBytes = 16384L
+      val m = mediaTable(s, dir).select(
+        col("media_id"),
+        md5(col("payload")).as("key"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      val bucketed = m.withColumn("__b",
+        conv(substring(col("key"), 1, 1), 16, 10).cast("long"))
+      // census: 16 rows max (hex nibble), the documented K-row bound
+      val census = bucketed.groupBy(col("__b"))
+        .agg(sum(col("n_bytes")).as("__bytes"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offsets = census.map(_._1)
+        .zip(census.map(_._2).scanLeft(0L)(_ + _)).toSeq
+      val offDf = broadcast(offsets.toDF("__b", "__off"))
+      val w = Window.partitionBy(col("__b"))
+        .orderBy(col("key"), col("media_id"))
+      bucketed
+        .withColumn("__cum", sum(col("n_bytes")).over(w))
+        .join(offDf, Seq("__b"))
+        .withColumn("__before", col("__off") + col("__cum") - col("n_bytes"))
+        .withColumn("shard_id", floor(col("__before") / shardBytes))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("n_bytes")).as("shard_bytes"),
+          min(col("key")).as("first_key"),
+          max(col("key")).as("last_key"))
+        .orderBy(col("shard_id"))
+    })
   )
 
   // Every multimodal query is oracle-checked: the stub codec derives its
@@ -247,6 +290,26 @@ object Multimodal {
         |  arg_min(n_bytes, media_id) AS n_bytes_kept,
         |  CAST(sum(n_bytes) - arg_min(n_bytes, media_id) AS BIGINT)
         |    AS bytes_saved
-        |FROM m GROUP BY dg ORDER BY keep_id""".stripMargin
+        |FROM m GROUP BY dg ORDER BY keep_id""".stripMargin,
+
+    // the oracle states the semantics directly: ONE global running sum
+    // — the Spark side must make the two-level decomposition invisible
+    "mm_shard_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS key,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), c AS (
+        |  SELECT key, media_id, n_bytes,
+        |    sum(n_bytes) OVER (ORDER BY key, media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+        |      AS cum_before
+        |  FROM m
+        |)
+        |SELECT CAST(cum_before // 16384 AS BIGINT) AS shard_id,
+        |  count(*) AS n_samples,
+        |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+        |  min(key) AS first_key, max(key) AS last_key
+        |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin
   )
 }

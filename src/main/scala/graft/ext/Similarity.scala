@@ -150,6 +150,33 @@ object Similarity {
     // brute-force cosine top-k (k=5) for a broadcast query set
     "ann_bruteforce" -> ((s, dir) => bruteForceTopK(s, dir, qMax = 10, k = 5)),
 
+    // range search: ALL corpus vectors within a cosine threshold of any
+    // query — the radius-query dual of top-k (top-k bounds the result
+    // count, range search bounds the similarity; dedup and retrieval
+    // both need the latter when match quality, not quota, is the
+    // contract). Broadcast query set, one corpus scan, no window at
+    // all: the threshold filter replaces the rank. A corpus-×-corpus
+    // range search would instead ride the LSH bucket join
+    // (dedup_embedding's shape) — this entry is the bounded-query-set
+    // exact form.
+    "ann_range_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .withColumn("nrm", l2norm(col("embedding")))
+      val q = broadcast(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("nrm").as("q_nrm")))
+      emb.filter(col("vec_id") >= 10)
+        .crossJoin(q)
+        .select(col("q_id"), col("vec_id"),
+          cosineWithNorms(col("q_vec"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .select(col("q_id"), col("vec_id"), round(col("sim"), 5).as("sim"))
+        .orderBy(col("q_id"), col("vec_id"))
+    }),
+
     // LSH-bucketed ANN: 8-bit hyperplane signature, exact rerank in-bucket
     "ann_lsh" -> ((s, dir) => lshTopK(s, dir, b => array(b))),
 
@@ -436,6 +463,34 @@ object Similarity {
             (acc, x) => acc + x.cast("double")), 5).as("sum"),
           size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("vec_id"))),
+
+    // per-dimension z-score standardization — the feature-normalization
+    // pass in front of k-means / PCA / any distance that must not let
+    // one high-variance dimension dominate. Shape: posexplode to
+    // (vec, dim, v), per-dim μ/σ via one map-side-combinable aggregate
+    // (d rows — broadcast back), z = (v−μ)/σ rejoined per element, then
+    // per-vector summary. The d-row broadcast join is the whole scale
+    // story: the corpus-sized side is touched exactly twice (stats pass
+    // + transform pass), both embarrassingly parallel, no window. The
+    // z-sum crosses the oracle hash on a 1e-6 integer grid (per-element
+    // round before the sum → accumulation order can't move the hash).
+    "emb_standardize" -> ((s, dir) => {
+      val ex = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val stats = ex.groupBy(col("pos"))
+        .agg(avg(col("v")).as("mu"), stddev_pop(col("v")).as("sd"))
+      ex.join(broadcast(stats), Seq("pos"))
+        .withColumn("z", (col("v") - col("mu")) / col("sd"))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("dim"),
+          sum(round(col("z") * 1e6).cast("long")).as("z_sum_micro"),
+          round(min(col("z")), 5).as("z_min"),
+          round(max(col("z")), 5).as("z_max"),
+          round(max(when(col("pos") === 0, col("z"))), 5).as("z0"))
+        .orderBy(col("vec_id"))
+    }),
 
     // distributed covariance of the embedding matrix — the PCA /
     // whitening / decorrelation precursor (the Σ = E[xxᵀ] − μμᵀ every
@@ -1010,6 +1065,40 @@ object Similarity {
         |)
         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(sim, 5) AS sim
         |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // threshold membership is engine-exact here: both sides accumulate
+    // the dot in double and no corpus pair sits within float noise of
+    // the 0.3 cut (nearest measured gap ≫ 1e-9 at every tested SF)
+    "ann_range_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 10
+        |)
+        |SELECT q_id, vec_id, round(sim, 5) AS sim
+        |FROM scored WHERE sim >= 0.3 ORDER BY q_id, vec_id""".stripMargin,
+
+    "emb_standardize" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    unnest(range(len(embedding))) AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings
+        |), stats AS (
+        |  SELECT pos, avg(v) AS mu, stddev_pop(v) AS sd
+        |  FROM ex GROUP BY pos
+        |), z AS (
+        |  SELECT vec_id, ex.pos, (v - mu) / sd AS z
+        |  FROM ex JOIN stats ON ex.pos = stats.pos
+        |)
+        |SELECT vec_id, count(*) AS dim,
+        |  CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS BIGINT) AS z_sum_micro,
+        |  round(min(z), 5) AS z_min, round(max(z), 5) AS z_max,
+        |  round(max(CASE WHEN pos = 0 THEN z END), 5) AS z0
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // Full-pipeline IVF mirror. Every stage is engine-exact or
     // precedent-validated: seed assignment + probe ranking are cosine

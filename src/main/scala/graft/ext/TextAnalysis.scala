@@ -234,6 +234,46 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    // every raw document by the log-likelihood ratio of a TARGET-domain
+    // hashed-feature distribution (here: the lang='en' slice stands in
+    // for the curated target) against the raw-corpus distribution —
+    // the data-selection step that reweights a web crawl toward a
+    // domain without training a classifier. Features are hashed word
+    // unigrams in B=1024 buckets (the paper's hashed n-gram trick: the
+    // model is a FIXED-size count vector however large the vocab);
+    // add-1 smoothing on both sides. Scale shape: the two count passes
+    // are map-side-combinable aggregates onto ≤B keys, the per-bucket
+    // llr frame broadcasts (B rows — an algorithm constant), scoring is
+    // one broadcast join + per-doc sum. Float discipline: one ln per
+    // bucket from identical integer ratios both engines, per-doc sum
+    // rounded at 4 (the text_unigram_logprob precedent).
+    "text_dsir" -> ((s, dir) => {
+      val B = 1024
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0)).as("w"))
+        .withColumn("b", graft.functions.HashExpressions.md5Bucket(col("w"), B))
+      // raw + target counts in ONE corpus pass (the target is a slice
+      // of the same stream — a conditional count, not a second scan),
+      // collapsing to ≤B rows before any exchange.
+      val cnt = toks.groupBy(col("b"))
+        .agg(count(lit(1)).as("rc"),
+          count(when(col("lang") === "en", lit(1))).as("tc"))
+      val tots = cnt.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
+      val llr = cnt.crossJoin(broadcast(tots))
+        .select(col("b"),
+          (log((col("tc") + 1).cast("double") /
+               (col("ttot") + B).cast("double")) -
+           log((col("rc") + 1).cast("double") /
+               (col("rtot") + B).cast("double"))).as("llr"))
+      toks.join(broadcast(llr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), round(sum(col("llr")), 4).as("dsir"))
+        .orderBy(col("doc_id"))
+    }),
+
     // bigram-conditional LM score — the step past text_unigram_logprob's
     // bag-of-words: P(w2|w1) = C2(w1w2)/C1(w1), model capped to the top-K
     // bigrams (same reason as the unigram cap: the bigram long tail is
@@ -981,6 +1021,30 @@ object TextAnalysis {
         |  round(avg(CASE WHEN v.c IS NOT NULL THEN ln(v.c / tot.tot)
         |                 ELSE ln(0.5 / tot.tot) END), 4) AS avg_logprob
         |FROM toks LEFT JOIN vocab v USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> length(x) > 0)) AS w
+        |    FROM documents)
+        |), cnt AS (
+        |  SELECT b, count(*) AS rc,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS tc
+        |  FROM toks GROUP BY b
+        |), tots AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM cnt),
+        |llr AS (
+        |  SELECT cnt.b,
+        |    ln(CAST(tc + 1 AS DOUBLE) / (ttot + 1024)) -
+        |    ln(CAST(rc + 1 AS DOUBLE) / (rtot + 1024)) AS llr
+        |  FROM cnt CROSS JOIN tots
+        |)
+        |SELECT doc_id, count(*) AS n_tok, round(sum(llr), 4) AS dsir
+        |FROM toks JOIN llr ON toks.b = llr.b
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->

@@ -253,6 +253,25 @@ object StreamQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // streaming top-k: per-hour top-3 event types by count. Window
+    // functions cannot run INSIDE a streaming agg (no rank over an
+    // unfinished window), so the production shape is aggregate
+    // in-stream / rank downstream: the watermarked windowed agg drains
+    // through the engine, the k-of-n cut runs on the drained (hour,
+    // type)-sized frame — dashboard-sized, never event-sized, so the
+    // rank window's state is bounded by types-per-hour at any ingest
+    // rate. Oracle: batch hourly top-3 — the stream must reproduce it.
+    "q_stream_topk" -> ((s, dir) => {
+      val sink = "q_stream_topk_sink"
+      val agg = drained(s, sink)(EventsStream.runToMemory(s, dir, sink))
+      val w = Window.partitionBy(col("hour"))
+        .orderBy(col("n").desc, col("event_type"))
+      agg.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("hour"), col("rk"), col("event_type"), col("n"))
+        .orderBy(col("hour"), col("rk"))
+    }),
+
     // dropDuplicatesWithinWatermark: WHICH duplicate survives is
     // arrival-order-dependent, so the gate hashes the surviving content
     // identity set — exactly the operator's guaranteed output
@@ -430,6 +449,20 @@ object StreamQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(user_id || '|' || event_type || '|' || props) AS h
         |FROM events ORDER BY h""".stripMargin,
+
+    "q_stream_topk" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hh, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT hh, event_type, n,
+        |    row_number() OVER (PARTITION BY hh
+        |      ORDER BY n DESC, event_type) AS rk
+        |  FROM h
+        |)
+        |SELECT strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(rk AS BIGINT) AS rk, event_type, n
+        |FROM r WHERE rk <= 3 ORDER BY hour, rk""".stripMargin,
 
     "q_stream_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the round-9 additions: SCD2 interval algebra,
+  * profiler self-consistency, shard-manifest conservation, containment
+  * admission, standardization moments, range-search/top-k consistency.
+  * (Value-level cross-engine checks live in the driver oracle gate;
+  * these assert the structural invariants a hash can't articulate.) */
+class WarehouseSpec extends SparkSpecBase {
+
+  test("q_scd2: intervals chain half-open per key, exactly one current row") {
+    val rows = SparkEntry.queries("q_scd2")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, hist) =>
+      // exactly one open interval per dimension key
+      assert(hist.count(_.getBoolean(5)) == 1)
+      def ts(r: Row, i: Int) = r.getAs[java.time.LocalDateTime](i)
+      val sorted = hist.sortBy(r => (ts(r, 3).toString, r.getLong(1)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // valid_to of version n IS valid_from of version n+1
+          assert(ts(a, 4) == ts(b, 3))
+          // consecutive versions differ in the tracked attribute
+          assert(a.getString(2) != b.getString(2))
+        case _ => ()
+      }
+      // only the last version is open-ended
+      assert(sorted.last.isNullAt(4) && sorted.init.forall(!_.isNullAt(4)))
+    }
+  }
+
+  test("q_data_profile: counts reconcile and min<=max per column") {
+    val rows = SparkEntry.queries("q_data_profile")(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val nRows = rows.map(_.getLong(1)).distinct
+    assert(nRows.length == 1 && nRows.head > 0) // one table, one row count
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)) // n_null
+      assert(r.getLong(3) <= r.getLong(1) - r.getLong(2)) // distinct <= non-null
+      assert(r.getString(4) <= r.getString(5) ||
+        r.getString(0) != "l_returnflag") // string min<=max (lexical)
+    }
+  }
+
+  test("mm_shard_manifest: byte/sample conservation, contiguous shard ids") {
+    val m = SparkEntry.queries("mm_shard_manifest")(spark, sfDir).collect()
+    val media = ext.Multimodal.mediaTable(spark, sfDir)
+    val Row(totBytes: Long, totDocs: Long) = media
+      .agg(sum(octet_length(col("payload")).cast("long")), count(lit(1)))
+      .head()
+    assert(m.map(_.getLong(1)).sum == totDocs)
+    assert(m.map(_.getLong(2)).sum == totBytes)
+    // greedy cumsum packing ⇒ shard ids are 0..n-1 with no holes
+    assert(m.map(_.getLong(0)).toSeq == (0L until m.length).toSeq)
+    // every shard's byte mass stays near the target: a shard closes the
+    // first time the running sum crosses a 16 KB boundary, so it can
+    // exceed 16 KB by at most one max-payload and undershoot only when
+    // the next sample would overflow
+    val maxPayload = media.agg(max(octet_length(col("payload")).cast("long")))
+      .head().getLong(0)
+    m.init.foreach(r => assert(r.getLong(2) < 16384 + maxPayload))
+  }
+
+  test("dedup_containment: admission exact, inter bounded by both sizes") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sfDir).collect()
+    assert(rows.nonEmpty) // non-vacuous at sf0.001 (12 pairs planted)
+    rows.foreach { r =>
+      val (inter, mn) = (r.getLong(2), r.getLong(3))
+      assert(2 * inter >= mn && inter <= mn)
+      assert(r.getDouble(4) >= 0.5 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("emb_standardize: z-scores have ~zero global mean per construction") {
+    val rows = SparkEntry.queries("emb_standardize")(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(1) == rows.head.getLong(1))) // equal dims
+    // per-dim mean of z is 0 exactly, so the micro-grid sums cancel up
+    // to per-element rounding (≤ 0.5 micro-units each)
+    val slack = rows.length.toLong * rows.head.getLong(1)
+    assert(math.abs(rows.map(_.getLong(2)).sum) <= slack)
+  }
+
+  test("ann_range_search: threshold respected; top-5 hits above τ appear") {
+    val range = SparkEntry.queries("ann_range_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(range.nonEmpty && range.forall(_._3 >= 0.3))
+    val top5Above = SparkEntry.queries("ann_bruteforce")(spark, sfDir).collect()
+      .filter(_.getDouble(3) >= 0.3).map(r => (r.getLong(0), r.getLong(2)))
+    val rangeSet = range.map(t => (t._1, t._2)).toSet
+    top5Above.foreach(p => assert(rangeSet.contains(p)))
+  }
+
+  test("text_dsir: target-domain docs outscore the rest on average") {
+    val w = SparkEntry.queries("text_dsir")(spark, sfDir)
+    val docs = engine.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val byIsEn = w.join(docs, Seq("doc_id"))
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg(col("dsir") / col("n_tok")).as("a"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val (enAvg, restAvg) = (byIsEn(true), byIsEn(false))
+    // the weight is log p_target/p_raw summed over tokens: the slice
+    // that DEFINES the target must score higher per token than its
+    // complement, or the estimator is broken
+    assert(enAvg > restAvg)
+  }
+
+  test("q_stream_topk: per-hour ranks dense, counts non-increasing") {
+    val rows = SparkEntry.queries("q_stream_topk")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, hr) =>
+      val byRank = hr.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq)
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) >= b.getLong(3))
+        case _ => ()
+      }
+    }
+  }
+}
