@@ -695,6 +695,26 @@ object Similarity {
           round(col("d6") / lit(1000000.0), 6).as("d2"))
         .orderBy(col("vec_id"))),
 
+    // cluster-outlier report: the 5 FARTHEST members of every k-means
+    // cluster — the embedding-space QA pass that surfaces mislabeled /
+    // corrupted / off-distribution samples before training. Outliers by
+    // distance RANK, not z-score: the ranking key is the exact-BIGINT
+    // grid distance d6 (ties on vec_id), so no float moment estimate
+    // sits near a decision boundary at any corpus size. The window is
+    // partitioned by cluster — per-key sort state, and WindowGroupLimit
+    // prunes to k rows per partition before the final sort.
+    "emb_outliers" -> ((s, dir) => {
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("d6").desc, col("vec_id"))
+      kmeansAssignGrid(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("k").cast("long").as("cluster"),
+          col("rk").cast("long").as("rk"), col("vec_id"),
+          round(col("d6") / lit(1000000.0), 6).as("d2"))
+        .orderBy(col("cluster"), col("rk"))
+    }),
+
     // SemDeDup-style semantic deduplication (Abbas et al. 2023,
     // arXiv:2303.09540): k-means the embedding corpus, then prune
     // near-identical pairs WITHIN each cluster only — the clustering
@@ -1414,6 +1434,19 @@ object Similarity {
         |SELECT vec_id, CAST(k AS BIGINT) AS cluster,
         |  round(d6 / 1000000.0, 6) AS d2
         |FROM fin ORDER BY vec_id""".stripMargin,
+
+    // same kmeansCtes chain; the outlier rank is over the exact d6 grid
+    "emb_outliers" ->
+      s"""WITH $kmeansCtes,
+        |r AS (
+        |  SELECT k, vec_id, d6,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY d6 DESC, vec_id) AS rk
+        |  FROM fin
+        |)
+        |SELECT CAST(k AS BIGINT) AS cluster, CAST(rk AS BIGINT) AS rk,
+        |  vec_id, round(d6 / 1000000.0, 6) AS d2
+        |FROM r WHERE rk <= 5 ORDER BY cluster, rk""".stripMargin,
 
     // SemDeDup mirror: same kmeansCtes chain, then within-cluster pairs
     // under the all-BIGINT cosine test (0.45² = 81/400) — see the Spark

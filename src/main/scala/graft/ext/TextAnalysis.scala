@@ -234,6 +234,65 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM-quality bucketing (Wenzek et al. 2019,
+    // arXiv:1911.00359): split each language's documents into
+    // head/middle/tail by LM score — the pre-filtering shape CommonCrawl
+    // pipelines actually ship (train on head+middle, audit tail). The
+    // score is the unigram model's mean log-prob on a 1e-4 integer grid
+    // (score_m4 = round(avg_lp·10⁴) — same model, same rounding exposure
+    // as text_unigram_logprob), and the per-language cutoffs are exact
+    // R-7 quartiles (p25/p75 — binary-exact fractions, so BOTH
+    // interpolation formulas are exact over integer grid scores and the
+    // cutoff can never drift an ulp between engines; the head/tail
+    // boundary comparisons are integer-vs-exact-fraction). Scale shape:
+    // one corpus score pass, rank window partitioned BY LANGUAGE
+    // (per-key sort state), K-row cutoff frame broadcast back, output
+    // is langs × 3 rows.
+    "text_ccnet_bucket" -> ((s, dir) => {
+      val vocabK = 4096
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0)).as("w"))
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val tot = counts.agg(sum(col("c")).cast("double").as("tot"))
+      val vocab = counts.orderBy(col("c").desc, col("w")).limit(vocabK)
+      val scored = toks.join(broadcast(vocab), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          when(col("c").isNotNull, log(col("c") / col("tot")))
+            .otherwise(log(lit(0.5) / col("tot"))))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(avg(col("lp")) * 10000).cast("long").as("score_m4"))
+      val byLang = Window.partitionBy(col("lang"))
+      val r = scored
+        .withColumn("rn", row_number().over(
+          byLang.orderBy(col("score_m4"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .withColumn("t25", lit(0.25) * (col("n") - 1))
+        .withColumn("t75", lit(0.75) * (col("n") - 1))
+      def pick(t: String, out: String) = Seq(
+        max(when(col("rn") === floor(col(t)).cast("long") + 1,
+          col("score_m4"))).as(s"lo$out"),
+        max(when(col("rn") === ceil(col(t)).cast("long") + 1,
+          col("score_m4"))).as(s"hi$out"),
+        max(col(t) - floor(col(t))).as(s"f$out"))
+      val agg = pick("t25", "25") ++ pick("t75", "75")
+      val picks = r.groupBy(col("lang")).agg(agg.head, agg.tail: _*)
+        .select(col("lang"),
+          (col("lo25") + (col("hi25") - col("lo25")) * col("f25")).as("c25"),
+          (col("lo75") + (col("hi75") - col("lo75")) * col("f75")).as("c75"))
+      scored.join(broadcast(picks), Seq("lang"))
+        .withColumn("bucket",
+          when(col("score_m4") >= col("c75"), "head")
+            .when(col("score_m4") <= col("c25"), "tail")
+            .otherwise("middle"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score_m4")).as("sum_m4"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
     // every raw document by the log-likelihood ratio of a TARGET-domain
     // hashed-feature distribution (here: the lang='en' slice stands in
@@ -1022,6 +1081,40 @@ object TextAnalysis {
         |                 ELSE ln(0.5 / tot.tot) END), 4) AS avg_logprob
         |FROM toks LEFT JOIN vocab v USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the unigram-model chain (toks/counts/tot/vocab) restated with lang
+    // carried through; cutoffs via quantile_cont — the INDEPENDENT
+    // route (rank-selection vs quantile function), exact over integer
+    // grid scores at binary-exact fractions
+    "text_ccnet_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0)) AS w
+        |  FROM documents
+        |), counts AS (
+        |  SELECT w, count(*) AS c FROM toks GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM counts),
+        |vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 4096),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(round(avg(CASE WHEN v.c IS NOT NULL THEN ln(v.c / tot.tot)
+        |                        ELSE ln(0.5 / tot.tot) END) * 10000)
+        |         AS BIGINT) AS score_m4
+        |  FROM toks LEFT JOIN vocab v USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id, lang
+        |), cuts AS (
+        |  SELECT lang, quantile_cont(score_m4, 0.25) AS c25,
+        |    quantile_cont(score_m4, 0.75) AS c75
+        |  FROM scored GROUP BY lang
+        |)
+        |SELECT s.lang,
+        |  CASE WHEN score_m4 >= c75 THEN 'head'
+        |       WHEN score_m4 <= c25 THEN 'tail'
+        |       ELSE 'middle' END AS bucket,
+        |  count(*) AS n_docs, CAST(sum(score_m4) AS BIGINT) AS sum_m4
+        |FROM scored s JOIN cuts USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     "text_dsir" ->
       """WITH toks AS (

@@ -107,6 +107,41 @@ class WarehouseSpec extends SparkSpecBase {
     assert(enAvg > restAvg)
   }
 
+  test("emb_outliers: <=5 per cluster, distances non-increasing in rank") {
+    val rows = SparkEntry.queries("emb_outliers")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, cl) =>
+      val byRank = cl.sortBy(_.getLong(1))
+      assert(byRank.length <= 5)
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq)
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(3) >= b.getDouble(3))
+        case _ => ()
+      }
+    }
+    // the outliers are the cluster's OWN farthest members: every (cluster,
+    // vec) pair must appear in the assignment with the same distance
+    val assign = SparkEntry.queries("emb_kmeans")(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      assert(assign((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+  }
+
+  test("text_ccnet_bucket: buckets partition each language; head outscores tail") {
+    val rows = SparkEntry.queries("text_ccnet_bucket")(spark, sfDir).collect()
+    val docs = engine.Engine.table(spark, sfDir, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (lang, bs) =>
+      assert(bs.map(_.getLong(2)).sum == docs(lang)) // partition, no loss
+      val mean = bs.map(r => r.getString(1) ->
+        r.getLong(3).toDouble / r.getLong(2)).toMap
+      for (h <- mean.get("head"); t <- mean.get("tail"))
+        assert(h > t) // higher mean log-prob in head by construction
+    }
+  }
+
   test("q_stream_topk: per-hour ranks dense, counts non-increasing") {
     val rows = SparkEntry.queries("q_stream_topk")(spark, sfDir).collect()
     assert(rows.nonEmpty)
