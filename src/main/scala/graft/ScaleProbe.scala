@@ -229,7 +229,7 @@ object ScaleProbe {
       // single-column aggregates with no corpus-growth axis here.)
       "dedup_containment", "mm_shard_manifest", "text_dsir",
       "emb_standardize", "ann_range_search", "q_stream_topk",
-      "text_ccnet_bucket", "emb_outliers",
+      "text_ccnet_bucket", "emb_outliers", "pipe_dataset_diff",
       // streaming rows on the replicated events shard: the replay
       // chunking, watermark trajectory and state machinery at 10M
       // events (the shuffle metric covers only the post-drain

@@ -591,6 +591,45 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // corpus-version diff — the audit report between two corpus
+    // snapshots (what did the recrawl actually change?): FULL OUTER
+    // join on doc_id, content compared by md5 so only 16-byte digests
+    // cross the comparison, statuses added/removed/changed/unchanged
+    // with doc counts and the char-mass delta. v1 is a deterministic
+    // derivation of v0 (pipe_upsert's recrawl transform + a %11
+    // deletion slice) so both engines diff the same pair. Scale shape:
+    // one co-partitioned full outer join on the corpus key — on a
+    // bucketed corpus layout it is exchange-free (the
+    // incremental_bucketed probe's shape); everything after is a
+    // 4-row aggregate.
+    "pipe_dataset_diff" -> ((s, dir) => {
+      val v0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val v1 = v0.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [recrawl]")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(v0.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+            concat(lit("NEW "), col("text")).as("text")))
+      val a = v0.select(col("doc_id"), md5(col("text")).as("h0"),
+        length(col("text")).cast("long").as("c0"))
+      val b = v1.select(col("doc_id"), md5(col("text")).as("h1"),
+        length(col("text")).cast("long").as("c1"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h0").isNull, "added")
+            .when(col("h1").isNull, "removed")
+            .when(col("h0") =!= col("h1"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("c1"), lit(0L)) - coalesce(col("c0"), lit(0L)))
+            .as("chars_delta"))
+        .orderBy(col("status"))
+    }),
+
     // padding-minimizing batch assembly — the FINE-TUNING/inference
     // counterpart of pipe_pack (which concatenates docs to fill
     // pretraining context windows): sequences of similar length batch
@@ -968,6 +1007,32 @@ object Pipeline {
   }
 
   private val oracleSql0: Map[String, String] = Map(
+    "pipe_dataset_diff" ->
+      """WITH v0 AS (SELECT doc_id, lang, text FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawl]'
+        |         ELSE text END AS text
+        |  FROM v0 WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, 'NEW ' || text
+        |  FROM v0 WHERE doc_id % 13 = 0
+        |), a AS (SELECT doc_id, md5(text) AS h0,
+        |         CAST(length(text) AS BIGINT) AS c0 FROM v0),
+        |b AS (SELECT doc_id, md5(text) AS h1,
+        |      CAST(length(text) AS BIGINT) AS c1 FROM v1),
+        |d AS (
+        |  SELECT CASE WHEN h0 IS NULL THEN 'added'
+        |              WHEN h1 IS NULL THEN 'removed'
+        |              WHEN h0 <> h1 THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |    coalesce(c1, 0) - coalesce(c0, 0) AS delta
+        |  FROM a FULL OUTER JOIN b USING (doc_id)
+        |)
+        |SELECT status, count(*) AS n_docs,
+        |  CAST(sum(delta) AS BIGINT) AS chars_delta
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
     "pipe_split" ->
       """WITH b AS (
         |  SELECT doc_id,

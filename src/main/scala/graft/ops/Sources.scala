@@ -41,6 +41,37 @@ object Sources {
         .orderBy(col("n_regionkey"))
     }),
 
+    // CSV DIALECT surface (the reference's CsvReadOptions knobs:
+    // delimiter/quote/escape/null markers): pipe-delimited, quoted,
+    // custom NULL token, escaped quotes — exercised on free text (the
+    // documents table carries commas, quotes and every dialect hazard),
+    // written then read back with the SAME dialect declared, proving
+    // the writer/parser pair loses nothing. multiLine handles embedded
+    // newlines; the aggregate compares against the original table.
+    "q_csv_dialect" -> ((s, dir) => {
+      val out = scratch("csv_dialect_docs")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          // a genuinely-null column exercises the nullValue token
+          when(col("doc_id") % 5 === 0, col("source")).as("src_opt"))
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("sep", "|")
+        .option("quote", "\"").option("escape", "\"")
+        .option("nullValue", "\\N")
+        .csv(out)
+      s.read
+        .option("header", "true").option("sep", "|")
+        .option("quote", "\"").option("escape", "\"")
+        .option("nullValue", "\\N").option("multiLine", "true")
+        .option("inferSchema", "true")
+        .csv(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          count(col("src_opt")).as("n_src"))
+        .orderBy(col("lang"))
+    }),
+
     // NDJSON sink → NDJSON scan
     "q_json_roundtrip" -> ((s, dir) => {
       val out = scratch("json_customer")
@@ -158,6 +189,14 @@ object Sources {
     "q_json_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the oracle reads the ORIGINAL table: the dialect roundtrip must
+    // be lossless for the hash to match
+    "q_csv_dialect" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  count(CASE WHEN doc_id % 5 = 0 THEN source END) AS n_src
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_parquet_ctas" ->
       """SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price

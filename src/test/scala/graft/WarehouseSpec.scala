@@ -142,6 +142,31 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("pipe_dataset_diff: status counts reconcile with the construction") {
+    val m = SparkEntry.queries("pipe_dataset_diff")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = engine.Engine.table(spark, sfDir, "documents")
+    def n(p: org.apache.spark.sql.Column) = docs.filter(p).count()
+    // construction: %11 deleted, %7 (surviving) text-appended, %13 new
+    assert(m("added")._1 == n(col("doc_id") % 13 === 0))
+    assert(m("removed")._1 == n(col("doc_id") % 11 === 0))
+    assert(m("changed")._1 ==
+      n(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0))
+    assert(m.values.map(_._1).sum ==
+      docs.count() + m("added")._1) // full outer = |v0 ∪ v1|
+    // every change delta is visible: appends add 10 chars each, adds are
+    // positive mass, removals negative
+    assert(m("changed")._2 == 10 * m("changed")._1)
+    assert(m("added")._2 > 0 && m("removed")._2 < 0)
+    assert(m("unchanged")._2 == 0)
+  }
+
+  test("q_csv_dialect: the null token survives the roundtrip") {
+    val rows = SparkEntry.queries("q_csv_dialect")(spark, sfDir).collect()
+    val (nTot, nSrc) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(3)).sum)
+    assert(nSrc > 0 && nSrc < nTot) // some real values, some real NULLs
+  }
+
   test("q_stream_topk: per-hour ranks dense, counts non-increasing") {
     val rows = SparkEntry.queries("q_stream_topk")(spark, sfDir).collect()
     assert(rows.nonEmpty)
