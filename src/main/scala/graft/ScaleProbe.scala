@@ -230,6 +230,8 @@ object ScaleProbe {
       "dedup_containment", "mm_shard_manifest", "text_dsir",
       "emb_standardize", "ann_range_search", "q_stream_topk",
       "text_ccnet_bucket", "emb_outliers", "pipe_dataset_diff",
+      "dedup_incremental_minhash", "dedup_minhash_calibration",
+      "pipe_sft_pack", "emb_ivf_balance", "mm_phash_dedup",
       // streaming rows on the replicated events shard: the replay
       // chunking, watermark trajectory and state machinery at 10M
       // events (the shuffle metric covers only the post-drain

@@ -271,6 +271,60 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental NEAR-dup: the MinHash complement of dedup_incremental.
+    // A re-ingested shard must be screened not just for exact re-uploads
+    // (the hash semi-join above) but for near-duplicates of content the
+    // corpus ALREADY holds — re-crawls with boilerplate drift, minor
+    // edits, mirrored pages. Scale shape: the corpus side's band keys
+    // are precomputed once at ingest time and live bucketed by
+    // (band, bkey) — the production join against them is exchange-free
+    // (the incremental_bucketed probe's layout); here both sides band in
+    // one pass each. Only the shard's bands (ingest-sized) and the
+    // CANDIDATE corpus docs' shingles (pair-bounded via the candidate
+    // join, never the whole corpus) cross an exchange. The bucket cap
+    // applies on the corpus side — a boilerplate bucket with 10^6
+    // ingested members would otherwise fan every shard doc into 10^6
+    // verification pairs.
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val shard = docs.filter(col("doc_id") % 3 === 0)
+      val sigS = signatures(shard)
+      val bandedC = signatures(corpus).select(col("doc_id").as("c_id"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "bkey")))
+      val bandedS = sigS.select(col("doc_id").as("s_id"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "bkey")))
+      // corpus-side skew guard: singleton corpus buckets still pair
+      // (cross-side join needs only one member), oversized ones drop
+      val okC = bandedC.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") <= 64)
+        .select(col("band"), col("bkey"))
+      val cands = bandedS
+        .join(bandedC.join(okC, Seq("band", "bkey")), Seq("band", "bkey"))
+        .select(col("s_id"), col("c_id")).distinct()
+      val par = s.sparkContext.defaultParallelism
+      val shS = shard.repartition(par, col("doc_id"))
+        .select(col("doc_id").as("s_id"), shingles(col("text")).as("sh_s"))
+        .filter(size(col("sh_s")) > 0)
+      val shC = corpus.repartition(par, col("doc_id"))
+        .select(col("doc_id").as("c_id"), shingles(col("text")).as("sh_c"))
+        .filter(size(col("sh_c")) > 0)
+      val dupOf = cands
+        .join(shS, "s_id").join(shC, "c_id")
+        .select(col("s_id"), col("c_id"),
+          jaccard(col("sh_s"), col("sh_c")).as("j"))
+        .filter(col("j") >= 0.7)
+        .groupBy(col("s_id"))
+        .agg(min(col("c_id")).as("dup_partner"),
+          count(lit(1)).as("n_corpus_matches"))
+      sigS.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(dupOf.withColumnRenamed("s_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("dup_partner"),
+          coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+          col("dup_partner").isNotNull.as("dup_of_corpus"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-doc MinHash signature summary + LSH candidate/duplicate verdict
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -300,6 +354,49 @@ object Dedup {
         .select(col("doc_id"), col("n_shingles"), col("minhash_0"),
           coalesce(col("dup_partner") < col("doc_id"), lit(false)).as("is_near_dup"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MinHash estimator calibration — the measurement that justifies
+    // trusting the signature at all: over every LSH candidate pair,
+    // compare the ESTIMATED Jaccard (fraction of agreeing signature
+    // slots — an unbiased estimator, E[agree/64] = J) against the EXACT
+    // shingle-set Jaccard, bucketed by estimate decile. A healthy
+    // estimator shows mean_j tracking mean_est per bucket; drift means
+    // the hash family or slot count needs revisiting before the sweep's
+    // thresholds mean anything. Scale shape: one candidate generation
+    // (the probed banding), signature+shingle frames checkpointed once
+    // and joined per side (the ann_ivf shared-scan precedent — sig has
+    // 3 consumers here), 10-row output. Exactness: slot agreement is
+    // integer; exact j lands on the 1e-6 grid via ratioRoundInt (pure
+    // BIGINT — no float anywhere near a bucket boundary); the report
+    // doubles divide exact integers.
+    "dedup_minhash_calibration" -> ((s, dir) => {
+      val sig = signatures(t(s, dir, "documents")).localCheckpoint(true)
+      val cands = minhashCandidates(sig)
+      val sa = sig.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("sh").as("sh_a"))
+      val sb = sig.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+      cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            x => x)).cast("long").as("n_agree"),
+          inter.as("inter"),
+          (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - inter)
+            .as("uni"))
+        .select(col("n_agree"),
+          TextAnalysis.ratioRoundInt(col("inter"), col("uni"), 6).as("j6"))
+        .groupBy(least(lit(9L), expr("(n_agree * 10) div 64"))
+          .cast("long").as("est_decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("n_agree")).cast("double") /
+            (count(lit(1)).cast("double") * lit(64.0)), 6).as("mean_est"),
+          round(sum(col("j6")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1000000.0)), 6).as("mean_j"),
+          round(min(col("j6")).cast("double") / lit(1000000.0), 6).as("min_j"),
+          round(max(col("j6")).cast("double") / lit(1000000.0), 6).as("max_j"))
+        .orderBy(col("est_decile"))
     }),
 
     // Jaccard-threshold sensitivity sweep — the tuning report for the
@@ -661,6 +758,74 @@ object Dedup {
         |  (c.h IS NULL) AS keep
         |FROM shard s LEFT JOIN corpus c USING (h)
         |ORDER BY s.doc_id""".stripMargin,
+
+    // calibration: same banded chain; slot agreement over the sig CTE's
+    // raw sg arrays, exact j on the 1e-6 grid via the integer
+    // (n·2·10^p + d) // (2d) rounding identity (ratioRoundInt mirror)
+    "dedup_minhash_calibration" -> (minhashBandedCtes +
+      """, okbuckets AS (
+        |  SELECT band, bkey FROM banded
+        |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 64
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a
+        |  JOIN okbuckets ok ON a.band = ok.band AND a.bkey = ok.bkey
+        |  JOIN banded b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+        |), pairm AS (
+        |  SELECT
+        |    CAST(len(list_filter(range(1, 65), i -> sa.sg[i] = sb.sg[i])) AS BIGINT) AS n_agree,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+        |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+        |  FROM cands
+        |  JOIN sig sa ON sa.doc_id = doc_a
+        |  JOIN sig sb ON sb.doc_id = doc_b
+        |), graded AS (
+        |  SELECT n_agree,
+        |    (inter * 2000000 + uni) // (uni * 2) AS j6,
+        |    least(9, (n_agree * 10) // 64) AS est_decile
+        |  FROM pairm
+        |)
+        |SELECT CAST(est_decile AS BIGINT) AS est_decile,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(n_agree) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 64.0), 6) AS mean_est,
+        |  round(CAST(sum(j6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_j,
+        |  round(CAST(min(j6) AS DOUBLE) / 1000000.0, 6) AS min_j,
+        |  round(CAST(max(j6) AS DOUBLE) / 1000000.0, 6) AS max_j
+        |FROM graded GROUP BY est_decile ORDER BY est_decile""".stripMargin),
+
+    // incremental near-dup: the same banded chain BY REFERENCE, split
+    // into corpus/shard sides by the dedup_incremental id arithmetic;
+    // corpus-side-only bucket cap, cross-side candidates, exact-Jaccard
+    // verification, per-shard-doc verdict
+    "dedup_incremental_minhash" -> (minhashBandedCtes +
+      """, bc AS (
+        |  SELECT doc_id AS c_id, band, bkey FROM banded WHERE doc_id % 2 = 0
+        |), bs AS (
+        |  SELECT doc_id AS s_id, band, bkey FROM banded WHERE doc_id % 3 = 0
+        |), okc AS (
+        |  SELECT band, bkey FROM bc GROUP BY band, bkey HAVING count(*) <= 64
+        |), cands AS (
+        |  SELECT DISTINCT s_id, c_id
+        |  FROM bs JOIN okc USING (band, bkey) JOIN bc USING (band, bkey)
+        |), jp AS (
+        |  SELECT s_id, c_id,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
+        |  FROM cands
+        |  JOIN hexsig sa ON sa.doc_id = s_id
+        |  JOIN hexsig sb ON sb.doc_id = c_id
+        |), dup AS (
+        |  SELECT s_id, min(c_id) AS dup_partner,
+        |    CAST(count(*) AS BIGINT) AS n_corpus_matches
+        |  FROM jp WHERE j >= 0.7 GROUP BY s_id
+        |)
+        |SELECT h.doc_id, CAST(len(h.sh) AS BIGINT) AS n_shingles,
+        |  d.dup_partner,
+        |  CAST(coalesce(d.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches,
+        |  (d.dup_partner IS NOT NULL) AS dup_of_corpus
+        |FROM hexsig h LEFT JOIN dup d ON d.s_id = h.doc_id
+        |WHERE h.doc_id % 3 = 0
+        |ORDER BY h.doc_id""".stripMargin),
 
     // dedup_minhash_lsh: full pipeline mirror — md5-xor signature family,
     // md5 band keys, [2,64] bucket guard, exact-Jaccard verification

@@ -181,6 +181,50 @@ object Multimodal {
             .as("bytes_saved"))
         .orderBy(col("keep_id"))),
 
+    // perceptual-hash near-dup report — the pass a media store runs
+    // AFTER exact digest dedup (above): re-encoded / lightly-edited
+    // copies share no digest but land within a small Hamming distance
+    // of each other's perceptual hash. The hash here is the honest
+    // stand-in for pHash-of-decoded-pixels this container permits: the
+    // codegen'd simhash64 over the decoded payload's content tokens —
+    // like a real pHash it is locality-sensitive (similar content ⇒
+    // close hashes), and it is bit-reproducible in the oracle. Pairing
+    // uses the dedup_simhash geometry: 4×16-bit bands, so any pair
+    // within Hamming distance 3 shares ≥1 band by pigeonhole — the
+    // candidate join is an equi-join on (band, bkey), never all-pairs.
+    // Output is the review-queue report: pairs / affected media / bytes
+    // per Hamming distance. Scale note: 16-bit band keys bound bucket
+    // fan-out by corpus/65536 per band — at 10^11 media a production
+    // deployment widens to multi-index Hamming (more bands over wider
+    // keys); the shape of the join is unchanged.
+    "mm_phash_dedup" -> ((s, dir) => {
+      val fp = mediaTable(s, dir).select(col("media_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        graft.functions.HashExpressions.simhash64(
+          graft.functions.HashExpressions.word_shingles(
+            col("payload").cast("string"), 1, distinct = false)).as("fp"))
+      val banded = fp.select(col("media_id"), col("fp"), col("n_bytes"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("fp"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)))).as(Seq("band", "bkey")))
+      val a = banded.select(col("band"), col("bkey"),
+        col("media_id").as("id_a"), col("fp").as("fp_a"))
+      val b = banded.select(col("band"), col("bkey"),
+        col("media_id").as("id_b"), col("fp").as("fp_b"),
+        col("n_bytes").as("bytes_b"))
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("bytes_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // a close pair shares several bands — count it once
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_media"),
+          sum(col("bytes_b")).cast("long").as("review_bytes"))
+        .orderBy(col("hamming"))
+    }),
+
     // WebDataset-style shard planner: assign every sample to a ~16 KB
     // tar shard by cumulative payload bytes in a deterministic
     // pseudo-shuffled order (md5 of the payload — IID shards without a
@@ -291,6 +335,44 @@ object Multimodal {
         |  CAST(sum(n_bytes) - arg_min(n_bytes, media_id) AS BIGINT)
         |    AS bytes_saved
         |FROM m GROUP BY dg ORDER BY keep_id""".stripMargin,
+
+    // simhash64 mirror (the dedup_simhash oracle's fp chain) over the
+    // payload's decoded text, 4×16-bit bands, per-distance report
+    "mm_phash_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), hs AS (
+        |  SELECT media_id, n_bytes,
+        |    list_transform(tk, t -> ('0x' || substr(md5(t),1,16))::UBIGINT) AS th
+        |  FROM toks
+        |), fp AS (
+        |  SELECT media_id, n_bytes,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN coalesce(list_sum(list_transform(th, h ->
+        |          CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+        |      THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END)), 0)
+        |      AS UBIGINT) AS f
+        |  FROM hs
+        |), pairs AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    b.n_bytes AS bytes_b,
+        |    CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        |  FROM (SELECT media_id, f, t.band, (f >> (t.band * 16)) & 65535 AS bkey
+        |        FROM fp, range(0, 4) t(band)) a
+        |  JOIN (SELECT media_id, n_bytes, f, t.band,
+        |          (f >> (t.band * 16)) & 65535 AS bkey
+        |        FROM fp, range(0, 4) t(band)) b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 3
+        |)
+        |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_media,
+        |  CAST(sum(bytes_b) AS BIGINT) AS review_bytes
+        |FROM pairs GROUP BY hamming ORDER BY hamming""".stripMargin,
 
     // the oracle states the semantics directly: ONE global running sum
     // — the Spark side must make the two-level decomposition invisible

@@ -79,6 +79,45 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // SFT (instruction-tuning) example formatting + loss-mask spans +
+    // sequence packing — the post-training counterpart of pipe_pack.
+    // Each document becomes a chat-templated (instruction, response)
+    // example: the first 8 words stand in for the instruction, the rest
+    // for the response (deterministic, id-free split). Token accounting
+    // mirrors a real template — <|user|>\n + instruction + \n<|assistant|>\n
+    // puts 2 extra tokens on the prompt side; response + <|end|> plus the
+    // assistant marker puts 2 on the response side. Examples pack
+    // greedily into 512-token bins within (lang, shard) exactly like
+    // pipe_pack (same window, same bin arithmetic), and each example
+    // carries its loss-mask span [mask_start, mask_end) — the token range
+    // the trainer computes loss on (response only, prompt masked out).
+    // Scale shape: one per-(lang, shard) window over long counters, no
+    // text past the scan — identical to the probed pipe_pack plan.
+    "pipe_sft_pack" -> ((s, dir) => {
+      val ctxLen = 512L
+      val promptWords = 8L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5Bucket(col("doc_id").cast("string"), packShards).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .filter(col("n_tok") >= promptWords + 4) // require a real response
+        .select(col("doc_id"), col("lang"), col("shard"),
+          lit(promptWords + 2L).as("prompt_toks"),
+          (col("n_tok") - promptWords + 2L).as("resp_toks"),
+          (col("n_tok") + 4L).as("total_toks"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("tok_end", sum(col("total_toks")).over(w))
+        .select(col("doc_id"), col("lang"), col("shard"),
+          col("prompt_toks"), col("resp_toks"), col("total_toks"),
+          (col("tok_end") - col("total_toks")).as("tok_start"),
+          floor((col("tok_end") - col("total_toks")) / ctxLen).cast("long").as("bin"),
+          (col("tok_end") - col("total_toks") + col("prompt_toks")).as("mask_start"),
+          col("tok_end").as("mask_end"))
+        .orderBy(col("doc_id"))
+    }),
+
     // context-window chunking: split each document's token stream into
     // overlapping fixed-size chunks (128 tokens, stride 96 → 32-token
     // overlap) — the step between curation and packing when documents
@@ -1057,6 +1096,30 @@ object Pipeline {
         |SELECT doc_id, lang, shard, n_tokens,
         |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
         |  CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS bin
+        |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "pipe_sft_pack" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $packShards AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, shard,
+        |    CAST(10 AS BIGINT) AS prompt_toks,
+        |    CAST(n_tok - 6 AS BIGINT) AS resp_toks,
+        |    CAST(n_tok + 4 AS BIGINT) AS total_toks
+        |  FROM d WHERE n_tok >= 12),
+        |cum AS (
+        |  SELECT doc_id, lang, shard, prompt_toks, resp_toks, total_toks,
+        |    sum(total_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+        |  FROM f)
+        |SELECT doc_id, lang, shard, prompt_toks, resp_toks, total_toks,
+        |  CAST(tok_end - total_toks AS BIGINT) AS tok_start,
+        |  CAST(floor((tok_end - total_toks) / 512.0) AS BIGINT) AS bin,
+        |  CAST(tok_end - total_toks + prompt_toks AS BIGINT) AS mask_start,
+        |  CAST(tok_end AS BIGINT) AS mask_end
         |FROM cum ORDER BY doc_id""".stripMargin,
 
     "pipe_chunk" ->

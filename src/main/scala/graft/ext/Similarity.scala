@@ -715,6 +715,35 @@ object Similarity {
         .orderBy(col("cluster"), col("rk"))
     }),
 
+    // IVF index health report — the balance/quantization audit run
+    // before an IVF index ships: per-cell population, load factor
+    // (n·K/total — 1.0 is perfectly balanced; a hot cell defeats the
+    // pruning ann_ivf measured at 6/16 partitions), and mean/max
+    // quantization error (distance to own centroid — the recall-vs-
+    // speed budget). One groupBy over the shared Lloyd assignment:
+    // K-row output, map-side combined, no window. Exactness: counts
+    // and the d6 sums are BIGINT on the 1e-6 grid (per-cluster sum
+    // < 2^63 up to ~10^13 vectors/cell at this dim — past that, shard
+    // the sum as emb_covariance documents); the three report doubles
+    // divide exact integers, identical IEEE in both engines.
+    "emb_ivf_balance" -> ((s, dir) => {
+      val cells = kmeansAssignGrid(s, dir)
+        .groupBy(col("k").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("d6")).cast("long").as("sum_d6"),
+          max(col("d6")).cast("long").as("max_d6"))
+      val tot = cells.agg(sum(col("n_vecs")).cast("long").as("n_total"),
+        count(lit(1)).as("n_cells"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_vecs"),
+          round((col("n_vecs") * col("n_cells")).cast("double") /
+            col("n_total").cast("double"), 6).as("load_x"),
+          round(col("sum_d6").cast("double") /
+            (col("n_vecs").cast("double") * lit(1000000.0)), 6).as("mean_d2"),
+          round(col("max_d6").cast("double") / lit(1000000.0), 6).as("max_d2"))
+        .orderBy(col("cluster"))
+    }),
+
     // SemDeDup-style semantic deduplication (Abbas et al. 2023,
     // arXiv:2303.09540): k-means the embedding corpus, then prune
     // near-identical pairs WITHIN each cluster only — the clustering
@@ -1434,6 +1463,26 @@ object Similarity {
         |SELECT vec_id, CAST(k AS BIGINT) AS cluster,
         |  round(d6 / 1000000.0, 6) AS d2
         |FROM fin ORDER BY vec_id""".stripMargin,
+
+    // same kmeansCtes chain; the report doubles divide exact integers
+    "emb_ivf_balance" ->
+      s"""WITH $kmeansCtes,
+        |cells AS (
+        |  SELECT CAST(k AS BIGINT) AS cluster,
+        |    CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(d6) AS BIGINT) AS sum_d6,
+        |    CAST(max(d6) AS BIGINT) AS max_d6
+        |  FROM fin GROUP BY k
+        |), tot AS (
+        |  SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_cells
+        |  FROM cells
+        |)
+        |SELECT cluster, n_vecs,
+        |  round(CAST(n_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS load_x,
+        |  round(CAST(sum_d6 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0), 6) AS mean_d2,
+        |  round(CAST(max_d6 AS DOUBLE) / 1000000.0, 6) AS max_d2
+        |FROM cells CROSS JOIN tot ORDER BY cluster""".stripMargin,
 
     // same kmeansCtes chain; the outlier rank is over the exact d6 grid
     "emb_outliers" ->

@@ -1293,4 +1293,105 @@ class ExtensionSpec extends SparkSpecBase {
     assert(pruned == direct, s"pruned=$pruned direct=$direct")
     assert(pruned.keys.map(_._1).toSet.size == 3, "3 partition days")
   }
+
+  test("incremental minhash: re-ingested content is flagged, verdicts reconcile") {
+    val rows = SparkEntry.queries("dedup_incremental_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nSh, partner, nMatch, dup) =>
+      assert(id % 3 == 0, s"doc $id is not in the shard")
+      assert(nSh > 0, s"doc $id has no shingles in the output frame")
+      assert(dup == (nMatch > 0), s"doc $id: dup=$dup but n_matches=$nMatch")
+      assert(dup == partner.isDefined, s"doc $id: dup=$dup partner=$partner")
+      partner.foreach(p => assert(p % 2 == 0, s"partner $p not a corpus doc"))
+      // a doc divisible by 6 sits in BOTH sides with identical content —
+      // its own corpus copy MUST flag it (self-pair at Jaccard 1.0)
+      if (id % 6 == 0) assert(dup, s"doc $id re-ingested verbatim but not flagged")
+    }
+  }
+
+  test("sft pack: template accounting, mask spans, per-shard contiguity") {
+    val rows = SparkEntry.queries("pipe_sft_pack")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, _, pt, rt, tt, start, bin, ms, me) =>
+      assert(pt == 10L, s"doc $id prompt side is 8 words + 2 template tokens")
+      assert(rt >= 6L, s"doc $id admitted without a real response")
+      assert(tt == pt + rt, s"doc $id total != prompt + resp")
+      assert(ms == start + pt && me == start + tt,
+        s"doc $id loss-mask span [$ms,$me) off the packed offsets")
+      assert(bin == start / 512L, s"doc $id bin/offset mismatch")
+    }
+    // offsets are contiguous within every (lang, shard) packing stream
+    rows.groupBy(r => (r._2, r._3)).foreach { case (k, g) =>
+      val s = g.sortBy(_._1)
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._7 == a._7 + a._6, s"gap in stream $k between ${a._1} and ${b._1}")
+        case _ =>
+      }
+      assert(s.head._7 == 0L, s"stream $k does not start at offset 0")
+    }
+  }
+
+  test("ivf balance report: populations reconcile with the clustering") {
+    val cells = SparkEntry.queries("emb_ivf_balance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val assigned = SparkEntry.queries("emb_kmeans")(spark, sfDir)
+      .collect().map(r => r.getLong(1))
+    val byCluster = assigned.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(cells.map(_._1).toSet == byCluster.keySet, "cell set drifted")
+    cells.foreach { case (c, n, loadX, meanD2, maxD2) =>
+      assert(n == byCluster(c), s"cell $c population off")
+      assert(loadX > 0 && meanD2 >= 0 && maxD2 >= meanD2,
+        s"cell $c report not internally consistent")
+      val expLoad = n.toDouble * cells.length / assigned.length
+      assert(math.abs(loadX - expLoad) < 1e-6, s"cell $c load_x off: $loadX vs $expLoad")
+    }
+    assert(math.abs(cells.map(_._2).sum - assigned.length) == 0, "total population off")
+  }
+
+  test("minhash calibration: estimator tracks exact Jaccard per decile") {
+    val rows = SparkEntry.queries("dedup_minhash_calibration")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty, "no candidate pairs — banding broken")
+    rows.foreach { case (d, n, est, mj, lo, hi) =>
+      assert(d >= 0 && d <= 9 && n > 0)
+      assert(est >= d / 10.0 - 1e-9 && est <= (d + 1) / 10.0 + (if (d == 9) 1e-9 else 1e-9),
+        s"decile $d mean_est $est outside its bucket")
+      assert(mj >= lo - 1e-9 && mj <= hi + 1e-9, s"decile $d mean_j outside [min,max]")
+      // E[agree/64] = J: with 64 slots the estimator's per-pair sd is
+      // ≤ 1/16, so a populated bucket's means must track closely
+      if (n >= 20) assert(math.abs(mj - est) < 0.15,
+        s"decile $d: estimator drifted (est=$est exact=$mj over $n pairs)")
+    }
+    val byD = rows.map(r => r._1 -> r).toMap
+    for (lowD <- byD.keys.filter(_ <= 3); if byD.contains(9L))
+      assert(byD(9L)._4 > byD(lowD)._4,
+        s"decile 9 exact Jaccard not above decile $lowD — estimator uninformative")
+  }
+
+  test("phash dedup: identical payloads pair at Hamming 0, distinct ones never") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val rows = Seq((1L, base), (2L, base), (3L, other))
+    val tmp = java.nio.file.Files.createTempDirectory("phash").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("mm_phash_dedup")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the identical pair (1,2) at Hamming 0; doc 3's fingerprint is far
+    // from both (different token set) so no other row appears
+    assert(out.toSeq == Seq((0L, 1L, 1L, base.getBytes("UTF-8").length.toLong)),
+      s"got ${out.toSeq}")
+  }
 }
