@@ -299,16 +299,28 @@ object Dedup {
       val okC = bandedC.groupBy(col("band"), col("bkey"))
         .agg(count(lit(1)).as("n")).filter(col("n") <= 64)
         .select(col("band"), col("bkey"))
+      // id-pair frame with 3 consumers (verify join + the two semi
+      // restrictions below) — materialize once, never recompute the
+      // banding per consumer (the ann_ivf shared-scan precedent)
       val cands = bandedS
         .join(bandedC.join(okC, Seq("band", "bkey")), Seq("band", "bkey"))
         .select(col("s_id"), col("c_id")).distinct()
+        .localCheckpoint(true)
       val par = s.sparkContext.defaultParallelism
+      // semi-restrict BOTH shingle sides to documents that actually
+      // appear in a candidate pair before any shingle array is shuffled:
+      // the semi join ships 8-byte ids; in production (dup fraction ≪ 1)
+      // this is what makes "only candidate corpus docs ship shingles"
+      // literally true — the corpus side's text never rides the verify
+      // exchange for the non-candidate bulk
       val shS = shard.repartition(par, col("doc_id"))
         .select(col("doc_id").as("s_id"), shingles(col("text")).as("sh_s"))
         .filter(size(col("sh_s")) > 0)
+        .join(cands.select(col("s_id")).distinct(), Seq("s_id"), "leftsemi")
       val shC = corpus.repartition(par, col("doc_id"))
         .select(col("doc_id").as("c_id"), shingles(col("text")).as("sh_c"))
         .filter(size(col("sh_c")) > 0)
+        .join(cands.select(col("c_id")).distinct(), Seq("c_id"), "leftsemi")
       val dupOf = cands
         .join(shS, "s_id").join(shC, "c_id")
         .select(col("s_id"), col("c_id"),
