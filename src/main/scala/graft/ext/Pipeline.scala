@@ -40,6 +40,28 @@ object Pipeline {
     sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
       .getOrElse(Runtime.getRuntime.availableProcessors))
 
+  /** The sequence-packing assignment: concatenate documents in
+    * deterministic order and cut at a fixed 512-token context length —
+    * each doc gets (shard, bin, offset). Partitioned by (lang, shard):
+    * the running sum is a window per shard, so parallelism scales with
+    * shard count (`packShards`, cores-derived), not language count.
+    * Shared by pipe_pack and pipe_pack_stats so the efficiency report
+    * audits the exact frame the pack ships. */
+  private def packFrame(s: SparkSession, dir: String): DataFrame = {
+    val ctxLen = 512L
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5Bucket(col("doc_id").cast("string"), packShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        (col("tok_end") - col("n_tokens")).as("tok_start"),
+        floor((col("tok_end") - col("n_tokens")) / ctxLen).cast("long").as("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // deterministic train/val/test split: pure per-row map — no shuffle,
@@ -62,21 +84,34 @@ object Pipeline {
     // Partitioned by (lang, shard): the running sum is a window per
     // shard, so parallelism scales with shard count (`packShards`,
     // cores-derived), not language count
-    "pipe_pack" -> ((s, dir) => {
-      val ctxLen = 512L
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          md5Bucket(col("doc_id").cast("string"), packShards).as("shard"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy(col("lang"), col("shard"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs
-        .withColumn("tok_end", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
-          (col("tok_end") - col("n_tokens")).as("tok_start"),
-          floor((col("tok_end") - col("n_tokens")) / ctxLen).cast("long").as("bin"))
-        .orderBy(col("doc_id"))
+    "pipe_pack" -> ((s, dir) =>
+      packFrame(s, dir).orderBy(col("doc_id"))),
+
+    // packing-efficiency audit over the pipe_pack assignment (the same
+    // frame by reference — the report and the plan cannot drift): per
+    // language, bins actually opened vs the per-shard ideal
+    // ceil(toks/512), and the fill ratio. Greedy sequential packing
+    // opens floor(start/512)+1 bins per shard; fill = mass/(bins·512)
+    // on the exact 1e-6 grid (a doc straddling its bin's boundary can
+    // push fill past 1.0 — bin is assigned by START offset; the report
+    // makes that visible rather than hiding it). Scale shape: two
+    // map-side-combinable aggregations over the already-probed pack
+    // frame, langs-sized output.
+    "pipe_pack_stats" -> ((s, dir) => {
+      val perShard = packFrame(s, dir)
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("toks"),
+          (max(col("bin")) + 1L).as("bins"))
+        .withColumn("ideal", expr("(toks + 511) div 512"))
+      perShard.groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("toks")).as("total_toks"),
+          sum(col("bins")).as("n_bins"),
+          sum(col("ideal")).as("ideal_bins"))
+        .withColumn("fill", TextAnalysis.ratioRound(
+          col("total_toks"), col("n_bins") * 512L, 6))
+        .orderBy(col("lang"))
     }),
 
     // SFT (instruction-tuning) example formatting + loss-mask spans +
@@ -116,6 +151,63 @@ object Pipeline {
           (col("tok_end") - col("total_toks") + col("prompt_toks")).as("mask_start"),
           col("tok_end").as("mask_end"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DoReMi-style domain reweighting (Xie et al. 2023,
+    // arXiv:2305.10429), one exponentiated-gradient step: domains whose
+    // text the corpus-level reference model finds SURPRISING (higher
+    // excess loss) are upweighted for the next mixture. The proxy model
+    // is the text_unigram_logprob unigram LM (top-4096 vocab, 0.5 floor);
+    // per-doc scores land on the validated 1e-4 integer grid (the ccnet
+    // precedent), so each domain's mean is one exact-BIGINT sum and one
+    // double division — the only cross-engine float exposure is
+    // exp(excess) on a deterministic input, absorbed by round(6) (the
+    // text_dsir ln() precedent). w ∝ uniform·exp(η·excess), η = 1;
+    // the uniform baseline cancels in the normalization. Scale shape:
+    // one corpus scoring pass (probed for the unigram scorer), the
+    // domain frame is D rows checkpointed once, everything after is
+    // broadcast arithmetic.
+    "pipe_doremi" -> ((s, dir) => {
+      val vocabK = 4096
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0)).as("w"))
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val tot = counts.agg(sum(col("c")).cast("double").as("tot"))
+      val vocab = counts.orderBy(col("c").desc, col("w")).limit(vocabK)
+      val scored = toks.join(broadcast(vocab), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          when(col("c").isNotNull, log(col("c") / col("tot")))
+            .otherwise(log(lit(0.5) / col("tot"))))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(col("lp")) * 10000).cast("long").as("score_m4"))
+      val dom = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
+          sum(col("score_m4")).as("sum_m4"))
+        .localCheckpoint(true) // D rows; 3 consumers below
+      val ctot = dom.agg(sum(col("sum_m4")).as("c_sum"),
+        sum(col("n_docs")).as("c_n"), count(lit(1)).as("d"))
+      val ex = dom.crossJoin(broadcast(ctot))
+        .withColumn("nll",
+          -(col("sum_m4").cast("double") / col("n_docs").cast("double")) /
+            lit(10000.0))
+        .withColumn("excess",
+          (col("c_sum").cast("double") / col("c_n").cast("double") -
+            col("sum_m4").cast("double") / col("n_docs").cast("double")) /
+            lit(10000.0))
+        .withColumn("e", exp(col("excess")))
+      val z = ex.agg(sum(col("e")).as("z"))
+      ex.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("n_toks"),
+          round(col("nll"), 4).as("nll"),
+          round(col("excess"), 6).as("excess"),
+          round(lit(1.0) / col("d").cast("double"), 6).as("w_uniform"),
+          round(col("e") / col("z"), 6).as("w_doremi"))
+        .orderBy(col("source"))
     }),
 
     // context-window chunking: split each document's token stream into
@@ -1097,6 +1189,75 @@ object Pipeline {
         |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
         |  CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS bin
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "pipe_pack_stats" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $packShards AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+        |  FROM d),
+        |pershard AS (
+        |  SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS toks,
+        |    CAST(max(CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT)) + 1
+        |      AS BIGINT) AS bins,
+        |    (CAST(sum(n_tokens) AS BIGINT) + 511) // 512 AS ideal
+        |  FROM cum GROUP BY lang, shard)
+        |SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_toks,
+        |  CAST(sum(bins) AS BIGINT) AS n_bins,
+        |  CAST(sum(ideal) AS BIGINT) AS ideal_bins,
+        |  CAST((CAST(sum(toks) AS BIGINT) * 2000000 + sum(bins) * 512)
+        |    // (sum(bins) * 512 * 2) AS DOUBLE) / 1000000.0 AS fill
+        |FROM pershard GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_doremi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0)) AS w
+        |  FROM documents
+        |), counts AS (
+        |  SELECT w, count(*) AS c FROM toks GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM counts),
+        |vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 4096),
+        |scored AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(round(avg(CASE WHEN v.c IS NOT NULL THEN ln(v.c / tot.tot)
+        |                        ELSE ln(0.5 / tot.tot) END) * 10000)
+        |         AS BIGINT) AS score_m4
+        |  FROM toks LEFT JOIN vocab v USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id, source
+        |), dom AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_toks,
+        |    CAST(sum(score_m4) AS BIGINT) AS sum_m4
+        |  FROM scored GROUP BY source
+        |), ctot AS (
+        |  SELECT CAST(sum(sum_m4) AS BIGINT) AS c_sum,
+        |    CAST(sum(n_docs) AS BIGINT) AS c_n,
+        |    CAST(count(*) AS BIGINT) AS d
+        |  FROM dom
+        |), ex AS (
+        |  SELECT source, n_docs, n_toks,
+        |    -(CAST(sum_m4 AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 10000.0 AS nll,
+        |    (CAST(c_sum AS DOUBLE) / CAST(c_n AS DOUBLE) -
+        |     CAST(sum_m4 AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 10000.0 AS excess,
+        |    exp((CAST(c_sum AS DOUBLE) / CAST(c_n AS DOUBLE) -
+        |         CAST(sum_m4 AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 10000.0) AS e,
+        |    d
+        |  FROM dom CROSS JOIN ctot
+        |), z AS (SELECT sum(e) AS z FROM ex)
+        |SELECT source, n_docs, n_toks, round(nll, 4) AS nll,
+        |  round(excess, 6) AS excess,
+        |  round(1.0 / CAST(d AS DOUBLE), 6) AS w_uniform,
+        |  round(e / z.z, 6) AS w_doremi
+        |FROM ex CROSS JOIN z ORDER BY source""".stripMargin,
 
     "pipe_sft_pack" ->
       s"""WITH d AS (

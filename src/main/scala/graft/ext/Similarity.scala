@@ -715,6 +715,54 @@ object Similarity {
         .orderBy(col("cluster"), col("rk"))
     }),
 
+    // embedding drift monitor — per-label centroid displacement between
+    // two corpus snapshots (baseline = even vec_ids, current = odd):
+    // the audit that catches an embedding-model change or upstream
+    // distribution shift before retraining on a silently-moved space.
+    // All-BIGINT: components quantize to the 1e-3 grid at the scan;
+    // each per-(label, dim, snapshot) mean is rounded back onto the
+    // grid by the integer identity ((s+nK)·2+n) div (2n) − K with
+    // K = 2^20 — the offset keeps the numerator non-negative so
+    // truncating and flooring integer division agree cross-engine
+    // (ratioRoundInt is only round-half-up for non-negative operands);
+    // drift² is then an exact integer in 1e-6 units. Scale shape: one
+    // map-side-combined groupBy to labels×dims×2 rows (the exchange
+    // carries partial sums, never vectors), checkpointed once,
+    // labels-sized output.
+    "emb_centroid_drift" -> ((s, dir) => {
+      val K = 1L << 20
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          (col("vec_id") % 2 === 0).as("base"),
+          floor(col("x").cast("double") * lit(1000) + lit(0.5))
+            .cast("long").as("xg"))
+      val means = e.groupBy(col("label"), col("dim"), col("base"))
+        .agg(sum(col("xg")).as("sx"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"), col("base"),
+          (TextAnalysis.ratioRoundInt(
+            col("sx") + col("n") * lit(K), col("n"), 0) - lit(K)).as("m"),
+          col("n"))
+        .localCheckpoint(true) // labels×dims×2 rows; 3 consumers
+      val a = means.filter(col("base"))
+        .select(col("label"), col("dim"), col("m").as("ma"))
+      val b = means.filter(!col("base"))
+        .select(col("label"), col("dim"), col("m").as("mb"))
+      val drift = a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("drift6"))
+      val cnts = means.filter(col("dim") === 0)
+        .groupBy(col("label"))
+        .agg(max(when(col("base"), col("n"))).as("n_base"),
+          max(when(!col("base"), col("n"))).as("n_cur"))
+      drift.join(cnts, Seq("label"))
+        .select(col("label").cast("long").as("label"),
+          col("n_base"), col("n_cur"),
+          round(col("drift6").cast("double") / lit(1000000.0), 6).as("drift_d2"))
+        .orderBy(col("label"))
+    }),
+
     // IVF index health report — the balance/quantization audit run
     // before an IVF index ships: per-cell population, load factor
     // (n·K/total — 1.0 is perfectly balanced; a hot cell defeats the
@@ -1463,6 +1511,38 @@ object Similarity {
         |SELECT vec_id, CAST(k AS BIGINT) AS cluster,
         |  round(d6 / 1000000.0, 6) AS d2
         |FROM fin ORDER BY vec_id""".stripMargin,
+
+    // snapshot split + integer-grid means with the non-negative-offset
+    // rounding identity; mg is MATERIALIZED (3 references)
+    "emb_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, unnest(range(len(embedding))) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT label, dim, (vec_id % 2 = 0) AS base,
+        |    CAST(floor(v * 1000 + 0.5) AS BIGINT) AS xg
+        |  FROM e
+        |), mg AS MATERIALIZED (
+        |  SELECT label, dim, base,
+        |    ((sum(xg) + count(*) * 1048576) * 2 + count(*)) // (count(*) * 2)
+        |      - 1048576 AS m,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY label, dim, base
+        |), d AS (
+        |  SELECT a.label, sum((a.m - b.m) * (a.m - b.m)) AS drift6
+        |  FROM mg a JOIN mg b ON a.label = b.label AND a.dim = b.dim
+        |    AND a.base AND NOT b.base
+        |  GROUP BY a.label
+        |), c AS (
+        |  SELECT label,
+        |    max(CASE WHEN base THEN n END) AS n_base,
+        |    max(CASE WHEN NOT base THEN n END) AS n_cur
+        |  FROM mg WHERE dim = 0 GROUP BY label
+        |)
+        |SELECT CAST(d.label AS BIGINT) AS label, c.n_base, c.n_cur,
+        |  round(CAST(drift6 AS DOUBLE) / 1000000.0, 6) AS drift_d2
+        |FROM d JOIN c USING (label) ORDER BY label""".stripMargin,
 
     // same kmeansCtes chain; the report doubles divide exact integers
     "emb_ivf_balance" ->

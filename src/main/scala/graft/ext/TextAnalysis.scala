@@ -505,6 +505,33 @@ object TextAnalysis {
     // 100 TB this is a pure map pass like the other text scores. Both
     // engines fold the same term order (sorted distinct chars); the only
     // cross-engine risk is a libm log2 ulp, absorbed by round(…,4).
+    // n-gram novelty scoring — the curation signal for ORDER-aware
+    // ingestion (WIMBD-style corpus analytics): what fraction of a
+    // document's distinct word 8-grams has never appeared in any
+    // EARLIER document (first occurrence = min doc_id over the corpus)?
+    // Boilerplate-heavy late arrivals score near 0, genuinely new
+    // content near 1. Scale shape: grams ride every exchange as 60-bit
+    // md5-derived keys, never strings (the dedup_substring collision
+    // bound: ~10^12 grams at 100 TB vs 2^60 key space); first-occurrence
+    // is a map-side-combinable min; the join back is narrow (key,
+    // first_doc). The per-doc ratio lands on the exact 1e-6 grid via
+    // pure-BIGINT ratioRoundInt.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.HashExpressions.word_shingles(col("text"), 8))
+            .as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gk"))
+      val first = grams.groupBy(col("gk")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, Seq("gk"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+        .withColumn("novelty", ratioRound(col("n_novel"), col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_entropy" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1285,6 +1312,37 @@ object TextAnalysis {
     // CharEntropy sees 0 code points, and NULL text must stay NULL on
     // both outputs — both spelled out as CASEs so the mirror holds for
     // every input, not just the testdata's non-empty strings
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), shng AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |        || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+        |        || ' ' || tk[i+7])) AS sh
+        |  FROM toks
+        |), g AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(x), 1, 15))::BIGINT AS gk
+        |  FROM shng, unnest(sh) t(x)
+        |), fst AS (
+        |  SELECT gk, min(doc_id) AS first_doc FROM g GROUP BY gk
+        |), agg AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM g JOIN fst f USING (gk) GROUP BY g.doc_id
+        |)
+        |SELECT doc_id, n_grams, n_novel,
+        |  CAST((n_novel * 2000000 + n_grams) // (n_grams * 2) AS DOUBLE)
+        |    / 1000000.0 AS novelty
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "text_entropy" ->
       """WITH c AS (
         |  SELECT doc_id, text, string_split(text, '') AS cs FROM documents)

@@ -1377,6 +1377,90 @@ class ExtensionSpec extends SparkSpecBase {
         s"decile 9 exact Jaccard not above decile $lowD — estimator uninformative")
   }
 
+  test("doremi: weights normalize, track excess, and mean excess is zero") {
+    val rows = SparkEntry.queries("pipe_doremi")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length >= 2, "need at least two domains to reweight")
+    val d = rows.length
+    rows.foreach { case (_, nDocs, nToks, nll, _, wu, wd) =>
+      assert(nDocs > 0 && nToks > 0 && nll > 0, "nll is a negated logprob")
+      assert(math.abs(wu - 1.0 / d) < 1e-6, "uniform baseline off")
+      assert(wd > 0 && wd < 1)
+    }
+    assert(math.abs(rows.map(_._7).sum - 1.0) < 1e-4, "doremi weights don't normalize")
+    // doc-weighted mean excess is 0 by construction
+    val meanExcess = rows.map(r => r._2.toDouble * r._5).sum / rows.map(_._2).sum
+    assert(math.abs(meanExcess) < 1e-4, s"doc-weighted excess $meanExcess != 0")
+    // the exponentiated-gradient step must preserve the excess ordering
+    val byExcess = rows.sortBy(_._5).map(_._7)
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "weight not monotone in excess")
+  }
+
+  test("pack stats: bins and mass reconcile with the pack assignment") {
+    val stats = SparkEntry.queries("pipe_pack_stats")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val pack = SparkEntry.queries("pipe_pack")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    val byLang = pack.groupBy(_._1)
+    assert(stats.keySet == byLang.keySet)
+    byLang.foreach { case (lang, g) =>
+      val (nDocs, toks, bins, ideal, fill) = stats(lang)
+      assert(nDocs == g.length, s"$lang doc count")
+      assert(toks == g.map(_._3).sum, s"$lang token mass")
+      val binsRe = g.groupBy(_._2).values.map(_.map(_._4).max + 1).sum
+      assert(bins == binsRe, s"$lang bins: $bins vs $binsRe")
+      val idealRe = g.groupBy(_._2).values.map(s => (s.map(_._3).sum + 511) / 512).sum
+      assert(ideal == idealRe, s"$lang ideal: $ideal vs $idealRe")
+      // greedy-by-start vs ceil(mass/512) differ by at most 1 per shard
+      // (a doc straddling the final boundary), in either direction
+      val nShards = g.map(_._2).distinct.length
+      assert(math.abs(bins - ideal) <= nShards, s"$lang bins=$bins ideal=$ideal")
+      assert(fill > 0 && fill <= 2.0, s"$lang fill $fill out of range")
+    }
+  }
+
+  test("ngram novelty: first copy scores 1, verbatim re-post scores 0") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val mixed = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"new$i")).mkString(" ")
+    val rows = Seq((1L, a), (2L, a), (3L, mixed))
+    val tmp = java.nio.file.Files.createTempDirectory("novel").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_ngram_novelty")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((13L, 13L, 1.0)), s"got ${out(1L)}")   // 20 words → 13 8-grams
+    assert(out(2L) == ((13L, 0L, 0.0)), s"got ${out(2L)}")    // verbatim re-post
+    val (n3, nov3, r3) = out(3L)
+    // doc 3 shares its first 3 8-grams (w1..w10 prefix) with doc 1
+    assert(n3 == 13L && nov3 == 10L && math.abs(r3 - 10.0 / 13) < 1e-4, s"got ${out(3L)}")
+  }
+
+  test("centroid drift: planted displacement is recovered exactly") {
+    import spark.implicits._
+    // label 0: baseline (even ids) at v0, current (odd ids) at v0 + 0.01
+    // per dim over 4 dims → per-dim grid displacement 10, drift6 = 400
+    val v0 = Seq(0.1f, 0.2f, -0.3f, 0.4f)
+    val v1 = v0.map(x => x + 0.01f)
+    val rows = (0L to 9L).map(i =>
+      (i, if (i % 2 == 0) v0 else v1, 0)) ++
+      (10L to 13L).map(i => (i, v0, 1)) // label 1: no drift
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("emb_centroid_drift")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((5L, 5L, 0.0004)), s"got ${out(0L)}")
+    assert(out(1L) == ((2L, 2L, 0.0)), s"got ${out(1L)}")
+  }
+
   test("phash dedup: identical payloads pair at Hamming 0, distinct ones never") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
