@@ -715,6 +715,48 @@ object Similarity {
         .orderBy(col("cluster"), col("rk"))
     }),
 
+    // Matryoshka truncation eval (Kusupati et al. 2022, arXiv:2205.13147
+    // — MRL): recall@5 of brute-force cosine over the PREFIX of each
+    // embedding (16 and 32 of 64 dims) against the full-dim truth — the
+    // measurement behind the standard cheap-prefilter design (search the
+    // truncated index, re-rank survivors full-width). A 64-dim row rides
+    // along as the self-consistency control (recall exactly 1.0). Scale
+    // shape: the ann_bruteforce plan per variant — broadcast 10-query
+    // set, one corpus pass each, per-query WindowGroupLimit top-k;
+    // truncation happens AT THE SCAN (slice before norm), so the 16-dim
+    // pass moves 4× fewer vector bytes — the point of MRL.
+    "emb_matryoshka_eval" -> ((s, dir) => {
+      def topK(d: Int): DataFrame = {
+        val emb = t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .select(col("vec_id"), slice(col("embedding"), 1, d).as("v"))
+          .withColumn("nrm", l2norm(col("v")))
+        val q = broadcast(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
+            col("nrm").as("q_nrm")))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        emb.filter(col("vec_id") >= 10).crossJoin(q)
+          .select(col("q_id"), col("vec_id"),
+            cosineWithNorms(col("q_vec"), col("v"),
+              col("q_nrm"), col("nrm")).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("vec_id"))
+      }
+      val truth = bruteForceTopK(s, dir, qMax = 10, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      def row(d: Int) =
+        truth.join(topK(d).withColumn("hit", lit(1L)),
+            Seq("q_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(d.toLong).as("dim"), col("n_truth"), col("n_hit"),
+            TextAnalysis.ratioRound(col("n_hit"),
+              greatest(col("n_truth"), lit(1L)), 6).as("recall"))
+      row(16).unionAll(row(32)).unionAll(row(64)).orderBy(col("dim"))
+    }),
+
     // embedding drift monitor — per-label centroid displacement between
     // two corpus snapshots (baseline = even vec_ids, current = odd):
     // the audit that catches an embedding-model change or upstream
@@ -1511,6 +1553,41 @@ object Similarity {
         |SELECT vec_id, CAST(k AS BIGINT) AS cluster,
         |  round(d6 / 1000000.0, 6) AS d2
         |FROM fin ORDER BY vec_id""".stripMargin,
+
+    // prefix-sliced cosine per variant against the full-dim truth;
+    // the integer recall identity mirrors ann_recall_eval
+    "emb_matryoshka_eval" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), truth AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rk
+        |    FROM e c CROSS JOIN e q WHERE c.vec_id >= 10 AND q.vec_id < 10)
+        |  WHERE rk <= 5
+        |), dims AS (SELECT unnest([16, 32, 64]) AS d
+        |), trunc AS (
+        |  SELECT d, q_id, vec_id FROM (
+        |    SELECT dims.d, q.vec_id AS q_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY dims.d, q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v[1:dims.d], c.v[1:dims.d])
+        |          DESC, c.vec_id) AS rk
+        |    FROM e c CROSS JOIN e q CROSS JOIN dims
+        |    WHERE c.vec_id >= 10 AND q.vec_id < 10)
+        |  WHERE rk <= 5
+        |), evalr AS (
+        |  SELECT dims.d AS d, CAST(count(*) AS BIGINT) AS n_truth,
+        |    CAST(count(x.vec_id) AS BIGINT) AS n_hit
+        |  FROM dims CROSS JOIN truth t
+        |  LEFT JOIN trunc x ON x.d = dims.d AND x.q_id = t.q_id
+        |    AND x.vec_id = t.vec_id
+        |  GROUP BY dims.d
+        |)
+        |SELECT CAST(d AS BIGINT) AS dim, n_truth, n_hit,
+        |  CAST((2 * n_hit * 1000000 + greatest(n_truth, 1))
+        |    // (2 * greatest(n_truth, 1)) AS DOUBLE) / 1000000.0 AS recall
+        |FROM evalr ORDER BY dim""".stripMargin,
 
     // snapshot split + integer-grid means with the non-negative-offset
     // rounding identity; mg is MATERIALIZED (3 references)

@@ -81,6 +81,54 @@ object Warehouse {
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     }),
 
+    // data-quality constraint validation — the dbt-test / expectations
+    // battery a warehouse gates loads on: referential integrity (anti
+    // probe via left join + null count, one pass per FK), primary-key
+    // uniqueness (count − distinct, no Expand: single distinct each),
+    // domain ranges, and NOT NULL — each check one independent
+    // aggregation (pruned to its own columns at the parquet footer),
+    // unioned into a 6-row report. The dimension side of each FK check
+    // is its distinct key set (at 100 TB that side is the dimension
+    // table — broadcast-sized by definition of a dimension).
+    "q_constraint_check" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def report(name: String, agged: DataFrame): DataFrame =
+        agged.select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"), (col("n_violations") === 0L).as("ok"))
+      val fkOrders = report("fk_orders_custkey",
+        ord.select(col("o_custkey"))
+          .join(cust.select(col("c_custkey").as("o_custkey")).distinct()
+            .withColumn("ex", lit(1)), Seq("o_custkey"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            count(when(col("ex").isNull, lit(1))).as("n_violations")))
+      val fkLine = report("fk_lineitem_orderkey",
+        li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey").as("l_orderkey")).distinct()
+            .withColumn("ex", lit(1)), Seq("l_orderkey"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            count(when(col("ex").isNull, lit(1))).as("n_violations")))
+      val pkCust = report("pk_customer_unique",
+        cust.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_violations")))
+      val qtyRange = report("range_lineitem_quantity",
+        li.agg(count(lit(1)).as("n_checked"),
+          count(when(col("l_quantity") <= 0 || col("l_quantity") > 60, lit(1)))
+            .as("n_violations")))
+      val dateRange = report("range_orders_orderdate",
+        ord.agg(count(lit(1)).as("n_checked"),
+          count(when(!col("o_orderdate").cast("date")
+            .between(lit("1995-01-01"), lit("2001-12-31")), lit(1)))
+            .as("n_violations")))
+      val nnBal = report("notnull_customer_acctbal",
+        cust.agg(count(lit(1)).as("n_checked"),
+          count(when(col("c_acctbal").isNull, lit(1))).as("n_violations")))
+      fkOrders.unionAll(fkLine).unionAll(pkCust).unionAll(qtyRange)
+        .unionAll(dateRange).unionAll(nnBal)
+        .orderBy(col("check_name"))
+    }),
+
     // per-column profile over lineitem: 4 pruned single-column passes
     "q_data_profile" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -112,6 +160,47 @@ object Warehouse {
         |  (lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
         |FROM c ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q_constraint_check" ->
+      """SELECT * FROM (
+        |  SELECT 'fk_orders_custkey' AS check_name,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+        |      AS n_violations,
+        |    count(CASE WHEN c.c_custkey IS NULL THEN 1 END) = 0 AS ok
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orderkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN k.o_orderkey IS NULL THEN 1 END) AS BIGINT),
+        |    count(CASE WHEN k.o_orderkey IS NULL THEN 1 END) = 0
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+        |    ON l.l_orderkey = k.o_orderkey
+        |  UNION ALL
+        |  SELECT 'pk_customer_unique', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+        |    count(*) - count(DISTINCT c_custkey) = 0
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'range_lineitem_quantity', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN l_quantity <= 0 OR l_quantity > 60 THEN 1 END)
+        |      AS BIGINT),
+        |    count(CASE WHEN l_quantity <= 0 OR l_quantity > 60 THEN 1 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range_orders_orderdate', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN CAST(o_orderdate AS DATE)
+        |      NOT BETWEEN DATE '1995-01-01' AND DATE '2001-12-31' THEN 1 END)
+        |      AS BIGINT),
+        |    count(CASE WHEN CAST(o_orderdate AS DATE)
+        |      NOT BETWEEN DATE '1995-01-01' AND DATE '2001-12-31' THEN 1 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'notnull_customer_acctbal', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN c_acctbal IS NULL THEN 1 END) AS BIGINT),
+        |    count(CASE WHEN c_acctbal IS NULL THEN 1 END) = 0
+        |  FROM customer
+        |) ORDER BY check_name""".stripMargin,
 
     "q_data_profile" ->
       """SELECT * FROM (

@@ -1442,6 +1442,21 @@ class ExtensionSpec extends SparkSpecBase {
     assert(n3 == 13L && nov3 == 10L && math.abs(r3 - 10.0 / 13) < 1e-4, s"got ${out(3L)}")
   }
 
+  test("matryoshka eval: full-dim control is exact, truncation loses recall") {
+    val rows = SparkEntry.queries("emb_matryoshka_eval")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(16L, 32L, 64L))
+    rows.foreach { case (_, nTruth, nHit, recall) =>
+      assert(nTruth == 50L, "10 queries x top-5 truth")
+      assert(nHit >= 0 && nHit <= nTruth)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    val byDim = rows.map(r => r._1 -> r._4).toMap
+    assert(byDim(64L) == 1.0, "the 64-dim control must recover the truth exactly")
+    assert(byDim(16L) < 1.0, "16-of-64 truncation losing nothing would mean " +
+      "the eval compares the wrong frames")
+  }
+
   test("centroid drift: planted displacement is recovered exactly") {
     import spark.implicits._
     // label 0: baseline (even ids) at v0, current (odd ids) at v0 + 0.01

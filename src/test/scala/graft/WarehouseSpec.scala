@@ -167,6 +167,34 @@ class WarehouseSpec extends SparkSpecBase {
     assert(nSrc > 0 && nSrc < nTot) // some real values, some real NULLs
   }
 
+  test("q_constraint_check: planted violations are counted exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cons").toString
+    // customer: dup key 1, one null acctbal
+    Seq((1L, Some(10.0)), (1L, Some(20.0)), (2L, None), (3L, Some(5.0)))
+      .toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    // orders: custkey 99 is an orphan; one date out of range
+    Seq((100L, 1L, "1996-05-01"), (101L, 99L, "1996-06-01"),
+      (102L, 2L, "1980-01-01"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // lineitem: orderkey 999 orphan; one zero and one oversize quantity
+    Seq((100L, 5.0), (999L, 10.0), (100L, 0.0), (101L, 61.0))
+      .toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = SparkEntry.queries("q_constraint_check")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("pk_customer_unique") == ((4L, 1L, false)))
+    assert(out("notnull_customer_acctbal") == ((4L, 1L, false)))
+    assert(out("fk_orders_custkey") == ((3L, 1L, false)))
+    assert(out("range_orders_orderdate") == ((3L, 1L, false)))
+    assert(out("fk_lineitem_orderkey") == ((4L, 1L, false)))
+    assert(out("range_lineitem_quantity") == ((4L, 2L, false)))
+  }
+
   test("q_stream_topk: per-hour ranks dense, counts non-increasing") {
     val rows = SparkEntry.queries("q_stream_topk")(spark, sfDir).collect()
     assert(rows.nonEmpty)
