@@ -233,7 +233,7 @@ object ScaleProbe {
       "dedup_incremental_minhash", "dedup_minhash_calibration",
       "pipe_sft_pack", "emb_ivf_balance", "mm_phash_dedup",
       "pipe_doremi", "pipe_pack_stats", "text_ngram_novelty",
-      "emb_centroid_drift", "emb_matryoshka_eval",
+      "emb_centroid_drift", "emb_matryoshka_eval", "text_bpe_fertility",
       // streaming rows on the replicated events shard: the replay
       // chunking, watermark trajectory and state machinery at 10M
       // events (the shuffle metric covers only the post-drain

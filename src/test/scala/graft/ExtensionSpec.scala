@@ -1457,6 +1457,24 @@ class ExtensionSpec extends SparkSpecBase {
       "the eval compares the wrong frames")
   }
 
+  test("bpe fertility: merge collapses the merged language only") {
+    import spark.implicits._
+    // global top pair is 'a b' (mass 3); it merges lang aa's only word
+    // to one symbol while lang bb's word stays fully shattered
+    val rows = Seq((1L, "ab ab ab", "aa"), (2L, "xyz", "bb"))
+    val tmp = java.nio.file.Files.createTempDirectory("fert").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_bpe_fertility")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("aa") == ((1L, 3L, 3L, 6L, 1.0, 2.0)), s"got ${out("aa")}")
+    assert(out("bb") == ((1L, 1L, 3L, 3L, 3.0, 1.0)), s"got ${out("bb")}")
+  }
+
   test("centroid drift: planted displacement is recovered exactly") {
     import spark.implicits._
     // label 0: baseline (even ids) at v0, current (odd ids) at v0 + 0.01
