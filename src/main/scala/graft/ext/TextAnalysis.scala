@@ -644,6 +644,30 @@ object TextAnalysis {
     // never flip a hash.
     "text_bm25" -> ((s, dir) => bm25TopK(s, dir, 10)),
 
+    // known-item retrieval eval — the self-retrieval check every
+    // search index ships with: each query is derived FROM a known
+    // document (its first 5 words — exactly bm25TopK's query set), so
+    // that document is the ground-truth answer and its rank is the
+    // metric. Per query: the source doc's rank in BM25 top-20 (0 if
+    // missed), reciprocal rank as exact BIGINT 10^6 div rank (MRR =
+    // mean of rr_u6 — derivable, order-immune), and hit@1/@k flags.
+    // Near-dup replicas can legitimately tie the source's score; the
+    // deterministic doc_id tiebreak keeps both engines agreeing. Scale
+    // shape: the probed BM25 plan + a (queries × k)-row self-join.
+    "text_retrieval_eval" -> ((s, dir) => {
+      val ranked = bm25TopK(s, dir, 20)
+      val qs = t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"))
+      qs.join(ranked.filter(col("doc_id") === col("q_id"))
+          .select(col("q_id"), col("rk")), Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("rk"), lit(0L)).as("self_rank"),
+          coalesce(expr("1000000 div rk"), lit(0L)).as("rr_u6"),
+          coalesce(col("rk") === 1L, lit(false)).as("hit_top1"),
+          col("rk").isNotNull.as("hit_topk"))
+        .orderBy(col("q_id"))
+    }),
+
     // hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009,
     // k=60) of the two ranking systems this engine already runs: BM25
     // over the documents postings and brute-force cosine over the
@@ -1461,6 +1485,18 @@ object TextAnalysis {
     // every fractional literal is CAST to DOUBLE: DuckDB would otherwise
     // type them DECIMAL and take an exact-decimal route to a DIFFERENT
     // double than Spark's all-double arithmetic (2.2 is not binary-exact)
+    // same scored chain BY REFERENCE; self-rank within top-20
+    "text_retrieval_eval" -> (bm25OracleCtes +
+      """, self AS (
+        |  SELECT q_id, rk FROM scored WHERE doc_id = q_id AND rk <= 20
+        |), qs AS (SELECT doc_id AS q_id FROM documents WHERE doc_id < 5)
+        |SELECT q.q_id,
+        |  CAST(coalesce(s.rk, 0) AS BIGINT) AS self_rank,
+        |  CAST(coalesce(1000000 // s.rk, 0) AS BIGINT) AS rr_u6,
+        |  coalesce(s.rk = 1, false) AS hit_top1,
+        |  s.rk IS NOT NULL AS hit_topk
+        |FROM qs q LEFT JOIN self s USING (q_id) ORDER BY q.q_id""".stripMargin),
+
     "text_bm25" -> (bm25OracleCtes + """
         |SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id,
         |  CAST(score_u6 AS BIGINT) AS score_u6

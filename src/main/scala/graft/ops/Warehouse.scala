@@ -129,6 +129,54 @@ object Warehouse {
         .orderBy(col("check_name"))
     }),
 
+    // CDC / MERGE INTO application — the lakehouse write path: apply a
+    // change feed (inserts, updates, deletes, possibly several ops per
+    // key) to a base snapshot with latest-op-wins semantics, then
+    // summarize the resulting snapshot. Feed construction is synthetic
+    // but the MERGE itself is the real shape: one per-key window over
+    // the FEED (change-batch-sized, never snapshot-sized) picks each
+    // key's final op, one full-outer join applies it — exactly what a
+    // Delta/Iceberg MERGE compiles to. Base = orderkey % 3 ≠ 0;
+    // updates flip status to 'U' for % 5 keys, deletes remove % 7 keys
+    // (keys hit by both take the later delete), inserts add the % 3
+    // keys. Output: per-status row count + exact cent-grid price mass
+    // of the post-merge snapshot.
+    "q_cdc_apply" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val base = ord.filter(col("o_orderkey") % 3 =!= 0)
+      val k = col("o_orderkey")
+      val feed = ord.filter(k % 3 =!= 0 && k % 5 === 0)
+          .select(k, lit("U").as("status"), col("o_totalprice"),
+            lit("U").as("op"), lit(1L).as("seq"))
+        .unionAll(ord.filter(k % 3 =!= 0 && k % 7 === 0)
+          .select(k, col("o_orderstatus"), col("o_totalprice"),
+            lit("D").as("op"), lit(2L).as("seq")))
+        .unionAll(ord.filter(k % 3 === 0)
+          .select(k, col("o_orderstatus"), col("o_totalprice"),
+            lit("I").as("op"), lit(3L).as("seq")))
+      val wk = Window.partitionBy(col("o_orderkey")).orderBy(col("seq").desc)
+      val last = feed.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") === 1).drop("rn", "seq")
+      base.select(col("o_orderkey"),
+          col("o_orderstatus").as("b_status"), col("o_totalprice").as("b_price"))
+        .join(last.select(col("o_orderkey"), col("status").as("f_status"),
+          col("o_totalprice").as("f_price"), col("op")),
+          Seq("o_orderkey"), "full_outer")
+        .filter(coalesce(col("op"), lit("-")) =!= "D")
+        .select(
+          when(col("op") === "U", col("f_status"))
+            .when(col("op") === "I", col("f_status"))
+            .otherwise(col("b_status")).as("status"),
+          when(col("op") === "I", col("f_price"))
+            .otherwise(col("b_price")).as("price"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("price").cast("double") * 100).cast("long"))
+            .as("price_cents"))
+        .orderBy(col("status"))
+    }),
+
     // per-column profile over lineitem: 4 pruned single-column passes
     "q_data_profile" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -160,6 +208,38 @@ object Warehouse {
         |  (lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
         |FROM c ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 <> 0
+        |), feed AS (
+        |  SELECT o_orderkey, 'U' AS status, o_totalprice, 'U' AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'I', 3
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), last AS (
+        |  SELECT o_orderkey, status AS f_status, o_totalprice AS f_price, op
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |          ORDER BY seq DESC) AS rn FROM feed)
+        |  WHERE rn = 1
+        |), merged AS (
+        |  SELECT
+        |    CASE WHEN l.op IN ('U', 'I') THEN l.f_status
+        |         ELSE b.o_orderstatus END AS status,
+        |    CASE WHEN l.op = 'I' THEN l.f_price
+        |         ELSE b.o_totalprice END AS price
+        |  FROM base b FULL OUTER JOIN last l USING (o_orderkey)
+        |  WHERE coalesce(l.op, '-') <> 'D'
+        |)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(CAST(price AS DOUBLE) * 100) AS BIGINT))
+        |    AS BIGINT) AS price_cents
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
 
     "q_constraint_check" ->
       """SELECT * FROM (

@@ -1457,6 +1457,45 @@ class ExtensionSpec extends SparkSpecBase {
       "the eval compares the wrong frames")
   }
 
+  test("retrieval eval: known-item metrics are internally consistent") {
+    val rows = SparkEntry.queries("text_retrieval_eval")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq == (0L to 4L).toSeq)
+    rows.foreach { case (q, rank, rr, h1, hk) =>
+      if (rank > 0) {
+        assert(rr == 1000000L / rank, s"q$q rr/rank mismatch")
+        assert(hk, s"q$q ranked but not flagged hit")
+        assert(h1 == (rank == 1L))
+      } else {
+        assert(rr == 0L && !h1 && !hk, s"q$q missed but metrics nonzero")
+      }
+    }
+    // NOTE: the bundled corpus draws every doc from one tiny shared
+    // vocabulary, so a 5-common-word query is non-discriminative and
+    // misses are legitimate (sf0.01 hits 2/5) — recall is asserted on
+    // the discriminative fixture below, not here
+  }
+
+  test("retrieval eval: discriminative vocabulary gives perfect known-item recall") {
+    import spark.implicits._
+    // each doc has a unique vocabulary — its own 5-word query can only
+    // match it, so BM25 MUST return every source at rank 1
+    val rows = (0L to 6L).map(i =>
+      (i, (1 to 20).map(j => s"uniq${i}w$j").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("ksearch").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_retrieval_eval")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(out.length == 5)
+    out.foreach { case (q, rank, h1) =>
+      assert(rank == 1L && h1, s"query $q missed its own unique document: $rank")
+    }
+  }
+
   test("bpe fertility: merge collapses the merged language only") {
     import spark.implicits._
     // global top pair is 'a b' (mass 3); it merges lang aa's only word

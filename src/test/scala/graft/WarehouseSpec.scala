@@ -195,6 +195,20 @@ class WarehouseSpec extends SparkSpecBase {
     assert(out("range_lineitem_quantity") == ((4L, 2L, false)))
   }
 
+  test("q_cdc_apply: latest-op-wins merge on a planted feed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    // keys 1..21, all status O, price 10.0: base = non-%3 (14 rows);
+    // updates %5 → {5,10,20}; deletes %7 → {7,14}; inserts %3 (7 rows)
+    (1L to 21L).map(k => (k, "O", 10.0)).toDF(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = SparkEntry.queries("q_cdc_apply")(spark, tmp)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // O: 14 base − 3 updated − 2 deleted + 7 inserted = 16; U: 3
+    assert(out == Map("O" -> ((16L, 16000L)), "U" -> ((3L, 3000L))), s"got $out")
+  }
+
   test("q_stream_topk: per-hour ranks dense, counts non-increasing") {
     val rows = SparkEntry.queries("q_stream_topk")(spark, sfDir).collect()
     assert(rows.nonEmpty)
