@@ -715,6 +715,31 @@ object Similarity {
         .orderBy(col("cluster"), col("rk"))
     }),
 
+    // clustering-quality eval — label purity per k-means cluster: the
+    // majority true label's share of each cluster (the external
+    // validation a clustering used for curation/mixing must pass before
+    // its cells are trusted as strata). Shares the Lloyd assignment BY
+    // REFERENCE with emb_kmeans / dedup_semantic / emb_ivf_balance, so
+    // the clustering under eval is the one that ships. Scale shape:
+    // one labels join + a groupBy to ≤ K×labels cells; the majority
+    // argmax is a window over that CELL frame (K×labels rows), never
+    // the corpus; purity on the exact 1e-6 grid.
+    "emb_cluster_purity" -> ((s, dir) => {
+      val a = kmeansAssignGrid(s, dir).select(col("vec_id"), col("k"))
+        .join(t(s, dir, "embeddings").select(col("vec_id"), col("label")),
+          "vec_id")
+      val cells = a.groupBy(col("k"), col("label")).agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("k")).agg(sum(col("n")).as("n_cluster"))
+      val w = Window.partitionBy(col("k")).orderBy(col("n").desc, col("label"))
+      cells.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(tot, Seq("k"))
+        .select(col("k").cast("long").as("cluster"), col("n_cluster"),
+          col("label").cast("long").as("majority_label"),
+          col("n").as("n_majority"),
+          TextAnalysis.ratioRound(col("n"), col("n_cluster"), 6).as("purity"))
+        .orderBy(col("cluster"))
+    }),
+
     // Matryoshka truncation eval (Kusupati et al. 2022, arXiv:2205.13147
     // — MRL): recall@5 of brute-force cosine over the PREFIX of each
     // embedding (16 and 32 of 64 dims) against the full-dim truth — the
@@ -1553,6 +1578,30 @@ object Similarity {
         |SELECT vec_id, CAST(k AS BIGINT) AS cluster,
         |  round(d6 / 1000000.0, 6) AS d2
         |FROM fin ORDER BY vec_id""".stripMargin,
+
+    // same kmeansCtes chain + the labels join; the majority window
+    // runs over the cell frame only
+    "emb_cluster_purity" ->
+      s"""WITH $kmeansCtes,
+        |al AS (
+        |  SELECT f.vec_id, f.k, e.label
+        |  FROM fin f JOIN embeddings e USING (vec_id)
+        |), cells AS (
+        |  SELECT k, label, CAST(count(*) AS BIGINT) AS n
+        |  FROM al GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT k, CAST(sum(n) AS BIGINT) AS n_cluster FROM cells GROUP BY 1
+        |), mj AS (
+        |  SELECT k, label, n FROM (
+        |    SELECT k, label, n, row_number() OVER (PARTITION BY k
+        |      ORDER BY n DESC, label) AS rn FROM cells)
+        |  WHERE rn = 1
+        |)
+        |SELECT CAST(m.k AS BIGINT) AS cluster, t.n_cluster,
+        |  CAST(m.label AS BIGINT) AS majority_label, m.n AS n_majority,
+        |  CAST((2 * m.n * 1000000 + t.n_cluster) // (2 * t.n_cluster)
+        |    AS DOUBLE) / 1000000.0 AS purity
+        |FROM mj m JOIN tot t USING (k) ORDER BY cluster""".stripMargin,
 
     // prefix-sliced cosine per variant against the full-dim truth;
     // the integer recall identity mirrors ann_recall_eval

@@ -107,22 +107,25 @@ object TextAnalysis {
         .orderBy(col("doc_id"))),
 
     // language ID: argmax of per-language stopword density
-    "text_langid" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val scores = Seq(
-        "en" -> stopwordHits(col("text"), stopEn),
-        "es" -> stopwordHits(col("text"), stopEs),
-        "de" -> stopwordHits(col("text"), stopDe),
-        "fr" -> stopwordHits(col("text"), stopFr))
-      d.select(
-        Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
-          scores.map { case (l, sc) => sc.cast("long").as(s"hits_$l") }: _*)
-        .withColumn("pred_lang",
-          when(greatest(col("hits_es"), col("hits_de"), col("hits_fr")) <= col("hits_en"), "en")
-            .when(greatest(col("hits_de"), col("hits_fr")) <= col("hits_es"), "es")
-            .when(col("hits_fr") <= col("hits_de"), "de")
-            .otherwise("fr"))
-        .orderBy(col("doc_id"))
+    "text_langid" -> ((s, dir) => langidFrame(s, dir).orderBy(col("doc_id"))),
+
+    // language-ID accuracy eval — the confusion matrix + per-class
+    // recall the langid heuristic is actually judged by, against the
+    // corpus's own lang labels (the same frame text_langid ships, BY
+    // REFERENCE — classifier and eval cannot drift). Each confusion
+    // cell carries its share of the true language's documents (the
+    // diagonal cell's share IS per-class recall) on the exact 1e-6
+    // grid. Scale shape: one per-row classification pass, map-side
+    // combined to a ≤ langs² cell frame, marginals joined langs-sized.
+    "text_langid_eval" -> ((s, dir) => {
+      val conf = langidFrame(s, dir)
+        .groupBy(col("labeled_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = conf.groupBy(col("labeled_lang")).agg(sum(col("n")).as("n_true"))
+      conf.join(tot, Seq("labeled_lang"))
+        .select(col("labeled_lang"), col("pred_lang"), col("n"),
+          ratioRound(col("n"), col("n_true"), 6).as("share"))
+        .orderBy(col("labeled_lang"), col("pred_lang"))
     }),
 
     // token counting: whitespace tokens vs BPE-ish subword pieces
@@ -989,11 +992,54 @@ object TextAnalysis {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Per-doc language-ID frame (doc_id, labeled_lang, hits_*, pred_lang):
+    * the n-gram/stopword-heuristic classifier — shared by text_langid
+    * (per-doc output) and text_langid_eval (confusion matrix), so the
+    * classifier under eval is the one that ships. */
+  private def langidFrame(s: SparkSession, dir: String): DataFrame = {
+    val scores = Seq(
+      "en" -> stopwordHits(col("text"), stopEn),
+      "es" -> stopwordHits(col("text"), stopEs),
+      "de" -> stopwordHits(col("text"), stopDe),
+      "fr" -> stopwordHits(col("text"), stopFr))
+    t(s, dir, "documents").select(
+        Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+          scores.map { case (l, sc) => sc.cast("long").as(s"hits_$l") }: _*)
+      .withColumn("pred_lang",
+        when(greatest(col("hits_es"), col("hits_de"), col("hits_fr")) <= col("hits_en"), "en")
+          .when(greatest(col("hits_de"), col("hits_fr")) <= col("hits_es"), "es")
+          .when(col("hits_fr") <= col("hits_de"), "de")
+          .otherwise("fr"))
+  }
+
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
         x => length(x) > 0)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  /** Language-ID oracle chain through `pred` (doc_id, labeled_lang,
+    * hits_*, pred_lang) — shared by text_langid and text_langid_eval. */
+  private val langidOracleCtes: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    CAST(length(regexp_extract_all(lower(text),
+      |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS BIGINT) AS hits_en,
+      |    CAST(length(regexp_extract_all(lower(text),
+      |      '\b(el|la|de|que|y|en|un|una|es|por)\b')) AS BIGINT) AS hits_es,
+      |    CAST(length(regexp_extract_all(lower(text),
+      |      '\b(der|die|das|und|ist|von|mit|ein|zu|den)\b')) AS BIGINT) AS hits_de,
+      |    CAST(length(regexp_extract_all(lower(text),
+      |      '\b(le|la|les|de|et|un|une|est|que|pour)\b')) AS BIGINT) AS hits_fr
+      |  FROM documents
+      |), pred AS (
+      |  SELECT doc_id, labeled_lang, hits_en, hits_es, hits_de, hits_fr,
+      |    CASE WHEN greatest(hits_es, hits_de, hits_fr) <= hits_en THEN 'en'
+      |         WHEN greatest(hits_de, hits_fr) <= hits_es THEN 'es'
+      |         WHEN hits_fr <= hits_de THEN 'de'
+      |         ELSE 'fr' END AS pred_lang
+      |  FROM h
+      |)""".stripMargin
 
   /** The BM25 oracle CTE chain through `scored` (q_id, doc_id,
     * score_u6, rk) — shared by the text_bm25 and text_rrf_fusion
@@ -1121,25 +1167,26 @@ object TextAnalysis {
         |  $gopherPassCond AS passes_gopher
         |FROM m ORDER BY doc_id""".stripMargin),
 
-    "text_langid" ->
-      """WITH h AS (
-        |  SELECT doc_id, lang AS labeled_lang,
-        |    CAST(length(regexp_extract_all(lower(text),
-        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS BIGINT) AS hits_en,
-        |    CAST(length(regexp_extract_all(lower(text),
-        |      '\b(el|la|de|que|y|en|un|una|es|por)\b')) AS BIGINT) AS hits_es,
-        |    CAST(length(regexp_extract_all(lower(text),
-        |      '\b(der|die|das|und|ist|von|mit|ein|zu|den)\b')) AS BIGINT) AS hits_de,
-        |    CAST(length(regexp_extract_all(lower(text),
-        |      '\b(le|la|les|de|et|un|une|est|que|pour)\b')) AS BIGINT) AS hits_fr
-        |  FROM documents
-        |)
+    "text_langid" -> (langidOracleCtes +
+      """
         |SELECT doc_id, labeled_lang, hits_en, hits_es, hits_de, hits_fr,
-        |  CASE WHEN greatest(hits_es, hits_de, hits_fr) <= hits_en THEN 'en'
-        |       WHEN greatest(hits_de, hits_fr) <= hits_es THEN 'es'
-        |       WHEN hits_fr <= hits_de THEN 'de'
-        |       ELSE 'fr' END AS pred_lang
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |  pred_lang
+        |FROM pred ORDER BY doc_id""".stripMargin),
+
+    // same pred chain BY REFERENCE; diagonal share = per-class recall
+    "text_langid_eval" -> (langidOracleCtes +
+      """, conf AS (
+        |  SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS n_true
+        |  FROM conf GROUP BY 1
+        |)
+        |SELECT c.labeled_lang, c.pred_lang, c.n,
+        |  CAST((2 * c.n * 1000000 + t.n_true) // (2 * t.n_true) AS DOUBLE)
+        |    / 1000000.0 AS share
+        |FROM conf c JOIN tot t USING (labeled_lang)
+        |ORDER BY c.labeled_lang, c.pred_lang""".stripMargin),
 
     "text_tokens" ->
       """SELECT doc_id,

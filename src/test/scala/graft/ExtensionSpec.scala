@@ -1496,6 +1496,46 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("langid eval: confusion cells reconcile with the per-doc classifier") {
+    val perDoc = SparkEntry.queries("text_langid")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getString(6)))
+    val cells = SparkEntry.queries("text_langid_eval")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val expected = perDoc.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(cells.keySet == expected.keySet, "cell set drifted from the classifier")
+    val byTrue = perDoc.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    cells.foreach { case ((t0, p0), (n, share)) =>
+      assert(n == expected((t0, p0)), s"cell ($t0,$p0) count off")
+      assert(math.abs(share - n.toDouble / byTrue(t0)) < 1e-6, s"cell ($t0,$p0) share off")
+    }
+    // shares per true language sum to 1 (within the 1e-6 grid)
+    cells.groupBy(_._1._1).foreach { case (t0, g) =>
+      assert(math.abs(g.values.map(_._2).sum - 1.0) < 1e-4, s"$t0 shares don't sum to 1")
+    }
+  }
+
+  test("cluster purity: majority accounting reconciles with the assignment") {
+    val purity = SparkEntry.queries("emb_cluster_purity")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val assigned = SparkEntry.queries("emb_kmeans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.engine.Engine.table(spark, sfDir, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val byCluster = assigned.groupBy(_._2)
+    assert(purity.keySet == byCluster.keySet)
+    byCluster.foreach { case (c, members) =>
+      val (nC, majLabel, nMaj, p) = purity(c)
+      assert(nC == members.length.toLong, s"cluster $c size off")
+      val counts = members.map(m => labels(m._1)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val expMaj = counts.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert((majLabel, nMaj) == expMaj, s"cluster $c majority off")
+      assert(math.abs(p - nMaj.toDouble / nC) < 1e-6, s"cluster $c purity off")
+    }
+  }
+
   test("bpe fertility: merge collapses the merged language only") {
     import spark.implicits._
     // global top pair is 'a b' (mass 3); it merges lang aa's only word
