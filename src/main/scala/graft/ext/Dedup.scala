@@ -316,11 +316,11 @@ object Dedup {
       val shS = shard.repartition(par, col("doc_id"))
         .select(col("doc_id").as("s_id"), shingles(col("text")).as("sh_s"))
         .filter(size(col("sh_s")) > 0)
-        .join(cands.select(col("s_id")).distinct(), Seq("s_id"), "leftsemi")
+        .join(cands.select(col("s_id")), Seq("s_id"), "leftsemi")
       val shC = corpus.repartition(par, col("doc_id"))
         .select(col("doc_id").as("c_id"), shingles(col("text")).as("sh_c"))
         .filter(size(col("sh_c")) > 0)
-        .join(cands.select(col("c_id")).distinct(), Seq("c_id"), "leftsemi")
+        .join(cands.select(col("c_id")), Seq("c_id"), "leftsemi")
       val dupOf = cands
         .join(shS, "s_id").join(shC, "c_id")
         .select(col("s_id"), col("c_id"),
@@ -402,12 +402,20 @@ object Dedup {
         .groupBy(least(lit(9L), expr("(n_agree * 10) div 64"))
           .cast("long").as("est_decile"))
         .agg(count(lit(1)).as("n_pairs"),
-          round(sum(col("n_agree")).cast("double") /
-            (count(lit(1)).cast("double") * lit(64.0)), 6).as("mean_est"),
-          round(sum(col("j6")).cast("double") /
-            (count(lit(1)).cast("double") * lit(1000000.0)), 6).as("mean_j"),
+          sum(col("n_agree")).as("sum_agree"), sum(col("j6")).as("sum_j6"),
           round(min(col("j6")).cast("double") / lit(1000000.0), 6).as("min_j"),
           round(max(col("j6")).cast("double") / lit(1000000.0), 6).as("max_j"))
+        // the two means are exact integer ratios — round them on the
+        // pure-BIGINT identity, NOT with round(): a bucket whose ratio
+        // terminates exactly at the grid boundary (e.g. 249/(2·10⁶))
+        // flips between Spark's decimal HALF_UP and DuckDB's
+        // binary-double round (the ratioRound scaladoc hazard)
+        .select(col("est_decile"), col("n_pairs"),
+          TextAnalysis.ratioRound(col("sum_agree"), col("n_pairs") * 64L, 6)
+            .as("mean_est"),
+          (TextAnalysis.ratioRoundInt(col("sum_j6"), col("n_pairs"), 0)
+            .cast("double") / lit(1000000.0)).as("mean_j"),
+          col("min_j"), col("max_j"))
         .orderBy(col("est_decile"))
     }),
 
@@ -799,8 +807,10 @@ object Dedup {
         |)
         |SELECT CAST(est_decile AS BIGINT) AS est_decile,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  round(CAST(sum(n_agree) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 64.0), 6) AS mean_est,
-        |  round(CAST(sum(j6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_j,
+        |  CAST((2 * sum(n_agree) * 1000000 + count(*) * 64)
+        |    // (2 * count(*) * 64) AS DOUBLE) / 1000000.0 AS mean_est,
+        |  CAST((2 * sum(j6) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1000000.0 AS mean_j,
         |  round(CAST(min(j6) AS DOUBLE) / 1000000.0, 6) AS min_j,
         |  round(CAST(max(j6) AS DOUBLE) / 1000000.0, 6) AS max_j
         |FROM graded GROUP BY est_decile ORDER BY est_decile""".stripMargin),

@@ -198,11 +198,17 @@ object Multimodal {
     // deployment widens to multi-index Hamming (more bands over wider
     // keys); the shape of the join is unchanged.
     "mm_phash_dedup" -> ((s, dir) => {
+      // token-free or NULL payloads carry no perceptual signal and
+      // would all collapse onto fp = 0 (pairing every such blob with
+      // every other at Hamming 0) — exclude them on BOTH sides, the
+      // same guard signatures() applies to empty shingle sets
       val fp = mediaTable(s, dir).select(col("media_id"),
-        octet_length(col("payload")).cast("long").as("n_bytes"),
-        graft.functions.HashExpressions.simhash64(
+          octet_length(col("payload")).cast("long").as("n_bytes"),
           graft.functions.HashExpressions.word_shingles(
-            col("payload").cast("string"), 1, distinct = false)).as("fp"))
+            col("payload").cast("string"), 1, distinct = false).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("media_id"), col("n_bytes"),
+          graft.functions.HashExpressions.simhash64(col("tk")).as("fp"))
       val banded = fp.select(col("media_id"), col("fp"), col("n_bytes"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("fp"), b * 16)
@@ -348,7 +354,7 @@ object Multimodal {
         |), hs AS (
         |  SELECT media_id, n_bytes,
         |    list_transform(tk, t -> ('0x' || substr(md5(t),1,16))::UBIGINT) AS th
-        |  FROM toks
+        |  FROM toks WHERE len(tk) > 0
         |), fp AS (
         |  SELECT media_id, n_bytes,
         |    CAST(coalesce(list_sum(list_transform(range(0, 64), j ->

@@ -185,27 +185,31 @@ object Pipeline {
         .groupBy(col("doc_id"), col("source"))
         .agg(count(lit(1)).as("n_tok"),
           round(avg(col("lp")) * 10000).cast("long").as("score_m4"))
-      val dom = scored.groupBy(col("source"))
+      // D-row domain frame with several consumers: driver-local
+      // relation (the toLocal contract — eager localCheckpoint blocks
+      // are never unpersisted and accumulate across bench iterations)
+      val dom = Similarity.toLocal(s, scored.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
-          sum(col("score_m4")).as("sum_m4"))
-        .localCheckpoint(true) // D rows; 3 consumers below
+          sum(col("score_m4")).as("sum_m4")))
       val ctot = dom.agg(sum(col("sum_m4")).as("c_sum"),
         sum(col("n_docs")).as("c_n"), count(lit(1)).as("d"))
+      // per-domain and corpus mean nll ROUNDED TO THE 1e-4 GRID FIRST
+      // (pure-BIGINT identity — scores are negative, so negate into the
+      // identity's non-negative domain); excess is then an exact
+      // integer difference and exp() sees a deterministic input
       val ex = dom.crossJoin(broadcast(ctot))
-        .withColumn("nll",
-          -(col("sum_m4").cast("double") / col("n_docs").cast("double")) /
-            lit(10000.0))
-        .withColumn("excess",
-          (col("c_sum").cast("double") / col("c_n").cast("double") -
-            col("sum_m4").cast("double") / col("n_docs").cast("double")) /
-            lit(10000.0))
-        .withColumn("e", exp(col("excess")))
+        .withColumn("dm4",
+          TextAnalysis.ratioRoundInt(-col("sum_m4"), col("n_docs"), 0))
+        .withColumn("cm4",
+          TextAnalysis.ratioRoundInt(-col("c_sum"), col("c_n"), 0))
+        .withColumn("excess4", col("dm4") - col("cm4"))
+        .withColumn("e", exp(col("excess4").cast("double") / lit(10000.0)))
       val z = ex.agg(sum(col("e")).as("z"))
       ex.crossJoin(broadcast(z))
         .select(col("source"), col("n_docs"), col("n_toks"),
-          round(col("nll"), 4).as("nll"),
-          round(col("excess"), 6).as("excess"),
-          round(lit(1.0) / col("d").cast("double"), 6).as("w_uniform"),
+          (col("dm4").cast("double") / lit(10000.0)).as("nll"),
+          (col("excess4").cast("double") / lit(10000.0)).as("excess"),
+          TextAnalysis.ratioRound(lit(1L), col("d"), 6).as("w_uniform"),
           round(col("e") / col("z"), 6).as("w_doremi"))
         .orderBy(col("source"))
     }),
@@ -1245,19 +1249,21 @@ object Pipeline {
         |  FROM dom
         |), ex AS (
         |  SELECT source, n_docs, n_toks,
-        |    -(CAST(sum_m4 AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 10000.0 AS nll,
-        |    (CAST(c_sum AS DOUBLE) / CAST(c_n AS DOUBLE) -
-        |     CAST(sum_m4 AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 10000.0 AS excess,
-        |    exp((CAST(c_sum AS DOUBLE) / CAST(c_n AS DOUBLE) -
-        |         CAST(sum_m4 AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 10000.0) AS e,
+        |    (2 * (-sum_m4) + n_docs) // (2 * n_docs) AS dm4,
+        |    (2 * (-c_sum) + c_n) // (2 * c_n) AS cm4,
         |    d
         |  FROM dom CROSS JOIN ctot
-        |), z AS (SELECT sum(e) AS z FROM ex)
-        |SELECT source, n_docs, n_toks, round(nll, 4) AS nll,
-        |  round(excess, 6) AS excess,
-        |  round(1.0 / CAST(d AS DOUBLE), 6) AS w_uniform,
+        |), ee AS (
+        |  SELECT source, n_docs, n_toks, dm4, dm4 - cm4 AS excess4, d,
+        |    exp(CAST(dm4 - cm4 AS DOUBLE) / 10000.0) AS e
+        |  FROM ex
+        |), z AS (SELECT sum(e) AS z FROM ee)
+        |SELECT source, n_docs, n_toks,
+        |  CAST(dm4 AS DOUBLE) / 10000.0 AS nll,
+        |  CAST(excess4 AS DOUBLE) / 10000.0 AS excess,
+        |  CAST((2 * 1000000 + d) // (2 * d) AS DOUBLE) / 1000000.0 AS w_uniform,
         |  round(e / z.z, 6) AS w_doremi
-        |FROM ex CROSS JOIN z ORDER BY source""".stripMargin,
+        |FROM ee CROSS JOIN z ORDER BY source""".stripMargin,
 
     "pipe_sft_pack" ->
       s"""WITH d AS (

@@ -61,7 +61,7 @@ object Similarity {
     * contract: callers must pass only frames bounded by an algorithm
     * constant (K cells / codewords / queries), the same bound the
     * K-row-broadcast design already guarantees. */
-  private def toLocal(s: SparkSession, df: DataFrame): DataFrame =
+  private[ext] def toLocal(s: SparkSession, df: DataFrame): DataFrame =
     s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** Random-hyperplane LSH signature: bit j = sign of
@@ -769,8 +769,11 @@ object Similarity {
           .filter(col("rk") <= 5)
           .select(col("q_id"), col("vec_id"))
       }
-      val truth = bruteForceTopK(s, dir, qMax = 10, k = 5)
-        .select(col("q_id"), col("vec_id"))
+      // the truth frame feeds all three union branches — 50 rows by
+      // construction, so a driver-local relation (toLocal contract)
+      // keeps the full-dim brute-force subtree from executing 3×
+      val truth = toLocal(s, bruteForceTopK(s, dir, qMax = 10, k = 5)
+        .select(col("q_id"), col("vec_id")))
       def row(d: Int) =
         truth.join(topK(d).withColumn("hit", lit(1L)),
             Seq("q_id", "vec_id"), "left")
@@ -805,13 +808,14 @@ object Similarity {
           (col("vec_id") % 2 === 0).as("base"),
           floor(col("x").cast("double") * lit(1000) + lit(0.5))
             .cast("long").as("xg"))
-      val means = e.groupBy(col("label"), col("dim"), col("base"))
+      // labels×dims×2-row frame with 3 consumers: driver-local relation
+      // (bounded by algorithm constants — the toLocal contract)
+      val means = toLocal(s, e.groupBy(col("label"), col("dim"), col("base"))
         .agg(sum(col("xg")).as("sx"), count(lit(1)).as("n"))
         .select(col("label"), col("dim"), col("base"),
           (TextAnalysis.ratioRoundInt(
             col("sx") + col("n") * lit(K), col("n"), 0) - lit(K)).as("m"),
-          col("n"))
-        .localCheckpoint(true) // labels×dims×2 rows; 3 consumers
+          col("n")))
       val a = means.filter(col("base"))
         .select(col("label"), col("dim"), col("m").as("ma"))
       val b = means.filter(!col("base"))
@@ -849,12 +853,15 @@ object Similarity {
           max(col("d6")).cast("long").as("max_d6"))
       val tot = cells.agg(sum(col("n_vecs")).cast("long").as("n_total"),
         count(lit(1)).as("n_cells"))
+      // load_x / mean_d2 are exact integer ratios — pure-BIGINT rounding
+      // identity, not round(): a ratio terminating exactly at the grid
+      // boundary flips between Spark HALF_UP and DuckDB binary round
       cells.crossJoin(broadcast(tot))
         .select(col("cluster"), col("n_vecs"),
-          round((col("n_vecs") * col("n_cells")).cast("double") /
-            col("n_total").cast("double"), 6).as("load_x"),
-          round(col("sum_d6").cast("double") /
-            (col("n_vecs").cast("double") * lit(1000000.0)), 6).as("mean_d2"),
+          TextAnalysis.ratioRound(col("n_vecs") * col("n_cells"),
+            col("n_total"), 6).as("load_x"),
+          (TextAnalysis.ratioRoundInt(col("sum_d6"), col("n_vecs"), 0)
+            .cast("double") / lit(1000000.0)).as("mean_d2"),
           round(col("max_d6").cast("double") / lit(1000000.0), 6).as("max_d2"))
         .orderBy(col("cluster"))
     }),
@@ -1685,8 +1692,10 @@ object Similarity {
         |  FROM cells
         |)
         |SELECT cluster, n_vecs,
-        |  round(CAST(n_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS load_x,
-        |  round(CAST(sum_d6 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0), 6) AS mean_d2,
+        |  CAST((2 * n_vecs * n_cells * 1000000 + n_total) // (2 * n_total)
+        |    AS DOUBLE) / 1000000.0 AS load_x,
+        |  CAST((2 * sum_d6 + n_vecs) // (2 * n_vecs) AS DOUBLE)
+        |    / 1000000.0 AS mean_d2,
         |  round(CAST(max_d6 AS DOUBLE) / 1000000.0, 6) AS max_d2
         |FROM cells CROSS JOIN tot ORDER BY cluster""".stripMargin,
 

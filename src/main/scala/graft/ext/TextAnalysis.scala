@@ -800,14 +800,7 @@ object TextAnalysis {
     // 1-row argmax broadcasts.
     "text_bpe_merge" -> ((s, dir) => {
       val words = wordCounts(s, dir).filter(length(col("w")) >= 2)
-      val top = words
-        .select(col("wc"), explode(expr(
-          "transform(sequence(1, length(w) - 1)," +
-            " i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"))
-          .as("pair"))
-        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
-        .orderBy(col("n").desc, col("pair")).limit(1)
-        .select(col("pair").as("merge_applied"))
+      val top = topMergePair(words, "merge_applied")
       words
         .select(col("wc"),
           concat_ws("~", split(col("w"), "")).as("sym"))
@@ -842,15 +835,8 @@ object TextAnalysis {
             x => length(x) > 0)).as("w"))
         .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
         .localCheckpoint(false) // vocab×langs-sized; 2 consumers
-      val top = wl.groupBy(col("w")).agg(sum(col("wc")).as("wc"))
-        .filter(length(col("w")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(1, length(w) - 1)," +
-            " i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"))
-          .as("pair"))
-        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
-        .orderBy(col("n").desc, col("pair")).limit(1)
-        .select(col("pair").as("mrg"))
+      val top = topMergePair(
+        wl.groupBy(col("w")).agg(sum(col("wc")).as("wc")), "mrg")
       wl.crossJoin(broadcast(top))
         .withColumn("sym2", expr(
           "replace(concat_ws('~', split(w, ''))," +
@@ -1012,11 +998,43 @@ object TextAnalysis {
           .otherwise("fr"))
   }
 
+  /** The BPE trainer's next merge: argmax over frequency-weighted
+    * adjacent char-pair counts of a distinct-word (w, wc) frame —
+    * shared by text_bpe_merge (applies it) and text_bpe_fertility
+    * (audits under it), so the merge audited IS the merge trained. */
+  private def topMergePair(words: DataFrame, out: String): DataFrame =
+    words.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1)," +
+          " i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .select(col("pair").as(out))
+
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
         x => length(x) > 0)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  /** DuckDB mirror of [[topMergePair]]: p1/top1 CTEs over a (w, wc)
+    * CTE named `src` (already length-filtered), binding the argmax to
+    * `alias` — spliced into the text_bpe_merge and text_bpe_fertility
+    * oracles so the trained merge cannot drift between them. */
+  private def topMergeOracleCtes(src: String, alias: String): String =
+    // assembled without margin pipes: this fragment is spliced into
+    // outer oracle strings BEFORE their stripMargin runs, and a line
+    // starting with `|| substr` would be eaten as a margin there
+    s"p1 AS (\n" +
+      "  SELECT substr(w, CAST(i AS INTEGER), 1) || ' ' || " +
+      "substr(w, CAST(i AS INTEGER) + 1, 1) AS pair, wc\n" +
+      s"  FROM $src, unnest(generate_series(1, length(w) - 1)) AS t(i)\n" +
+      "), top1 AS (\n" +
+      s"  SELECT pair AS $alias FROM (\n" +
+      "    SELECT pair, sum(wc) AS n FROM p1 GROUP BY 1\n" +
+      "    ORDER BY n DESC, pair LIMIT 1)\n" +
+      ")"
 
   /** Language-ID oracle chain through `pred` (doc_id, labeled_lang,
     * hits_*, pred_lang) — shared by text_langid and text_langid_eval. */
@@ -1649,21 +1667,13 @@ object TextAnalysis {
         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "text_bpe_merge" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT w, count(*) AS wc FROM (
         |    SELECT unnest(list_filter(string_split_regex(lower(text),
         |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
         |    FROM documents)
         |  GROUP BY 1 HAVING length(w) >= 2
-        |), p1 AS (
-        |  SELECT substr(w, CAST(i AS INTEGER), 1) || ' '
-        |      || substr(w, CAST(i AS INTEGER) + 1, 1) AS pair, wc
-        |  FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
-        |), top1 AS (
-        |  SELECT pair AS merge_applied FROM (
-        |    SELECT pair, sum(wc) AS n FROM p1 GROUP BY 1
-        |    ORDER BY n DESC, pair LIMIT 1)
-        |), m AS (
+        |), ${topMergeOracleCtes("w", "merge_applied")}, m AS (
         |  SELECT wc, merge_applied,
         |    replace(array_to_string(string_split(w, ''), '~'),
         |            replace(merge_applied, ' ', '~'),
@@ -1681,7 +1691,7 @@ object TextAnalysis {
         |FROM p2 GROUP BY 1, 2 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "text_bpe_fertility" ->
-      """WITH wl AS (
+      s"""WITH wl AS (
         |  SELECT lang, w, count(*) AS wc FROM (
         |    SELECT lang, unnest(list_filter(string_split_regex(lower(text),
         |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
@@ -1689,15 +1699,7 @@ object TextAnalysis {
         |  GROUP BY 1, 2
         |), g AS (
         |  SELECT w, sum(wc) AS wc FROM wl GROUP BY 1 HAVING length(w) >= 2
-        |), p1 AS (
-        |  SELECT substr(w, CAST(i AS INTEGER), 1) || ' '
-        |      || substr(w, CAST(i AS INTEGER) + 1, 1) AS pair, wc
-        |  FROM g, unnest(generate_series(1, length(w) - 1)) AS t(i)
-        |), top1 AS (
-        |  SELECT pair AS mrg FROM (
-        |    SELECT pair, sum(wc) AS n FROM p1 GROUP BY 1
-        |    ORDER BY n DESC, pair LIMIT 1)
-        |), m AS (
+        |), ${topMergeOracleCtes("g", "mrg")}, m AS (
         |  SELECT lang, wc, length(w) AS wlen,
         |    len(string_split(replace(array_to_string(string_split(w, ''), '~'),
         |      replace(mrg, ' ', '~'), replace(mrg, ' ', '')), '~')) AS n_sym

@@ -1414,11 +1414,11 @@ class ExtensionSpec extends SparkSpecBase {
       assert(bins == binsRe, s"$lang bins: $bins vs $binsRe")
       val idealRe = g.groupBy(_._2).values.map(s => (s.map(_._3).sum + 511) / 512).sum
       assert(ideal == idealRe, s"$lang ideal: $ideal vs $idealRe")
-      // greedy-by-start vs ceil(mass/512) differ by at most 1 per shard
-      // (a doc straddling the final boundary), in either direction
-      val nShards = g.map(_._2).distinct.length
-      assert(math.abs(bins - ideal) <= nShards, s"$lang bins=$bins ideal=$ideal")
-      assert(fill > 0 && fill <= 2.0, s"$lang fill $fill out of range")
+      // no looser bins-vs-ideal inequality: a single doc longer than
+      // the 512-token context legally makes them diverge by its
+      // ceil(len/512) (bin is assigned by START offset) — the exact
+      // recomputations above are the real invariants
+      assert(fill > 0, s"$lang fill $fill out of range")
     }
   }
 
