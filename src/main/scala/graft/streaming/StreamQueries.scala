@@ -377,6 +377,57 @@ object StreamQueries {
     // dirs, not in-place overwrite: a batch reads corpus_vN and writes
     // corpus_vN+1, the real table-format pattern (and Spark cannot
     // overwrite a path it is reading).
+    // streaming CDC apply — q_cdc_apply's streaming twin and
+    // q_stream_upsert's completion: the change feed now carries
+    // DELETES as well as updates/inserts, applied per micro-batch by a
+    // foreachBatch MERGE (anti-join on the batch's touched keys, union
+    // the surviving changes) — the Delta/Iceberg streaming-ingest
+    // shape. Per-key operations are idempotent and each doc arrives in
+    // exactly one file, so the final snapshot is independent of how
+    // AvailableNow chunks the files into batches (what makes the batch
+    // oracle exact). Keys hit by both the update and delete rule take
+    // the delete — latest-op-wins, as in the batch twin.
+    "q_stream_cdc" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("stream_cdc").toString
+      graft.engine.Engine.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(s"$root/corpus_v0")
+      val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+      val src = s.readStream.schema(CurationStream.docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val q = src.writeStream
+        .foreachBatch { (batchDf: DataFrame, _: Long) =>
+          val v = ver.get()
+          val corpus = batchDf.sparkSession.read.parquet(s"$root/corpus_v$v")
+          val dels = batchDf.filter(col("doc_id") % 11 === 0)
+            .select(col("doc_id"))
+          val ups = batchDf
+            .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+            .select(col("doc_id"), col("lang"),
+              concat(col("text"), lit(" [v2]")).as("text"))
+          val ins = batchDf.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 20000000L).as("doc_id"), col("lang"),
+              concat(lit("CDC "), col("text")).as("text"))
+          val touched = dels.unionAll(ups.select(col("doc_id")))
+          corpus.join(touched, Seq("doc_id"), "left_anti")
+            .unionAll(ups).unionAll(ins)
+            .write.mode("overwrite").parquet(s"$root/corpus_v${v + 1}")
+          ver.set(v + 1)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/corpus_v${ver.get()}")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     "q_stream_upsert" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("stream_upsert").toString
@@ -426,6 +477,30 @@ object StreamQueries {
     "q_events_window_stream" -> graft.ops.Relational.oracleSql("q_events_window"),
     "q_stream_decontam" -> graft.ext.Extensions.oracleSql("pipe_decontam"),
     "q_stream_upsert" -> graft.ext.Extensions.oracleSql("pipe_upsert"),
+
+    // batch replay of the full I/U/D feed over the whole corpus — the
+    // per-key ops are idempotent and each doc arrives once, so the
+    // final snapshot is batch-chunking-independent by construction
+    "q_stream_cdc" ->
+      """WITH dels AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 11 = 0
+        |), ups AS (
+        |  SELECT doc_id, lang, text || ' [v2]' AS text FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+        |), ins AS (
+        |  SELECT doc_id + 20000000 AS doc_id, lang, 'CDC ' || text AS text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), fin AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+        |    AND doc_id NOT IN (SELECT doc_id FROM ups)
+        |  UNION ALL SELECT * FROM ups
+        |  UNION ALL SELECT * FROM ins
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the batch hourly agg MINUS the watermark-dropped clones (absent
     // from the live table by construction) and MINUS the never-emitted

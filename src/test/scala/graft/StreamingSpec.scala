@@ -403,6 +403,60 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed.contains((10000013L, "NEW c2")))
     } finally q.stop()
   }
+
+  test("foreachBatch CDC merge applies deletes split-invariantly") {
+    // the q_stream_cdc claim extended to DELETES: any micro-batch split
+    // produces the same final corpus, and a key hit by both the update
+    // and delete rule takes the delete (latest-op-wins)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("fb_cdc").toString
+    // 77 matches BOTH %7 (update) and %11 (delete) → must be deleted
+    val baseRows = Seq((1L, "a"), (7L, "b"), (11L, "c"), (13L, "d"),
+      (77L, "e"))
+    baseRows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").parquet(s"$root/corpus_v0")
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .writeStream.foreachBatch { (batchDf: DataFrame, _: Long) =>
+        val v = ver.get()
+        val corpus = batchDf.sparkSession.read.parquet(s"$root/corpus_v$v")
+        val dels = batchDf.filter(col("doc_id") % 11 === 0).select(col("doc_id"))
+        val ups = batchDf
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            concat(col("text"), lit(" [v2]")).as("text"))
+        val ins = batchDf.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("lang"),
+            concat(lit("CDC "), col("text")).as("text"))
+        val touched = dels.unionAll(ups.select(col("doc_id")))
+        corpus.join(touched, Seq("doc_id"), "left_anti")
+          .unionAll(ups).unionAll(ins)
+          .write.mode("overwrite").parquet(s"$root/corpus_v${v + 1}")
+        ver.set(v + 1)
+        ()
+      }.start()
+    try {
+      src.addData((7L, "b"), (77L, "e"))  // update 7; 77 hits BOTH rules
+      q.processAllAvailable()
+      src.addData((11L, "c"), (13L, "d")) // delete 11; insert from 13
+      q.processAllAvailable()
+      assert(ver.get() == 2)
+      val fin = spark.read.parquet(s"$root/corpus_v2")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(fin == Set(
+        (1L, "a"),            // untouched
+        (7L, "b [v2]"),       // updated
+        (13L, "d"),           // base copy of 13 stays (not deleted)
+        (20000013L, "CDC d")  // insert from 13
+      ), s"got $fin")         // 11 and 77 deleted — 77 NOT updated
+    } finally q.stop()
+  }
 }
 
 /** MemoryStream row for the stream-stream join spec (top-level for the
