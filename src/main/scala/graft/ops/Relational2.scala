@@ -284,6 +284,74 @@ object Relational2 {
           (col("cents").cast("double") / 100.0).as("sum_value"))
         .orderBy(col("user_id"), col("sess_start"))),
 
+    // ordered funnel conversion — the product-analytics staple: how
+    // many users progress view → click → purchase, each step within
+    // 24 h of the previous one and strictly after it. Stage k's entry
+    // time is min(ts) among qualifying events, so the whole funnel is
+    // three user-keyed conditional aggregations chained by narrow
+    // (user, t) joins — no corpus self-join, no per-user window; at
+    // 100 TB each stage's exchange carries one row per surviving user.
+    // All time arithmetic on the exact epoch-micros BIGINT grid;
+    // conversion rates on the 1e-6 ratioRoundInt grid.
+    "q_events_funnel" -> ((s, dir) => {
+      val dayUs = 24L * 3600 * 1000 * 1000
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        Engine.eventTsMicros(col("ts")).as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts_us") > col("t1") && col("ts_us") - col("t1") <= dayUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts_us") > col("t2") && col("ts_us") - col("t2") <= dayUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      val n1 = s1.agg(count(lit(1)).as("n1"))
+      val n2 = s2.agg(count(lit(1)).as("n2"))
+      val n3 = s3.agg(count(lit(1)).as("n3"))
+      val rr = graft.ext.TextAnalysis.ratioRound _
+      n1.crossJoin(n2).crossJoin(n3).select(explode(array(
+          struct(lit(1L).as("stage_no"), lit("view").as("stage"),
+            col("n1").as("n_users"), lit(1.0).as("conv_from_prev")),
+          struct(lit(2L).as("stage_no"), lit("click").as("stage"),
+            col("n2").as("n_users"),
+            rr(col("n2"), greatest(col("n1"), lit(1L)), 6).as("conv_from_prev")),
+          struct(lit(3L).as("stage_no"), lit("purchase").as("stage"),
+            col("n3").as("n_users"),
+            rr(col("n3"), greatest(col("n2"), lit(1L)), 6).as("conv_from_prev"))))
+          .as("r"))
+        .select(col("r.stage_no"), col("r.stage"), col("r.n_users"),
+          col("r.conv_from_prev"))
+        .orderBy(col("stage_no"))
+    }),
+
+    // cohort retention matrix — the other analytics staple: users
+    // cohorted by first-activity day, the share still active on each of
+    // the next 7 days. One distinct user-day pass, a user-keyed min for
+    // the cohort, one narrow join back, and a (days × 8)-cell
+    // aggregation — the triangle frame is calendar-sized at any corpus
+    // scale. day 0 is the cohort size by definition (retention 1.0).
+    "q_events_retention" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(Engine.eventTs(col("ts"))).as("day"))
+        .distinct()
+      val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cday"))
+      val cells = ud.join(cohort, "user_id")
+        .withColumn("off", datediff(col("day"), col("cday")).cast("long"))
+        .filter(col("off") <= 7)
+        .groupBy(col("cday"), col("off"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val size = cells.filter(col("off") === 0)
+        .select(col("cday"), col("n_active").as("cohort_size"))
+      cells.join(size, "cday")
+        .select(date_format(col("cday"), "yyyy-MM-dd").as("cohort_day"),
+          col("off").as("day_offset"), col("n_active"),
+          graft.ext.TextAnalysis.ratioRound(col("n_active"),
+            col("cohort_size"), 6).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // correlated LATERAL subquery: top order per customer
     "q_lateral" -> ((s, dir) => {
       Engine.registerTestdata(s, dir)
@@ -298,6 +366,58 @@ object Relational2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts_us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(ts_us) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us > t1 AND ts_us - t1 <= 86400000000
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(ts_us) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > t2 AND ts_us - t2 <= 86400000000
+        |  GROUP BY e.user_id
+        |), n AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_no, 'view' AS stage,
+        |    n1 AS n_users, 1.0 AS conv_from_prev FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click', n2,
+        |    CAST((2 * n2 * 1000000 + greatest(n1, 1)) // (2 * greatest(n1, 1))
+        |      AS DOUBLE) / 1000000.0 FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3,
+        |    CAST((2 * n3 * 1000000 + greatest(n2, 1)) // (2 * greatest(n2, 1))
+        |      AS DOUBLE) / 1000000.0 FROM n
+        |) ORDER BY stage_no""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS cday FROM ud GROUP BY user_id
+        |), cells AS (
+        |  SELECT cday, CAST(day - cday AS BIGINT) AS off,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM ud JOIN cohort USING (user_id)
+        |  WHERE day - cday <= 7
+        |  GROUP BY cday, day - cday
+        |), sz AS (
+        |  SELECT cday, n_active AS cohort_size FROM cells WHERE off = 0
+        |)
+        |SELECT strftime(c.cday, '%Y-%m-%d') AS cohort_day,
+        |  c.off AS day_offset, c.n_active,
+        |  CAST((2 * c.n_active * 1000000 + s.cohort_size)
+        |    // (2 * s.cohort_size) AS DOUBLE) / 1000000.0 AS retention
+        |FROM cells c JOIN sz s USING (cday)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "q_histogram" ->
       """WITH v AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders

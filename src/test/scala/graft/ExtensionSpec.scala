@@ -1457,6 +1457,52 @@ class ExtensionSpec extends SparkSpecBase {
       "the eval compares the wrong frames")
   }
 
+  test("funnel: window and ordering rules on a planted event log") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(hours: Long) = new java.sql.Timestamp(t0.getTime + hours * 3600000L)
+    // u1 converts fully; u2's click is outside 24h; u3 never views;
+    // u4's purchase is >24h after its click
+    val rows = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"), (3L, ts(2), 1L, "purchase"),
+      (4L, ts(0), 2L, "view"), (5L, ts(25), 2L, "click"),
+      (6L, ts(0), 3L, "click"), (7L, ts(1), 3L, "purchase"),
+      (8L, ts(0), 4L, "view"), (9L, ts(1), 4L, "click"), (10L, ts(26), 4L, "purchase"))
+    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_funnel")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "view", 3L, 1.0),
+      (2L, "click", 2L, 0.666667),
+      (3L, "purchase", 1L, 0.5)), s"got ${out.toSeq}")
+  }
+
+  test("retention: cohort triangle on a planted activity log") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 10:00:00")
+    // u1 cohort d0 active d0,d1,d3; u2 cohort d0 active d0,d1;
+    // u3 cohort d1 active d1 only
+    val rows = Seq(
+      (1L, ts(0), 1L), (2L, ts(1), 1L), (3L, ts(3), 1L),
+      (4L, ts(0), 2L), (5L, ts(1), 2L),
+      (6L, ts(1), 3L))
+    val tmp = java.nio.file.Files.createTempDirectory("retention").toString
+    rows.toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_retention")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-03-01", 0L, 2L, 1.0),
+      ("2024-03-01", 1L, 2L, 1.0),
+      ("2024-03-01", 3L, 1L, 0.5),
+      ("2024-03-02", 0L, 1L, 1.0)), s"got ${out.toSeq}")
+  }
+
   test("retrieval eval: known-item metrics are internally consistent") {
     val rows = SparkEntry.queries("text_retrieval_eval")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
