@@ -236,6 +236,7 @@ object ScaleProbe {
       "emb_centroid_drift", "emb_matryoshka_eval", "text_bpe_fertility",
       "text_langid_eval", "emb_cluster_purity", "text_retrieval_eval",
       "q_stream_cdc", "q_events_funnel", "q_events_retention",
+      "mm_caption_filter",
       // streaming rows on the replicated events shard: the replay
       // chunking, watermark trajectory and state machinery at 10M
       // events (the shuffle metric covers only the post-drain

@@ -181,6 +181,57 @@ object Multimodal {
             .as("bytes_saved"))
         .orderBy(col("keep_id"))),
 
+    // caption–media pair gate — the LAION-style curation funnel between
+    // the multimodal plumbing and training: each media payload rides
+    // with its caption (stand-in: the source document's text — a real
+    // pipeline joins alt-text/captions on the media key, the identical
+    // join shape), gated sequentially by caption length, language,
+    // payload size, and caption degeneracy (top word ≤ 20% of caption
+    // mass — integer cross-multiplication, no ratio ever computed).
+    // Output is the per-gate funnel report. Scale shape: one caption
+    // token pass collapsing to (media, n_words, top_cnt) via groupBy
+    // (no per-doc window), narrow key joins, a single aggregation row
+    // exploded to 4 stages.
+    "mm_caption_filter" -> ((s, dir) => {
+      val media = mediaTable(s, dir).select(col("media_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      val caps = t(s, dir, "documents").select(col("doc_id").as("media_id"),
+        col("lang"), col("text"))
+      val stats = caps.select(col("media_id"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0)).as("w"))
+        .groupBy(col("media_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("media_id"))
+        .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_cnt"))
+      val flags = media.join(caps.select(col("media_id"), col("lang")), "media_id")
+        .join(stats, Seq("media_id"), "left")
+        .select(
+          coalesce(col("n_words"), lit(0L)).between(5L, 60L).as("g_len"),
+          (col("lang") === "en").as("g_lang"),
+          (col("n_bytes") >= 64L).as("g_bytes"),
+          (coalesce(col("top_cnt"), lit(1L)) * 5L <=
+            coalesce(col("n_words"), lit(0L))).as("g_dup"))
+      flags.agg(
+          count(lit(1)).as("n0"),
+          count(when(col("g_len"), 1)).as("n1"),
+          count(when(col("g_len") && col("g_lang"), 1)).as("n2"),
+          count(when(col("g_len") && col("g_lang") && col("g_bytes"), 1))
+            .as("n3"),
+          count(when(col("g_len") && col("g_lang") && col("g_bytes") &&
+            col("g_dup"), 1)).as("n4"))
+        .select(explode(array(
+          struct(lit(1L).as("stage_no"), lit("caption_length").as("gate"),
+            col("n0").as("n_in"), col("n1").as("n_out")),
+          struct(lit(2L).as("stage_no"), lit("language").as("gate"),
+            col("n1").as("n_in"), col("n2").as("n_out")),
+          struct(lit(3L).as("stage_no"), lit("payload_bytes").as("gate"),
+            col("n2").as("n_in"), col("n3").as("n_out")),
+          struct(lit(4L).as("stage_no"), lit("caption_repetition").as("gate"),
+            col("n3").as("n_in"), col("n4").as("n_out")))).as("r"))
+        .select(col("r.stage_no"), col("r.gate"), col("r.n_in"), col("r.n_out"))
+        .orderBy(col("stage_no"))
+    }),
+
     // perceptual-hash near-dup report — the pass a media store runs
     // AFTER exact digest dedup (above): re-encoded / lightly-edited
     // copies share no digest but land within a small Hamming distance
@@ -341,6 +392,47 @@ object Multimodal {
         |  CAST(sum(n_bytes) - arg_min(n_bytes, media_id) AS BIGINT)
         |    AS bytes_saved
         |FROM m GROUP BY dg ORDER BY keep_id""".stripMargin,
+
+    "mm_caption_filter" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |    lang, text
+        |  FROM documents
+        |), st AS (
+        |  SELECT media_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |    CAST(max(cnt) AS BIGINT) AS top_cnt
+        |  FROM (
+        |    SELECT media_id, w, count(*) AS cnt FROM (
+        |      SELECT media_id,
+        |        unnest(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+        |      FROM media)
+        |    GROUP BY media_id, w)
+        |  GROUP BY media_id
+        |), flags AS (
+        |  SELECT coalesce(n_words, 0) BETWEEN 5 AND 60 AS g_len,
+        |    m.lang = 'en' AS g_lang,
+        |    m.n_bytes >= 64 AS g_bytes,
+        |    coalesce(top_cnt, 1) * 5 <= coalesce(n_words, 0) AS g_dup
+        |  FROM media m LEFT JOIN st USING (media_id)
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(count(CASE WHEN g_len THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(count(CASE WHEN g_len AND g_lang THEN 1 END) AS BIGINT) AS n2,
+        |    CAST(count(CASE WHEN g_len AND g_lang AND g_bytes THEN 1 END)
+        |      AS BIGINT) AS n3,
+        |    CAST(count(CASE WHEN g_len AND g_lang AND g_bytes AND g_dup
+        |      THEN 1 END) AS BIGINT) AS n4
+        |  FROM flags
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_no, 'caption_length' AS gate,
+        |    n0 AS n_in, n1 AS n_out FROM n
+        |  UNION ALL SELECT 2, 'language', n1, n2 FROM n
+        |  UNION ALL SELECT 3, 'payload_bytes', n2, n3 FROM n
+        |  UNION ALL SELECT 4, 'caption_repetition', n3, n4 FROM n
+        |) ORDER BY stage_no""".stripMargin,
 
     // simhash64 mirror (the dedup_simhash oracle's fp chain) over the
     // payload's decoded text, 4×16-bit bands, per-distance report

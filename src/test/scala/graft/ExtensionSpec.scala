@@ -1619,6 +1619,29 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out(1L) == ((2L, 2L, 0.0)), s"got ${out(1L)}")
   }
 
+  test("caption filter: each gate drops exactly its planted offender") {
+    import spark.implicits._
+    def words(pre: String, n: Int) = (1 to n).map(i => s"$pre$i" * 2).mkString(" ")
+    val rows = Seq(
+      (1L, words("good", 10), "en"),          // passes every gate
+      (2L, "tiny cap gap", "en"),              // fails caption_length (3 words)
+      (3L, words("bien", 10), "fr"),           // fails language
+      (4L, "a b c d e f g h i j", "en"),       // fails payload_bytes (19 B)
+      (5L, ("dup " * 5) + words("tail", 5), "en")) // fails repetition (5/10)
+    val tmp = java.nio.file.Files.createTempDirectory("capfilter").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("mm_caption_filter")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "caption_length", 5L, 4L),
+      (2L, "language", 4L, 3L),
+      (3L, "payload_bytes", 3L, 2L),
+      (4L, "caption_repetition", 2L, 1L)), s"got ${out.toSeq}")
+  }
+
   test("phash dedup: identical payloads pair at Hamming 0, distinct ones never") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
