@@ -250,7 +250,14 @@ object ScaleProbe {
       // joins' O(rate × window) state bound is what matters at scale
       // and is probed to collapse by StreamStateProbe/StreamingSpec)
       "q_stream_late_drop", "q_sessionize_stream", "q_sessionize_tws",
-      "q_stream_session_window")
+      "q_stream_session_window",
+      // batch q_events_attribution is absent for the same
+      // density-artifact reason as the streaming attribution joins
+      // above (its purchase×click pairs grow ~quadratically on a
+      // density-multiplied shard); transitions/rfm are per-user
+      // window/agg — linear in the shard
+      "q_events_transitions", "q_events_rfm", "pipe_domain_cap",
+      "text_source_similarity")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

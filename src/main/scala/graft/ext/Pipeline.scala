@@ -1027,6 +1027,38 @@ object Pipeline {
             .otherwise(0L)).as("pos"))
         .select(col("pos"), col("doc_id"), col("source"), col("rn"))
         .orderBy(col("pos"))
+    }),
+
+    // per-source domain cap — the CCNet/C4-style anti-dominance gate:
+    // no single source may exceed a fixed share of the corpus (4% here),
+    // overflow dropped worst-first so the cap costs the least quality.
+    // Differs from pipe_stratified_sample (exact k per stratum,
+    // unconditional): the cap binds only on over-represented sources
+    // and keeps small sources whole. Shapes: one per-source count
+    // (map-side partial, broadcast back), one corpus count riding the
+    // same aggregate via grouping-sets-free rollup (two tiny frames),
+    // and ONE source-partitioned rank window — the shuffle key is the
+    // source, exactly the key a domain-capped corpus must co-locate
+    // anyway; a pathological mega-domain is the AQE-skew/salting case
+    // documented at ops/Scale.saltedJoin. Keep order inside a source
+    // is (n_chars DESC, doc_id) — longest-first, total and retry-safe.
+    "pipe_domain_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      d.crossJoin(broadcast(tot))
+        // cap = ceil(0.04 · N) in pure integer arithmetic: (N+24) div 25
+        .withColumn("cap", expr("(n_total + 24) div 25"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= col("cap"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") > col("cap"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("rk") <= col("cap"), col("n_chars"))
+            .otherwise(0L)).as("kept_chars"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1672,7 +1704,25 @@ object Pipeline {
         |  r.doc_id, r.source, r.rn
         |FROM r CROSS JOIN sz
         |GROUP BY r.doc_id, r.source, r.rn
-        |ORDER BY pos""".stripMargin
+        |ORDER BY pos""".stripMargin,
+
+    "pipe_domain_cap" ->
+      """WITH tot AS (SELECT count(*) AS n_total FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    (SELECT (n_total + 24) // 25 FROM tot) AS cap
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN rk <= cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN rk > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(sum(CASE WHEN rk <= cap THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** The bloom variant's contract is "identical output to the exact

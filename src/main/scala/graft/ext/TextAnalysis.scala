@@ -883,6 +883,44 @@ object TextAnalysis {
         .groupBy(col("w"), col("wc")).agg(min(col("m")).as("cms_est"))
         .select(col("w").as("term"), col("wc").as("n"), col("cms_est"))
         .orderBy(col("n").desc, col("term"))
+    }),
+
+    // pairwise vocabulary Jaccard between sources — the corpus-mixture
+    // diagnostic that flags mirror/scraped-twice sources before dedup
+    // ever runs (two crawls of the same site share vocabulary long
+    // before they share exact documents). One distinct (source, word)
+    // pass (map-side combinable), per-source set sizes, then the
+    // intersection via a word-keyed self-join with s1 < s2 — the
+    // shuffle key is the word, so the join is vocab-sized, and each
+    // word contributes at most |sources(word)|² pair rows. With S
+    // sources that bound is S² per word; S here is catalog-sized
+    // (tens–thousands), so the pair frame stays tiny relative to the
+    // corpus — at web scale (millions of domains) the same question is
+    // answered with MinHash source signatures (the dedup_minhash_lsh
+    // machinery keyed by source instead of doc). Union size by
+    // inclusion–exclusion, never materialized.
+    "text_source_similarity" -> ((s, dir) => {
+      val sw = t(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            w => length(w) > 0)).as("w"))
+        .distinct()
+      val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = sw.join(sw.select(col("source").as("s2"), col("w")),
+          Seq("w"))
+        .filter(col("source") < col("s2"))
+        .groupBy(col("source"), col("s2"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sizes), "source")
+        .join(broadcast(sizes.select(col("source").as("s2"),
+          col("sz").as("sz2"))), "s2")
+        .select(col("source").as("src_a"), col("s2").as("src_b"),
+          col("sz").as("n_a"), col("sz2").as("n_b"), col("n_common"),
+          ratioRound(col("n_common"),
+            col("sz") + col("sz2") - col("n_common"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+        .limit(30)
     })
   )
 
@@ -1740,6 +1778,28 @@ object TextAnalysis {
         |FROM top t CROSS JOIN seeds s
         |JOIN cells c ON c.sd = s.sd
         | AND c.b = ('0x' || substr(md5(s.sd || ':' || t.w), 1, 8))::BIGINT % 1024
-        |GROUP BY 1, 2 ORDER BY n DESC, term""".stripMargin
+        |GROUP BY 1, 2 ORDER BY n DESC, term""".stripMargin,
+
+    "text_source_similarity" ->
+      """WITH sw AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(list_filter(string_split_regex(
+        |      lower(text), '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+        |    FROM documents)
+        |), sizes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sw GROUP BY 1
+        |), inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.src_a, i.src_b, sa.sz AS n_a, sb.sz AS n_b, i.n_common,
+        |  CAST((2 * i.n_common * 1000000 + (sa.sz + sb.sz - i.n_common))
+        |    // (2 * (sa.sz + sb.sz - i.n_common)) AS DOUBLE) / 1000000.0
+        |    AS jaccard
+        |FROM inter i JOIN sizes sa ON i.src_a = sa.source
+        |JOIN sizes sb ON i.src_b = sb.source
+        |ORDER BY jaccard DESC, src_a, src_b LIMIT 30""".stripMargin
   )
 }

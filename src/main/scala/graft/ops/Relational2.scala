@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
@@ -326,6 +326,45 @@ object Relational2 {
         .orderBy(col("stage_no"))
     }),
 
+    // last-touch attribution — the third analytics staple: each
+    // purchase credits the user's LATEST click within the preceding
+    // 7 days (channel = props.k mod 10 — the campaign key a real feed
+    // carries); unattributed purchases land in channel −1 ("direct").
+    // Deterministic in two steps: max(click_ts) per purchase, then a
+    // re-join on that exact timestamp with max(channel) breaking
+    // same-microsecond ties — no arg_max/max_by whose tie order is
+    // engine-defined. Scale shape: the per-user purchase×click join is
+    // bounded by per-user activity (the sessionize bound); at extreme
+    // per-user fan-out the bucketed as-of machinery (ext/AsOf) is the
+    // drop-in replacement for the range join. Revenue rides the exact
+    // cents grid.
+    "q_events_attribution" -> ((s, dir) => {
+      val wkUs = 7L * 24 * 3600 * 1000 * 1000
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          Engine.eventTsMicros(col("ts")).as("p_ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"),
+          Engine.eventTsMicros(col("ts")).as("c_ts"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10)
+            .as("channel"))
+      val lastT = purchases.join(clicks,
+          col("user_id") === col("cu") && col("c_ts") <= col("p_ts") &&
+            col("p_ts") - col("c_ts") <= wkUs, "left")
+        .groupBy(col("event_id"), col("user_id"), col("cents"))
+        .agg(max(col("c_ts")).as("l_ts"))
+      lastT.join(clicks,
+          col("user_id") === col("cu") && col("c_ts") === col("l_ts"), "left")
+        .groupBy(col("event_id"), col("cents"))
+        .agg(coalesce(max(col("channel")), lit(-1L)).as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("channel"))
+    }),
+
     // cohort retention matrix — the other analytics staple: users
     // cohorted by first-activity day, the share still active on each of
     // the next 7 days. One distinct user-day pass, a user-keyed min for
@@ -350,6 +389,81 @@ object Relational2 {
           graft.ext.TextAnalysis.ratioRound(col("n_active"),
             col("cohort_size"), 6).as("retention"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // first-order Markov transition matrix over the per-user event
+    // stream — the behavioral profile behind next-event prediction and
+    // bot detection: P(next=to | cur=from). One user-partitioned lead()
+    // window (the sessionize shuffle shape — state per user, never
+    // global), then a (|types|²)-cell aggregation; the matrix is
+    // 25 cells regardless of corpus size. (user_id, ts) is unique in
+    // the feed, so (ts, event_id) ordering is total and the pairs are
+    // deterministic. Probability rides the exact ratioRound grid,
+    // denominated by the count of NON-TERMINAL from-events (rows that
+    // actually have a successor), so each from-row sums to 1.
+    "q_events_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val fromTot = pairs.groupBy(col("from_type"))
+        .agg(count(lit(1)).as("n_from"))
+      pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(fromTot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          graft.ext.TextAnalysis.ratioRound(col("n"), col("n_from"), 6)
+            .as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // RFM (recency / frequency / monetary) quartile scoring — the
+    // classic customer-value segmentation. Per-user stats are one
+    // map-side-combinable aggregation; the three quartile cuts are ONE
+    // exact-percentile agg over the user-sized frame (3 rows out,
+    // broadcast back), so no global rank window ever materializes —
+    // at billions of users swap the exact percentile for the DistRank
+    // cutoff machinery (ext/Pipeline's curriculum precedent) or
+    // approx_percentile. Scores compare exact integers against the
+    // interpolated cuts: 1 + (m > q1) + (m > q2) + (m > q3), recency
+    // negated so "more recent" scores higher; ties at a cut share a
+    // score (value-based, not rank-based — deterministic under
+    // duplicates, unlike ntile). Output is the 4³-cell segment matrix.
+    "q_events_rfm" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val maxDay = ev.agg(max(to_date(Engine.eventTs(col("ts")))).as("d0"))
+      val stats = ev
+        .select(col("user_id"), to_date(Engine.eventTs(col("ts"))).as("day"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(lit(0L))
+            .as("cents"))
+        .groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("monetary"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("user_id"),
+          (-datediff(col("d0"), col("last_day")).cast("long")).as("neg_rec"),
+          col("freq"), col("monetary"))
+      val cuts = stats.agg(
+        percentile(col("neg_rec"), lit(Array(0.25, 0.5, 0.75))).as("rc"),
+        percentile(col("freq"), lit(Array(0.25, 0.5, 0.75))).as("fc"),
+        percentile(col("monetary"), lit(Array(0.25, 0.5, 0.75))).as("mc"))
+      def score(m: Column, c: Column): Column =
+        (lit(1) + (m > c.getItem(0)).cast("int") +
+          (m > c.getItem(1)).cast("int") +
+          (m > c.getItem(2)).cast("int")).cast("long")
+      stats.crossJoin(broadcast(cuts))
+        .select(score(col("neg_rec"), col("rc")).as("r_score"),
+          score(col("freq"), col("fc")).as("f_score"),
+          score(col("monetary"), col("mc")).as("m_score"),
+          col("monetary"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("monetary")).as("revenue_cents"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
     }),
 
     // correlated LATERAL subquery: top order per customer
@@ -397,6 +511,80 @@ object Relational2 {
         |    CAST((2 * n3 * 1000000 + greatest(n2, 1)) // (2 * greatest(n2, 1))
         |      AS DOUBLE) / 1000000.0 FROM n
         |) ORDER BY stage_no""".stripMargin,
+
+    "q_events_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id AS cu, epoch_us(ts) AS c_ts,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS channel
+        |  FROM events WHERE event_type = 'click'
+        |), lastt AS (
+        |  SELECT p.event_id, p.user_id, p.cents, max(c.c_ts) AS l_ts
+        |  FROM p LEFT JOIN c ON p.user_id = c.cu AND c.c_ts <= p.p_ts
+        |    AND p.p_ts - c.c_ts <= 604800000000
+        |  GROUP BY p.event_id, p.user_id, p.cents
+        |), attr AS (
+        |  SELECT l.event_id, l.cents,
+        |    coalesce(max(c.channel), -1) AS channel
+        |  FROM lastt l LEFT JOIN c ON l.user_id = c.cu AND c.c_ts = l.l_ts
+        |  GROUP BY l.event_id, l.cents
+        |)
+        |SELECT CAST(channel AS BIGINT) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM attr GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_events_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), p AS (SELECT * FROM pairs WHERE to_type IS NOT NULL
+        |), tot AS (
+        |  SELECT from_type, CAST(count(*) AS BIGINT) AS n_from
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT p.from_type, p.to_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST((2 * count(*) * 1000000 + t.n_from) // (2 * t.n_from)
+        |    AS DOUBLE) / 1000000.0 AS p
+        |FROM p JOIN tot t ON p.from_type = t.from_type
+        |GROUP BY p.from_type, p.to_type, t.n_from
+        |ORDER BY p.from_type, p.to_type""".stripMargin,
+
+    "q_events_rfm" ->
+      """WITH d0 AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events
+        |), stats AS (
+        |  SELECT user_id,
+        |    -CAST(date_diff('day', max(CAST(ts AS DATE)),
+        |      (SELECT d0 FROM d0)) AS BIGINT) AS neg_rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS monetary
+        |  FROM events GROUP BY user_id
+        |), cuts AS (
+        |  SELECT quantile_cont(neg_rec, [0.25, 0.5, 0.75]) AS rc,
+        |    quantile_cont(freq, [0.25, 0.5, 0.75]) AS fc,
+        |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+        |  FROM stats
+        |), scored AS (
+        |  SELECT CAST(1 + (neg_rec > rc[1])::INT + (neg_rec > rc[2])::INT
+        |      + (neg_rec > rc[3])::INT AS BIGINT) AS r_score,
+        |    CAST(1 + (freq > fc[1])::INT + (freq > fc[2])::INT
+        |      + (freq > fc[3])::INT AS BIGINT) AS f_score,
+        |    CAST(1 + (monetary > mc[1])::INT + (monetary > mc[2])::INT
+        |      + (monetary > mc[3])::INT AS BIGINT) AS m_score,
+        |    monetary
+        |  FROM stats CROSS JOIN cuts
+        |)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(monetary) AS BIGINT) AS revenue_cents
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_events_retention" ->
       """WITH ud AS (

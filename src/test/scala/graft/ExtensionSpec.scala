@@ -1503,6 +1503,118 @@ class ExtensionSpec extends SparkSpecBase {
       ("2024-03-02", 0L, 1L, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("attribution: last-touch window and tie rules on a planted log") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(hours: Long) = new java.sql.Timestamp(t0.getTime + hours * 3600000L)
+    // u1: two clicks before the purchase — the LATER one (ch 5) wins;
+    // u2: click 8 days before the purchase — outside the 7d window;
+    // u3: no click at all; u4: two clicks at the SAME microsecond —
+    // max(channel)=7 breaks the tie deterministically
+    val rows = Seq(
+      (1L, ts(1), 1L, "click", 0.0, """{"k":3}"""),
+      (2L, ts(2), 1L, "click", 0.0, """{"k":5}"""),
+      (3L, ts(3), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0), 2L, "click", 0.0, """{"k":2}"""),
+      (5L, ts(8 * 24), 2L, "purchase", 1.0, "{}"),
+      (6L, ts(0), 3L, "purchase", 2.5, "{}"),
+      (7L, ts(0), 4L, "click", 0.0, """{"k":1}"""),
+      (8L, ts(0), 4L, "click", 0.0, """{"k":7}"""),
+      (9L, ts(1), 4L, "purchase", 4.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("attr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_attribution")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (-1L, 2L, 350L), (5L, 1L, 100L), (7L, 1L, 400L)), s"got ${out.toSeq}")
+  }
+
+  test("transitions: per-user pairs and row-normalized probabilities") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(hours: Long) = new java.sql.Timestamp(t0.getTime + hours * 3600000L)
+    // u1: view→click→purchase; u2: view→view — so from 'view' the two
+    // observed successors split 50/50 and 'purchase'/terminal rows
+    // never enter the denominator
+    val rows = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"),
+      (3L, ts(2), 1L, "purchase"),
+      (4L, ts(0), 2L, "view"), (5L, ts(1), 2L, "view"))
+    val tmp = java.nio.file.Files.createTempDirectory("trans").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_transitions")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("click", "purchase", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "view", 1L, 0.5)), s"got ${out.toSeq}")
+  }
+
+  test("rfm: quartile scores on a planted value ladder") {
+    import spark.implicits._
+    // four users whose recency, frequency and monetary ranks all agree
+    // (u1 oldest/least active/lowest spend … u4 newest/most/highest) —
+    // interpolated quartile cuts then pin scores to exactly 1..4
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d $h%02d:00:00")
+    val rows = Seq(
+      (1L, ts(0, 1), 1L, "purchase", 1.0),
+      (2L, ts(1, 1), 2L, "purchase", 2.0), (3L, ts(2, 1), 2L, "purchase", 2.0),
+      (4L, ts(3, 1), 3L, "view", 0.0), (5L, ts(4, 1), 3L, "view", 0.0),
+      (6L, ts(5, 1), 3L, "purchase", 6.0),
+      (7L, ts(6, 1), 4L, "view", 0.0), (8L, ts(7, 1), 4L, "view", 0.0),
+      (9L, ts(8, 1), 4L, "view", 0.0), (10L, ts(9, 1), 4L, "purchase", 8.0))
+    val tmp = java.nio.file.Files.createTempDirectory("rfm").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_rfm")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 1L, 100L), (2L, 2L, 2L, 1L, 400L),
+      (3L, 3L, 3L, 1L, 600L), (4L, 4L, 4L, 1L, 800L)), s"got ${out.toSeq}")
+  }
+
+  test("domain cap: over-represented source trimmed longest-first") {
+    import spark.implicits._
+    // 50 docs → cap = ceil(0.04·50) = 2 per source; srcB's keepers must
+    // be its two LONGEST docs (doc_id tie-break), srcA identical shape
+    val docs = (1 to 10).map(i => (i.toLong, "srcA", 100L + i)) ++
+      (11 to 50).map(i => (i.toLong, "srcB", 200L + i))
+    val tmp = java.nio.file.Files.createTempDirectory("domcap").toString
+    docs.toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipe_domain_cap")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("srcA", 10L, 2L, 8L, (110L + 109L)),
+      ("srcB", 40L, 2L, 38L, (250L + 249L))), s"got ${out.toSeq}")
+  }
+
+  test("source similarity: only overlapping source pairs appear") {
+    import spark.implicits._
+    // A∩B = {b,c} of union {a,b,c,d} → 0.5; C shares nothing → no row
+    val docs = Seq((1L, "a b c", "srcA"), (2L, "b c d", "srcB"),
+      (3L, "x y", "srcC"))
+    val tmp = java.nio.file.Files.createTempDirectory("srcsim").toString
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_source_similarity")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("srcA", "srcB", 3L, 3L, 2L, 0.5)),
+      s"got ${out.toSeq}")
+  }
+
   test("retrieval eval: known-item metrics are internally consistent") {
     val rows = SparkEntry.queries("text_retrieval_eval")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
