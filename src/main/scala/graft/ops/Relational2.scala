@@ -466,6 +466,60 @@ object Relational2 {
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
     }),
 
+    // DAU / WAU / MAU — rolling distinct-actives, the engagement
+    // metric every analytics stack ships first. Exact distinct over a
+    // SLIDING window can't partial-aggregate directly, so the plan
+    // collapses events to the user-day frame ONCE (corpus-sized →
+    // calendar×users-sized, the retention precedent), then each
+    // user-day is exploded into the ≤7 / ≤28 anchor days it supports —
+    // a FIXED fan-out, partitioned by anchor day, never a per-day
+    // re-scan of the window. The calendar spine (sequence over
+    // min..max) left-joins the three counts so gap days report 0 DAU
+    // but keep their trailing actives. At extreme user counts the
+    // exact countDistinct swaps for HLL sketch merge
+    // (q_agg_approx_distinct's machinery) — same plan shape.
+    "q_events_dau" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(Engine.eventTs(col("ts"))).as("day"))
+        .distinct()
+      val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = bounds.select(explode(expr(
+        "sequence(d0, d1, interval 1 day)")).as("day"))
+      def rolling(days: Int, out: String): DataFrame = ud
+        .select(col("user_id"), explode(expr(
+          s"sequence(day, date_add(day, ${days - 1}), interval 1 day)"))
+          .as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as(out))
+      spine
+        .join(rolling(1, "dau"), Seq("day"), "left")
+        .join(rolling(7, "wau"), Seq("day"), "left")
+        .join(rolling(28, "mau"), Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("wau"), lit(0L)).as("wau"),
+          coalesce(col("mau"), lit(0L)).as("mau"))
+        .orderBy(col("day"))
+    }),
+
+    // top event PATHS — the order-2 extension of q_events_transitions:
+    // the most-traveled 3-step sequences (two stacked lead() columns
+    // over the same user-partitioned sort — ONE window exchange, both
+    // leads ride it), counted and top-10'd via TakeOrderedAndProject.
+    "q_events_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
+
     // correlated LATERAL subquery: top order per customer
     "q_lateral" -> ((s, dir) => {
       Engine.registerTestdata(s, dir)
@@ -585,6 +639,52 @@ object Relational2 {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(monetary) AS BIGINT) AS revenue_cents
         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_events_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud
+        |), spine AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b
+        |), dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1
+        |), wau AS (
+        |  SELECT a.day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM (SELECT user_id,
+        |          unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE
+        |            AS day
+        |        FROM ud) a
+        |  GROUP BY 1
+        |), mau AS (
+        |  SELECT a.day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM (SELECT user_id,
+        |          unnest(generate_series(day, day + 27, INTERVAL 1 DAY))::DATE
+        |            AS day
+        |        FROM ud) a
+        |  GROUP BY 1
+        |)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(dau.dau, 0) AS dau, coalesce(wau.wau, 0) AS wau,
+        |  coalesce(mau.mau, 0) AS mau
+        |FROM spine s LEFT JOIN dau ON s.day = dau.day
+        |LEFT JOIN wau ON s.day = wau.day
+        |LEFT JOIN mau ON s.day = mau.day
+        |ORDER BY day""".stripMargin,
+
+    "q_events_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "q_events_retention" ->
       """WITH ud AS (

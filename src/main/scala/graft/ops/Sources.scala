@@ -41,6 +41,36 @@ object Sources {
         .orderBy(col("n_regionkey"))
     }),
 
+    // additive schema evolution across parquet shards — the 100 TB
+    // reality that a corpus is written over months by evolving jobs:
+    // old shards lack columns newer shards carry. Two shards with
+    // DIFFERENT physical schemas (v1: 3 columns; v2: + source,
+    // quality) are read as ONE relation via mergeSchema — Spark unions
+    // the footers and nulls the missing columns per row group, pruning
+    // still per-shard (a v1 scan never reads v2-only columns).
+    // Additive-only by design: that is the supported parquet-evolution
+    // contract (type WIDENING is a rewrite, not a merge — documented,
+    // not emulated). The aggregate exercises both the null-fill path
+    // (count(source) sees only v2 rows) and coalesce defaults.
+    "q_schema_evolution" -> ((s, dir) => {
+      val out = scratch("schema_evo_docs")
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"),
+          expr("n_chars div 100").as("quality"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          count(col("source")).as("n_with_source"),
+          sum(coalesce(col("quality"), lit(0L))).as("quality_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // CSV DIALECT surface (the reference's CsvReadOptions knobs:
     // delimiter/quote/escape/null markers): pipe-delimited, quoted,
     // custom NULL token, escaped quotes — exercised on free text (the
@@ -189,6 +219,17 @@ object Sources {
     "q_json_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // like the dialect oracle: computed from the ORIGINAL table — the
+    // two-shard merge must reassemble every row with correct null-fill
+    // for the hash to match
+    "q_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars // 100
+        |    ELSE 0 END) AS BIGINT) AS quality_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the oracle reads the ORIGINAL table: the dialect roundtrip must
     // be lossless for the hash to match

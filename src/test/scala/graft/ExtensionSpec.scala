@@ -1615,6 +1615,48 @@ class ExtensionSpec extends SparkSpecBase {
       s"got ${out.toSeq}")
   }
 
+  test("dau/wau/mau: rolling actives and gap days on a planted log") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 10:00:00")
+    // u1 active day 0 only; u2 active day 0 and day 9 — the 8-day gap
+    // pins spine fill (dau 0), WAU expiry (day 7–8 drop to 0) and the
+    // 28-day window holding both users through day 9
+    val rows = Seq((1L, ts(0), 1L), (2L, ts(0), 2L), (3L, ts(9), 2L))
+    val tmp = java.nio.file.Files.createTempDirectory("dau").toString
+    rows.toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_dau")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = (0 to 9).map { d =>
+      val day = f"2024-03-${d + 1}%02d"
+      val dau = if (d == 0) 2L else if (d == 9) 1L else 0L
+      val wau = if (d <= 6) 2L else if (d == 9) 1L else 0L
+      (day, dau, wau, 2L)
+    }
+    assert(out.toSeq == expect, s"got ${out.toSeq}")
+  }
+
+  test("paths: stacked leads produce per-user trigrams only") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(hours: Long) = new java.sql.Timestamp(t0.getTime + hours * 3600000L)
+    // u1: v→c→p→v (two trigrams); u2: v→v→v (one) — no cross-user path
+    val rows = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"),
+      (3L, ts(2), 1L, "purchase"), (4L, ts(3), 1L, "view"),
+      (5L, ts(0), 2L, "view"), (6L, ts(1), 2L, "view"), (7L, ts(2), 2L, "view"))
+    val tmp = java.nio.file.Files.createTempDirectory("paths").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_paths")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("click>purchase>view", 1L),
+      ("view>click>purchase", 1L), ("view>view>view", 1L)), s"got ${out.toSeq}")
+  }
+
   test("retrieval eval: known-item metrics are internally consistent") {
     val rows = SparkEntry.queries("text_retrieval_eval")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

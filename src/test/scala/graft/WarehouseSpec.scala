@@ -167,6 +167,22 @@ class WarehouseSpec extends SparkSpecBase {
     assert(nSrc > 0 && nSrc < nTot) // some real values, some real NULLs
   }
 
+  test("q_schema_evolution: v1 rows null-fill the v2-only columns") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sevo").toString
+    // 2 v1-era docs (even ids), 1 v2-era (odd) — quality = n_chars div 100
+    Seq((2L, "en", 250L, "sA"), (4L, "en", 150L, "sB"), (5L, "en", 330L, "sC"))
+      .toDF("doc_id", "lang", "n_chars", "source")
+      .withColumn("text", lit("x"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("q_schema_evolution")(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    // n_with_source counts ONLY the odd-id (v2) doc; quality only its 3
+    assert(row == ((3L, 730L, 1L, 3L)), s"got $row")
+  }
+
   test("q_constraint_check: planted violations are counted exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("cons").toString
