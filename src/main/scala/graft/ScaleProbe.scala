@@ -257,7 +257,8 @@ object ScaleProbe {
       // density-multiplied shard); transitions/rfm are per-user
       // window/agg — linear in the shard
       "q_events_transitions", "q_events_rfm", "pipe_domain_cap",
-      "text_source_similarity", "q_events_dau", "q_events_paths")
+      "text_source_similarity", "q_events_dau", "q_events_paths",
+      "q_events_gini", "q_events_ab_test", "text_collocations")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -921,6 +921,40 @@ object TextAnalysis {
             col("sz") + col("sz2") - col("n_common"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
         .limit(30)
+    }),
+
+    // PMI collocations — the phrase-mining pass a tokenizer/embedding
+    // pipeline runs to promote "new york"-style bigrams to single
+    // units (word2vec's phrase pass). PMI = ln P(x,y)/(P(x)P(y)),
+    // computed as ln(c_xy)+ln(N)−ln(c_x)−ln(c_y): the log-sum form
+    // never overflows BIGINT at any corpus size (c_xy·N would at
+    // ~10¹³ tokens) and is written in the IDENTICAL expression shape
+    // in both engines, rounded at 4 (the zipf_fit libm precedent).
+    // Shapes: adjacent-pair explode → map-side-combinable bigram
+    // counts; unigram counts are the shared wordCounts pass joined
+    // twice (vocab-sized, word-keyed); min-support 10 prunes the
+    // hapax tail BEFORE the joins.
+    "text_collocations" -> ((s, dir) => {
+      val bi = t(s, dir, "documents")
+        .select(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          w => length(w) > 0).as("ws"))
+        .filter(size(col("ws")) >= 2) // sequence(1,0) would run BACKWARD
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> " +
+            "struct(ws[i-1] AS x, ws[i] AS y))")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 10)
+      val uni = wordCounts(s, dir)
+      val tot = uni.agg(sum(col("wc")).as("n_tok"))
+      bi.join(uni.select(col("w").as("x"), col("wc").as("c_x")), "x")
+        .join(uni.select(col("w").as("y"), col("wc").as("c_y")), "y")
+        .crossJoin(broadcast(tot))
+        .select(col("x"), col("y"), col("c_xy"),
+          round(log(col("c_xy")) + log(col("n_tok")) -
+            log(col("c_x")) - log(col("c_y")), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("x"), col("y"))
+        .limit(15)
     })
   )
 
@@ -1800,6 +1834,30 @@ object TextAnalysis {
         |    AS jaccard
         |FROM inter i JOIN sizes sa ON i.src_a = sa.source
         |JOIN sizes sb ON i.src_b = sb.source
-        |ORDER BY jaccard DESC, src_a, src_b LIMIT 30""".stripMargin
+        |ORDER BY jaccard DESC, src_a, src_b LIMIT 30""".stripMargin,
+
+    "text_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS ws
+        |  FROM documents
+        |), bi AS (
+        |  SELECT ws[CAST(i AS INTEGER)] AS x,
+        |    ws[CAST(i AS INTEGER) + 1] AS y, count(*) AS c_xy
+        |  FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 10
+        |), uni AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY 1
+        |), tot AS (SELECT sum(wc) AS n_tok FROM uni)
+        |SELECT bi.x, bi.y, CAST(bi.c_xy AS BIGINT) AS c_xy,
+        |  round(ln(bi.c_xy) + ln((SELECT n_tok FROM tot))
+        |    - ln(ux.wc) - ln(uy.wc), 4) AS pmi
+        |FROM bi JOIN uni ux ON bi.x = ux.w JOIN uni uy ON bi.y = uy.w
+        |ORDER BY pmi DESC, x, y LIMIT 15""".stripMargin
   )
 }

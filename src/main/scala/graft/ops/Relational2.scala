@@ -520,6 +520,100 @@ object Relational2 {
         .orderBy(col("n").desc, col("path")).limit(10)
     }),
 
+    // revenue concentration: exact Gini + top-decile share — the
+    // whale-curve statistic a marketplace reports next to DAU. The
+    // ranked frame is PURCHASERS ONLY (zero-revenue users would pile
+    // into one massive tie shard); their analytic contribution is
+    // closed-form (rank offset z, zero mass), so exactness costs
+    // nothing. Rank is the two-level DistRank (log2-cents shard —
+    // order-consistent, ≤64-row census; a tie-dense cents value bounds
+    // its shard by that value's population, the vocab-rank caveat) —
+    // no global sort at any scale. Gini = (2·Σ(rank·cents) −
+    // (n+1)·Σcents) / (n·Σcents), all BIGINT on the cents grid until
+    // the final 1e-6 rounding; Σ(rank·cents) overflows ~1e18 at
+    // ~1e9 users × 1e9 cents — the DECIMAL(38,0) swap documented at
+    // q_events_anomaly applies verbatim.
+    "q_events_gini" -> ((s, dir) => {
+      val rev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val nAll = t(s, dir, "events").select(col("user_id")).distinct().count()
+      val (ranked, nBuy) = graft.ext.DistRank.rowNumberWithCount(s, rev,
+        floor(log2(col("cents") + 2)).cast("long"),
+        Seq(col("cents").asc, col("user_id").asc), "r0")
+      val z = nAll - nBuy
+      val k = nAll / 10 // top decile (integer floor, matches // in SQL)
+      ranked
+        .select((col("r0") + lit(z)).as("rank"), col("cents"))
+        .agg(sum(col("cents")).as("s"),
+          sum(col("rank") * col("cents")).as("w"),
+          sum(when(col("rank") > lit(nAll - k), col("cents"))
+            .otherwise(0L)).as("top_cents"))
+        .select(lit(nAll).as("n_users"), lit(nBuy).as("n_buyers"),
+          col("s").as("total_cents"),
+          graft.ext.TextAnalysis.ratioRound(
+            lit(2) * col("w") - lit(nAll + 1) * col("s"),
+            lit(nAll) * col("s"), 6).as("gini"),
+          graft.ext.TextAnalysis.ratioRound(col("top_cents"), col("s"), 6)
+            .as("top10_share"))
+    }),
+
+    // two-sample A/B readout — deterministic hash assignment
+    // (user_id mod 2: the planted stand-in for a real bucketing hash),
+    // per-user collapse first (conversion and revenue are USER
+    // properties, not event properties), then ONE conditional
+    // aggregation row — two map-side-combinable passes, nothing
+    // user-count-sized past the per-user frame. Conversion rates ride
+    // the exact 1e-6 grid. The test statistic is Welch's t on per-user
+    // revenue, built from EXACT integer moments (Σc, Σc² as BIGINT —
+    // associative, merge-order-free; a double running variance would
+    // be partial-agg-order nondeterministic): t = (m1−m0)/
+    // √(s0²/n0 + s1²/n1), the one deliberately-double step, identical
+    // expression shape in both engines, rounded at 4 (zipf_fit
+    // precedent), NULL-guarded via CASE when both variances are 0
+    // (ANSI division semantics) — a proportion z-test is degenerate
+    // here because conversion saturates at 1.0 corpus-wide. Σc²
+    // overflows BIGINT at ~10⁹ users × 10⁵ cents: the DECIMAL(38,0)
+    // swap documented at q_events_anomaly applies.
+    "q_events_ab_test" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"),
+          (col("user_id") % 2).as("variant"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+        .groupBy(col("user_id"), col("variant"))
+        .agg(max(col("p")).as("conv"), sum(col("cents")).as("cents"))
+      def side(v: Int, c: Column): Column =
+        sum(when(col("variant") === v, c).otherwise(lit(0L)))
+      def svar(n: Column, sm: Column, q: Column): Column =
+        (n.cast("double") * q.cast("double") -
+          sm.cast("double") * sm.cast("double")) /
+          (n.cast("double") * (n.cast("double") - lit(1.0)))
+      perUser
+        .agg(side(0, lit(1L)).as("n0"), side(1, lit(1L)).as("n1"),
+          side(0, col("conv")).as("c0"), side(1, col("conv")).as("c1"),
+          side(0, col("cents")).as("rev0_cents"),
+          side(1, col("cents")).as("rev1_cents"),
+          side(0, col("cents") * col("cents")).as("q0"),
+          side(1, col("cents") * col("cents")).as("q1"))
+        .select(col("n0"), col("n1"),
+          graft.ext.TextAnalysis.ratioRound(col("c0"), col("n0"), 6)
+            .as("conv0"),
+          graft.ext.TextAnalysis.ratioRound(col("c1"), col("n1"), 6)
+            .as("conv1"),
+          col("rev0_cents"), col("rev1_cents"),
+          when(svar(col("n0"), col("rev0_cents"), col("q0")) +
+              svar(col("n1"), col("rev1_cents"), col("q1")) > lit(0.0),
+            round(
+              (col("rev1_cents").cast("double") / col("n1") -
+                col("rev0_cents").cast("double") / col("n0")) /
+              sqrt(svar(col("n0"), col("rev0_cents"), col("q0")) / col("n0") +
+                svar(col("n1"), col("rev1_cents"), col("q1")) / col("n1")), 4))
+            .as("t_welch"))
+    }),
+
     // correlated LATERAL subquery: top order per customer
     "q_lateral" -> ((s, dir) => {
       Engine.registerTestdata(s, dir)
@@ -639,6 +733,81 @@ object Relational2 {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(monetary) AS BIGINT) AS revenue_cents
         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_events_gini" ->
+      """WITH rev AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), nn AS (
+        |  SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |          FROM events) AS n_all,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rev) AS n_buy
+        |), r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, user_id)
+        |      + (SELECT n_all - n_buy FROM nn) AS rank
+        |  FROM rev
+        |), agg AS (
+        |  SELECT (SELECT n_all FROM nn) AS n_users,
+        |    (SELECT n_buy FROM nn) AS n_buyers,
+        |    CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(sum(rank * cents) AS BIGINT) AS w,
+        |    CAST(sum(CASE WHEN rank > (SELECT n_all - n_all // 10 FROM nn)
+        |      THEN cents ELSE 0 END) AS BIGINT) AS top_cents
+        |  FROM r
+        |)
+        |SELECT n_users, n_buyers, s AS total_cents,
+        |  CAST((2 * (2 * w - (n_users + 1) * s) * 1000000 + n_users * s)
+        |    // (2 * n_users * s) AS DOUBLE) / 1000000.0 AS gini,
+        |  CAST((2 * top_cents * 1000000 + s) // (2 * s) AS DOUBLE)
+        |    / 1000000.0 AS top10_share
+        |FROM agg""".stripMargin,
+
+    "q_events_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS cents
+        |  FROM events GROUP BY 1, 2
+        |), a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS rev0_cents,
+        |    CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS rev1_cents,
+        |    CAST(sum(CASE WHEN variant = 0 THEN cents * cents ELSE 0 END)
+        |      AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN cents * cents ELSE 0 END)
+        |      AS BIGINT) AS q1
+        |  FROM pu
+        |), v AS (
+        |  SELECT *,
+        |    (CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)
+        |      - CAST(rev0_cents AS DOUBLE) * CAST(rev0_cents AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) AS s0,
+        |    (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+        |      - CAST(rev1_cents AS DOUBLE) * CAST(rev1_cents AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS s1
+        |  FROM a
+        |)
+        |SELECT n0, n1,
+        |  CAST((2 * c0 * 1000000 + n0) // (2 * n0) AS DOUBLE) / 1000000.0
+        |    AS conv0,
+        |  CAST((2 * c1 * 1000000 + n1) // (2 * n1) AS DOUBLE) / 1000000.0
+        |    AS conv1,
+        |  rev0_cents, rev1_cents,
+        |  CASE WHEN s0 + s1 > 0.0 THEN
+        |    round((CAST(rev1_cents AS DOUBLE) / n1
+        |      - CAST(rev0_cents AS DOUBLE) / n0) /
+        |      sqrt(s0 / n0 + s1 / n1), 4)
+        |  ELSE NULL END AS t_welch
+        |FROM v""".stripMargin,
 
     "q_events_dau" ->
       """WITH ud AS (

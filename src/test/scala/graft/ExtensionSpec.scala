@@ -1657,6 +1657,60 @@ class ExtensionSpec extends SparkSpecBase {
       ("view>click>purchase", 1L), ("view>view>view", 1L)), s"got ${out.toSeq}")
   }
 
+  test("gini: zero-revenue offset and top-decile share on a planted ladder") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(hours: Long) = new java.sql.Timestamp(t0.getTime + hours * 3600000L)
+    // 8 viewers (zero revenue, ranks 1..8 analytically), 2 buyers at
+    // 100 and 300 cents → gini = (2·3900 − 11·400)/(10·400) = 0.85,
+    // top decile (k=1) = the 300-cent whale → share 0.75
+    val rows = (1 to 8).map(u => (u.toLong, ts(u), u.toLong, "view", 0.0)) ++
+      Seq((9L, ts(9), 9L, "purchase", 1.0), (10L, ts(10), 10L, "purchase", 3.0))
+    val tmp = java.nio.file.Files.createTempDirectory("gini").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q_events_gini")(spark, tmp).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4)) == ((10L, 2L, 400L, 0.85, 0.75)), s"got $r")
+  }
+
+  test("ab test: Welch t from exact integer moments on planted arms") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(hours: Long) = new java.sql.Timestamp(t0.getTime + hours * 3600000L)
+    // even users (variant 0): 100 and 300 cents (s²=20000); odd
+    // (variant 1): 100 and 100 (s²=0) → t = (100−200)/√(20000/2) = −1
+    val rows = Seq(
+      (1L, ts(0), 2L, "purchase", 1.0), (2L, ts(1), 4L, "purchase", 3.0),
+      (3L, ts(2), 1L, "purchase", 1.0), (4L, ts(3), 3L, "purchase", 1.0))
+    val tmp = java.nio.file.Files.createTempDirectory("abtest").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q_events_ab_test")(spark, tmp).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6)) ==
+      ((2L, 2L, 1.0, 1.0, 400L, 200L, -1.0)), s"got $r")
+  }
+
+  test("collocations: min-support filter and the PMI value itself") {
+    import spark.implicits._
+    // "alpha beta" in all 10 docs (support 10); every "beta wN" bigram
+    // has support 1 and must be filtered. N=30 tokens, c_x=c_y=c_xy=10
+    // → PMI = ln(30·10/(10·10)) = ln 3
+    val docs = (1 to 10).map(i => (i.toLong, s"alpha beta w$i"))
+    val tmp = java.nio.file.Files.createTempDirectory("colloc").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_collocations")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("alpha", "beta", 10L,
+      math.rint(math.log(3.0) * 10000) / 10000)), s"got ${out.toSeq}")
+  }
+
   test("retrieval eval: known-item metrics are internally consistent") {
     val rows = SparkEntry.queries("text_retrieval_eval")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
