@@ -614,6 +614,93 @@ object Relational2 {
             .as("t_welch"))
     }),
 
+    // market-basket association rules over order baskets — support /
+    // confidence / lift for co-purchased brand pairs, the classic
+    // recommender-bootstrap aggregation. The self-join is WITHIN an
+    // order (key = l_orderkey, fan-out bounded by basket size² — a
+    // per-group bound like sessionize, never corpus²) on the
+    // distinct (order, brand) frame; brand-level item counts are a
+    // 25-row broadcast. Every metric stays integer until the 1e-6
+    // grid: lift = c_xy·n / (c_x·c_y) as a BIGINT ratio (overflow at
+    // ~10⁹ orders × dense counts → the documented DECIMAL swap).
+    "q_basket_rules" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+      val nOrders = items.select(col("o")).distinct().count()
+      val itemN = items.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val pairs = items.join(
+          items.select(col("o"), col("b").as("b2")), Seq("o"))
+        .filter(col("b") < col("b2"))
+        .groupBy(col("b"), col("b2")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      pairs
+        .join(broadcast(itemN.select(col("b"), col("c").as("c_x"))), "b")
+        .join(broadcast(itemN.select(col("b").as("b2"), col("c").as("c_y"))),
+          "b2")
+        .select(col("b").as("brand_a"), col("b2").as("brand_b"),
+          col("c_xy"),
+          graft.ext.TextAnalysis.ratioRound(col("c_xy"), lit(nOrders), 6)
+            .as("support"),
+          graft.ext.TextAnalysis.ratioRound(col("c_xy"), col("c_x"), 6)
+            .as("confidence"),
+          graft.ext.TextAnalysis.ratioRound(col("c_xy") * lit(nOrders),
+            col("c_x") * col("c_y"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+        .limit(15)
+    }),
+
+    // bot / automation flags — inhuman regularity in the per-user
+    // event cadence: coefficient of variation of inter-event gaps,
+    // from EXACT integer moments (gaps in whole seconds; Σg, Σg² as
+    // BIGINT — the ab_test determinism trick; Σg² overflows at
+    // ~10⁶ gaps × (10⁶ s)² per user, far past any per-user stream).
+    // cv² = n(nQ − S²)/((n−1)S²) on the 1e-6 grid; a user is flagged
+    // when cv² < 0.25 (gaps within ±50% of their mean) AND the stream
+    // is long enough to mean it (≥20 gaps). One user-partitioned lag
+    // window (the sessionize exchange), one per-user aggregation —
+    // output is user-sized, every metric exact.
+    "q_events_bot_flags" -> ((s, dir) => {
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          Engine.eventTsMicros(col("ts")).as("us"))
+        .withColumn("gap_s",
+          expr("(us - lag(us, 1) OVER (PARTITION BY user_id " +
+            "ORDER BY ts, event_id)) div 1000000"))
+        .filter(col("gap_s").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sg"),
+          sum(col("gap_s") * col("gap_s")).as("qg"))
+        .filter(col("n_gaps") >= 2)
+        .select(col("user_id"), col("n_gaps"),
+          expr("sg div n_gaps").as("mean_gap_s"),
+          // cv² leaves the integer grid HERE, not at the aggregate: the
+          // moments are exact BIGINTs and the division is one double
+          // expression in identical shape both engines (the ab_test
+          // pattern — an integer-grid cv² would overflow BIGINT at
+          // n·(nQ−S²)·2·10⁶ ≈ 10²¹ for a 66-event user). greatest(·,1):
+          // an all-zero-gap user (S=0) is perfectly regular — numerator
+          // is 0 too, so cv²=0 and the flag fires
+          round(col("n_gaps").cast("double") *
+            (col("n_gaps").cast("double") * col("qg").cast("double") -
+              col("sg").cast("double") * col("sg").cast("double")) /
+            greatest((col("n_gaps") - 1).cast("double") *
+              col("sg").cast("double") * col("sg").cast("double"), lit(1.0)),
+            4).as("cv2"),
+          (col("n_gaps") >= 20 &&
+            col("n_gaps").cast("double") *
+              (col("n_gaps").cast("double") * col("qg").cast("double") -
+                col("sg").cast("double") * col("sg").cast("double")) /
+              greatest((col("n_gaps") - 1).cast("double") *
+                col("sg").cast("double") * col("sg").cast("double"),
+                lit(1.0)) < lit(0.25))
+            .as("bot_flag"))
+        .orderBy(col("user_id"))
+    }),
+
     // correlated LATERAL subquery: top order per customer
     "q_lateral" -> ((s, dir) => {
       Engine.registerTestdata(s, dir)
@@ -733,6 +820,59 @@ object Relational2 {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(monetary) AS BIGINT) AS revenue_cents
         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |), nn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM items
+        |), itemn AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.b AS brand_a, c.b AS brand_b,
+        |    CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM items a JOIN items c ON a.o = c.o AND a.b < c.b
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT p.brand_a, p.brand_b, p.c_xy,
+        |  CAST((2 * p.c_xy * 1000000 + nn.n) // (2 * nn.n) AS DOUBLE)
+        |    / 1000000.0 AS support,
+        |  CAST((2 * p.c_xy * 1000000 + ix.c) // (2 * ix.c) AS DOUBLE)
+        |    / 1000000.0 AS confidence,
+        |  CAST((2 * p.c_xy * nn.n * 1000000 + ix.c * iy.c)
+        |    // (2 * ix.c * iy.c) AS DOUBLE) / 1000000.0 AS lift
+        |FROM pairs p CROSS JOIN nn
+        |JOIN itemn ix ON p.brand_a = ix.b
+        |JOIN itemn iy ON p.brand_b = iy.b
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 15""".stripMargin,
+
+    "q_events_bot_flags" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) // 1000000 AS gap_s
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap_s) AS BIGINT) AS sg,
+        |    CAST(sum(gap_s * gap_s) AS BIGINT) AS qg
+        |  FROM g WHERE gap_s IS NOT NULL
+        |  GROUP BY 1 HAVING count(*) >= 2
+        |)
+        |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
+        |  round(CAST(n_gaps AS DOUBLE)
+        |      * (CAST(n_gaps AS DOUBLE) * CAST(qg AS DOUBLE)
+        |         - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |    / greatest(CAST(n_gaps - 1 AS DOUBLE)
+        |        * CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 1.0), 4) AS cv2,
+        |  n_gaps >= 20 AND
+        |    CAST(n_gaps AS DOUBLE)
+        |      * (CAST(n_gaps AS DOUBLE) * CAST(qg AS DOUBLE)
+        |         - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |    / greatest(CAST(n_gaps - 1 AS DOUBLE)
+        |        * CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 1.0) < 0.25
+        |    AS bot_flag
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q_events_gini" ->
       """WITH rev AS (

@@ -1711,6 +1711,54 @@ class ExtensionSpec extends SparkSpecBase {
       math.rint(math.log(3.0) * 10000) / 10000)), s"got ${out.toSeq}")
   }
 
+  test("basket rules: support floor and exact lift on planted orders") {
+    import spark.implicits._
+    // orders 1..5 hold {A,B}; order 6 holds {A,C} — AB passes the
+    // support-5 floor (support 5/6, conf 5/6 vs c_A=6, lift
+    // 5·6/(6·5)=1), AC (support 1) must be filtered
+    val li = (1 to 5).flatMap(o => Seq((o.toLong, 101L), (o.toLong, 102L))) ++
+      Seq((6L, 101L), (6L, 103L))
+    val tmp = java.nio.file.Files.createTempDirectory("basket").toString
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((101L, "BrandA"), (102L, "BrandB"), (103L, "BrandC"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val out = SparkEntry.queries("q_basket_rules")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("BrandA", "BrandB", 5L, 0.833333, 0.833333, 1.0)),
+      s"got ${out.toSeq}")
+  }
+
+  test("bot flags: metronome fires, jitter and short streams do not") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    // u1: 21 events exactly 60 s apart (cv²=0 → bot); u2: 21 events
+    // alternating 10 s / 110 s gaps (same mean, cv²≈0.731 → not bot);
+    // u3: 5 regular events (cv²=0 but only 4 gaps → not bot)
+    var id = 0L
+    def ev(u: Long, sec: Long) = { id += 1; (id, ts(sec), u, "view", 0.0) }
+    val u1 = (0 to 20).map(i => ev(1L, i * 60L))
+    val u2 = (0 to 20).map { i =>
+      val full = (i / 2) * 120L
+      ev(2L, if (i % 2 == 0) full else full + 10L)
+    }
+    val u3 = (0 to 4).map(i => ev(3L, i * 60L))
+    val tmp = java.nio.file.Files.createTempDirectory("bot").toString
+    (u1 ++ u2 ++ u3).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_bot_flags")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 20L, 60L, 0.0, true),
+      (2L, 20L, 60L, 0.731, false),
+      (3L, 4L, 60L, 0.0, false)), s"got ${out.toSeq}")
+  }
+
   test("retrieval eval: known-item metrics are internally consistent") {
     val rows = SparkEntry.queries("text_retrieval_eval")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
