@@ -455,6 +455,60 @@ object Similarity {
         .orderBy(col("bucket"), col("rk"))
     }),
 
+    // MMR rerank — maximal marginal relevance, the diversity-aware
+    // top-k every retrieval/curation stack layers over a raw
+    // similarity ranker (emb_diversity_sample diversifies a SAMPLE by
+    // LSH bucket; MMR diversifies a RANKING against a query):
+    // greedily pick argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s).
+    // Greedy selection is inherently sequential, so the K−1 steps are
+    // UNROLLED over K-bounded frames (the emb_pca fixed-iteration
+    // precedent): the distributed work is exactly one corpus scan
+    // (top-12 candidates by cosine); candidates and their 12×12 sim
+    // matrix then come local under the toLocal K-row contract and the
+    // five selection steps are tiny chained joins. Scores are doubles
+    // from the SAME dot/norm expressions both engines rank with
+    // (ann_bruteforce's cross-engine argmax precedent); λ = 0.7.
+    "emb_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .withColumn("nrm", l2norm(col("embedding")))
+      val q = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"), col("nrm").as("q_nrm")))
+      val cand = toLocal(s, emb.filter(col("vec_id") >= 10).crossJoin(q)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          cosineWithNorms(col("q_vec"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(12))
+      val a = cand.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      val b = cand.select(col("vec_id").as("sid"),
+        col("embedding").as("se"), col("nrm").as("sn"))
+      val pairs = toLocal(s, a.crossJoin(b).filter(col("cid") =!= col("sid"))
+        .select(col("cid"), col("sid"),
+          cosineWithNorms(col("ce"), col("se"), col("cn"), col("sn"))
+            .as("psim")))
+      var sel = cand
+        .orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(lit(1L).as("step"), col("vec_id"), col("rel").as("score"))
+      for (i <- 2 to 5) {
+        val ms = pairs
+          .join(sel.select(col("vec_id").as("sid")), "sid")
+          .groupBy(col("cid")).agg(max(col("psim")).as("maxsim"))
+        val next = cand
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .join(ms, col("vec_id") === col("cid"))
+          // 0.3 as a LITERAL, not 1.0−0.7 (which is 0.30000000000000004
+          // in binary — the oracle parses "0.3" and would diverge)
+          .select(lit(i.toLong).as("step"), col("vec_id"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+              .as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+        sel = sel.unionByName(next)
+      }
+      sel.select(col("step"), col("vec_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("step"))
+    }),
+
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -1565,6 +1619,72 @@ object Similarity {
       |SELECT em.vec_id, em.label, p.pc1_dot
       |FROM embeddings em JOIN proj p ON p.vec_id = em.vec_id
       |ORDER BY em.vec_id""".stripMargin),
+
+    // MMR unrolled as 4 MATERIALIZED selection CTEs (the emb_pca
+    // inlining gotcha: each step references the previous several
+    // times); scores stay full-precision doubles through the argmax,
+    // rounded only on output — the ann_bruteforce argmax precedent
+    "emb_mmr_rerank" ->
+      """WITH q AS (SELECT embedding AS q_vec FROM embeddings
+        |           WHERE vec_id = 0),
+        |cand AS MATERIALIZED (
+        |  SELECT e.vec_id, e.embedding,
+        |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS rel
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 10
+        |  ORDER BY rel DESC, e.vec_id LIMIT 12
+        |), pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS cid, b.vec_id AS sid,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS psim
+        |  FROM cand a CROSS JOIN cand b WHERE a.vec_id <> b.vec_id
+        |), s1 AS MATERIALIZED (
+        |  SELECT CAST(1 AS BIGINT) AS step, vec_id, rel AS score
+        |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+        |), s2 AS MATERIALIZED (
+        |  SELECT CAST(2 AS BIGINT) AS step, c.vec_id,
+        |    0.7::DOUBLE * c.rel - 0.3::DOUBLE * max(p.psim) AS score
+        |  FROM cand c JOIN pairs p ON p.cid = c.vec_id
+        |  JOIN s1 ON p.sid = s1.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  GROUP BY c.vec_id, c.rel
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |), sel2 AS MATERIALIZED (
+        |  SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+        |), s3 AS MATERIALIZED (
+        |  SELECT CAST(3 AS BIGINT) AS step, c.vec_id,
+        |    0.7::DOUBLE * c.rel - 0.3::DOUBLE * max(p.psim) AS score
+        |  FROM cand c JOIN pairs p ON p.cid = c.vec_id
+        |  JOIN sel2 ON p.sid = sel2.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  GROUP BY c.vec_id, c.rel
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |), sel3 AS MATERIALIZED (
+        |  SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3
+        |), s4 AS MATERIALIZED (
+        |  SELECT CAST(4 AS BIGINT) AS step, c.vec_id,
+        |    0.7::DOUBLE * c.rel - 0.3::DOUBLE * max(p.psim) AS score
+        |  FROM cand c JOIN pairs p ON p.cid = c.vec_id
+        |  JOIN sel3 ON p.sid = sel3.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  GROUP BY c.vec_id, c.rel
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |), sel4 AS MATERIALIZED (
+        |  SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4
+        |), s5 AS MATERIALIZED (
+        |  SELECT CAST(5 AS BIGINT) AS step, c.vec_id,
+        |    0.7::DOUBLE * c.rel - 0.3::DOUBLE * max(p.psim) AS score
+        |  FROM cand c JOIN pairs p ON p.cid = c.vec_id
+        |  JOIN sel4 ON p.sid = sel4.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+        |  GROUP BY c.vec_id, c.rel
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |)
+        |SELECT step, vec_id, round(score, 5) AS score FROM (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |  UNION ALL SELECT * FROM s5)
+        |ORDER BY step""".stripMargin,
 
     "emb_norms" ->
       """SELECT vec_id, label,

@@ -1759,6 +1759,28 @@ class ExtensionSpec extends SparkSpecBase {
       (3L, 4L, 60L, 0.0, false)), s"got ${out.toSeq}")
   }
 
+  test("mmr rerank: an exact duplicate loses to a diverse candidate") {
+    import spark.implicits._
+    // q=[1,0,0]; c10≈q (rel .90), c11 = EXACT dup of c10, c12 mirrors
+    // c10 across the query axis (same rel, sim(c12,c10)=.62). Pure
+    // top-k would emit 10,11 first; MMR must pick 12 before the dup 11
+    // (0.7·0.9 − 0.3·0.62 > 0.7·0.9 − 0.3·1.0). 13/14 are orthogonal
+    // fillers so all 5 steps have material.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f)), (10L, Array(0.9f, 0.435f, 0f)),
+      (11L, Array(0.9f, 0.435f, 0f)), (12L, Array(0.9f, -0.435f, 0f)),
+      (13L, Array(0f, 1.0f, 0f)), (14L, Array(0f, 0f, 1.0f)))
+    val tmp = java.nio.file.Files.createTempDirectory("mmr").toString
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("emb_mmr_rerank")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 5 && out.map(_._1).toSeq == (1L to 5L),
+      s"got ${out.toSeq}")
+    assert(out.take(3).map(_._2).toSeq == Seq(10L, 12L, 11L),
+      s"dup must defer to the diverse mirror: got ${out.toSeq}")
+  }
+
   test("retrieval eval: known-item metrics are internally consistent") {
     val rows = SparkEntry.queries("text_retrieval_eval")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
