@@ -259,7 +259,8 @@ object ScaleProbe {
       "q_events_transitions", "q_events_rfm", "pipe_domain_cap",
       "text_source_similarity", "q_events_dau", "q_events_paths",
       "q_events_gini", "q_events_ab_test", "text_collocations",
-      "q_events_bot_flags", "emb_mmr_rerank")
+      "q_events_bot_flags", "emb_mmr_rerank", "emb_farthest_first",
+      "pipe_bootstrap_ci")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

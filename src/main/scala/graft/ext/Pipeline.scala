@@ -1059,6 +1059,49 @@ object Pipeline {
           sum(when(col("rk") <= col("cap"), col("n_chars"))
             .otherwise(0L)).as("kept_chars"))
         .orderBy(col("source"))
+    }),
+
+    // Poisson-bootstrap confidence interval — uncertainty for a corpus
+    // statistic (mean doc length) WITHOUT resampling rows: each of
+    // B=50 replicas weights every doc by a deterministic
+    // Poisson(1)-distributed count w ∈ {0,1,2,3} derived from
+    // md5(b:doc_id) against precomputed inverse-CDF thresholds on the
+    // 2³² grid (1/e, 2/e, 2.5/e — the ≥3 tail, true mass 8.0%, is
+    // capped at 3; constants are integer literals in both engines).
+    // This is THE bootstrap that works on a stream/cluster: the B
+    // replicas ride ONE corpus pass as a B-way explode into a
+    // map-side-combinable (b, Σw·x, Σw) aggregate — no shuffled
+    // resample, no per-replica scan. Replica means live on the exact
+    // 1e-4 grid; the 2.5/97.5 band is nearest-rank over the sorted
+    // 50-row frame via sort_array (no window — the frame is
+    // B-bounded by construction).
+    "pipe_bootstrap_ci" -> ((s, dir) => {
+      import graft.ext.TextAnalysis.{ratioRound, ratioRoundInt}
+      val B = 50
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val w32 = conv(substring(md5(concat(col("b").cast("string"), lit(":"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      val reps = d
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("w",
+          when(w32 < 1580030168L, 0L)
+            .when(w32 < 3160060337L, 1L)
+            .when(w32 < 3950075421L, 2L).otherwise(3L))
+        .groupBy(col("b"))
+        .agg(sum(col("w") * col("n_chars")).as("sx"), sum(col("w")).as("sw"))
+        .select(ratioRoundInt(col("sx"), greatest(col("sw"), lit(1L)), 4)
+          .as("m_u4"))
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      reps.agg(sort_array(collect_list(col("m_u4"))).as("ms"))
+        .crossJoin(broadcast(base))
+        .select(col("n_docs"),
+          ratioRound(col("sum_chars"), col("n_docs"), 4).as("mean_chars"),
+          (element_at(col("ms"), 2).cast("double") / lit(10000.0))
+            .as("ci_lo"),
+          (element_at(col("ms"), 49).cast("double") / lit(10000.0))
+            .as("ci_hi"))
     })
   )
 
@@ -1722,7 +1765,40 @@ object Pipeline {
         |    AS n_dropped,
         |  CAST(sum(CASE WHEN rk <= cap THEN n_chars ELSE 0 END) AS BIGINT)
         |    AS kept_chars
-        |FROM r GROUP BY source ORDER BY source""".stripMargin
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipe_bootstrap_ci" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |reps AS (
+        |  SELECT b, CAST(sum(w * n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(w) AS BIGINT) AS sw
+        |  FROM (
+        |    SELECT n_chars, b,
+        |      CASE WHEN u < 1580030168 THEN 0
+        |           WHEN u < 3160060337 THEN 1
+        |           WHEN u < 3950075421 THEN 2 ELSE 3 END AS w
+        |    FROM (
+        |      SELECT doc_id, n_chars, b,
+        |        ('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        |      FROM d, unnest(generate_series(0, 49)) AS t(b)))
+        |  GROUP BY b
+        |), ms AS (
+        |  SELECT list_sort(list(
+        |    (2 * sx * 10000 + greatest(sw, 1)) // (2 * greatest(sw, 1))))
+        |    AS l
+        |  FROM reps
+        |), base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sc
+        |  FROM d
+        |)
+        |SELECT n_docs,
+        |  CAST((2 * sc * 10000 + n_docs) // (2 * n_docs) AS DOUBLE)
+        |    / 10000.0 AS mean_chars,
+        |  CAST(l[2] AS DOUBLE) / 10000.0 AS ci_lo,
+        |  CAST(l[49] AS DOUBLE) / 10000.0 AS ci_hi
+        |FROM ms CROSS JOIN base""".stripMargin
   )
 
   /** The bloom variant's contract is "identical output to the exact

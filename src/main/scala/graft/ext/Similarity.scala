@@ -509,6 +509,45 @@ object Similarity {
         .orderBy(col("step"))
     }),
 
+    // farthest-first traversal (Gonzalez k-center) — the DETERMINISTIC
+    // stand-in for k-means++ seeding: each step picks the vector
+    // maximizing its min cosine-distance to the seeds so far. The
+    // K−1 steps are each ONE corpus scan (argmax over the broadcast
+    // ≤K-row seed set — the standard K-pass cost every k-means++ run
+    // pays at cluster scale); the scan chain is localCheckpoint'd once
+    // (the ann_ivf repeated-scan fix) so step k re-reads blocks, not
+    // lineage. Seed 1 is vec_id 0 by convention (k-means++'s random
+    // first pick made reproducible); its reported distance is 0.
+    // Complements emb_kmeans (fixed first-C seeds + one Lloyd pass):
+    // this is the INIT-quality half, emb_kmeans the refinement half.
+    "emb_farthest_first" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .withColumn("nrm", l2norm(col("embedding")))
+        .localCheckpoint(true)
+      var sel = emb.filter(col("vec_id") === 0)
+        .select(lit(1L).as("step"), col("vec_id"), lit(0.0).as("dist"),
+          col("embedding").as("se"), col("nrm").as("sn"))
+      for (i <- 2 to 4) {
+        val seeds = broadcast(sel.select(col("vec_id").as("sid"),
+          col("se"), col("sn")))
+        val next = emb.crossJoin(seeds)
+          .filter(col("vec_id") =!= col("sid"))
+          .groupBy(col("vec_id"))
+          .agg(min(lit(1.0) - cosineWithNorms(col("embedding"), col("se"),
+            col("nrm"), col("sn"))).as("dist"),
+            first(col("embedding")).as("embedding"),
+            first(col("nrm")).as("nrm"))
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .orderBy(col("dist").desc, col("vec_id")).limit(1)
+          .select(lit(i.toLong).as("step"), col("vec_id"), col("dist"),
+            col("embedding").as("se"), col("nrm").as("sn"))
+        sel = sel.unionByName(next)
+      }
+      sel.select(col("step"), col("vec_id"), round(col("dist"), 5).as("dist"))
+        .orderBy(col("step"))
+    }),
+
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -1684,6 +1723,52 @@ object Similarity {
         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
         |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
         |  UNION ALL SELECT * FROM s5)
+        |ORDER BY step""".stripMargin,
+
+    "emb_farthest_first" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        |s1 AS MATERIALIZED (
+        |  SELECT CAST(1 AS BIGINT) AS step, vec_id, 0.0::DOUBLE AS dist,
+        |    embedding
+        |  FROM e WHERE vec_id = 0
+        |), n2 AS MATERIALIZED (
+        |  SELECT CAST(2 AS BIGINT) AS step, c.vec_id,
+        |    min(1.0::DOUBLE - list_cosine_similarity(
+        |      CAST(c.embedding AS DOUBLE[]),
+        |      CAST(s.embedding AS DOUBLE[]))) AS dist,
+        |    c.embedding
+        |  FROM e c JOIN s1 s ON c.vec_id <> s.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  GROUP BY c.vec_id, c.embedding
+        |  ORDER BY dist DESC, c.vec_id LIMIT 1
+        |), sel2 AS MATERIALIZED (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM n2
+        |), n3 AS MATERIALIZED (
+        |  SELECT CAST(3 AS BIGINT) AS step, c.vec_id,
+        |    min(1.0::DOUBLE - list_cosine_similarity(
+        |      CAST(c.embedding AS DOUBLE[]),
+        |      CAST(s.embedding AS DOUBLE[]))) AS dist,
+        |    c.embedding
+        |  FROM e c JOIN sel2 s ON c.vec_id <> s.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  GROUP BY c.vec_id, c.embedding
+        |  ORDER BY dist DESC, c.vec_id LIMIT 1
+        |), sel3 AS MATERIALIZED (
+        |  SELECT * FROM sel2 UNION ALL SELECT * FROM n3
+        |), n4 AS MATERIALIZED (
+        |  SELECT CAST(4 AS BIGINT) AS step, c.vec_id,
+        |    min(1.0::DOUBLE - list_cosine_similarity(
+        |      CAST(c.embedding AS DOUBLE[]),
+        |      CAST(s.embedding AS DOUBLE[]))) AS dist,
+        |    c.embedding
+        |  FROM e c JOIN sel3 s ON c.vec_id <> s.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  GROUP BY c.vec_id, c.embedding
+        |  ORDER BY dist DESC, c.vec_id LIMIT 1
+        |)
+        |SELECT step, vec_id, round(dist, 5) AS dist FROM (
+        |  SELECT step, vec_id, dist FROM sel3
+        |  UNION ALL SELECT step, vec_id, dist FROM n4)
         |ORDER BY step""".stripMargin,
 
     "emb_norms" ->

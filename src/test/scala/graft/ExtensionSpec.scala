@@ -1781,6 +1781,36 @@ class ExtensionSpec extends SparkSpecBase {
       s"dup must defer to the diverse mirror: got ${out.toSeq}")
   }
 
+  test("farthest-first: traversal order maximizes min-distance each step") {
+    import spark.implicits._
+    // seed v0=(1,0); v11=(-1,0) is antipodal (dist 2) → step 2;
+    // v10=(0,1) orthogonal to both (min dist 1) → step 3; v12 at 45°
+    // (min dist 1−cos45°≈0.29289) → step 4; v13 hugs the seed and is
+    // never picked
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f)), (10L, Array(0f, 1.0f)),
+      (11L, Array(-1.0f, 0f)), (12L, Array(0.7f, 0.7f)),
+      (13L, Array(1.0f, 0.02f)))
+    val tmp = java.nio.file.Files.createTempDirectory("ffirst").toString
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("emb_farthest_first")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 0L, 0.0), (2L, 11L, 2.0),
+      (3L, 10L, 1.0), (4L, 12L, 0.29289)), s"got ${out.toSeq}")
+  }
+
+  test("bootstrap ci: band brackets the point estimate and is proper") {
+    val r = SparkEntry.queries("pipe_bootstrap_ci")(spark, sfDir).collect()(0)
+    val (n, mean, lo, hi) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    assert(n > 0 && lo < hi, s"degenerate band: $r")
+    assert(lo <= mean && mean <= hi,
+      s"point estimate outside its own bootstrap band: $r")
+    // replica means are length-scale numbers, not ratios
+    assert(lo > 0.0 && hi < 10 * mean)
+  }
+
   test("retrieval eval: known-item metrics are internally consistent") {
     val rows = SparkEntry.queries("text_retrieval_eval")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
