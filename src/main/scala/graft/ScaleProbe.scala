@@ -260,7 +260,7 @@ object ScaleProbe {
       "text_source_similarity", "q_events_dau", "q_events_paths",
       "q_events_gini", "q_events_ab_test", "text_collocations",
       "q_events_bot_flags", "emb_mmr_rerank", "emb_farthest_first",
-      "pipe_bootstrap_ci")
+      "pipe_bootstrap_ci", "q_events_ltv")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

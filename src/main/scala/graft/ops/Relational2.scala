@@ -701,6 +701,39 @@ object Relational2 {
         .orderBy(col("user_id"))
     }),
 
+    // cohort LTV curves — the revenue-weighted half of the retention
+    // triangle: cumulative revenue per signup cohort per day offset,
+    // normalized per cohort user (the payback-period readout). Same
+    // calendar×cohort-sized frames as q_events_retention; the
+    // cumulative sum is a COHORT-partitioned window over ≤8 offset
+    // rows (never corpus-sized). Cents grid end-to-end; per-user LTV
+    // on the exact 1e-4 grid.
+    "q_events_ltv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(Engine.eventTs(col("ts"))).as("day"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cday"))
+      val sizes = cohort.groupBy(col("cday"))
+        .agg(countDistinct(col("user_id")).as("cohort_users"))
+      val cells = ev.join(cohort, "user_id")
+        .withColumn("off", datediff(col("day"), col("cday")).cast("long"))
+        .filter(col("off") <= 7)
+        .groupBy(col("cday"), col("off"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val w = Window.partitionBy(col("cday")).orderBy(col("off"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+        .join(sizes, "cday")
+        .select(date_format(col("cday"), "yyyy-MM-dd").as("cohort_day"),
+          col("off").as("day_offset"), col("cohort_users"),
+          col("rev_cents"), col("cum_cents"),
+          graft.ext.TextAnalysis.ratioRound(col("cum_cents"),
+            col("cohort_users"), 4).as("ltv_cents_per_user"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // correlated LATERAL subquery: top order per customer
     "q_lateral" -> ((s, dir) => {
       Engine.registerTestdata(s, dir)
@@ -994,6 +1027,37 @@ object Relational2 {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "q_events_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+        |  FROM events
+        |), cohort AS (SELECT user_id, min(day) AS cday FROM ev GROUP BY 1
+        |), sizes AS (
+        |  SELECT cday, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS cohort_users
+        |  FROM cohort GROUP BY 1
+        |), cells AS (
+        |  SELECT c.cday, CAST(date_diff('day', c.cday, e.day) AS BIGINT)
+        |    AS off, CAST(sum(e.cents) AS BIGINT) AS rev_cents
+        |  FROM ev e JOIN cohort c USING (user_id)
+        |  WHERE date_diff('day', c.cday, e.day) <= 7
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT cday, off, rev_cents,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cday ORDER BY off)
+        |      AS BIGINT) AS cum_cents
+        |  FROM cells
+        |)
+        |SELECT strftime(cday, '%Y-%m-%d') AS cohort_day,
+        |  off AS day_offset, s.cohort_users, rev_cents, cum_cents,
+        |  CAST((2 * cum_cents * 10000 + s.cohort_users)
+        |    // (2 * s.cohort_users) AS DOUBLE) / 10000.0
+        |    AS ltv_cents_per_user
+        |FROM cum JOIN sizes s USING (cday)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q_events_retention" ->
       """WITH ud AS (

@@ -1811,6 +1811,29 @@ class ExtensionSpec extends SparkSpecBase {
     assert(lo > 0.0 && hi < 10 * mean)
   }
 
+  test("ltv: cumulative per-user revenue rides the retention triangle") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 10:00:00")
+    // cohort d0 = {u1, u2}: u1 buys 1.00 on d0 and 2.00 on d1, u2 only
+    // views — LTV/user goes 50 → 150 cents; u3 cohorts alone on d1
+    // with a 4.00 purchase
+    val rows = Seq(
+      (1L, ts(0), 1L, "purchase", 1.0), (2L, ts(1), 1L, "purchase", 2.0),
+      (3L, ts(0), 2L, "view", 0.0),
+      (4L, ts(1), 3L, "purchase", 4.0))
+    val tmp = java.nio.file.Files.createTempDirectory("ltv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_ltv")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("2024-03-01", 0L, 2L, 100L, 100L, 50.0),
+      ("2024-03-01", 1L, 2L, 200L, 300L, 150.0),
+      ("2024-03-02", 0L, 1L, 400L, 400L, 400.0)), s"got ${out.toSeq}")
+  }
+
   test("retrieval eval: known-item metrics are internally consistent") {
     val rows = SparkEntry.queries("text_retrieval_eval")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
