@@ -250,7 +250,7 @@ object ScaleProbe {
       // joins' O(rate × window) state bound is what matters at scale
       // and is probed to collapse by StreamStateProbe/StreamingSpec)
       "q_stream_late_drop", "q_sessionize_stream", "q_sessionize_tws",
-      "q_stream_session_window",
+      "q_stream_session_window", "q_stream_dau",
       // batch q_events_attribution is absent for the same
       // density-artifact reason as the streaming attribution joins
       // above (its purchase×click pairs grow ~quadratically on a

@@ -75,7 +75,17 @@ object Replay {
     * different extras different tags. Returns the dir to point
     * `readStream.parquet` at. */
   def eventsDir(s: SparkSession, dir: String, chunks: Int,
-      extra: Option[DataFrame] = None, extraTag: String = "plain"): String = {
+      extra: Option[DataFrame] = None, extraTag: String = "plain"): String =
+    eventsDirExtras(s, dir, chunks, extra.toSeq, extraTag)
+
+  /** [[eventsDir]] with SEVERAL extra frames, one file (= one
+    * micro-batch) each, appended in order after the chunks. Chained
+    * stateful operators (q_stream_dau's distinct→count) need this:
+    * watermark PROPAGATION to the downstream operator runs one batch
+    * behind the upstream advance, so flushing the last real window in
+    * append mode takes two trailing heartbeat batches, not one. */
+  def eventsDirExtras(s: SparkSession, dir: String, chunks: Int,
+      extras: Seq[DataFrame], extraTag: String): String = {
     val fp = sourceFingerprint(dir, chunks, extraTag)
     val root = Paths.get(sys.props("java.io.tmpdir"), s"graft_replay_$fp")
     val marker = root.resolve("_REPLAY_COMPLETE")
@@ -107,10 +117,10 @@ object Replay {
       promote(Paths.get(s"$stage/c$k"), root, f"f$k%03d.parquet",
         base + k * 60000L)
     }
-    extra.foreach { df =>
-      df.coalesce(1).write.mode("overwrite").parquet(s"$stage/extra")
-      promote(Paths.get(s"$stage/extra"), root, f"f$chunks%03d.parquet",
-        base + chunks * 60000L)
+    extras.zipWithIndex.foreach { case (df, j) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stage/extra$j")
+      promote(Paths.get(s"$stage/extra$j"), root,
+        f"f${chunks + j}%03d.parquet", base + (chunks + j) * 60000L)
     }
     // the staging dir has served its purpose (only _SUCCESS/.crc
     // leftovers remain after the part-file moves) — reclaim it instead

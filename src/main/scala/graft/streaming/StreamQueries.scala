@@ -66,14 +66,14 @@ object StreamQueries {
     * must stay byte-identical per replay tag or the shared cached
     * replay dir would silently fork semantics. */
   private def sentinelEvents(s: SparkSession, dir: String,
-      rows: Seq[(Long, String)]): DataFrame =
+      rows: Seq[(Long, String)], offsetDays: Int = 30): DataFrame =
     graft.engine.Engine.table(s, dir, "events")
       .agg(max(col("ts")).as("mts"))
       .select(explode(array(rows.map { case (id, tpe) =>
           struct(lit(id).as("event_id"), lit(tpe).as("event_type")) }: _*))
         .as("sv"), col("mts"))
       .select(col("sv.event_id").as("event_id"),
-        (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
+        (col("mts") + expr(s"INTERVAL $offsetDays DAYS")).as("ts"),
         lit(-1L).as("user_id"), col("sv.event_type").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
 
@@ -251,6 +251,58 @@ object StreamQueries {
       val sink = "q_events_window_stream_sink"
       drained(s, sink)(EventsStream.runToMemory(s, dir, sink))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // streaming DAU — CHAINED stateful operators (Spark 3.4+'s
+    // multi-stateful pipeline): dropDuplicates on (user, day-window)
+    // distinct-izes the stream, feeding a second stateful windowed
+    // count, both under one event-time watermark. This is the one
+    // streaming shape no other row covers: every other entry runs a
+    // SINGLE stateful operator. State is bounded on both stages
+    // (distinct user-days within the watermark horizon; one count per
+    // open window). Multi-batch replay (3 chronological chunks) with
+    // TWO trailing sentinel heartbeats: watermark propagation to the
+    // DOWNSTREAM stateful operator runs one batch behind the upstream
+    // advance, so the first heartbeat advances the source watermark
+    // and the second carries it into the count stage, flushing the
+    // last real day inside the AvailableNow drain (measured: one
+    // sentinel leaves exactly the final day unflushed). The sentinel
+    // rows flow through the WHOLE pipeline — an in-stream user filter
+    // gets PUSHED DOWN into the parquet source by Catalyst, so the
+    // watermark node would never see the heartbeat event times
+    // (measured: numInputRows=0 on the sentinel batches); instead
+    // their far-future day windows are dropped POST-drain against the
+    // batch max real day (the sessionize rows' sentinel-projection
+    // rule, at the day grain because user_id does not survive the
+    // aggregation). Oracle: batch per-day countDistinct — the chained
+    // stream must reproduce it exactly.
+    "q_stream_dau" -> ((s, dir) => {
+      val sink = "q_stream_dau_sink"
+      val rd = Replay.eventsDirExtras(s, dir, 3,
+        Seq(sentinelEvents(s, dir, Seq(-1L -> "sentinel"), 30),
+          sentinelEvents(s, dir, Seq(-2L -> "sentinel"), 60)),
+        "dau-two-sentinels")
+      val stream = replaySrc(s, rd)
+        .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), window(col("ts"), "1 day").as("w"))
+        .dropDuplicates("user_id", "w")
+        .groupBy(col("w")).agg(count(lit(1)).as("dau"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("dau"))
+      val q = withStatePartitions(s, 8) {
+        stream.writeStream
+          .outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+      q.stop()
+      val maxDay = graft.engine.Engine.table(s, dir, "events")
+        .agg(date_format(max(to_date(
+          graft.engine.Engine.eventTs(col("ts")))), "yyyy-MM-dd").as("d"))
+        .head().getString(0)
+      s.table(sink).filter(col("day") <= maxDay).orderBy(col("day"))
     }),
 
     // streaming top-k: per-hour top-3 event types by count. Window
@@ -475,6 +527,15 @@ object StreamQueries {
     "q_stream_session_window" ->
       graft.ops.Relational2.oracleSql("q_events_session_window"),
     "q_events_window_stream" -> graft.ops.Relational.oracleSql("q_events_window"),
+
+    // the chained distinct→count stream against plain batch DAU: the
+    // in-order replay never drops anything, so the oracle is the full
+    // per-day distinct count (UTC day grid, the q_events_dau dau column
+    // restricted to active days)
+    "q_stream_dau" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_decontam" -> graft.ext.Extensions.oracleSql("pipe_decontam"),
     "q_stream_upsert" -> graft.ext.Extensions.oracleSql("pipe_upsert"),
 

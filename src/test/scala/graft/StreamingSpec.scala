@@ -168,6 +168,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("chained distinct→count stream reproduces batch DAU exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // planted: u1 appears TWICE on day 0 (the distinct stage must
+    // collapse it), u2 once on day 0, u3 once on day 1 — DAU 2 then 1;
+    // the two sentinel heartbeat windows must NOT appear in the output
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d $h%02d:00:00")
+    val rows = Seq(
+      (1L, ts(0, 1), 1L), (2L, ts(0, 5), 1L), (3L, ts(0, 9), 2L),
+      (4L, ts(1, 3), 3L))
+    val tmp = java.nio.file.Files.createTempDirectory("sdau").toString
+    rows.toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_stream_dau")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("2024-03-01", 2L), ("2024-03-02", 1L)),
+      s"got ${out.toSeq}")
+  }
+
   test("stream-stream attribution join matches the batch range join") {
     import org.apache.spark.sql.functions._
     val q = graft.streaming.JoinStream.runToMemory(spark, sfDir, "join_stream_test")
