@@ -260,7 +260,15 @@ object ScaleProbe {
       "text_source_similarity", "q_events_dau", "q_events_paths",
       "q_events_gini", "q_events_ab_test", "text_collocations",
       "q_events_bot_flags", "emb_mmr_rerank", "emb_farthest_first",
-      "pipe_bootstrap_ci", "q_events_ltv")
+      "pipe_bootstrap_ci", "q_events_ltv",
+      // continuation: grid-family time-series readouts (ACF/CUSUM/
+      // forecast aggregate the density-multiplied shard ONCE into the
+      // fixed-size hourly grid — walls should stay flat like gapfill),
+      // the distinct-audience self-join, and the shuffle-free
+      // rendezvous assignment over the documents shard
+      "q_events_acf", "q_events_cusum", "q_events_forecast",
+      "q_events_seasonality", "q_events_audience_overlap",
+      "pipe_rendezvous_shard")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Sources.queries ++
       ops.Functions.queries ++ ops.Udaf.queries ++ ops.Scale.queries ++
-      ops.Analytical.queries ++ ops.Warehouse.queries ++
+      ops.Analytical.queries ++ ops.Warehouse.queries ++ ops.Events.queries ++
       ext.Extensions.queries ++ streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.Sources.oracleSql ++
       ops.Functions.oracleSql ++ ops.Udaf.oracleSql ++ ops.Scale.oracleSql ++
-      ops.Analytical.oracleSql ++ ops.Warehouse.oracleSql ++
+      ops.Analytical.oracleSql ++ ops.Warehouse.oracleSql ++ ops.Events.oracleSql ++
       ext.Extensions.oracleSql ++ streaming.StreamQueries.oracleSql
 }

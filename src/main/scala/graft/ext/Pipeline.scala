@@ -64,6 +64,44 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // rendezvous (highest-random-weight) sharding: the stable
+    // assignment scheme a growing corpus store needs — when the shard
+    // count goes n→n+1, ONLY the ~1/(n+1) of docs whose new shard wins
+    // their rendezvous move; modulo hashing would reshuffle ~n/(n+1) of
+    // the corpus. shard(doc) = argmax over shards s of
+    // md5(doc_id ':' s), computed as a pure per-row expression
+    // (array_max over a transform'd struct array — hash sorts first,
+    // shard id breaks impossible ties), so assignment is SHUFFLE-FREE:
+    // the only exchanges are the three per-shard count aggregations
+    // over (shard8, shard9) pairs, each map-side-partial over ≤ 2
+    // small ints per doc. The query emits both the 8-shard and
+    // 9-shard assignments plus per-shard moved-out counts — the
+    // stability property as a measured result (moved ≈ n_docs/9,
+    // all landing on the new shard).
+    "pipe_rendezvous_shard" -> ((s, dir) => {
+      def argmaxShard(n: Int): org.apache.spark.sql.Column = expr(
+        s"""array_max(transform(sequence(0, ${n - 1}),
+           |  s -> struct(md5(concat(cast(doc_id as string), ':',
+           |                         cast(s as string))) as h,
+           |              cast(s as bigint) as s))).s""".stripMargin)
+      val assign = t(s, dir, "documents")
+        .select(col("doc_id"), argmaxShard(8).as("s8"), argmaxShard(9).as("s9"))
+      val n8 = assign.groupBy(col("s8").as("shard"))
+        .agg(count(lit(1)).as("n8"))
+      val n9 = assign.groupBy(col("s9").as("shard"))
+        .agg(count(lit(1)).as("n9"))
+      val moved = assign.filter(col("s8") =!= col("s9"))
+        .groupBy(col("s8").as("shard")).agg(count(lit(1)).as("moved_out"))
+      val spine = s.range(9).select(col("id").as("shard"))
+      spine.join(broadcast(n8), Seq("shard"), "left")
+        .join(broadcast(n9), Seq("shard"), "left")
+        .join(broadcast(moved), Seq("shard"), "left")
+        .select(col("shard"), coalesce(col("n8"), lit(0L)).as("n8"),
+          coalesce(col("n9"), lit(0L)).as("n9"),
+          coalesce(col("moved_out"), lit(0L)).as("moved_out"))
+        .orderBy(col("shard"))
+    }),
+
     // deterministic train/val/test split: pure per-row map — no shuffle,
     // no RNG state; the split of a document is a function of its id alone
     "pipe_split" -> ((s, dir) =>
@@ -1217,6 +1255,34 @@ object Pipeline {
   }
 
   private val oracleSql0: Map[String, String] = Map(
+    "pipe_rendezvous_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS hx
+        |  FROM documents, (SELECT unnest(range(0, 9)) AS s)
+        |), a8 AS (
+        |  SELECT doc_id, arg_max(s, hx) AS s8 FROM h WHERE s < 8
+        |  GROUP BY doc_id
+        |), a9 AS (
+        |  SELECT doc_id, arg_max(s, hx) AS s9 FROM h GROUP BY doc_id
+        |), j AS (
+        |  SELECT a8.doc_id, s8, s9 FROM a8 JOIN a9 USING (doc_id)
+        |), spine AS (SELECT unnest(range(0, 9)) AS shard
+        |), n8 AS (SELECT s8 AS shard, count(*) AS n FROM j GROUP BY 1
+        |), n9 AS (SELECT s9 AS shard, count(*) AS n FROM j GROUP BY 1
+        |), mv AS (
+        |  SELECT s8 AS shard, count(*) AS n FROM j WHERE s8 <> s9 GROUP BY 1
+        |)
+        |SELECT CAST(sp.shard AS BIGINT) AS shard,
+        |  CAST(coalesce(n8.n, 0) AS BIGINT) AS n8,
+        |  CAST(coalesce(n9.n, 0) AS BIGINT) AS n9,
+        |  CAST(coalesce(mv.n, 0) AS BIGINT) AS moved_out
+        |FROM spine sp
+        |LEFT JOIN n8 ON n8.shard = sp.shard
+        |LEFT JOIN n9 ON n9.shard = sp.shard
+        |LEFT JOIN mv ON mv.shard = sp.shard
+        |ORDER BY shard""".stripMargin,
+
     "pipe_dataset_diff" ->
       """WITH v0 AS (SELECT doc_id, lang, text FROM documents),
         |v1 AS (

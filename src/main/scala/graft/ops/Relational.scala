@@ -23,11 +23,12 @@ import graft.engine.Engine
 object Relational {
 
   /** Dense (hour, event_type, n) grid over the observed range — empty
-    * hours as 0. Shared by q_events_gapfill / q_events_anomaly. Only
+    * hours as 0. Shared by q_events_gapfill / q_events_anomaly and the
+    * [[Events]] time-series family (ACF / CUSUM / forecast). Only
     * the hourly count aggregation is corpus-sized; the grid comes from
     * a 1-row bounds aggregate exploded through sequence(), so the
     * densify join costs the same at any SF. */
-  private def denseHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def denseHourlyCounts(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .withColumn("h", date_trunc("hour", Engine.eventTs(col("ts"))))
     val counts = ev.groupBy(col("h"), col("event_type"))

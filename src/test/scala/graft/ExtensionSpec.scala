@@ -1990,4 +1990,137 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((0L, 1L, 1L, base.getBytes("UTF-8").length.toLong)),
       s"got ${out.toSeq}")
   }
+
+  /** Events fixture builder: n(h) events in hour h after `t0`, minute-
+    * spread, TZ-proof (instants constructed from epoch, never from a
+    * wall string the JVM default zone could reinterpret). */
+  private def writeHourlySeries(counts: Seq[Int], dirTag: String): String = {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-03-03T00:00:00Z").toEpochMilli
+    var id = 0L
+    val rows = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map { i =>
+        id += 1
+        (id, new java.sql.Timestamp(t0 + h * 3600000L + i * 60000L),
+          1L, "view", 0.0, "{}")
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory(dirTag).toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("acf: a period-24 series pins lag-24 to +1 and lag-12 to -1 exactly") {
+    // x_h = 2 for the first 12 hours of each day, 1 for the rest, over 4
+    // full days: lag 24 aligns the series with itself (num = den_x =
+    // den_y → r = 1), lag 12 aligns it with 3−x (num = −den → r = −1)
+    val tmp = writeHourlySeries(
+      (0 until 96).map(h => if (h % 24 < 12) 2 else 1), "acf")
+    val out = SparkEntry.queries("q_events_acf")(spark, tmp)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(out.size == 24)
+    val l24 = out.find(_._1 == 24L).get
+    assert(l24._2 == 72L && l24._3 == l24._4 && l24._4 == l24._5 &&
+      l24._3 > 0 && l24._6 == 1.0, s"lag 24: $l24")
+    val l12 = out.find(_._1 == 12L).get
+    assert(l12._3 == -l12._4 && l12._4 == l12._5 && l12._6 == -1.0,
+      s"lag 12: $l12")
+  }
+
+  test("cusum: closed form equals the textbook recursion; a step shift flags high") {
+    // 10/hour for a day then 30/hour for a day: k = 960/48 = 20,
+    // threshold 100 — S⁺ climbs 10/hour from hour 24 and must flag
+    val counts = (0 until 48).map(h => if (h < 24) 10 else 30)
+    val tmp = writeHourlySeries(counts, "cusum")
+    val out = SparkEntry.queries("q_events_cusum")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getBoolean(6), r.getBoolean(7))).sortBy(_._1)
+    val k = counts.sum / counts.size
+    var sHi = 0L; var sLo = 0L
+    out.zip(counts).foreach { case ((hour, n, shi, slo, fhi, flo), exp) =>
+      assert(n == exp.toLong, s"$hour count")
+      sHi = math.max(0L, sHi + n - k); sLo = math.max(0L, sLo + k - n)
+      assert(shi == sHi && slo == sLo,
+        s"$hour closed form (got $shi/$slo want $sHi/$sLo)")
+      assert(fhi == (shi > math.max(5L * k, 5L)) &&
+        flo == (slo > math.max(5L * k, 5L)), s"$hour flags")
+    }
+    assert(out.exists(_._5), "step shift never flagged high")
+    assert(out.take(24).forall(!_._5), "flagged high before the shift")
+  }
+
+  test("forecast backtest: an exactly weekly-periodic series scores seasonal MAE 0, skill 0") {
+    // period-2 series (period divides 168) over 2 weeks: lag-168
+    // prediction is exact, lag-1 persistence misses by 1 every hour
+    val tmp = writeHourlySeries((0 until 336).map(h => 1 + h % 2), "fcst")
+    val out = SparkEntry.queries("q_events_forecast")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(("view", 168L, 0L, 168L, 0.0, 1.0, 0.0)),
+      s"got ${out.toSeq}")
+  }
+
+  test("seasonality: epoch-arithmetic dow pinned against known dates") {
+    import spark.implicits._
+    // 2024-03-01 is a Friday (dow 5 under 0=Sunday), 2024-03-03 a
+    // Sunday (dow 0) — instants built from epoch, so the pin fails if
+    // either engine's dow ever drifts from the pure integer definition
+    def at(iso: String) = new java.sql.Timestamp(
+      java.time.Instant.parse(iso).toEpochMilli)
+    val rows = Seq(
+      (1L, at("2024-03-01T13:05:00Z")), (2L, at("2024-03-01T13:20:00Z")),
+      (3L, at("2024-03-01T13:40:00Z")),
+      (4L, at("2024-03-03T02:10:00Z")), (5L, at("2024-03-03T02:50:00Z")))
+      .map { case (id, ts) => (id, ts, 1L, "view", 0.0, "{}") }
+    val tmp = java.nio.file.Files.createTempDirectory("seas").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_seasonality")(spark, tmp)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(out.size == 168, "7x24 grid incomplete")
+    assert(out((5L, 13L)) == ((3L, 3L, 1000000L)), s"friday 13h: ${out((5L, 13L))}")
+    assert(out((0L, 2L)) == ((2L, 2L, 1000000L)), s"sunday 02h: ${out((0L, 2L))}")
+    assert(out((3L, 13L))._1 == 0L, "empty cell must zero-fill")
+  }
+
+  test("audience overlap: nested audiences hit containment 1, disjoint hit jaccard 0") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-03-03T00:00:00Z").toEpochMilli
+    // a = {1,2} ⊂ b = {1,2,3}; c = {9} disjoint from both
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L), ("b", 3L),
+      ("c", 9L)).zipWithIndex.map { case ((typ, u), i) =>
+      (i.toLong + 1, new java.sql.Timestamp(t0 + i * 1000L), u, typ, 0.0, "{}")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("aud").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_audience_overlap")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 3L, 2L, 3L, 666667L, 1000000L),
+      ("a", "c", 2L, 1L, 0L, 3L, 0L, 0L),
+      ("b", "c", 3L, 1L, 0L, 4L, 0L, 0L)), s"got ${out.toSeq}")
+  }
+
+  test("rendezvous sharding: totals conserve, every move lands on the new shard") {
+    val out = SparkEntry.queries("pipe_rendezvous_shard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._1).toSeq == (0L to 8L), "shard spine")
+    val nDocs = out.map(_._2).sum
+    assert(nDocs > 0 && out.map(_._3).sum == nDocs, "doc totals conserve")
+    val newShard = out.find(_._1 == 8L).get
+    assert(newShard._2 == 0L, "shard 8 must be empty under 8-shard hashing")
+    assert(newShard._4 == 0L, "shard 8 cannot lose docs it never had")
+    // HRW stability: the docs that move are EXACTLY the docs whose
+    // 9-shard rendezvous is the new shard — so moved == n9(shard 8),
+    // and the moved fraction concentrates near 1/9 (vs 8/9 for mod-N)
+    assert(out.map(_._4).sum == newShard._3, "moves must all land on shard 8")
+    val frac = newShard._3.toDouble / nDocs
+    assert(frac > 0.04 && frac < 0.25, s"moved fraction $frac far from 1/9")
+  }
 }
