@@ -268,7 +268,10 @@ object ScaleProbe {
       // rendezvous assignment over the documents shard
       "q_events_acf", "q_events_cusum", "q_events_forecast",
       "q_events_seasonality", "q_events_audience_overlap",
-      "pipe_rendezvous_shard")
+      "pipe_rendezvous_shard",
+      // winnowing is a pure per-row array-expression chain — the probe
+      // pins that its cost scales with docs (no shuffle axis at all)
+      "text_winnowing")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -544,6 +544,43 @@ object TextAnalysis {
           round(col("ce.char_entropy"), 4).as("char_entropy"))
         .orderBy(col("doc_id"))),
 
+    // winnowing fingerprints (the MOSS scheme): hash every word 3-gram,
+    // slide a window of 4 consecutive gram hashes, keep each window's
+    // minimum — guaranteed-coverage sampling (any shared run of
+    // w+k-1 = 6 words contributes ≥1 common fingerprint) at expected
+    // density 2/(w+1) = 0.4, the local-similarity complement to the
+    // global MinHash sketch. Tie rule is LEFTMOST minimum, made explicit
+    // because word-soup docs DO repeat grams (identical md5 at two
+    // positions in one window is real, not a hash collision). The whole
+    // selection is ONE per-row array expression chain (grams → (h,pos)
+    // structs → per-window array_min → array_distinct): embarrassingly
+    // parallel, ZERO shuffle before the final order — the per-doc cost
+    // is O(words × w) however large the corpus. Emitted per doc as
+    // counts + an order-insensitive md5 checksum of the selected hash
+    // multiset, so the row stays narrow.
+    "text_winnowing" -> ((s, dir) => {
+      val k = 3; val w = 4
+      t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_grams",
+          greatest(size(col("ws")) - (k - 1), lit(0)).cast("long"))
+        .filter(col("n_grams") >= w)
+        .withColumn("hp", expr(
+          s"""transform(sequence(1, size(ws) - ${k - 1}),
+             |  i -> struct(md5(concat_ws(' ', slice(ws, i, $k))) AS h,
+             |              cast(i AS bigint) AS pos))""".stripMargin))
+        .withColumn("sel", expr(
+          s"""array_distinct(transform(sequence(1, size(hp) - ${w - 1}),
+             |  i -> array_min(slice(hp, i, $w))))""".stripMargin))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("sel")).cast("long").as("n_selected"),
+          expr("(2 * cast(size(sel) AS bigint) * 1000000 + n_grams) div (2 * n_grams)")
+            .as("density6"),
+          md5(concat_ws("",
+            array_sort(expr("transform(sel, x -> x.h)")))).as("fp_checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // inverted index (posting lists): term → document frequency,
     // collection frequency, and the first-POSTING_CAP doc_ids in sorted
     // order — the retrieval/dedup-side index build. The cap is applied
@@ -1218,6 +1255,49 @@ object TextAnalysis {
       | AND n_stop_distinct >= 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // leftmost-min tie rule is encoded as min over (h || zero-padded
+    // pos): fixed-width pad makes string order = numeric order, so the
+    // combined key is (h asc, pos asc) — the struct(h, pos) array_min
+    // on the Spark side, collapsed into one window-able value
+    "text_winnowing" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, pos,
+        |    md5(word || ' ' ||
+        |        lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+        |        lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS h
+        |  FROM words
+        |  QUALIFY lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+        |    IS NOT NULL
+        |), ng AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM grams GROUP BY 1 HAVING count(*) >= 4
+        |), wins AS (
+        |  SELECT doc_id,
+        |    min(h || lpad(CAST(pos AS VARCHAR), 12, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM grams
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, wkey, substr(wkey, 1, 32) AS wh
+        |  FROM wins WHERE wn = 4
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+        |    md5(string_agg(wh, '' ORDER BY wh)) AS fp_checksum
+        |  FROM sel GROUP BY 1
+        |)
+        |SELECT ng.doc_id, ng.n_grams, a.n_selected,
+        |  CAST((2 * a.n_selected * 1000000 + ng.n_grams)
+        |    // (2 * ng.n_grams) AS BIGINT) AS density6,
+        |  a.fp_checksum
+        |FROM ng JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -185,6 +185,38 @@ object HashExpressions {
     override def prettyName: String = "char_entropy"
   }
 
+  /** Unicode normalization (java.text.Normalizer) as a native codegen'd
+    * expression — the canonicalization step a web corpus needs BEFORE any
+    * hashing: visually identical texts ("café" precomposed U+00E9 vs
+    * decomposed e+U+0301) otherwise land in different dedup buckets and
+    * tokenize differently. NFC mirrors DuckDB's nfc_normalize bit-for-bit
+    * (the oracle); NFD/NFKC/NFKD have no DuckDB twin and are pinned by
+    * spec constants (the xxhash64 precedent). Already-normalized input
+    * (the overwhelming common case on real text) returns the original
+    * UTF8String without re-encoding — isNormalized is a cheap scan. */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    private val nf = java.text.Normalizer.Form.valueOf(form)
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    def kernel(u: UTF8String): UTF8String = {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, nf)) u
+      else UTF8String.fromString(java.text.Normalizer.normalize(s, nf))
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unicodeNormalize", this,
+        classOf[UnicodeNormalize].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+      copy(child = c)
+    override def prettyName: String = "unicode_normalize"
+  }
+
   /** Word n-gram shingles of a text column in one pass: lowercase, split
     * on non-[a-z0-9] runs, join n consecutive tokens with a space. Exactly
     * mirrors `list_distinct(list_transform(...))` over
@@ -417,6 +449,9 @@ object HashExpressions {
 
   def char_entropy(c: Column): Column =
     Bridge.column(CharEntropy(Bridge.expression(c)))
+
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(c), form))
 
   /** Content-defined chunk boundaries (`text_cdc_chunks`): 1-based cut
     * positions where the 8-code-point Rabin window Σ code·31^j ≡ 0

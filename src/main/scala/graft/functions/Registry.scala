@@ -31,6 +31,15 @@ object Registry {
     }},
     "simhash64" -> { exprs: Seq[Expression] => SimHash64(exprs.head) },
     "char_entropy" -> { exprs: Seq[Expression] => CharEntropy(exprs.head) },
+    "unicode_normalize" -> { exprs: Seq[Expression] => exprs match {
+      case Seq(c) => UnicodeNormalize(c, "NFC")
+      case Seq(c, f) => UnicodeNormalize(c, f match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize form must be a string literal, got $other")
+      })
+      case _ => throw new IllegalArgumentException("unicode_normalize(s[, form])")
+    }},
     "cdc_cuts" -> { exprs: Seq[Expression] => CdcCuts(exprs.head) },
     "word_tiles" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => WordTiles(c, 10)

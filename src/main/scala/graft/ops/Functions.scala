@@ -14,7 +14,36 @@ object Functions {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
+  /** Unicode fixture for q_text_normalize, shared verbatim by both
+    * engines (embedded UTF-8 literals — Spark's chr() is ASCII-modular
+    * and DuckDB's standard strings don't process \u escapes, so actual
+    * characters in the SQL text are the one portable encoding):
+    * decomposed e+U+0301 (composes), precomposed U+00E9 (fixed point),
+    * U+212B ANGSTROM SIGN (NFC singleton → U+00C5), decomposed Hangul
+    * jamo (compose to one syllable U+D55C), plain ASCII. */
+  private val normalizeValues: String =
+    "(1, 'caf' || 'é'), (2, 'café'), (3, 'unit Å'), " +
+      "(4, '한'), (5, 'plain ascii stays')"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Unicode NFC canonicalization — the pre-hash normalization step of
+    // any web-corpus pipeline, as the native codegen'd UnicodeNormalize
+    // expression (java.text.Normalizer kernel; DuckDB nfc_normalize is
+    // the oracle). Pure per-row projection: at corpus scale this rides
+    // whatever scan carries the text column — no shuffle, and the
+    // isNormalized fast path returns already-canonical rows (nearly all
+    // real text) without re-encoding.
+    "q_text_normalize" -> ((s, _) => {
+      import graft.functions.HashExpressions.unicode_normalize
+      val v = s.sql(s"SELECT id, s FROM VALUES $normalizeValues AS t(id, s)")
+      v.select(col("id").cast("long").as("id"),
+          length(col("s")).cast("long").as("raw_chars"),
+          unicode_normalize(col("s")).as("nfc"),
+          length(unicode_normalize(col("s"))).cast("long").as("nfc_chars"),
+          (unicode_normalize(col("s")) =!= col("s")).as("changed"))
+        .orderBy(col("id"))
+    }),
 
     "q_str_funcs" -> ((s, dir) =>
       t(s, dir, "part")
@@ -360,6 +389,15 @@ object Functions {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_normalize" ->
+      s"""SELECT CAST(id AS BIGINT) AS id,
+         |  CAST(length(s) AS BIGINT) AS raw_chars,
+         |  nfc_normalize(s) AS nfc,
+         |  CAST(length(nfc_normalize(s)) AS BIGINT) AS nfc_chars,
+         |  nfc_normalize(s) <> s AS changed
+         |FROM (VALUES $normalizeValues) AS t(id, s)
+         |ORDER BY id""".stripMargin,
+
     "q_str_funcs" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up, lower(p_brand) AS lo,

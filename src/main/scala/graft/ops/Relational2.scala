@@ -478,6 +478,42 @@ object Relational2 {
     // but keep their trailing actives. At extreme user counts the
     // exact countDistinct swaps for HLL sketch merge
     // (q_agg_approx_distinct's machinery) — same plan shape.
+    // SQL:2003 FILTER clause on aggregates — per-predicate conditional
+    // aggregation without CASE scaffolding; Catalyst plans it as the
+    // same two-phase hash aggregate with a per-aggregate filter, so
+    // this is surface parity at zero plan cost (one scan, map-side
+    // partials, no Expand)
+    "q_agg_filter_clause" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_bulk"),
+          expr("round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)")
+            .as("disc_rev"),
+          expr("round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4)")
+            .as("avg_f_qty"),
+          count(lit(1)).as("n_all"))
+        .orderBy(col("l_returnflag"))),
+
+    // DISTINCT ON / per-group first row (the Postgres/DuckDB idiom):
+    // the representative-record selector. Implemented as max_by over a
+    // composite ordering struct — ONE two-phase aggregation carrying a
+    // single row per group, never a rank window over the corpus (the
+    // window formulation shuffles and sorts every row; this shuffles
+    // one candidate per group per partition). Tie on acctbal broken by
+    // smallest custkey via the negated key in the ordering struct.
+    "q_distinct_on" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(max_by(
+          struct(col("c_custkey"), col("c_name"), col("c_acctbal")),
+          struct(col("c_acctbal"), (-col("c_custkey")).as("nk"))).as("top"))
+        .select(col("c_mktsegment"),
+          col("top.c_custkey").as("c_custkey"),
+          col("top.c_name").as("c_name"),
+          round(col("top.c_acctbal"), 2).as("c_acctbal"))
+        .orderBy(col("c_mktsegment"))),
+
     "q_events_dau" -> ((s, dir) => {
       val ud = t(s, dir, "events")
         .select(col("user_id"), to_date(Engine.eventTs(col("ts"))).as("day"))
@@ -906,6 +942,23 @@ object Relational2 {
         |        * CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 1.0) < 0.25
         |    AS bot_flag
         |FROM a ORDER BY user_id""".stripMargin,
+
+    "q_agg_filter_clause" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+        |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+        |    AS disc_rev,
+        |  round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4)
+        |    AS avg_f_qty,
+        |  CAST(count(*) AS BIGINT) AS n_all
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_distinct_on" ->
+      """SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_custkey,
+        |  c_name, round(c_acctbal, 2) AS c_acctbal
+        |FROM customer
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey ASC""".stripMargin,
 
     "q_events_gini" ->
       """WITH rev AS (

@@ -102,6 +102,37 @@ class CodegenSpec extends SparkSpecBase {
     }
   }
 
+  test("unicode_normalize codegen compiles and matches interpreted eval") {
+    bothWays("unicode_normalize") {
+      // decomposed accent, NFC singleton (U+212B), decomposed Hangul
+      // jamo, plain ASCII — the q_text_normalize fixture shapes plus
+      // the non-NFC forms that have no DuckDB oracle
+      val v = spark.sql(
+        "SELECT s FROM VALUES ('café'), ('unit Å'), " +
+          "('한'), ('plain'), ('ﬁle ①') AS t(s)")
+      Seq("NFC", "NFD", "NFKC", "NFKD").foldLeft(v) { (df, form) =>
+        df.withColumn(s"n_$form",
+          graft.functions.HashExpressions.unicode_normalize(col("s"), form))
+      }
+    }
+  }
+
+  test("unicode_normalize forms pinned (NFKC folds ligature/circled, NFD decomposes)") {
+    import graft.functions.HashExpressions.unicode_normalize
+    val df = spark.sql("SELECT 'ﬁle ① café' AS s")
+      .select(
+        unicode_normalize(col("s"), "NFC").as("nfc"),
+        unicode_normalize(col("s"), "NFD").as("nfd"),
+        unicode_normalize(col("s"), "NFKC").as("nfkc"))
+    val r = df.collect().head
+    // NFC composes e+combining-acute but keeps compatibility chars
+    assert(r.getString(0) == "ﬁle ① café", s"nfc: ${r.getString(0)}")
+    // NFD re-decomposes the (now composed) accent
+    assert(r.getString(1) == "ﬁle ① café", s"nfd: ${r.getString(1)}")
+    // NFKC folds the fi ligature and the circled one to ASCII
+    assert(r.getString(2) == "file 1 café", s"nfkc: ${r.getString(2)}")
+  }
+
   test("signature projection stays inside whole-stage codegen") {
     // the point of dropping CodegenFallback: an operator containing these
     // expressions must no longer be ejected from WholeStageCodegen

@@ -2106,6 +2106,68 @@ class ExtensionSpec extends SparkSpecBase {
       ("b", "c", 3L, 1L, 0L, 4L, 0L, 0L)), s"got ${out.toSeq}")
   }
 
+  /** Plain-Scala winnowing recompute (md5 hex, leftmost-min tie) — the
+    * oracle-independent recount the fixture tests compare against. */
+  private def winnowLocal(text: String, k: Int = 3, w: Int = 4)
+      : Option[(Long, Long, Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ws = text.split(" ", -1)
+    val nGrams = math.max(ws.length - (k - 1), 0)
+    if (nGrams < w) return None
+    val hp = (1 to nGrams).map(i =>
+      (md5hex(ws.slice(i - 1, i - 1 + k).mkString(" ")), i.toLong))
+    val sel = (0 to nGrams - w).map(i => hp.slice(i, i + w).min).distinct
+    val density6 = (2L * sel.size * 1000000L + nGrams) / (2L * nGrams)
+    Some((nGrams.toLong, sel.size.toLong, density6,
+      md5hex(sel.map(_._1).sorted.mkString)))
+  }
+
+  test("winnowing: engine agrees with a plain-Scala recount over real docs") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("text_winnowing")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+    assert(out.nonEmpty)
+    val expected = texts.view.mapValues(winnowLocal(_)).toMap
+    assert(out.length == expected.values.count(_.isDefined), "doc count")
+    out.foreach { case (id, got) =>
+      assert(expected(id).contains(got), s"doc $id: got $got want ${expected(id)}")
+    }
+  }
+
+  test("winnowing: repeated grams break ties LEFTMOST, deterministically") {
+    import spark.implicits._
+    // 9 identical words → 7 identical-hash grams → every window's min
+    // is its FIRST position → 4 selected fingerprints (positions 1..4),
+    // all the same hash; guaranteed-coverage density holds exactly
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    Seq((1L, Seq.fill(9)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_winnowing")(spark, tmp)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((7L, 4L, 571429L)), s"got ${out.toSeq}")
+  }
+
+  test("distinct_on: acctbal tie broken by smallest custkey") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("don").toString
+    Seq((7L, "cust7", 100.0, "SEG"), (3L, "cust3", 100.0, "SEG"),
+      (5L, "cust5", 50.0, "SEG"), (9L, "cust9", 10.0, "OTHER"))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val out = SparkEntry.queries("q_distinct_on")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(("OTHER", 9L, "cust9"), ("SEG", 3L, "cust3")),
+      s"got ${out.toSeq}")
+  }
+
   test("rendezvous sharding: totals conserve, every move lands on the new shard") {
     val out = SparkEntry.queries("pipe_rendezvous_shard")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
