@@ -452,6 +452,53 @@ object Pipeline {
         .orderBy(col("lang"), col("source"), col("rk"))
     }),
 
+    // systematic probability-proportional-to-size sampling (Madow 1949,
+    // the textbook PPS design): walk the corpus weight line (w = chars)
+    // in md5-pseudo-shuffled order and take one hit at every multiple of
+    // step = total div k — inclusion probability ∝ size with ZERO
+    // per-row randomness, and a doc longer than step is drawn with
+    // multiplicity (mult = multiples of step inside its interval). The
+    // char-budget counterpart of pipe_stratified_sample's equal-count
+    // draw: sampling docs for eval/inspection where long docs should
+    // surface proportionally to the token mass they contribute.
+    //
+    // Scale shape: the global weight prefix-sum is the two-level census
+    // form (mm_shard_manifest's layout — 16 hex-nibble key-range
+    // buckets, per-bucket byte mass through the driver as a K-row
+    // constant under the toLocal contract, per-bucket window + broadcast
+    // offsets), so sort state stays bucket-sized at any corpus size and
+    // every boundary decision is exact BIGINT div — no float anywhere.
+    "pipe_pps_sample" -> ((s, dir) => {
+      import s.implicits._
+      val k = 40L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+          md5(col("doc_id").cast("string")).as("key"))
+      val tot = d.agg(sum(col("w")).as("tot"))
+      // hex first nibble is order-consistent with the key sort ('0'<'9'
+      // <'a'<'f' lexicographically = nibble order), so bucket-local
+      // prefix sums + census offsets compose to the exact global one
+      val bucketed = d.withColumn("__b",
+        conv(substring(col("key"), 1, 1), 16, 10).cast("long"))
+      val census = bucketed.groupBy(col("__b"))
+        .agg(sum(col("w")).as("__bw"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offDf = broadcast(census.map(_._1)
+        .zip(census.map(_._2).scanLeft(0L)(_ + _)).toSeq.toDF("__b", "__off"))
+      val win = Window.partitionBy(col("__b")).orderBy(col("key"), col("doc_id"))
+      bucketed
+        .withColumn("__cum", sum(col("w")).over(win))
+        .join(offDf, Seq("__b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum", col("__off") + col("__cum"))
+        // multiples of step inside (cum−w, cum]: g·step hits THIS doc
+        .withColumn("mult",
+          expr(s"cum div (tot div $k) - (cum - w) div (tot div $k)"))
+        .filter(col("mult") >= 1L)
+        .select(col("doc_id"), col("w"), col("mult"))
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-reweighted mixture: per-language keep-rates ∝ share^(1/T)
     // with T=2 — the standard low-resource upsampling for multilingual
     // corpora (flattens the language distribution toward uniform as T→∞).
@@ -1522,6 +1569,26 @@ object Pipeline {
         |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 50
         |ORDER BY lang, source, rk""".stripMargin,
+
+    // the decomposed census prefix-sum must be invisible: the mirror is
+    // ONE global running sum in the same (md5 key, doc_id) walk order
+    "pipe_pps_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    md5(CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    sum(w) OVER (ORDER BY key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |t AS (SELECT sum(w) AS tot FROM d)
+        |SELECT doc_id, w,
+        |  CAST(cum // (tot // 40) - (cum - w) // (tot // 40) AS BIGINT)
+        |    AS mult
+        |FROM c, t
+        |WHERE cum // (tot // 40) - (cum - w) // (tot // 40) >= 1
+        |ORDER BY doc_id""".stripMargin,
 
     "pipe_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

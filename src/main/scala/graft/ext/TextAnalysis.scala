@@ -992,6 +992,53 @@ object TextAnalysis {
             log(col("c_x")) - log(col("c_y")), 4).as("pmi"))
         .orderBy(col("pmi").desc, col("x"), col("y"))
         .limit(15)
+    }),
+
+    // LINE-level boilerplate dedup (CCNet arXiv:1911.00359 §3.1 /
+    // RefinedWeb arXiv:2306.01116 dedup stage): a line duplicated
+    // across ≥2 DISTINCT documents is boilerplate (headers, nav bars,
+    // license blurbs) and is dropped from every doc that carries it —
+    // the pass that runs BEFORE whole-doc near-dup at corpus scale.
+    // The word-salad corpus has no newlines, so a "line" is the
+    // deterministic 8-word chunk (pipe_chunk's grid at stride = width);
+    // real deployments swap the splitter, the plumbing is identical.
+    //
+    // Scale shape: only 32-hex md5 line keys ever ride an exchange —
+    // the corpus text stays at the scan. Pass 1 is a map-side-combined
+    // groupBy(line_hash) distinct-doc count (shuffle = one row per
+    // distinct (hash, doc) pair); the boilerplate set joins back by
+    // hash; the per-doc rebuild aggregates (line_no, hash) structs,
+    // K-bounded by the doc's own line count. The kept-content checksum
+    // chains the KEPT line hashes in line order, so the scrubbed text
+    // is pinned without the oracle ever re-concatenating text bodies.
+    "text_line_dedup" -> ((s, dir) => {
+      val w = 8
+      val lines = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > 0).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(w))).as("st"))
+        .select(col("doc_id"),
+          expr(s"st div $w").cast("long").as("line_no"),
+          md5(array_join(expr(s"slice(toks, st + 1, $w)"), " ")).as("h"))
+      val boiler = lines.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("h"), lit(true).as("dup"))
+      lines.join(boiler, Seq("h"), "left")
+        .select(col("doc_id"), col("line_no"), col("h"),
+          coalesce(col("dup"), lit(false)).as("dup"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("dup").cast("long")).as("n_dup_lines"),
+          md5(concat_ws("", expr(
+            "transform(filter(array_sort(collect_list(struct(line_no, h, dup)))," +
+              " x -> NOT x.dup), x -> x.h)"))).as("kept_md5"))
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+          ratioRound(col("n_dup_lines"), col("n_lines"), 6).as("dup_line_frac"),
+          col("kept_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1938,6 +1985,36 @@ object TextAnalysis {
         |  round(ln(bi.c_xy) + ln((SELECT n_tok FROM tot))
         |    - ln(ux.wc) - ln(uy.wc), 4) AS pmi
         |FROM bi JOIN uni ux ON bi.x = ux.w JOIN uni uy ON bi.y = uy.w
-        |ORDER BY pmi DESC, x, y LIMIT 15""".stripMargin
+        |ORDER BY pmi DESC, x, y LIMIT 15""".stripMargin,
+
+    // kept_md5 over the ALL-dup doc: Spark md5(concat_ws of an empty
+    // array) = md5(''), so the mirror coalesces string_agg's NULL to ''.
+    "text_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, CAST(st // 8 AS BIGINT) AS line_no,
+        |    md5(array_to_string(toks[CAST(st + 1 AS INTEGER) :
+        |      CAST(st + 8 AS INTEGER)], ' ')) AS h
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0, len(toks) - 1, 8)) AS st
+        |        FROM d WHERE len(toks) > 0)
+        |), boiler AS (
+        |  SELECT h FROM l GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |), f AS (
+        |  SELECT l.doc_id, l.line_no, l.h, (b.h IS NOT NULL) AS dup
+        |  FROM l LEFT JOIN boiler b ON l.h = b.h
+        |)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |  CAST((2 * sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000
+        |        + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0
+        |    AS dup_line_frac,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN NOT dup THEN h END, '' ORDER BY line_no),
+        |    '')) AS kept_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -209,6 +209,91 @@ object Events {
         .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
           col("inter"), col("uni"), col("jaccard6"), col("containment6"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // MERGEABLE distinct-count sketches (Datasketches HLL, the Spark 4
+    // hll_sketch_agg/hll_union_agg surface): per-day user sketches built
+    // ONCE, then the month/corpus total comes from unioning the K daily
+    // sketch binaries — never rescanning history. This is the 100 TB
+    // incremental pattern q_agg_approx_distinct can't show: a new shard
+    // updates global distinct counts by merging one more 16 KB sketch,
+    // and the union estimate is provably the same as sketching the
+    // concatenated input (the Datasketches merge contract). Oracle
+    // discipline follows q_agg_approx_distinct: the EXACT count is
+    // hash-compared, the estimator contributes a pinned bracket bit
+    // (±5% at lgK=14, rsd≈0.8% — 6σ headroom), so an estimator or merge
+    // regression flips a TRUE to FALSE. The merged-vs-exact global row
+    // proves the union path specifically: its exact count is NOT the
+    // sum of the daily rows (users repeat across days), so a broken
+    // merge cannot hide behind per-day agreement.
+    "q_events_hll_merge" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(date_format(to_date(Engine.eventTs(col("ts"))), "yyyy-MM-dd")
+          .as("day"), col("user_id"))
+      val daySk = ud.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val perDay = daySk.select(col("day"), col("exact_users"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_users")) * lit(100L)
+          <= col("exact_users") * lit(5L)).as("hll_ok"))
+      val exactAll = ud.agg(countDistinct(col("user_id")).as("exact_users"))
+      val mergedAll = daySk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      val allRow = exactAll.crossJoin(broadcast(mergedAll))
+        .select(lit("ALL").as("day"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) * lit(100L)
+            <= col("exact_users") * lit(5L)).as("hll_ok"))
+      perDay.unionByName(allRow).orderBy(col("day"))
+    }),
+
+    // Markov steady state of the user-journey chain — the PageRank-shaped
+    // importance readout over event types: row-normalize the consecutive
+    // (from → to) transition counts (q_events_transitions' matrix), then
+    // run 5 power-iteration steps from the uniform vector. Identifies
+    // the attractor states of typical sessions (where user flows
+    // concentrate), the event-analytics twin of centrality ranking.
+    //
+    // Scale + determinism shape (the emb_pca discipline): ONE corpus
+    // pass builds the K×K transition matrix (per-user lead window —
+    // per-key sort state); every iterate is K-row arithmetic on the
+    // 1e-6 BIGINT grid, broadcast-joined — π·p products peak at 10¹²,
+    // nowhere near 2⁶³, and each step re-rounds HALF_UP to the grid so
+    // both engines walk identical integer sequences. Types with no
+    // outgoing edges shed their mass (no damping term — the chain is
+    // observed, not smoothed); rounding drift is identical both sides.
+    "q_events_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val fromTot = pairs.groupBy(col("from_type"))
+        .agg(count(lit(1)).as("n_from"))
+      val p = pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(fromTot), "from_type")
+        .select(col("from_type"), col("to_type"),
+          expr("(2 * n * 1000000 + n_from) div (2 * n_from)").as("p6"))
+        .localCheckpoint(true) // 5 consumers — one corpus pass, not 5
+      val spine = t(s, dir, "events").select(col("event_type").as("t"))
+        .distinct().localCheckpoint(true)
+      val k0 = spine.agg(count(lit(1)).as("k"))
+      var pi = spine.crossJoin(broadcast(k0))
+        .select(col("t"), expr("1000000 div k").as("pi"))
+      for (_ <- 1 to 5) {
+        val num = p.join(broadcast(pi.withColumnRenamed("t", "from_type")),
+            "from_type")
+          .groupBy(col("to_type").as("t"))
+          .agg(sum(col("pi") * col("p6")).as("num"))
+        pi = spine.join(broadcast(num), Seq("t"), "left")
+          .select(col("t"),
+            expr("(coalesce(num, 0) + 500000) div 1000000").as("pi"))
+      }
+      pi.select(col("t").as("event_type"), col("pi").as("pi6"),
+          (col("pi").cast("double") / lit(1000000.0)).as("p_steady"))
+        .orderBy(col("pi6").desc, col("event_type"))
     }))
 
   /** Shared dense-grid CTE prefix (the q_events_gapfill oracle shape). */
@@ -382,5 +467,71 @@ object Events {
         |  CASE WHEN n_a > 0 THEN
         |    CAST((2 * inter * 1000000 + n_a) // (2 * n_a) AS BIGINT)
         |  ELSE 0 END AS containment6
-        |FROM j ORDER BY type_a, type_b""".stripMargin)
+        |FROM j ORDER BY type_a, type_b""".stripMargin,
+
+    "q_events_hll_merge" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL' AS day, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok
+        |FROM events
+        |ORDER BY day""".stripMargin,
+
+    // tp/spine are multi-referenced (5 iterates + the spine in each) —
+    // MATERIALIZED per the DuckDB CTE re-expansion gotcha
+    "q_events_markov" ->
+      """WITH pr AS MATERIALIZED (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), p2 AS (SELECT from_type, to_type FROM pr WHERE to_type IS NOT NULL
+        |), ft AS (SELECT from_type, count(*) AS n_from FROM p2 GROUP BY 1
+        |), tp AS MATERIALIZED (
+        |  SELECT p.from_type, p.to_type,
+        |    CAST((2 * count(*) * 1000000 + max(f.n_from))
+        |      // (2 * max(f.n_from)) AS BIGINT) AS p6
+        |  FROM p2 p JOIN ft f ON f.from_type = p.from_type
+        |  GROUP BY 1, 2
+        |), spine AS MATERIALIZED (
+        |  SELECT DISTINCT event_type AS t FROM events
+        |), k AS (SELECT count(*) AS k FROM spine
+        |), it0 AS (SELECT t, CAST(1000000 // k.k AS BIGINT) AS pi
+        |           FROM spine, k
+        |), it1 AS MATERIALIZED (
+        |  SELECT s.t, CAST((coalesce(x.num, 0) + 500000) // 1000000 AS BIGINT) AS pi
+        |  FROM spine s LEFT JOIN (
+        |    SELECT tp.to_type AS t, sum(i.pi * tp.p6) AS num
+        |    FROM tp JOIN it0 i ON i.t = tp.from_type GROUP BY 1) x
+        |    ON x.t = s.t
+        |), it2 AS MATERIALIZED (
+        |  SELECT s.t, CAST((coalesce(x.num, 0) + 500000) // 1000000 AS BIGINT) AS pi
+        |  FROM spine s LEFT JOIN (
+        |    SELECT tp.to_type AS t, sum(i.pi * tp.p6) AS num
+        |    FROM tp JOIN it1 i ON i.t = tp.from_type GROUP BY 1) x
+        |    ON x.t = s.t
+        |), it3 AS MATERIALIZED (
+        |  SELECT s.t, CAST((coalesce(x.num, 0) + 500000) // 1000000 AS BIGINT) AS pi
+        |  FROM spine s LEFT JOIN (
+        |    SELECT tp.to_type AS t, sum(i.pi * tp.p6) AS num
+        |    FROM tp JOIN it2 i ON i.t = tp.from_type GROUP BY 1) x
+        |    ON x.t = s.t
+        |), it4 AS MATERIALIZED (
+        |  SELECT s.t, CAST((coalesce(x.num, 0) + 500000) // 1000000 AS BIGINT) AS pi
+        |  FROM spine s LEFT JOIN (
+        |    SELECT tp.to_type AS t, sum(i.pi * tp.p6) AS num
+        |    FROM tp JOIN it3 i ON i.t = tp.from_type GROUP BY 1) x
+        |    ON x.t = s.t
+        |), it5 AS (
+        |  SELECT s.t, CAST((coalesce(x.num, 0) + 500000) // 1000000 AS BIGINT) AS pi
+        |  FROM spine s LEFT JOIN (
+        |    SELECT tp.to_type AS t, sum(i.pi * tp.p6) AS num
+        |    FROM tp JOIN it4 i ON i.t = tp.from_type GROUP BY 1) x
+        |    ON x.t = s.t
+        |)
+        |SELECT t AS event_type, pi AS pi6,
+        |  CAST(pi AS DOUBLE) / 1000000.0 AS p_steady
+        |FROM it5 ORDER BY pi6 DESC, event_type""".stripMargin)
 }

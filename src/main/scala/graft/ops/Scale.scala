@@ -227,12 +227,17 @@ object Scale {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // bucketed tables: join must be exchange-free (asserted in spec)
+    // bucketed tables: join must be exchange-free (asserted in spec).
+    // Cache key = source fingerprint (q_partition_prune precedent): a
+    // regenerated lineitem/orders parquet at the same path must
+    // invalidate the bucketed copies, or the oracle (live table) and the
+    // query (stale bucket files) silently diverge.
     "q_bucketed_join" -> ((s, dir) => {
       val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse").toString
-      val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
-      val liTbl = s"li_b_$sfTag"
-      val oTbl = s"o_b_$sfTag"
+      val liTbl = "li_b_" + Engine.contentFingerprint(
+        Paths.get(dir, "lineitem.parquet"), "bucket8")
+      val oTbl = "o_b_" + Engine.contentFingerprint(
+        Paths.get(dir, "orders.parquet"), "bucket8")
       if (!s.catalog.tableExists(liTbl)) {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
           .write.mode("overwrite").option("path", s"$wh/$liTbl")
@@ -276,7 +281,9 @@ object Scale {
     // the layout writer in the driver contract.)
     "q_zorder_scan" -> ((s, dir) => {
       val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse").toString
-      val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      // fingerprint cache key — see q_bucketed_join
+      val sfTag = Engine.contentFingerprint(
+        Paths.get(dir, "orders.parquet"), "zorder")
       val path = s"$wh/orders_z_$sfTag"
       if (!java.nio.file.Files.exists(Paths.get(s"$path/_SUCCESS")))
         writeZOrdered(
@@ -375,7 +382,9 @@ object Scale {
     // the rewrite loses/duplicates nothing, in the driver contract.)
     "q_compact" -> ((s, dir) => {
       val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse").toString
-      val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      // fingerprint cache key — see q_bucketed_join
+      val sfTag = Engine.contentFingerprint(
+        Paths.get(dir, "documents.parquet"), "compact")
       val frag = s"$wh/docs_frag_$sfTag"
       val comp = s"$wh/docs_compact_$sfTag"
       if (!java.nio.file.Files.exists(Paths.get(s"$comp/_SUCCESS"))) {

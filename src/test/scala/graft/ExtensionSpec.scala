@@ -2185,4 +2185,94 @@ class ExtensionSpec extends SparkSpecBase {
     val frac = newShard._3.toDouble / nDocs
     assert(frac > 0.04 && frac < 0.25, s"moved fraction $frac far from 1/9")
   }
+
+  private def md5str(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("line dedup: planted cross-doc boilerplate dropped, unique lines kept") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("linededup").toString
+    def words(p: String) = (1 to 8).map(p + _).mkString(" ")
+    val docs = Seq(
+      1L -> s"${words("a")} ${words("b")}", // line2 shared with doc 2
+      2L -> s"${words("e")} ${words("b")}",
+      3L -> s"${words("c")} ${words("d")}", // both lines shared with doc 4
+      4L -> s"${words("c")} ${words("d")}")
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_line_dedup")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5, md5str(md5str(words("a"))))))
+    assert(out(2L) == ((2L, 1L, 0.5, md5str(md5str(words("e"))))))
+    // all-boilerplate docs keep nothing: checksum of the empty chain
+    assert(out(3L) == ((2L, 2L, 1.0, md5str(""))))
+    assert(out(4L) == ((2L, 2L, 1.0, md5str(""))))
+  }
+
+  test("pps sample: exact plain-Scala recount of the systematic walk") {
+    val k = 40L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS w").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val walk = docs.map { case (id, w) => (md5str(id.toString), id, w) }
+      .sortBy(t => (t._1, t._2))
+    val tot = walk.map(_._3).sum
+    val step = tot / k
+    var cum = 0L
+    val expected = walk.flatMap { case (_, id, w) =>
+      val before = cum; cum += w
+      val mult = cum / step - before / step
+      if (mult >= 1) Some(id -> (w, mult)) else None
+    }.toMap
+    val out = SparkEntry.queries("pipe_pps_sample")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == expected, s"got ${out.size} want ${expected.size} rows")
+    assert(out.values.map(_._2).sum == tot / step, "hit count = multiples of step")
+  }
+
+  test("hll merge: union estimate brackets an exact count that is NOT the day sum") {
+    val rows = SparkEntry.queries("q_events_hll_merge")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.forall(_._3), "every HLL estimate within 5% of exact")
+    val (all, days) = rows.partition(_._1 == "ALL")
+    assert(all.length == 1 && days.nonEmpty)
+    // users repeat across days: if this ever fails the merged row has
+    // degenerated into the additive sum and proves nothing about union
+    assert(all.head._2 < days.map(_._2).sum, "ALL must deduplicate across days")
+    val exact = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id").distinct().count()
+    assert(all.head._2 == exact)
+  }
+
+  test("markov steady state: exact integer-grid recount from raw events") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS t",
+        "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { u =>
+      val s = u.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq
+    val nFrom = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val p6 = pairs.groupBy(identity).map { case ((f, t), xs) =>
+      (f, t) -> ((2L * xs.size * 1000000L + nFrom(f)) / (2L * nFrom(f)))
+    }
+    val types = ev.map(_._4).distinct.sorted
+    var pi = types.map(_ -> 1000000L / types.length).toMap
+    for (_ <- 1 to 5) {
+      val num = types.map(t => t -> types.map(f =>
+        pi(f) * p6.getOrElse((f, t), 0L)).sum).toMap
+      pi = types.map(t => t -> (num(t) + 500000L) / 1000000L).toMap
+    }
+    val out = SparkEntry.queries("q_events_markov")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == pi, s"got $out want $pi")
+    val mass = out.values.sum
+    assert(mass > 900000L && mass <= 1000000L + 3L * types.length,
+      s"steady-state mass $mass off the 1e6 grid")
+  }
 }
