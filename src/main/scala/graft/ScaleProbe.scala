@@ -271,7 +271,15 @@ object ScaleProbe {
       "pipe_rendezvous_shard",
       // winnowing is a pure per-row array-expression chain — the probe
       // pins that its cost scales with docs (no shuffle axis at all)
-      "text_winnowing")
+      "text_winnowing",
+      // line dedup: hash-only exchanges — the replica shard makes every
+      // line boilerplate (df ≥ 100), stressing the join-back fanout;
+      // pps: the census prefix-sum's sort state must stay bucket-sized;
+      // hll merge: per-day sketch build + K-sketch union on the
+      // density-multiplied grid; markov: one corpus window pass then
+      // K-row arithmetic — walls should track the per-user lead window
+      "text_line_dedup", "pipe_pps_sample", "q_events_hll_merge",
+      "q_events_markov", "q_events_twa")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -262,6 +262,7 @@ object Events {
     // outgoing edges shed their mass (no damping term — the chain is
     // observed, not smoothed); rounding drift is identical both sides.
     "q_events_markov" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val pairs = t(s, dir, "events")
@@ -269,31 +270,76 @@ object Events {
           col("event_type").as("from_type"))
         .withColumn("to_type", lead(col("from_type"), 1).over(w))
         .filter(col("to_type").isNotNull)
-      val fromTot = pairs.groupBy(col("from_type"))
-        .agg(count(lit(1)).as("n_from"))
-      val p = pairs.groupBy(col("from_type"), col("to_type"))
+      // the corpus collapses to the K×K transition-count matrix in ONE
+      // window+aggregate pass; the matrix and the K-row type spine come
+      // to the driver under the toLocal K-row contract (K = the event
+      // TYPE catalog, an algorithm constant — the emb_pca eigen-step
+      // precedent), where the normalization and all 5 power-iteration
+      // steps are K²-element integer arithmetic. The first cut ran the
+      // iterates as chained broadcast joins instead: ~12 micro-jobs of
+      // exchange scheduling that probed 20× slower than this plan on
+      // identical data, all overhead, no parallelism to buy.
+      val counts = pairs.groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
-        .join(broadcast(fromTot), "from_type")
-        .select(col("from_type"), col("to_type"),
-          expr("(2 * n * 1000000 + n_from) div (2 * n_from)").as("p6"))
-        .localCheckpoint(true) // 5 consumers — one corpus pass, not 5
-      val spine = t(s, dir, "events").select(col("event_type").as("t"))
-        .distinct().localCheckpoint(true)
-      val k0 = spine.agg(count(lit(1)).as("k"))
-      var pi = spine.crossJoin(broadcast(k0))
-        .select(col("t"), expr("1000000 div k").as("pi"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = t(s, dir, "events").select(col("event_type"))
+        .distinct().collect().map(_.getString(0)).sorted
+      val nFrom = counts.groupBy(_._1).map { case (f, xs) =>
+        f -> xs.map(_._3).sum }
+      val p6 = counts.map { case (f, to, n) =>
+        (f, to) -> ((2L * n * 1000000L + nFrom(f)) / (2L * nFrom(f))) }.toMap
+      var pi = types.map(_ -> 1000000L / types.length).toMap
       for (_ <- 1 to 5) {
-        val num = p.join(broadcast(pi.withColumnRenamed("t", "from_type")),
-            "from_type")
-          .groupBy(col("to_type").as("t"))
-          .agg(sum(col("pi") * col("p6")).as("num"))
-        pi = spine.join(broadcast(num), Seq("t"), "left")
-          .select(col("t"),
-            expr("(coalesce(num, 0) + 500000) div 1000000").as("pi"))
+        val num = types.map(to => to -> types.map(f =>
+          pi(f) * p6.getOrElse((f, to), 0L)).sum).toMap
+        pi = types.map(to => to -> (num(to) + 500000L) / 1000000L).toMap
       }
-      pi.select(col("t").as("event_type"), col("pi").as("pi6"),
-          (col("pi").cast("double") / lit(1000000.0)).as("p_steady"))
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      s.createDataFrame(
+          types.map(ty => Row(ty, pi(ty), pi(ty).toDouble / 1e6))
+            .toList.asJava,
+          StructType(Seq(StructField("event_type", StringType, false),
+            StructField("pi6", LongType, false),
+            StructField("p_steady", DoubleType, false))))
         .orderBy(col("pi6").desc, col("event_type"))
+    }),
+
+    // time-weighted average over IRREGULAR samples (the monitoring/IoT
+    // aggregate a plain avg gets wrong: a value held for an hour must
+    // weigh 3600× one held a second): per (user, day), trapezoid rule
+    // over consecutive events — twa = Σ Δt·(v_i+v_{i+1}) / (2·span).
+    // Entirely BIGINT: time on the per-second grid (µs div 10⁶ — both
+    // engines truncate the same integers), value on the exact cents
+    // grid (q_events_gini precedent), one HALF_UP presentation division
+    // at 1e-6. Per-(user,day) lead window — per-key sort state, never
+    // corpus-wide; the aggregate is map-side-combinable after it.
+    // MAGNITUDE BOUND: 2·Σseg·10⁶ stays under 2⁶³ while
+    // span_s·max_cents ≲ 4.6·10¹² (a full day needs values past $500M);
+    // past that, assemble the final ratio in DECIMAL(38,0) as
+    // documented at q_events_anomaly.
+    "q_events_twa" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        date_format(to_date(Engine.eventTs(col("ts"))), "yyyy-MM-dd")
+          .as("day"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("t_s"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("t_s"), col("event_id"))
+      e.withColumn("t2", lead(col("t_s"), 1).over(w))
+        .withColumn("v2", lead(col("vc"), 1).over(w))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("t_s")) - min(col("t_s"))).as("span_s"),
+          sum(when(col("t2").isNotNull,
+              (col("t2") - col("t_s")) * (col("vc") + col("v2")))
+            .otherwise(lit(0L))).as("sseg"))
+        .filter(col("span_s") > 0)
+        .select(col("user_id"), col("day"), col("n_events"), col("span_s"),
+          (expr("(2 * sseg * 1000000 + 200 * span_s) div (400 * span_s)")
+            .cast("double") / lit(1000000.0)).as("twa"))
+        .orderBy(col("user_id"), col("day"))
     }))
 
   /** Shared dense-grid CTE prefix (the q_events_gapfill oracle shape). */
@@ -533,5 +579,30 @@ object Events {
         |)
         |SELECT t AS event_type, pi AS pi6,
         |  CAST(pi AS DOUBLE) / 1000000.0 AS p_steady
-        |FROM it5 ORDER BY pi6 DESC, event_type""".stripMargin)
+        |FROM it5 ORDER BY pi6 DESC, event_type""".stripMargin,
+
+    "q_events_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    epoch_us(ts) // 1000000 AS t_s, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, day, t_s, vc,
+        |    lead(t_s) OVER (PARTITION BY user_id, day
+        |      ORDER BY t_s, event_id) AS t2,
+        |    lead(vc) OVER (PARTITION BY user_id, day
+        |      ORDER BY t_s, event_id) AS v2
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, day, count(*) AS n_events,
+        |    max(t_s) - min(t_s) AS span_s,
+        |    sum(CASE WHEN t2 IS NOT NULL
+        |        THEN (t2 - t_s) * (vc + v2) ELSE 0 END) AS sseg
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id, day, n_events, CAST(span_s AS BIGINT) AS span_s,
+        |  CAST((2 * sseg * 1000000 + 200 * span_s)
+        |    // (400 * span_s) AS DOUBLE) / 1000000.0 AS twa
+        |FROM g WHERE span_s > 0 ORDER BY user_id, day""".stripMargin)
 }

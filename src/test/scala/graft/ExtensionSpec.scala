@@ -2275,4 +2275,46 @@ class ExtensionSpec extends SparkSpecBase {
     assert(mass > 900000L && mass <= 1000000L + 3L * types.length,
       s"steady-state mass $mass off the 1e6 grid")
   }
+
+  test("time-weighted average: hand-computed trapezoids, zero-span days dropped") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("twa").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    Seq(
+      // user 1, day 1: held 1.00 for 10s, 3.00 for 20s → twa = 10/3
+      (1L, at(0L), 1L, "m", 1.0, "{}"),
+      (2L, at(10L), 1L, "m", 3.0, "{}"),
+      (3L, at(30L), 1L, "m", 5.0, "{}"),
+      // user 1, day 2: single event → span 0, row filtered
+      (4L, at(86400L), 1L, "m", 9.0, "{}"),
+      // user 2, day 1: constant value → twa exactly 2.00
+      (5L, at(100L), 2L, "m", 2.0, "{}"),
+      (6L, at(400L), 2L, "m", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_twa")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == 2, s"zero-span day must drop: $out")
+    // Σ dt·(v1+v2) = 10·400 + 20·800 = 20000 cents·s over span 30 →
+    // HALF_UP(20000 / 6000 · 1e6) / 1e6 = 3.333333
+    assert(out((1L, "2024-01-01")) == ((3L, 30L, 3.333333)))
+    assert(out((2L, "2024-01-01")) == ((2L, 300L, 2.0)))
+  }
+
+  test("variant: typed path extraction, json-null and missing both read NULL") {
+    val rows = SparkEntry.queries("q_variant_funcs")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getBoolean(4),
+          if (r.isNullAt(5)) null else r.getLong(5),
+          if (r.isNullAt(6)) null else r.getLong(6)))).toMap
+    assert(rows(1L) == ((7L, "a", 1.5, true, null, null)))
+    assert(rows(2L) == ((42L, null, -0.25, false, null, null)))
+    assert(rows(3L) == ((null, "z", null, null, null, null)))
+    assert(rows(4L) == ((null, null, null, null, 30L, null)))
+  }
 }
