@@ -33,6 +33,10 @@ object Functions {
       """(3, '{"k": null, "tags": ["z"], "meta": null}'), """ +
       """(4, '{"nested": {"deep": {"x": [10, 20, 30]}}}')"""
 
+  /** Mixed-case fixture for q_collation_ci. */
+  private val collationValues: String =
+    "('Apple'), ('apple'), ('APPLE'), ('Banana'), ('banana'), ('Cherry')"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Spark 4 VARIANT — the semi-structured column type for schema-free
@@ -56,6 +60,23 @@ object Functions {
           expr("variant_get(v, '$.nested.deep.x[2]', 'long')").as("x2"),
           expr("try_variant_get(v, '$.missing', 'long')").as("missing"))
         .orderBy(col("id"))
+    }),
+
+    // Spark 4 COLLATION — case-insensitive grouping WITHOUT destroying
+    // the data (the lower()-projection alternative loses the original
+    // strings and its key can't short-circuit on collation-aware
+    // statistics): group on `collate(s, 'UTF8_LCASE')`, report the
+    // binary-min representative + the members. The fixture carries a
+    // case-DISTINCT triple and a singleton so a collation regression
+    // (binary grouping) splits row 1 into three and flips the hash.
+    // DuckDB's NOCASE collation is the oracle twin (ASCII-identical).
+    "q_collation_ci" -> ((s, _) => {
+      val v = s.sql(s"SELECT s FROM VALUES $collationValues AS t(s)")
+      v.groupBy(expr("collate(s, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n"), min(col("s")).as("grp"),
+          array_join(array_sort(collect_list(col("s"))), ",").as("members"))
+        .select(col("grp"), col("n"), col("members"))
+        .orderBy(col("grp"))
     }),
 
     // Unicode NFC canonicalization — the pre-hash normalization step of
@@ -433,6 +454,13 @@ object Functions {
          |  CAST(j->>'$$.missing' AS BIGINT) AS missing
          |FROM (VALUES $variantValues) AS t(id, j)
          |ORDER BY id""".stripMargin,
+
+    "q_collation_ci" ->
+      s"""SELECT min(s) AS grp, count(*) AS n,
+         |  string_agg(s, ',' ORDER BY s) AS members
+         |FROM (VALUES $collationValues) AS t(s)
+         |GROUP BY s COLLATE NOCASE
+         |ORDER BY grp""".stripMargin,
 
     "q_text_normalize" ->
       s"""SELECT CAST(id AS BIGINT) AS id,

@@ -2317,4 +2317,13 @@ class ExtensionSpec extends SparkSpecBase {
     assert(rows(3L) == ((null, "z", null, null, null, null)))
     assert(rows(4L) == ((null, null, null, null, 30L, null)))
   }
+
+  test("collation: UTF8_LCASE grouping folds case triples, keeps originals") {
+    val rows = SparkEntry.queries("q_collation_ci")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("APPLE", 3L, "APPLE,Apple,apple"),
+      ("Banana", 2L, "Banana,banana"),
+      ("Cherry", 1L, "Cherry")), s"got ${rows.toSeq}")
+  }
 }
