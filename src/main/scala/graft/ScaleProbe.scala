@@ -279,7 +279,10 @@ object ScaleProbe {
       // density-multiplied grid; markov: one corpus window pass then
       // K-row arithmetic — walls should track the per-user lead window
       "text_line_dedup", "pipe_pps_sample", "q_events_hll_merge",
-      "q_events_markov", "q_events_twa")
+      "q_events_markov", "q_events_twa",
+      // BPE training: the corpus pass is the word count; 6 rounds of
+      // vocab-sized work after — walls should track text_bpe_merge
+      "text_bpe_train")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -994,6 +994,79 @@ object TextAnalysis {
         .limit(15)
     }),
 
+    // the FULL BPE training loop (Sennrich et al. 2016, arXiv:1508.07909)
+    // — text_bpe_pairs/merge unroll iterations 1-2; this runs SIX greedy
+    // rounds and reports the learned merge table WITH the corpus token
+    // mass after each round, making the compression trajectory (the
+    // reason BPE exists) a measured, oracle-checked output. Symbol
+    // sequences ride as BOUNDARY-ANCHORED '~'-strings ('~h~e~y~'): with
+    // multi-char symbols in play from round 2 on, the anchored pattern
+    // '~a~b~' can never straddle a symbol boundary the way the
+    // unanchored form could. Merge application is leftmost
+    // non-overlapping replace — identical semantics in Spark and DuckDB
+    // (the text_bpe_merge rule, now load-bearing for repeated-symbol
+    // runs: '~a~a~a~' merges its FIRST pair only — stated tie rule,
+    // same both engines).
+    //
+    // Scale shape: the corpus collapses to the frequency-weighted
+    // distinct-word vocab ONCE (the BPE-family invariant — training
+    // never touches corpus text again); each round is one vocab-sized
+    // pair count + a 1-ROW argmax through the toLocal contract + one
+    // vocab-sized replace, checkpointed so round k+1 reads blocks, not
+    // the round-k lineage. 6 rounds ⇒ ~12 vocab-sized jobs at ANY SF.
+    "text_bpe_train" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val rounds = 6
+      var cur = wordCounts(s, dir).filter(length(col("w")) >= 2)
+        .select(col("wc"),
+          concat(lit("~"), concat_ws("~", split(col("w"), "")), lit("~"))
+            .as("seg"))
+        .localCheckpoint(true)
+      val symsOf = "filter(split(seg, '~'), x -> length(x) > 0)"
+      val massCol = sum(col("wc") * expr(s"size($symsOf)").cast("long"))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val top = cur
+          // sequence(1, 0) runs BACKWARD (the text_collocations rule) —
+          // fully-merged single-symbol words must not reach the zip
+          .filter(expr(s"size($symsOf) >= 2"))
+          .select(col("wc"), explode(expr(
+            s"transform(sequence(1, size($symsOf) - 1)," +
+              s" i -> concat(element_at($symsOf, i), ' '," +
+              s" element_at($symsOf, i + 1)))")).as("pr"))
+          .groupBy(col("pr")).agg(sum(col("wc")).as("n"))
+          .orderBy(col("n").desc, col("pr")).limit(1)
+          .collect() // 1-row argmax — the toLocal K-row contract
+        if (top.isEmpty) {
+          // degenerate shard: every word is one symbol — no pair left.
+          // The oracle's round-k row vanishes the same way (empty mK
+          // empties segK and every later round), so both sides emit
+          // exactly the completed rounds.
+          exhausted = true
+        } else {
+          val pair = top(0).getString(0)
+          val Array(a, b) = pair.split(" ")
+          cur = cur.withColumn("seg",
+              expr(s"replace(seg, '~$a~$b~', '~$a$b~')"))
+            .localCheckpoint(true)
+          val mass = cur.agg(massCol.as("m")).collect()(0).getLong(0)
+          out += ((r.toLong, pair, top(0).getLong(1), mass))
+          r += 1
+        }
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      s.createDataFrame(
+          out.map(t => Row(t._1, t._2, t._3, t._4)).toList.asJava,
+          StructType(Seq(StructField("round", LongType, false),
+            StructField("pair", StringType, false),
+            StructField("n", LongType, false),
+            StructField("token_mass", LongType, false))))
+        .orderBy(col("round"))
+    }),
+
     // LINE-level boilerplate dedup (CCNet arXiv:1911.00359 §3.1 /
     // RefinedWeb arXiv:2306.01116 dedup stage): a line duplicated
     // across ≥2 DISTINCT documents is boilerplate (headers, nav bars,
@@ -1986,6 +2059,52 @@ object TextAnalysis {
         |    - ln(ux.wc) - ln(uy.wc), 4) AS pmi
         |FROM bi JOIN uni ux ON bi.x = ux.w JOIN uni uy ON bi.y = uy.w
         |ORDER BY pmi DESC, x, y LIMIT 15""".stripMargin,
+
+    // 6 unrolled greedy rounds; every multi-referenced CTE MATERIALIZED
+    // (the emb_pca inline-expansion gotcha). Generated, not hand-typed:
+    // the per-round block is identical modulo the index.
+    "text_bpe_train" -> {
+      val blocks = (1 to 6).map { k =>
+        s"""sy$k AS (
+           |  SELECT wc, list_filter(string_split(seg, '~'),
+           |    x -> len(x) > 0) AS a
+           |  FROM seg${k - 1}
+           |), pc$k AS (
+           |  SELECT a[CAST(i AS INTEGER)] || ' ' ||
+           |    a[CAST(i AS INTEGER) + 1] AS pr, sum(wc) AS n
+           |  FROM sy$k, unnest(generate_series(1, len(a) - 1)) AS t(i)
+           |  GROUP BY 1
+           |), m$k AS MATERIALIZED (
+           |  SELECT pr AS pair, CAST(n AS BIGINT) AS n FROM pc$k
+           |  ORDER BY n DESC, pr LIMIT 1
+           |), seg$k AS MATERIALIZED (
+           |  SELECT wc,
+           |    replace(seg, '~' || replace(m.pair, ' ', '~') || '~',
+           |            '~' || replace(m.pair, ' ', '') || '~') AS seg
+           |  FROM seg${k - 1}, m$k m
+           |), mass$k AS (
+           |  SELECT CAST(sum(wc * len(list_filter(string_split(seg, '~'),
+           |    x -> len(x) > 0))) AS BIGINT) AS token_mass
+           |  FROM seg$k
+           |)""".stripMargin
+      }.mkString(", ")
+      val rows = (1 to 6).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS round, pair, n, token_mass " +
+          s"FROM m$k, mass$k").mkString("\n|UNION ALL\n|")
+      s"""WITH w AS (
+         |  SELECT w, count(*) AS wc FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text),
+         |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+         |    FROM documents)
+         |  GROUP BY 1 HAVING length(w) >= 2
+         |), seg0 AS MATERIALIZED (
+         |  SELECT wc,
+         |    '~' || array_to_string(string_split(w, ''), '~') || '~' AS seg
+         |  FROM w
+         |), $blocks
+         |$rows
+         |ORDER BY round""".stripMargin
+    },
 
     // kept_md5 over the ALL-dup doc: Spark md5(concat_ws of an empty
     // array) = md5(''), so the mirror coalesces string_agg's NULL to ''.

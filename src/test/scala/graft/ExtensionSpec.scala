@@ -2318,6 +2318,42 @@ class ExtensionSpec extends SparkSpecBase {
     assert(rows(4L) == ((null, null, null, null, 30L, null)))
   }
 
+  test("bpe train: mass drops by ≤ n per round, multi-char merges compose") {
+    val rows = SparkEntry.queries("text_bpe_train")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 6L), "six rounds on real data")
+    rows.foreach { case (_, pair, n, _) =>
+      assert(pair.split(" ").length == 2 && n > 0, s"malformed merge $pair") }
+    // each merge of count n removes AT MOST n symbols (exactly n unless
+    // the pair self-overlaps in a run, where leftmost-greedy skips);
+    // mass must still strictly drop — a zero drop means the replace
+    // pattern missed the pair it just counted
+    rows.foldLeft(Option.empty[Long]) { case (prev, (_, _, n, mass)) =>
+      prev.foreach { p =>
+        assert(mass < p && p - mass <= n, s"mass $p -> $mass vs n=$n") }
+      Some(mass)
+    }
+    // greedy argmax: selected counts never increase as training proceeds
+    // beyond newly-composable pairs... at minimum round 1 dominates all
+    assert(rows.map(_._3).max == rows.head._3, "round-1 merge is the global argmax")
+  }
+
+  test("bpe train: exhausted vocab stops early, rows match completed rounds") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpex").toString
+    // vocab = {"ab"×3, "cd"×2}: round 1 merges (a b) n=3, round 2 (c d)
+    // n=2, then every word is ONE symbol — rounds 3..6 must vanish
+    val text = (Seq.fill(3)("ab") ++ Seq.fill(2)("cd")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("text_bpe_train")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, "a b", 3L, 7L), (2L, "c d", 2L, 5L)),
+      s"got ${rows.toSeq}")
+  }
+
   test("collation: UTF8_LCASE grouping folds case triples, keeps originals") {
     val rows = SparkEntry.queries("q_collation_ci")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
