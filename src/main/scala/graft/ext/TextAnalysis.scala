@@ -1016,48 +1016,9 @@ object TextAnalysis {
     // the round-k lineage. 6 rounds ⇒ ~12 vocab-sized jobs at ANY SF.
     "text_bpe_train" -> ((s, dir) => {
       import scala.jdk.CollectionConverters._
-      val rounds = 6
-      var cur = wordCounts(s, dir).filter(length(col("w")) >= 2)
-        .select(col("wc"),
-          concat(lit("~"), concat_ws("~", split(col("w"), "")), lit("~"))
-            .as("seg"))
-        .localCheckpoint(true)
-      val symsOf = "filter(split(seg, '~'), x -> length(x) > 0)"
-      val massCol = sum(col("wc") * expr(s"size($symsOf)").cast("long"))
-      val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
-        val top = cur
-          // sequence(1, 0) runs BACKWARD (the text_collocations rule) —
-          // fully-merged single-symbol words must not reach the zip
-          .filter(expr(s"size($symsOf) >= 2"))
-          .select(col("wc"), explode(expr(
-            s"transform(sequence(1, size($symsOf) - 1)," +
-              s" i -> concat(element_at($symsOf, i), ' '," +
-              s" element_at($symsOf, i + 1)))")).as("pr"))
-          .groupBy(col("pr")).agg(sum(col("wc")).as("n"))
-          .orderBy(col("n").desc, col("pr")).limit(1)
-          .collect() // 1-row argmax — the toLocal K-row contract
-        if (top.isEmpty) {
-          // degenerate shard: every word is one symbol — no pair left.
-          // The oracle's round-k row vanishes the same way (empty mK
-          // empties segK and every later round), so both sides emit
-          // exactly the completed rounds.
-          exhausted = true
-        } else {
-          val pair = top(0).getString(0)
-          val Array(a, b) = pair.split(" ")
-          cur = cur.withColumn("seg",
-              expr(s"replace(seg, '~$a~$b~', '~$a$b~')"))
-            .localCheckpoint(true)
-          val mass = cur.agg(massCol.as("m")).collect()(0).getLong(0)
-          out += ((r.toLong, pair, top(0).getLong(1), mass))
-          r += 1
-        }
-      }
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
+      val out = bpeTrainMerges(s, dir, 6)
       s.createDataFrame(
           out.map(t => Row(t._1, t._2, t._3, t._4)).toList.asJava,
           StructType(Seq(StructField("round", LongType, false),
@@ -1065,6 +1026,42 @@ object TextAnalysis {
             StructField("n", LongType, false),
             StructField("token_mass", LongType, false))))
         .orderBy(col("round"))
+    }),
+
+    // the ENCODE step — what a pipeline actually runs per document once
+    // training is done: apply the full learned merge table (the 6-round
+    // text_bpe_train output) to the per-language vocab and report
+    // fertility / chars-per-token per language under it. The corpus is
+    // touched once for the (lang, word) counts (the text_bpe_fertility
+    // invariant — encoding evals are vocab-sized, which is why they
+    // scale); the merge table is a 6-row driver constant applied as 6
+    // chained replaces in rank order, the real tokenizer's merge
+    // priority. Ratios on the pure-BIGINT 1e-6 grid.
+    "text_bpe_encode" -> ((s, dir) => {
+      val merges = bpeTrainMerges(s, dir, 6).map(_._2)
+      val wl = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0)).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
+      val seg0 = "concat('~', concat_ws('~', split(w, '')), '~')"
+      val segExpr = merges.foldLeft(seg0) { (acc, pair) =>
+        val Array(a, b) = pair.split(" ")
+        s"replace($acc, '~$a~$b~', '~$a$b~')"
+      }
+      wl.withColumn("n_sym",
+          expr(s"size(filter(split($segExpr, '~'), x -> length(x) > 0))")
+            .cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("wc")).as("word_mass"),
+          sum(col("wc") * col("n_sym")).as("token_mass"),
+          sum(col("wc") * length(col("w")).cast("long")).as("char_mass"))
+        .withColumn("fertility",
+          ratioRound(col("token_mass"), col("word_mass"), 6))
+        .withColumn("chars_per_token",
+          ratioRound(col("char_mass"), col("token_mass"), 6))
+        .orderBy(col("lang"))
     }),
 
     // LINE-level boilerplate dedup (CCNet arXiv:1911.00359 §3.1 /
@@ -1240,6 +1237,94 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(1)
       .select(col("pair").as(out))
+
+  /** Generated DuckDB mirror of [[bpeTrainMerges]]: WITH-prefix ending
+    * after round-6's m/mass CTEs (no trailing comma). Shared by the
+    * train and encode oracles so the learned table cannot drift. */
+  private lazy val bpeTrainOracleCtes: String = {
+    val blocks = (1 to 6).map { k =>
+      s"""sy$k AS (
+         |  SELECT wc, list_filter(string_split(seg, '~'),
+         |    x -> len(x) > 0) AS a
+         |  FROM seg${k - 1}
+         |), pc$k AS (
+         |  SELECT a[CAST(i AS INTEGER)] || ' ' ||
+         |    a[CAST(i AS INTEGER) + 1] AS pr, sum(wc) AS n
+         |  FROM sy$k, unnest(generate_series(1, len(a) - 1)) AS t(i)
+         |  GROUP BY 1
+         |), m$k AS MATERIALIZED (
+         |  SELECT pr AS pair, CAST(n AS BIGINT) AS n FROM pc$k
+         |  ORDER BY n DESC, pr LIMIT 1
+         |), seg$k AS MATERIALIZED (
+         |  SELECT wc,
+         |    replace(seg, '~' || replace(m.pair, ' ', '~') || '~',
+         |            '~' || replace(m.pair, ' ', '') || '~') AS seg
+         |  FROM seg${k - 1}, m$k m
+         |), mass$k AS (
+         |  SELECT CAST(sum(wc * len(list_filter(string_split(seg, '~'),
+         |    x -> len(x) > 0))) AS BIGINT) AS token_mass
+         |  FROM seg$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH w AS (
+       |  SELECT w, count(*) AS wc FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text),
+       |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+       |    FROM documents)
+       |  GROUP BY 1 HAVING length(w) >= 2
+       |), seg0 AS MATERIALIZED (
+       |  SELECT wc,
+       |    '~' || array_to_string(string_split(w, ''), '~') || '~' AS seg
+       |  FROM w
+       |), $blocks""".stripMargin
+  }
+
+  /** The 6-round greedy BPE training loop shared by `text_bpe_train`
+    * (reports it) and `text_bpe_encode` (applies it): returns
+    * (round, pair, weighted count, corpus token mass after the merge).
+    * Each round is one vocab-sized pair count + a 1-ROW argmax through
+    * the toLocal contract + one vocab-sized checkpointed replace; a
+    * degenerate vocab that runs out of pairs stops early (the oracle's
+    * round-k rows vanish the same way — empty mK empties segK and every
+    * later round). */
+  private[ext] def bpeTrainMerges(s: SparkSession, dir: String,
+      rounds: Int): Seq[(Long, String, Long, Long)] = {
+    var cur = wordCounts(s, dir).filter(length(col("w")) >= 2)
+      .select(col("wc"),
+        concat(lit("~"), concat_ws("~", split(col("w"), "")), lit("~"))
+          .as("seg"))
+      .localCheckpoint(true)
+    val symsOf = "filter(split(seg, '~'), x -> length(x) > 0)"
+    val massCol = sum(col("wc") * expr(s"size($symsOf)").cast("long"))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        // sequence(1, 0) runs BACKWARD (the text_collocations rule) —
+        // fully-merged single-symbol words must not reach the zip
+        .filter(expr(s"size($symsOf) >= 2"))
+        .select(col("wc"), explode(expr(
+          s"transform(sequence(1, size($symsOf) - 1)," +
+            s" i -> concat(element_at($symsOf, i), ' '," +
+            s" element_at($symsOf, i + 1)))")).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pr")).limit(1)
+        .collect() // 1-row argmax — the toLocal K-row contract
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val Array(a, b) = pair.split(" ")
+        cur = cur.withColumn("seg",
+            expr(s"replace(seg, '~$a~$b~', '~$a$b~')"))
+          .localCheckpoint(true)
+        val mass = cur.agg(massCol.as("m")).collect()(0).getLong(0)
+        out += ((r.toLong, pair, top(0).getLong(1), mass))
+        r += 1
+      }
+    }
+    out.toSeq
+  }
 
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2064,46 +2149,48 @@ object TextAnalysis {
     // (the emb_pca inline-expansion gotcha). Generated, not hand-typed:
     // the per-round block is identical modulo the index.
     "text_bpe_train" -> {
-      val blocks = (1 to 6).map { k =>
-        s"""sy$k AS (
-           |  SELECT wc, list_filter(string_split(seg, '~'),
-           |    x -> len(x) > 0) AS a
-           |  FROM seg${k - 1}
-           |), pc$k AS (
-           |  SELECT a[CAST(i AS INTEGER)] || ' ' ||
-           |    a[CAST(i AS INTEGER) + 1] AS pr, sum(wc) AS n
-           |  FROM sy$k, unnest(generate_series(1, len(a) - 1)) AS t(i)
-           |  GROUP BY 1
-           |), m$k AS MATERIALIZED (
-           |  SELECT pr AS pair, CAST(n AS BIGINT) AS n FROM pc$k
-           |  ORDER BY n DESC, pr LIMIT 1
-           |), seg$k AS MATERIALIZED (
-           |  SELECT wc,
-           |    replace(seg, '~' || replace(m.pair, ' ', '~') || '~',
-           |            '~' || replace(m.pair, ' ', '') || '~') AS seg
-           |  FROM seg${k - 1}, m$k m
-           |), mass$k AS (
-           |  SELECT CAST(sum(wc * len(list_filter(string_split(seg, '~'),
-           |    x -> len(x) > 0))) AS BIGINT) AS token_mass
-           |  FROM seg$k
-           |)""".stripMargin
-      }.mkString(", ")
       val rows = (1 to 6).map(k =>
         s"SELECT CAST($k AS BIGINT) AS round, pair, n, token_mass " +
           s"FROM m$k, mass$k").mkString("\n|UNION ALL\n|")
-      s"""WITH w AS (
-         |  SELECT w, count(*) AS wc FROM (
-         |    SELECT unnest(list_filter(string_split_regex(lower(text),
-         |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
-         |    FROM documents)
-         |  GROUP BY 1 HAVING length(w) >= 2
-         |), seg0 AS MATERIALIZED (
-         |  SELECT wc,
-         |    '~' || array_to_string(string_split(w, ''), '~') || '~' AS seg
-         |  FROM w
-         |), $blocks
+      s"""$bpeTrainOracleCtes
          |$rows
          |ORDER BY round""".stripMargin
+    },
+
+    // same generated training chain, then the 6 merges applied in rank
+    // order to the per-language vocab as nested replaces (the m1..m6
+    // 1-row frames cross-join in)
+    "text_bpe_encode" -> {
+      val seg0 = "'~' || array_to_string(string_split(w, ''), '~') || '~'"
+      val segExpr = (1 to 6).foldLeft(seg0) { (acc, k) =>
+        s"replace($acc, '~' || replace(m$k.pair, ' ', '~') || '~'," +
+          s" '~' || replace(m$k.pair, ' ', '') || '~')"
+      }
+      s"""$bpeTrainOracleCtes,
+         |wl AS (
+         |  SELECT lang, w, count(*) AS wc FROM (
+         |    SELECT lang, unnest(list_filter(string_split_regex(lower(text),
+         |      '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+         |    FROM documents)
+         |  GROUP BY 1, 2
+         |), enc AS (
+         |  SELECT lang, wc, length(w) AS wlen,
+         |    len(list_filter(string_split($segExpr, '~'),
+         |      x -> len(x) > 0)) AS n_sym
+         |  FROM wl, m1, m2, m3, m4, m5, m6
+         |), agg AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(wc) AS BIGINT) AS word_mass,
+         |    CAST(sum(wc * n_sym) AS BIGINT) AS token_mass,
+         |    CAST(sum(wc * wlen) AS BIGINT) AS char_mass
+         |  FROM enc GROUP BY lang
+         |)
+         |SELECT lang, n_words, word_mass, token_mass, char_mass,
+         |  CAST((token_mass * 2000000 + word_mass) // (word_mass * 2)
+         |    AS DOUBLE) / 1000000.0 AS fertility,
+         |  CAST((char_mass * 2000000 + token_mass) // (token_mass * 2)
+         |    AS DOUBLE) / 1000000.0 AS chars_per_token
+         |FROM agg ORDER BY lang""".stripMargin
     },
 
     // kept_md5 over the ALL-dup doc: Spark md5(concat_ws of an empty

@@ -2354,6 +2354,21 @@ class ExtensionSpec extends SparkSpecBase {
       s"got ${rows.toSeq}")
   }
 
+  test("bpe encode: 6 merges strictly beat 1 merge, char mass invariant") {
+    def byLang(q: String) = SparkEntry.queries(q)(spark, sfDir)
+      .selectExpr("lang", "fertility", "char_mass").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val one = byLang("text_bpe_fertility")
+    val six = byLang("text_bpe_encode")
+    assert(one.keySet == six.keySet)
+    six.foreach { case (lang, (f6, cm6)) =>
+      val (f1, cm1) = one(lang)
+      assert(f6 < f1, s"$lang: 6-merge fertility $f6 !< 1-merge $f1")
+      assert(f6 >= 1.0, s"$lang: fertility below 1 token/word")
+      assert(cm6 == cm1, s"$lang: char mass must not depend on merges")
+    }
+  }
+
   test("collation: UTF8_LCASE grouping folds case triples, keeps originals") {
     val rows = SparkEntry.queries("q_collation_ci")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
