@@ -497,6 +497,20 @@ class ExtensionSpec extends SparkSpecBase {
     assert(out(3L) == None)       // nothing at/before ts=50
   }
 
+  test("as-of forward: earliest successor wins, same-instant visible") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, 100L), (2L, 10L, 160L), (3L, 20L, 70L))
+      .toDF("event_id", "user_id", "ts_us")
+    val build = Seq((10L, 100L, 5.0), (10L, 150L, 7.0), (20L, 60L, 9.0))
+      .toDF("user_id", "ts_us", "value")
+    val out = ext.AsOf.asofJoin(probe, build, "user_id", "ts_us", "value",
+        forward = true)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(out(1L) == Some(5.0))  // build at exactly ts=100 counts (>=)
+    assert(out(2L) == None)       // nothing at/after ts=160
+    assert(out(3L) == None)       // user 20's only build is BEFORE the probe
+  }
+
   test("exact dedup keeps one survivor per duplicated text") {
     val docs = docsDf(5L -> "same text", 9L -> "same text", 7L -> "unique text")
     val out = docs.groupBy(md5(col("text")).as("h"))
