@@ -281,8 +281,10 @@ object ScaleProbe {
       "text_line_dedup", "pipe_pps_sample", "q_events_hll_merge",
       "q_events_markov", "q_events_twa",
       // BPE training: the corpus pass is the word count; 6 rounds of
-      // vocab-sized work after — walls should track text_bpe_merge
-      "text_bpe_train")
+      // vocab-sized work after — walls should track text_bpe_merge;
+      // encode adds the lang-vocab apply; the classifier is the pure
+      // per-row filter-pass shape (walls linear, zero shuffle growth)
+      "text_bpe_train", "text_bpe_encode", "pipe_quality_classifier")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -452,6 +452,51 @@ object Pipeline {
         .orderBy(col("lang"), col("source"), col("rk"))
     }),
 
+    // model-based quality gate (the FineWeb-Edu / fasttext-classifier
+    // shape, arXiv:2406.17557): a FIXED-WEIGHT linear scorer over
+    // integer text features with a sigmoid readout — the gate every
+    // modern pre-training pipeline runs after the heuristic rules
+    // (text_gopher_rules) and before mixing. The weights here are
+    // corpus-calibrated constants standing in for a trained model; the
+    // PLUMBING is the deliverable: per-row integer feature extraction →
+    // integer logit → gate at z > 0 (a BIGINT comparison, so no float
+    // boundary can flip membership cross-engine) → per-language pass
+    // accounting. The only float is one exp() per LANGUAGE on the
+    // deterministic integer mean logit (text_dsir's ln precedent),
+    // rounded at 4dp. Pure map until the langs-sized aggregate.
+    "pipe_quality_classifier" -> ((s, dir) => {
+      val toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", expr(s"size($toks)").cast("long"))
+        .withColumn("n_uniq",
+          expr(s"size(array_distinct($toks))").cast("long"))
+        .withColumn("n_stop", graft.ext.TextAnalysis
+          .stopwordHits(col("text"), graft.ext.TextAnalysis.stopEn)
+          .cast("long"))
+        // densities on the 1e4 integer grid (truncating div, mirrored
+        // by DuckDB // on the same non-negative integers)
+        .withColumn("stopd", expr("n_stop * 10000 div greatest(n_tok, 1)"))
+        .withColumn("uniqd", expr("n_uniq * 10000 div greatest(n_tok, 1)"))
+        // fixed integer weights; z straddles 0 on the real corpus so
+        // the gate does real work (calibrated against sf0.01 feature
+        // means: 100·n_tok ≈ 5400, 4·stopd ≈ 2400, uniqd ≈ 5000)
+        .withColumn("z",
+          lit(100L) * col("n_tok") + lit(4L) * col("stopd") +
+            col("uniqd") - lit(12800L))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("z") > 0L).cast("long")).as("n_pass"),
+          sum(col("z")).as("sum_z"))
+        .select(col("lang"), col("n_docs"), col("n_pass"),
+          graft.ext.TextAnalysis
+            .ratioRound(col("n_pass"), col("n_docs"), 6).as("pass_rate"),
+          col("sum_z"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(negate((col("sum_z").cast("double") / col("n_docs"))
+              / lit(10000.0)))), 4).as("lang_score"))
+        .orderBy(col("lang"))
+    }),
+
     // systematic probability-proportional-to-size sampling (Madow 1949,
     // the textbook PPS design): walk the corpus weight line (w = chars)
     // in md5-pseudo-shuffled order and take one hit at every multiple of
@@ -1569,6 +1614,38 @@ object Pipeline {
         |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 50
         |ORDER BY lang, source, rk""".stripMargin,
+
+    "pipe_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(list_filter(string_split_regex(
+        |      lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS BIGINT)
+        |      AS n_uniq,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in|is|on|for|with)\b')) AS BIGINT)
+        |      AS n_stop
+        |  FROM documents
+        |), z AS (
+        |  SELECT lang,
+        |    100 * n_tok + 4 * (n_stop * 10000 // greatest(n_tok, 1))
+        |      + (n_uniq * 10000 // greatest(n_tok, 1)) - 12800 AS z
+        |  FROM f
+        |), g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pass,
+        |    CAST(sum(z) AS BIGINT) AS sum_z
+        |  FROM z GROUP BY lang
+        |)
+        |SELECT lang, n_docs, n_pass,
+        |  CAST((2 * n_pass * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE)
+        |    / 1000000.0 AS pass_rate,
+        |  sum_z,
+        |  round(1.0 / (1.0 + exp(-(CAST(sum_z AS DOUBLE) / n_docs)
+        |    / 10000.0)), 4) AS lang_score
+        |FROM g ORDER BY lang""".stripMargin,
 
     // the decomposed census prefix-sum must be invisible: the mirror is
     // ONE global running sum in the same (md5 key, doc_id) walk order

@@ -2368,6 +2368,33 @@ class ExtensionSpec extends SparkSpecBase {
       s"got ${rows.toSeq}")
   }
 
+  test("quality classifier: exact integer recount of the logit from raw docs") {
+    val stopRe = java.util.regex.Pattern.compile(
+      "\\b(the|a|and|of|to|in|is|on|for|with)\\b")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("lang", "lower(text) AS t").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.map { case (lang, t) =>
+      val toks = t.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val nTok = toks.length.toLong
+      val nUniq = toks.distinct.length.toLong
+      val m = stopRe.matcher(t)
+      var nStop = 0L
+      while (m.find()) nStop += 1
+      val den = math.max(nTok, 1L)
+      lang -> (100L * nTok + 4L * (nStop * 10000L / den) +
+        nUniq * 10000L / den - 12800L)
+    }.groupBy(_._1).map { case (lang, zs) =>
+      lang -> ((zs.size.toLong, zs.count(_._2 > 0L).toLong, zs.map(_._2).sum))
+    }
+    val out = SparkEntry.queries("pipe_quality_classifier")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(out == expected, s"got $out want $expected")
+    assert(out.values.exists(v => v._2 > 0 && v._2 < v._1),
+      "the gate must split at least one language non-trivially")
+  }
+
   test("bpe encode: 6 merges strictly beat 1 merge, char mass invariant") {
     def byLang(q: String) = SparkEntry.queries(q)(spark, sfDir)
       .selectExpr("lang", "fertility", "char_mass").collect()
