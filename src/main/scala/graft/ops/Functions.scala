@@ -37,6 +37,13 @@ object Functions {
   private val collationValues: String =
     "('Apple'), ('apple'), ('APPLE'), ('Banana'), ('banana'), ('Cherry')"
 
+  /** XML fixture for q_xml_funcs — attributes, nested element, missing
+    * optional field, numeric content. */
+  private val xmlValues: String =
+    """(1, '<item id="7"><name>alpha</name><qty>3</qty><meta><tag>x</tag></meta></item>'), """ +
+      """(2, '<item id="9"><name>beta</name><qty>12</qty></item>'), """ +
+      """(3, '<item id="2"><name>gamma</name><qty>0</qty><meta><tag>z</tag></meta></item>')"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Spark 4 VARIANT — the semi-structured column type for schema-free
@@ -59,6 +66,24 @@ object Functions {
           expr("variant_get(v, '$.meta.ok', 'boolean')").as("ok"),
           expr("variant_get(v, '$.nested.deep.x[2]', 'long')").as("x2"),
           expr("try_variant_get(v, '$.missing', 'long')").as("missing"))
+        .orderBy(col("id"))
+    }),
+
+    // XML ingestion surface (the reference's DataFusion layer has no
+    // XML either, but a corpus pipeline meets XML sitemaps/feeds):
+    // Spark's xpath_* family extracts typed fields per row — pure
+    // projection, the linear scan shape. The oracle re-reads the SAME
+    // fields via regexp (DuckDB has no XML type), pinning the
+    // extraction CONTRACT: attribute, nested element, missing-optional
+    // → NULL, numeric content cast.
+    "q_xml_funcs" -> ((s, _) => {
+      val v = s.sql(s"SELECT id, x FROM VALUES $xmlValues AS t(id, x)")
+      v.select(col("id").cast("long").as("id"),
+          expr("xpath_long(x, '/item/@id')").as("item_id"),
+          expr("xpath_string(x, '/item/name')").as("name"),
+          expr("xpath_long(x, '/item/qty')").as("qty"),
+          expr("nullif(xpath_string(x, '/item/meta/tag'), '')").as("tag"),
+          expr("size(xpath(x, '/item/*'))").cast("long").as("n_children"))
         .orderBy(col("id"))
     }),
 
@@ -453,6 +478,17 @@ object Functions {
          |  CAST(j->>'$$.nested.deep.x[2]' AS BIGINT) AS x2,
          |  CAST(j->>'$$.missing' AS BIGINT) AS missing
          |FROM (VALUES $variantValues) AS t(id, j)
+         |ORDER BY id""".stripMargin,
+
+    "q_xml_funcs" ->
+      s"""SELECT CAST(id AS BIGINT) AS id,
+         |  CAST(regexp_extract(x, 'id="(\\d+)"', 1) AS BIGINT) AS item_id,
+         |  regexp_extract(x, '<name>([^<]*)</name>', 1) AS name,
+         |  CAST(regexp_extract(x, '<qty>(\\d+)</qty>', 1) AS BIGINT) AS qty,
+         |  nullif(regexp_extract(x, '<tag>([^<]*)</tag>', 1), '') AS tag,
+         |  CAST(len(regexp_extract_all(x, '<(name|qty|meta)>')) AS BIGINT)
+         |    AS n_children
+         |FROM (VALUES $xmlValues) AS t(id, x)
          |ORDER BY id""".stripMargin,
 
     "q_collation_ci" ->

@@ -231,6 +231,19 @@ object Relational2 {
           |FROM big_suppliers""".stripMargin)
     }),
 
+    // GROUP BY ALL / ORDER BY ALL (the DuckDB-invented shorthand Spark
+    // adopted): every non-aggregate select item groups, every select
+    // item orders — the analyst surface where adding a dimension can't
+    // silently de-group a query. Pure SQL-surface parity row; the plan
+    // is the ordinary two-phase hash aggregate.
+    "q_group_by_all" -> ((s, dir) => {
+      Engine.registerTestdata(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 2) AS qty
+          |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
     // union by column NAME, inputs with different column order
     "q_union_byname" -> ((s, dir) => {
       val a = t(s, dir, "customer").select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
@@ -1239,6 +1252,11 @@ object Relational2 {
       """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS bin15m,
         |  count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1 ORDER BY bin15m""".stripMargin,
+
+    "q_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
 
     "q_ddl_view" ->
       """SELECT count(*) AS n, round(sum(s_acctbal), 2) AS total

@@ -2410,6 +2410,16 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("xml: xpath extraction pins attribute, nested, missing-optional NULL") {
+    val rows = SparkEntry.queries("q_xml_funcs")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getString(4), r.getLong(5)))).toMap
+    assert(rows(1L) == ((7L, "alpha", 3L, "x", 3L)))
+    assert(rows(2L) == ((9L, "beta", 12L, null, 2L)))
+    assert(rows(3L) == ((2L, "gamma", 0L, "z", 3L)))
+  }
+
   test("collation: UTF8_LCASE grouping folds case triples, keeps originals") {
     val rows = SparkEntry.queries("q_collation_ci")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
