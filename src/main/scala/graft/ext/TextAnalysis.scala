@@ -558,27 +558,49 @@ object TextAnalysis {
     // is O(words × w) however large the corpus. Emitted per doc as
     // counts + an order-insensitive md5 checksum of the selected hash
     // multiset, so the row stays narrow.
-    "text_winnowing" -> ((s, dir) => {
-      val k = 3; val w = 4
-      t(s, dir, "documents")
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("n_grams",
-          greatest(size(col("ws")) - (k - 1), lit(0)).cast("long"))
-        .filter(col("n_grams") >= w)
-        .withColumn("hp", expr(
-          s"""transform(sequence(1, size(ws) - ${k - 1}),
-             |  i -> struct(md5(concat_ws(' ', slice(ws, i, $k))) AS h,
-             |              cast(i AS bigint) AS pos))""".stripMargin))
-        .withColumn("sel", expr(
-          s"""array_distinct(transform(sequence(1, size(hp) - ${w - 1}),
-             |  i -> array_min(slice(hp, i, $w))))""".stripMargin))
+    "text_winnowing" -> ((s, dir) =>
+      winnowFrame(s, dir)
         .select(col("doc_id"), col("n_grams"),
           size(col("sel")).cast("long").as("n_selected"),
           expr("(2 * cast(size(sel) AS bigint) * 1000000 + n_grams) div (2 * n_grams)")
             .as("density6"),
           md5(concat_ws("",
             array_sort(expr("transform(sel, x -> x.h)")))).as("fp_checksum"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // winnowing put to its MOSS purpose: LOCAL-similarity candidate
+    // pairs from fingerprint collisions — catches shared PASSAGES that
+    // whole-doc MinHash dilutes away (a 10% plagiarized span barely
+    // moves doc-level Jaccard but its winnow fingerprints collide
+    // verbatim). Postings are DF-capped (≤ 50 docs per fingerprint, the
+    // dedup_containment rule: a boilerplate fingerprint would fan every
+    // carrier into every other); the pair count IS the join's groupBy,
+    // only 32-hex keys ride exchanges; admission shared ≥ 3 with the
+    // fingerprint-containment score reported on the 1e-6 grid.
+    "dedup_winnowing" -> ((s, dir) => {
+      val cap = 50
+      val fp = winnowFrame(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sel, x -> x.h))")).as("h"))
+        .localCheckpoint(false) // 3 consumers of one selection pass
+      val sz = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val keep = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("h"))
+      val pf = fp.join(keep, Seq("h"))
+      val pairs = pf.select(col("doc_id").as("doc_a"), col("h"))
+        .join(pf.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("n_a"), col("n_b"),
+          ratioRound(col("shared"), least(col("n_a"), col("n_b")), 6)
+            .as("score6"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // inverted index (posting lists): term → document frequency,
@@ -1238,6 +1260,59 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair")).limit(1)
       .select(col("pair").as(out))
 
+  /** Winnowing selection (MOSS, k=3 word-grams, window w=4): doc_id,
+    * n_grams, and `sel` = the distinct (h, pos) window-minimum
+    * fingerprints. Shared by `text_winnowing` (reports density/checksum)
+    * and `dedup_winnowing` (collides fingerprints across docs). Pure
+    * per-row array-expression chain — zero shuffle. */
+  private[ext] def winnowFrame(s: SparkSession, dir: String): DataFrame = {
+    val k = 3; val w = 4
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_grams",
+        greatest(size(col("ws")) - (k - 1), lit(0)).cast("long"))
+      .filter(col("n_grams") >= w)
+      .withColumn("hp", expr(
+        s"""transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> struct(md5(concat_ws(' ', slice(ws, i, $k))) AS h,
+           |              cast(i AS bigint) AS pos))""".stripMargin))
+      .withColumn("sel", expr(
+        s"""array_distinct(transform(sequence(1, size(hp) - ${w - 1}),
+           |  i -> array_min(slice(hp, i, $w))))""".stripMargin))
+  }
+
+  /** DuckDB mirror of [[winnowFrame]] through the distinct-fingerprint
+    * `sel` CTE (doc_id, wkey, wh) — shared WITH-prefix for the two
+    * winnowing oracles. */
+  private val winnowOracleCtes: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, pos,
+      |    md5(word || ' ' ||
+      |        lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+      |        lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS h
+      |  FROM words
+      |  QUALIFY lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+      |    IS NOT NULL
+      |), ng AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |  FROM grams GROUP BY 1 HAVING count(*) >= 4
+      |), wins AS (
+      |  SELECT doc_id,
+      |    min(h || lpad(CAST(pos AS VARCHAR), 12, '0'))
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+      |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+      |  FROM grams
+      |), sel AS (
+      |  SELECT DISTINCT doc_id, wkey, substr(wkey, 1, 32) AS wh
+      |  FROM wins WHERE wn = 4
+      |)""".stripMargin
+
   /** Generated DuckDB mirror of [[bpeTrainMerges]]: WITH-prefix ending
     * after round-6's m/mass CTEs (no trailing comma). Shared by the
     * train and encode oracles so the learned table cannot drift. */
@@ -1465,33 +1540,8 @@ object TextAnalysis {
     // combined key is (h asc, pos asc) — the struct(h, pos) array_min
     // on the Spark side, collapsed into one window-able value
     "text_winnowing" ->
-      """WITH words AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-        |    generate_subscripts(string_split(text, ' '), 1) AS pos
-        |  FROM documents
-        |), grams AS (
-        |  SELECT doc_id, pos,
-        |    md5(word || ' ' ||
-        |        lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
-        |        lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS h
-        |  FROM words
-        |  QUALIFY lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)
-        |    IS NOT NULL
-        |), ng AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
-        |  FROM grams GROUP BY 1 HAVING count(*) >= 4
-        |), wins AS (
-        |  SELECT doc_id,
-        |    min(h || lpad(CAST(pos AS VARCHAR), 12, '0'))
-        |      OVER (PARTITION BY doc_id ORDER BY pos
-        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
-        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-        |  FROM grams
-        |), sel AS (
-        |  SELECT DISTINCT doc_id, wkey, substr(wkey, 1, 32) AS wh
-        |  FROM wins WHERE wn = 4
-        |), agg AS (
+      (winnowOracleCtes +
+      """, agg AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
         |    md5(string_agg(wh, '' ORDER BY wh)) AS fp_checksum
         |  FROM sel GROUP BY 1
@@ -1501,7 +1551,31 @@ object TextAnalysis {
         |    // (2 * ng.n_grams) AS BIGINT) AS density6,
         |  a.fp_checksum
         |FROM ng JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+
+    "dedup_winnowing" ->
+      (winnowOracleCtes +
+      """, fp AS (
+        |  SELECT DISTINCT doc_id, wh AS h FROM sel
+        |), sz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1
+        |), keep AS (
+        |  SELECT h FROM fp GROUP BY h HAVING count(*) <= 50
+        |), pf AS (
+        |  SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h)
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT p.doc_a, p.doc_b, p.shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+        |  CAST((2 * p.shared * 1000000 + least(sa.n_fp, sb.n_fp))
+        |    // (2 * least(sa.n_fp, sb.n_fp)) AS DOUBLE) / 1000000.0 AS score6
+        |FROM pairs p
+        |JOIN sz sa ON p.doc_a = sa.doc_id
+        |JOIN sz sb ON p.doc_b = sb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "text_quality" ->
       """WITH m AS (

@@ -2410,6 +2410,30 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("winnowing dedup: planted shared passage pairs, disjoint docs don't") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("windedup").toString
+    val passage = (1 to 12).map("shared" + _).mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha one two three four five six $passage tail1 tail2",
+      2L -> s"beta uno dos tres cuatro cinco seis $passage cola1 cola2",
+      3L -> "gamma completely different words nothing matching here at all today")
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("dedup_winnowing")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(out.length == 1, s"exactly the planted pair: ${out.toSeq}")
+    val (a, b, shared, score) = out.head
+    assert((a, b) == ((1L, 2L)) && shared >= 3 && score > 0.2 && score <= 1.0,
+      s"got $a,$b shared=$shared score=$score")
+    // real corpus: candidates exist and scores stay in (0, 1]
+    val real = SparkEntry.queries("dedup_winnowing")(spark, sfDir)
+      .collect().map(_.getDouble(5))
+    real.foreach(sc => assert(sc > 0.0 && sc <= 1.0))
+  }
+
   test("xml: xpath extraction pins attribute, nested, missing-optional NULL") {
     val rows = SparkEntry.queries("q_xml_funcs")(spark, sfDir)
       .collect().map(r => r.getLong(0) ->
