@@ -284,7 +284,12 @@ object ScaleProbe {
       // vocab-sized work after — walls should track text_bpe_merge;
       // encode adds the lang-vocab apply; the classifier is the pure
       // per-row filter-pass shape (walls linear, zero shuffle growth)
-      "text_bpe_train", "text_bpe_encode", "pipe_quality_classifier")
+      "text_bpe_train", "text_bpe_encode", "pipe_quality_classifier",
+      // winnowing collisions on the replica shard hit the DF cap's
+      // design case: every original fingerprint sits in ≥100 replicas,
+      // so the cap drops the shared vocabulary and candidates survive
+      // only on replica-distinct tails (the dedup_containment story)
+      "dedup_winnowing")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
