@@ -766,6 +766,42 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // 1-bit BINARY quantization + Hamming retrieval — the modern
+    // vector-DB cheap-prefilter (64 dims collapse to ONE BIGINT per
+    // vector, a 256× shrink over float32): bit d = sign of the 1e-3
+    // grid component (the hyperplane_sig tie rule — grid 0 reads
+    // negative), packed per row with a bitwise-OR fold; distance =
+    // bit_count(xor) — exact integer, no float anywhere past the scan.
+    // Top-5 per broadcast query by (hamming asc, vec_id): the candidate
+    // stage a float rerank then refines (emb_matryoshka_eval measures
+    // the analogous truncation loss; the spec here pins BQ recall
+    // against brute-force truth). Scale shape: the corpus rides as
+    // 8-byte codes — the packing is a per-row expression at the scan,
+    // retrieval shuffles only (q, code) pairs.
+    "emb_binary_quantize" -> ((s, dir) => {
+      val codeExpr = expr(
+        """aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, d) ->
+          |  CASE WHEN CAST(floor(CAST(element_at(embedding, d) AS DOUBLE)
+          |                 * 1000 + 0.5) AS BIGINT) > 0
+          |       THEN acc | shiftleft(CAST(1 AS BIGINT), d - 1)
+          |       ELSE acc END)""".stripMargin)
+      val codes = t(s, dir, "embeddings")
+        .select(col("vec_id"), codeExpr.as("code"))
+      val q = broadcast(codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("code").as("qc")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("hamming"), col("vec_id"))
+      codes.filter(col("vec_id") >= 10)
+        .crossJoin(q)
+        .select(col("q_id"), col("vec_id"),
+          expr("CAST(bit_count(code ^ qc) AS BIGINT)").as("hamming"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("hamming"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // K-means clustering (Lloyd, K=8, 2 iterations) over the embedding
     // corpus — the curation primitive behind IVF cell maps, semantic
     // sharding, and cluster-balanced sampling (k-means-then-sample is
@@ -1268,6 +1304,33 @@ object Similarity {
       }.mkString
 
   val oracleSql: Map[String, String] = Map(
+    "emb_binary_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS d
+        |  FROM embeddings
+        |), code AS (
+        |  SELECT vec_id,
+        |    bit_or(CASE WHEN CAST(floor(CAST(embedding[CAST(d AS INTEGER)]
+        |        AS DOUBLE) * 1000 + 0.5) AS BIGINT) <= 0
+        |      THEN CAST(0 AS BIGINT)
+        |      -- DuckDB checks 1<<63 as overflow; bit 64 IS the sign bit
+        |      WHEN d = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+        |      ELSE (CAST(1 AS BIGINT) << (CAST(d AS INTEGER) - 1))
+        |      END) AS code
+        |  FROM e GROUP BY 1
+        |), q AS (SELECT vec_id AS q_id, code AS qc FROM code WHERE vec_id < 10
+        |), c AS (SELECT vec_id, code FROM code WHERE vec_id >= 10
+        |), scored AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    CAST(bit_count(xor(c.code, q.qc)) AS BIGINT) AS hamming,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY bit_count(xor(c.code, q.qc)), c.vec_id) AS rk
+        |  FROM c CROSS JOIN q
+        |)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, hamming
+        |FROM scored WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
     "emb_quantize" ->
       """WITH d AS (
         |  SELECT vec_id, embedding,

@@ -2410,6 +2410,25 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("binary quantize: hamming in [0,64], recall beats the random baseline") {
+    val bq = SparkEntry.queries("emb_binary_quantize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bq.nonEmpty && bq.forall(t => t._4 >= 0 && t._4 <= 64))
+    bq.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length), "dense ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        "hamming ascends")
+    }
+    val truth = SparkEntry.queries("ann_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = bq.count(t => truth.contains((t._1, t._3)))
+    val recall = hits.toDouble / truth.size
+    // 10 queries × 5 of ~190 candidates: random recall ≈ 5/190 ≈ 0.026 —
+    // sign bits must do far better on clustered synthetic embeddings
+    assert(recall >= 0.2, s"BQ recall@5 $recall below floor")
+  }
+
   test("winnowing dedup: planted shared passage pairs, disjoint docs don't") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("windedup").toString
