@@ -289,7 +289,10 @@ object ScaleProbe {
       // design case: every original fingerprint sits in ≥100 replicas,
       // so the cap drops the shared vocabulary and candidates survive
       // only on replica-distinct tails (the dedup_containment story)
-      "dedup_winnowing")
+      "dedup_winnowing",
+      // BQ: the corpus rides as 8-byte codes — the probe pins that the
+      // cross join against the 10-query broadcast stays code-sized
+      "emb_binary_quantize")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
