@@ -121,6 +121,36 @@ object Similarity {
     * `text_rrf_fusion`'s dense side (qMax=5, k=20). Small single-split
     * input: spread the dot-product work over cores; norms computed once
     * per row on each side, never per pair. */
+  /** 1-bit sign code of the 64-dim embedding as ONE BIGINT (bit d =
+    * grid component d > 0), shared by `emb_binary_quantize` and
+    * `ann_bq_rerank`. Per-row bitwise-OR fold — pure scan-side work. */
+  private[ext] val bqCodeExpr: Column = expr(
+    """aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, d) ->
+      |  CASE WHEN CAST(floor(CAST(element_at(embedding, d) AS DOUBLE)
+      |                 * 1000 + 0.5) AS BIGINT) > 0
+      |       THEN acc | shiftleft(CAST(1 AS BIGINT), d - 1)
+      |       ELSE acc END)""".stripMargin)
+
+  /** DuckDB mirror of [[bqCodeExpr]]: WITH-prefix through `code`
+    * (vec_id, code) plus the q/c query-vs-corpus split. */
+  private val bqCodeOracleCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS d
+      |  FROM embeddings
+      |), code AS (
+      |  SELECT vec_id,
+      |    bit_or(CASE WHEN CAST(floor(CAST(embedding[CAST(d AS INTEGER)]
+      |        AS DOUBLE) * 1000 + 0.5) AS BIGINT) <= 0
+      |      THEN CAST(0 AS BIGINT)
+      |      -- DuckDB checks 1<<63 as overflow; bit 64 IS the sign bit
+      |      WHEN d = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+      |      ELSE (CAST(1 AS BIGINT) << (CAST(d AS INTEGER) - 1))
+      |      END) AS code
+      |  FROM e GROUP BY 1
+      |), q AS (SELECT vec_id AS q_id, code AS qc FROM code WHERE vec_id < 10
+      |), c AS (SELECT vec_id, code FROM code WHERE vec_id >= 10
+      |)""".stripMargin
+
   private[ext] def bruteForceTopK(s: SparkSession, dir: String,
       qMax: Int, k: Int): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -779,14 +809,8 @@ object Similarity {
     // 8-byte codes — the packing is a per-row expression at the scan,
     // retrieval shuffles only (q, code) pairs.
     "emb_binary_quantize" -> ((s, dir) => {
-      val codeExpr = expr(
-        """aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, d) ->
-          |  CASE WHEN CAST(floor(CAST(element_at(embedding, d) AS DOUBLE)
-          |                 * 1000 + 0.5) AS BIGINT) > 0
-          |       THEN acc | shiftleft(CAST(1 AS BIGINT), d - 1)
-          |       ELSE acc END)""".stripMargin)
       val codes = t(s, dir, "embeddings")
-        .select(col("vec_id"), codeExpr.as("code"))
+        .select(col("vec_id"), bqCodeExpr.as("code"))
       val q = broadcast(codes.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("code").as("qc")))
       val w = Window.partitionBy(col("q_id"))
@@ -800,6 +824,51 @@ object Similarity {
         .select(col("q_id"), col("rk").cast("long").as("rk"),
           col("vec_id"), col("hamming"))
         .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // the two-stage retrieval every production vector store runs:
+    // Hamming-cheap BQ candidates (top-50 of 8-byte codes) → exact
+    // float rerank of ONLY those 50 → top-5; recall measured against
+    // brute-force truth side by side with BQ-direct, so the artifact
+    // shows what the rerank stage BUYS (candidate recall ceiling vs
+    // direct-rank recall). Scale shape: stage 1 moves 8-byte codes,
+    // stage 2 touches 50 float vectors per query — the corpus is never
+    // float-scanned per query.
+    "ann_bq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .withColumn("nrm", l2norm(col("embedding")))
+        .withColumn("code", bqCodeExpr)
+      val q = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm"), col("code").as("qc")))
+      val hw = Window.partitionBy(col("q_id"))
+        .orderBy(col("hamming"), col("vec_id"))
+      val cand = emb.filter(col("vec_id") >= 10)
+        .crossJoin(q)
+        .withColumn("hamming", expr("CAST(bit_count(code ^ qc) AS BIGINT)"))
+        .withColumn("hrk", row_number().over(hw))
+        .filter(col("hrk") <= 50)
+      val rw = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val reranked = cand
+        .withColumn("sim", cosineWithNorms(col("q_vec"), col("embedding"),
+          col("q_nrm"), col("nrm")))
+        .withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 5)
+      val truth = bruteForceTopK(s, dir, qMax = 10, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      def row(name: String, variant: DataFrame) =
+        truth.join(variant.select(col("q_id"), col("vec_id"))
+            .withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(name).as("variant"), col("n_truth"), col("n_hit"),
+            TextAnalysis.ratioRound(col("n_hit"),
+              greatest(col("n_truth"), lit(1L)), 6).as("recall"))
+      row("bq50_rerank", reranked)
+        .unionAll(row("bq_direct", cand.filter(col("hrk") <= 5)))
+        .orderBy(col("variant"))
     }),
 
     // K-means clustering (Lloyd, K=8, 2 iterations) over the embedding
@@ -1305,22 +1374,8 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "emb_binary_quantize" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS d
-        |  FROM embeddings
-        |), code AS (
-        |  SELECT vec_id,
-        |    bit_or(CASE WHEN CAST(floor(CAST(embedding[CAST(d AS INTEGER)]
-        |        AS DOUBLE) * 1000 + 0.5) AS BIGINT) <= 0
-        |      THEN CAST(0 AS BIGINT)
-        |      -- DuckDB checks 1<<63 as overflow; bit 64 IS the sign bit
-        |      WHEN d = 64 THEN CAST(-9223372036854775808 AS BIGINT)
-        |      ELSE (CAST(1 AS BIGINT) << (CAST(d AS INTEGER) - 1))
-        |      END) AS code
-        |  FROM e GROUP BY 1
-        |), q AS (SELECT vec_id AS q_id, code AS qc FROM code WHERE vec_id < 10
-        |), c AS (SELECT vec_id, code FROM code WHERE vec_id >= 10
-        |), scored AS (
+      (bqCodeOracleCtes +
+      """, scored AS (
         |  SELECT q.q_id, c.vec_id,
         |    CAST(bit_count(xor(c.code, q.qc)) AS BIGINT) AS hamming,
         |    row_number() OVER (PARTITION BY q.q_id
@@ -1329,7 +1384,54 @@ object Similarity {
         |)
         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, hamming
         |FROM scored WHERE rk <= 5
-        |ORDER BY q_id, rk""".stripMargin,
+        |ORDER BY q_id, rk""".stripMargin),
+
+    "ann_bq_rerank" ->
+      (bqCodeOracleCtes +
+      """, hs AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY bit_count(xor(c.code, q.qc)), c.vec_id) AS hrk
+        |  FROM c CROSS JOIN q
+        |), qv AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec
+        |  FROM embeddings WHERE vec_id < 10
+        |), rer AS (
+        |  SELECT h.q_id, h.vec_id,
+        |    row_number() OVER (PARTITION BY h.q_id
+        |      ORDER BY list_cosine_similarity(CAST(qv.q_vec AS DOUBLE[]),
+        |        CAST(ev.embedding AS DOUBLE[])) DESC, h.vec_id) AS rk
+        |  FROM hs h
+        |  JOIN embeddings ev ON ev.vec_id = h.vec_id
+        |  JOIN qv ON qv.q_id = h.q_id
+        |  WHERE h.hrk <= 50
+        |), truth AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e2.vec_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+        |          CAST(e2.embedding AS DOUBLE[])) DESC, e2.vec_id) AS rk
+        |    FROM embeddings e2 CROSS JOIN qv q WHERE e2.vec_id >= 10)
+        |  WHERE rk <= 5
+        |), rr AS (
+        |  SELECT 'bq50_rerank' AS variant, count(*) AS n_truth,
+        |    CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hit
+        |  FROM truth t LEFT JOIN (SELECT q_id, vec_id FROM rer
+        |    WHERE rk <= 5) r
+        |    ON r.q_id = t.q_id AND r.vec_id = t.vec_id
+        |  UNION ALL
+        |  SELECT 'bq_direct' AS variant, count(*) AS n_truth,
+        |    CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hit
+        |  FROM truth t LEFT JOIN (SELECT q_id, vec_id FROM hs
+        |    WHERE hrk <= 5) b
+        |    ON b.q_id = t.q_id AND b.vec_id = t.vec_id
+        |)
+        |SELECT variant, n_truth, n_hit,
+        |  CAST((2 * n_hit * 1000000 + greatest(n_truth, 1))
+        |    // (2 * greatest(n_truth, 1)) AS DOUBLE) / 1000000.0 AS recall
+        |FROM rr ORDER BY variant""".stripMargin),
 
     "emb_quantize" ->
       """WITH d AS (

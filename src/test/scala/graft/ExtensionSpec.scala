@@ -2429,6 +2429,20 @@ class ExtensionSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"BQ recall@5 $recall below floor")
   }
 
+  test("bq rerank: exact rerank strictly beats direct Hamming ranking") {
+    val rows = SparkEntry.queries("ann_bq_rerank")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (ntR, nhR, recR) = rows("bq50_rerank")
+    val (ntD, nhD, recD) = rows("bq_direct")
+    assert(ntR == ntD && ntR > 0)
+    assert(nhR >= nhD && recR > recD,
+      s"rerank $recR must beat direct $recD")
+    // the candidate stage caps rerank recall; 50-of-~190 candidates on
+    // clustered vectors should recover most of the truth set
+    assert(recR >= 0.5, s"rerank recall $recR below floor")
+  }
+
   test("winnowing dedup: planted shared passage pairs, disjoint docs don't") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("windedup").toString
