@@ -291,8 +291,9 @@ object ScaleProbe {
       // only on replica-distinct tails (the dedup_containment story)
       "dedup_winnowing",
       // BQ: the corpus rides as 8-byte codes — the probe pins that the
-      // cross join against the 10-query broadcast stays code-sized
-      "emb_binary_quantize")
+      // cross join against the 10-query broadcast stays code-sized;
+      // the rerank adds 50 float-vector touches per query on top
+      "emb_binary_quantize", "ann_bq_rerank")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
