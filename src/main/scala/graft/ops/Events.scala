@@ -305,6 +305,39 @@ object Events {
         .orderBy(col("pi6").desc, col("event_type"))
     }),
 
+    // stickiness (DAU/MAU) — the engagement-frequency ratio product
+    // analytics watches daily (DAU and MAU alone move with acquisition;
+    // their RATIO moves with habit): q_events_dau's rolling-active
+    // machinery (distinct (user, day) frame exploded over the
+    // trailing-window spine — corpus touched once, everything after is
+    // time-range-sized) with the division on the 1e-6 BIGINT grid.
+    // Days with MAU = 0 cannot exist on the spine's [d0, d1] range by
+    // construction (d0/d1 come from the same frame), so the ratio is
+    // total.
+    "q_events_stickiness" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(Engine.eventTs(col("ts"))).as("day"))
+        .distinct()
+      val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = bounds.select(explode(expr(
+        "sequence(d0, d1, interval 1 day)")).as("day"))
+      def rolling(days: Int, out: String): DataFrame = ud
+        .select(col("user_id"), explode(expr(
+          s"sequence(day, date_add(day, ${days - 1}), interval 1 day)"))
+          .as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as(out))
+      spine
+        .join(rolling(1, "dau"), Seq("day"), "left")
+        .join(rolling(28, "mau"), Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("mau"), lit(0L)).as("mau"))
+        .withColumn("stickiness", graft.ext.TextAnalysis
+          .ratioRound(col("dau"), greatest(col("mau"), lit(1L)), 6))
+        .orderBy(col("day"))
+    }),
+
     // time-weighted average over IRREGULAR samples (the monitoring/IoT
     // aggregate a plain avg gets wrong: a value held for an hour must
     // weigh 3600× one held a second): per (user, day), trapezoid rule
@@ -580,6 +613,34 @@ object Events {
         |SELECT t AS event_type, pi AS pi6,
         |  CAST(pi AS DOUBLE) / 1000000.0 AS p_steady
         |FROM it5 ORDER BY pi6 DESC, event_type""".stripMargin,
+
+    "q_events_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud
+        |), spine AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b
+        |), dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1
+        |), mau AS (
+        |  SELECT a.day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM (SELECT user_id,
+        |          unnest(generate_series(day, day + 27, INTERVAL 1 DAY))::DATE
+        |            AS day
+        |        FROM ud) a
+        |  GROUP BY 1
+        |)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(dau.dau, 0) AS dau, coalesce(mau.mau, 0) AS mau,
+        |  CAST((2 * coalesce(dau.dau, 0) * 1000000
+        |        + greatest(coalesce(mau.mau, 0), 1))
+        |    // (2 * greatest(coalesce(mau.mau, 0), 1)) AS DOUBLE)
+        |    / 1000000.0 AS stickiness
+        |FROM spine s LEFT JOIN dau ON s.day = dau.day
+        |LEFT JOIN mau ON s.day = mau.day
+        |ORDER BY day""".stripMargin,
 
     "q_events_twa" ->
       """WITH e AS (

@@ -81,6 +81,29 @@ object Warehouse {
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     }),
 
+    // point-in-time snapshot over the SCD2 dimension — the feature-store
+    // read that makes type-2 history worth building: "the status each
+    // tracked customer had ON 1995-06-15", one row per key by the
+    // half-open-interval invariant (valid_from ≤ T < valid_to). The
+    // training-data version of this query is leakage prevention:
+    // features joined AS OF the label's event time, never today's row.
+    // Same per-key window build as q_scd2, then a pure filter.
+    "q_scd2_asof" -> ((s, dir) => {
+      val asOf = lit("1995-06-15").cast("date")
+      val h = t(s, dir, "orders")
+        .where(pmod(col("o_custkey"), lit(19)) === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+      scd2(h, col("o_custkey"), col("o_orderstatus"),
+          Seq(col("o_orderdate"), col("o_orderkey")), col("o_orderdate"))
+        .where(col("valid_from") <= asOf &&
+          (col("valid_to").isNull || col("valid_to") > asOf))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderstatus").as("status"), col("valid_from"),
+          col("valid_to"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // data-quality constraint validation — the dbt-test / expectations
     // battery a warehouse gates loads on: referential integrity (anti
     // probe via left join + null count, one pass per FK), primary-key
@@ -208,6 +231,28 @@ object Warehouse {
         |  (lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
         |FROM c ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders WHERE o_custkey % 19 = 0
+        |), c AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate
+        |  FROM h WHERE prev IS NULL OR prev <> o_orderstatus
+        |), v AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM c
+        |)
+        |SELECT o_custkey, o_orderkey, status, valid_from, valid_to
+        |FROM v
+        |WHERE valid_from <= DATE '1995-06-15'
+        |  AND (valid_to IS NULL OR valid_to > DATE '1995-06-15')
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH base AS (

@@ -31,6 +31,48 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("q_scd2_asof: one row per key, every interval straddles the as-of date") {
+    val asOf = java.time.LocalDate.parse("1995-06-15").atStartOfDay()
+    val snap = SparkEntry.queries("q_scd2_asof")(spark, sfDir).collect()
+    assert(snap.nonEmpty)
+    assert(snap.map(_.getLong(0)).distinct.length == snap.length,
+      "point-in-time read must yield exactly one version per key")
+    snap.foreach { r =>
+      val from = r.getAs[java.time.LocalDateTime](3)
+      assert(!from.isAfter(asOf), s"valid_from $from after as-of")
+      if (!r.isNullAt(4))
+        assert(r.getAs[java.time.LocalDateTime](4).isAfter(asOf),
+          "closed interval must end after the as-of date")
+    }
+    // the snapshot is exactly the q_scd2 rows whose interval contains T
+    val full = SparkEntry.queries("q_scd2")(spark, sfDir).collect()
+      .filter { r =>
+        val from = r.getAs[java.time.LocalDateTime](3)
+        !from.isAfter(asOf) &&
+          (r.isNullAt(4) || r.getAs[java.time.LocalDateTime](4).isAfter(asOf))
+      }.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(snap.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      == full, "snapshot must be the interval-containment slice of q_scd2")
+  }
+
+  test("q_events_stickiness: ratio on [0,1], dau never exceeds mau") {
+    val rows = SparkEntry.queries("q_events_stickiness")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, dau, mau, st) =>
+      assert(dau <= mau, s"$day: dau $dau > mau $mau")
+      assert(st >= 0.0 && st <= 1.0, s"$day: stickiness $st")
+    }
+    // spot-check one populated day against a direct distinct count
+    val (day, dau, _, _) = rows.maxBy(_._2)
+    val direct = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d")
+      .where(s"CAST(d AS STRING) = '$day'")
+      .selectExpr("user_id").distinct().count()
+    assert(dau == direct, s"$day: dau $dau != direct $direct")
+  }
+
   test("q_data_profile: counts reconcile and min<=max per column") {
     val rows = SparkEntry.queries("q_data_profile")(spark, sfDir).collect()
     assert(rows.length == 4)
