@@ -305,6 +305,32 @@ object Events {
         .orderBy(col("pi6").desc, col("event_type"))
     }),
 
+    // time-to-convert — the funnel's TIMING readout (q_events_funnel
+    // counts who converts; this measures HOW LONG conversion takes,
+    // the latency product teams actually tune): per user, first 'view'
+    // to first 'purchase' at/after it, then exact p25/p50/p90 of the
+    // integer second deltas. Two map-side-combinable min-aggregations
+    // + one user-sized join; percentile interpolation runs on exact
+    // integers so (1−d)·a + d·b is the same binary rational in both
+    // engines (q_agg_median precedent, rounded at 4dp).
+    "q_events_time_to_convert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          Engine.eventTsMicros(col("ts")).as("ts_us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_ts"))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("b_ts"))
+      firstView.join(firstBuy, Seq("user_id"))
+        .filter(col("b_ts") >= col("v_ts"))
+        .select(expr("(b_ts - v_ts) div 1000000").as("delta_s"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(delta_s, 0.25)"), 4).as("p25_s"),
+          round(expr("percentile(delta_s, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(delta_s, 0.9)"), 4).as("p90_s"),
+          max(col("delta_s")).as("max_s"))
+    }),
+
     // stickiness (DAU/MAU) — the engagement-frequency ratio product
     // analytics watches daily (DAU and MAU alone move with acquisition;
     // their RATIO moves with habit): q_events_dau's rolling-active
@@ -613,6 +639,26 @@ object Events {
         |SELECT t AS event_type, pi AS pi6,
         |  CAST(pi AS DOUBLE) / 1000000.0 AS p_steady
         |FROM it5 ORDER BY pi6 DESC, event_type""".stripMargin,
+
+    "q_events_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), fv AS (
+        |  SELECT user_id, min(ts_us) AS v_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), fb AS (
+        |  SELECT user_id, min(ts_us) AS b_ts FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |), d AS (
+        |  SELECT (b_ts - v_ts) // 1000000 AS delta_s
+        |  FROM fv JOIN fb USING (user_id) WHERE b_ts >= v_ts
+        |)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(delta_s, 0.25), 4) AS p25_s,
+        |  round(quantile_cont(delta_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(delta_s, 0.9), 4) AS p90_s,
+        |  CAST(max(delta_s) AS BIGINT) AS max_s
+        |FROM d""".stripMargin,
 
     "q_events_stickiness" ->
       """WITH ud AS (

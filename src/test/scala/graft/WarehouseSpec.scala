@@ -73,6 +73,30 @@ class WarehouseSpec extends SparkSpecBase {
     assert(dau == direct, s"$day: dau $dau != direct $direct")
   }
 
+  test("q_events_time_to_convert: percentiles ordered, exact plain recount") {
+    val r = SparkEntry.queries("q_events_time_to_convert")(spark, sfDir)
+      .collect().head
+    val (n, p25, p50, p90, mx) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+    assert(n > 0 && p25 <= p50 && p50 <= p90 && p90 <= mx)
+    // exact recount: first view → first purchase per user, p50 pinned
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS t").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    def firstBy(t: String) = ev.filter(_._2 == t).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val fv = firstBy("view"); val fb = firstBy("purchase")
+    val deltas = fv.keySet.intersect(fb.keySet).toSeq
+      .map(u => (fb(u) - fv(u), u)).filter(_._1 >= 0)
+      .map(t => t._1 / 1000000L).sorted
+    assert(n == deltas.length)
+    val idx = 0.5 * (deltas.length - 1)
+    val (lo, hi) = (deltas(idx.toInt), deltas(math.ceil(idx).toInt))
+    val want = math.rint((lo + (idx - idx.toInt) * (hi - lo)) * 10000) / 10000
+    assert(p50 == want, s"p50 $p50 != recount $want")
+  }
+
   test("q_data_profile: counts reconcile and min<=max per column") {
     val rows = SparkEntry.queries("q_data_profile")(spark, sfDir).collect()
     assert(rows.length == 4)
