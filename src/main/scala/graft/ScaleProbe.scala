@@ -293,7 +293,11 @@ object ScaleProbe {
       // BQ: the corpus rides as 8-byte codes — the probe pins that the
       // cross join against the 10-query broadcast stays code-sized;
       // the rerank adds 50 float-vector touches per query on top
-      "emb_binary_quantize", "ann_bq_rerank")
+      "emb_binary_quantize", "ann_bq_rerank",
+      // stickiness/time-to-convert collapse the density-multiplied
+      // shard into user-sized frames in one pass (q_scd2_asof is
+      // absent like q_scd2 — it reads orders, which the shard lacks)
+      "q_events_stickiness", "q_events_time_to_convert")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
