@@ -497,6 +497,31 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // deterministic global training-order shuffle — the step between a
+    // curated corpus and a dataloader: every doc gets an exact global
+    // position in md5(seed:doc)-pseudo-random order plus its derived
+    // shard/offset (1024-doc shards here). Seeded and content-keyed, so
+    // the order is reproducible across reruns AND stable under corpus
+    // repartitioning — a retry can never see two docs swap. The global
+    // rank is ext/DistRank's two-level form (hex-nibble shard census +
+    // broadcast offsets), so no sort task ever holds more than a
+    // key-range slice: the exact opposite of orderBy(rand()), which is
+    // both nondeterministic under retry and a corpus-wide sort.
+    "pipe_shuffle_order" -> ((s, dir) => {
+      val docsPerShard = 1024L
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("seed42:"), col("doc_id").cast("string"))).as("key"))
+      val ranked = DistRank.rowNumber(s, keyed,
+        conv(substring(col("key"), 1, 1), 16, 10).cast("long"),
+        Seq(col("key").asc, col("doc_id").asc), "pos1")
+      ranked
+        .select(col("doc_id"), (col("pos1") - 1L).as("pos"))
+        .withColumn("shard", expr(s"pos div $docsPerShard"))
+        .withColumn("offset", expr(s"pos % $docsPerShard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // systematic probability-proportional-to-size sampling (Madow 1949,
     // the textbook PPS design): walk the corpus weight line (w = chars)
     // in md5-pseudo-shuffled order and take one hit at every multiple of
@@ -1646,6 +1671,23 @@ object Pipeline {
         |  round(1.0 / (1.0 + exp(-(CAST(sum_z AS DOUBLE) / n_docs)
         |    / 10000.0)), 4) AS lang_score
         |FROM g ORDER BY lang""".stripMargin,
+
+    // the two-level rank must be invisible: the mirror is ONE global
+    // row_number in the same (md5 key, doc_id) order
+    "pipe_shuffle_order" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5('seed42:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY key, doc_id) - 1 AS pos
+        |  FROM k
+        |)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(pos // 1024 AS BIGINT) AS shard,
+        |  CAST(pos % 1024 AS BIGINT) AS offset
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the decomposed census prefix-sum must be invisible: the mirror is
     // ONE global running sum in the same (md5 key, doc_id) walk order

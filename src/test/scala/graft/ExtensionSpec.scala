@@ -2429,6 +2429,24 @@ class ExtensionSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"BQ recall@5 $recall below floor")
   }
 
+  test("shuffle order: positions are a permutation, shards fill in order") {
+    val rows = SparkEntry.queries("pipe_shuffle_order")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.map(_._2).sorted.toSeq == (0L until n), "exact permutation")
+    rows.foreach { case (_, pos, shard, off) =>
+      assert(shard == pos / 1024 && off == pos % 1024) }
+    // determinism + content-keying: same order on a re-read
+    val again = SparkEntry.queries("pipe_shuffle_order")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == rows.map(t => (t._1, t._2)).toSeq)
+    // it IS a shuffle: positions must not correlate with doc_id order
+    val inversions = rows.sortBy(_._1).map(_._2).toSeq.sliding(2)
+      .count { case Seq(a, b) => a > b; case _ => false }
+    assert(inversions > n / 4, s"only $inversions inversions across $n docs")
+  }
+
   test("bq rerank: exact rerank strictly beats direct Hamming ranking") {
     val rows = SparkEntry.queries("ann_bq_rerank")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
