@@ -297,7 +297,9 @@ object ScaleProbe {
       // stickiness/time-to-convert collapse the density-multiplied
       // shard into user-sized frames in one pass (q_scd2_asof is
       // absent like q_scd2 — it reads orders, which the shard lacks)
-      "q_events_stickiness", "q_events_time_to_convert")
+      "q_events_stickiness", "q_events_time_to_convert",
+      // the two-level rank's sort state must stay key-range-sized
+      "pipe_shuffle_order")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
