@@ -245,6 +245,31 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("keep_id"))),
 
+    // PREFIX dedup — the truncation-family detector exact dedup misses:
+    // a doc cut mid-crawl (or re-crawled with an appended footer) shares
+    // its 128-char prefix with the original but not its full hash, so
+    // md5(text) keeps both copies. Groups by prefix hash; a family with
+    // ≥2 distinct FULL hashes is a truncation/extension cluster (same
+    // full hash twice is plain exact duplication, already handled).
+    // One map-side-combined pass — only 32-hex hashes and counters
+    // ride the exchange, text never leaves the scan.
+    "dedup_prefix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(substring(col("text"), 1, 128)).as("ph"),
+          md5(col("text")).as("fh"), col("n_chars"))
+        .groupBy(col("ph"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fh")).as("n_variants"),
+          min(col("doc_id")).as("keep_id"),
+          min(col("n_chars")).as("len_min"),
+          max(col("n_chars")).as("len_max"))
+        .filter(col("n_docs") >= 2)
+        .select(col("ph"), col("n_docs"), col("n_variants"), col("keep_id"),
+          col("len_min"), col("len_max"),
+          (col("n_variants") >= 2).as("has_truncation"))
+        .orderBy(col("ph"))),
+
     // incremental (re-ingestion) dedup: a corpus is never deduped once —
     // every new shard must be checked against what is ALREADY ingested.
     // Corpus = doc_id % 2 = 0 (the deduped baseline), incoming shard =
@@ -767,6 +792,22 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_prefix" ->
+      """WITH n AS (
+        |  SELECT doc_id, md5(substr(text, 1, 128)) AS ph, md5(text) AS fh,
+        |    CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents
+        |), g AS (
+        |  SELECT ph, count(*) AS n_docs,
+        |    count(DISTINCT fh) AS n_variants,
+        |    min(doc_id) AS keep_id,
+        |    min(n_chars) AS len_min, max(n_chars) AS len_max
+        |  FROM n GROUP BY ph HAVING count(*) >= 2
+        |)
+        |SELECT ph, n_docs, n_variants, keep_id, len_min, len_max,
+        |  (n_variants >= 2) AS has_truncation
+        |FROM g ORDER BY ph""".stripMargin,
 
     "dedup_incremental" ->
       """WITH corpus AS (

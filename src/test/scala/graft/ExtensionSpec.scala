@@ -2429,6 +2429,29 @@ class ExtensionSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"BQ recall@5 $recall below floor")
   }
 
+  test("prefix dedup: planted truncation family flagged, exact copy is not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("prefdedup").toString
+    val base = ("word" * 8 + " ") * 20 // prefix far beyond 128 chars
+    val docs = Seq(
+      1L -> (base + "original tail"),
+      2L -> base.take(200),            // truncated copy — same 128-prefix
+      3L -> (base + "original tail"),  // exact copy of 1
+      4L -> "totally different short document")
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("dedup_prefix")(spark, tmp)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(6)))
+    assert(out.length == 1, s"one family: ${out.toSeq}")
+    // docs 1, 2, 3 share the prefix; two DISTINCT full hashes → flagged
+    assert(out.head == ((3L, 2L, 1L, true)), s"got ${out.head}")
+    // real corpus: families exist, and exact-only groups read false
+    val real = SparkEntry.queries("dedup_prefix")(spark, sfDir).collect()
+    assert(real.forall(r => (r.getLong(2) >= 2) == r.getBoolean(6)))
+  }
+
   test("shuffle order: positions are a permutation, shards fill in order") {
     val rows = SparkEntry.queries("pipe_shuffle_order")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
