@@ -299,7 +299,10 @@ object ScaleProbe {
       // absent like q_scd2 — it reads orders, which the shard lacks)
       "q_events_stickiness", "q_events_time_to_convert",
       // the two-level rank's sort state must stay key-range-sized
-      "pipe_shuffle_order")
+      "pipe_shuffle_order",
+      // prefix families on the replica shard: every original's 100
+      // variants share a prefix — n_variants counts the distinct tails
+      "dedup_prefix")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
