@@ -497,6 +497,30 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // fill-in-the-middle transformation (Bavarian et al. 2022,
+    // arXiv:2207.14255): reorder each document to prefix‖suffix‖middle
+    // (PSM) so an autoregressive model learns infilling — the data-side
+    // transform behind every code model's FIM objective. Cut points are
+    // deterministic character thirds (integer div — a real deployment
+    // swaps in seeded random cuts, same plumbing); docs under 30 chars
+    // pass through untransformed (fim = false), the standard fim_rate
+    // gate. Pure per-row expression work; the reordered text is
+    // md5-pinned rather than returned bodily (the pii_scrub rule).
+    "pipe_fim_transform" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("cut1", expr("n_chars div 3"))
+        .withColumn("cut2", expr("(2 * n_chars) div 3"))
+        .withColumn("fim", col("n_chars") >= 30L)
+        .withColumn("out_md5", expr(
+          """CASE WHEN fim THEN md5(concat(
+            |  substr(text, 1, CAST(cut1 AS INT)),
+            |  substr(text, CAST(cut2 + 1 AS INT)),
+            |  substr(text, CAST(cut1 + 1 AS INT), CAST(cut2 - cut1 AS INT))))
+            |ELSE md5(text) END""".stripMargin))
+        .select(col("doc_id"), col("n_chars"), col("cut1"), col("cut2"),
+          col("fim"), col("out_md5"))
+        .orderBy(col("doc_id"))),
+
     // deterministic global training-order shuffle — the step between a
     // curated corpus and a dataloader: every doc gets an exact global
     // position in md5(seed:doc)-pseudo-random order plus its derived
@@ -1671,6 +1695,22 @@ object Pipeline {
         |  round(1.0 / (1.0 + exp(-(CAST(sum_z AS DOUBLE) / n_docs)
         |    / 10000.0)), 4) AS lang_score
         |FROM g ORDER BY lang""".stripMargin,
+
+    "pipe_fim_transform" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, text,
+        |    n_chars // 3 AS cut1, (2 * n_chars) // 3 AS cut2,
+        |    (n_chars >= 30) AS fim
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, CAST(cut1 AS BIGINT) AS cut1,
+        |  CAST(cut2 AS BIGINT) AS cut2, fim,
+        |  CASE WHEN fim THEN md5(
+        |    substr(text, 1, CAST(cut1 AS INTEGER)) ||
+        |    substr(text, CAST(cut2 + 1 AS INTEGER)) ||
+        |    substr(text, CAST(cut1 + 1 AS INTEGER), CAST(cut2 - cut1 AS INTEGER)))
+        |  ELSE md5(text) END AS out_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the two-level rank must be invisible: the mirror is ONE global
     // row_number in the same (md5 key, doc_id) order

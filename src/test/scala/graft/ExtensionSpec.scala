@@ -2429,6 +2429,25 @@ class ExtensionSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"BQ recall@5 $recall below floor")
   }
 
+  test("fim transform: PSM reorder pinned on a literal, short docs pass through") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fim").toString
+    val t36 = "abcdefghijkl" * 3 // 36 chars: cuts at 12/24
+    val docs = Seq(1L -> t36, 2L -> "short doc here") // 14 chars: no FIM
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipe_fim_transform")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5)))).toMap
+    val psm = t36.substring(0, 12) + t36.substring(24) + t36.substring(12, 24)
+    assert(out(1L) == ((12L, 24L, true, md5str(psm))))
+    assert(out(2L) == ((4L, 9L, false, md5str("short doc here"))))
+    // transform is a permutation of the characters: PSM has same length
+    assert(psm.length == t36.length && psm.sorted == t36.sorted)
+  }
+
   test("prefix dedup: planted truncation family flagged, exact copy is not") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("prefdedup").toString
