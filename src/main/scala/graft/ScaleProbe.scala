@@ -302,7 +302,9 @@ object ScaleProbe {
       "pipe_shuffle_order",
       // prefix families on the replica shard: every original's 100
       // variants share a prefix — n_variants counts the distinct tails
-      "dedup_prefix")
+      "dedup_prefix",
+      // FIM is the pure per-row reorder shape: linear walls, no shuffle
+      "pipe_fim_transform")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
