@@ -183,4 +183,25 @@ class PropertySpec extends SparkSpecBase {
     val again = df.groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts == again)
   }
+
+  test("DistRank two-level rank ≡ global row_number on random keyed data") {
+    // DistRank is load-bearing for every corpus-wide total order
+    // (curriculum, vocab ranks, shuffle order, gini): the decomposition
+    // must be EXACTLY the single-partition rank, including duplicate
+    // order keys resolved by the tiebreaker and empty shards skipped
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicate-heavy values (mod 50) stress the tie path; ids unique
+    val rows = (1 to 2000).map(i => (i.toLong, rnd.nextInt(200).toLong % 50))
+    val df = rows.toDF("id", "v").repartition(13)
+    // shard key: order-consistent with (v asc) — value buckets of 8
+    val ranked = graft.ext.DistRank.rowNumber(spark, df,
+        expr("v div 8"), Seq(col("v").asc, col("id").asc), "r")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val want = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, v), i) => (id, v, i + 1L) }.toSet
+    assert(ranked.length == rows.length)
+    assert(ranked.toSet == want, "two-level rank must equal the global rank")
+  }
 }
