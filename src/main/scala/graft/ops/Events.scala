@@ -305,6 +305,32 @@ object Events {
         .orderBy(col("pi6").desc, col("event_type"))
     }),
 
+    // new-vs-returning split — growth accounting's first chart: each
+    // day's actives decomposed into first-ever-seen users and returners
+    // (DAU alone can grow while retention collapses; this is the
+    // decomposition that shows it). One distinct (user, day) pass, a
+    // per-user min-day aggregate, one join — all map-side-combinable;
+    // the day spine keeps zero-activity days visible.
+    "q_events_new_vs_returning" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(Engine.eventTs(col("ts"))).as("day"))
+        .distinct()
+      val firstDay = ud.groupBy(col("user_id")).agg(min(col("day")).as("d1"))
+      val per = ud.join(firstDay, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"),
+          sum((col("day") === col("d1")).cast("long")).as("n_new"))
+      val spine = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d9"))
+        .select(explode(expr("sequence(d0, d9, interval 1 day)")).as("day"))
+      spine.join(per, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          (coalesce(col("dau"), lit(0L)) - coalesce(col("n_new"), lit(0L)))
+            .as("n_returning"))
+        .orderBy(col("day"))
+    }),
+
     // time-to-convert — the funnel's TIMING readout (q_events_funnel
     // counts who converts; this measures HOW LONG conversion takes,
     // the latency product teams actually tune): per user, first 'view'
@@ -639,6 +665,28 @@ object Events {
         |SELECT t AS event_type, pi AS pi6,
         |  CAST(pi AS DOUBLE) / 1000000.0 AS p_steady
         |FROM it5 ORDER BY pi6 DESC, event_type""".stripMargin,
+
+    "q_events_new_vs_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), fd AS (
+        |  SELECT user_id, min(day) AS d1 FROM ud GROUP BY 1
+        |), per AS (
+        |  SELECT ud.day, count(*) AS dau,
+        |    CAST(sum(CASE WHEN ud.day = fd.d1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new
+        |  FROM ud JOIN fd USING (user_id) GROUP BY 1
+        |), b AS (SELECT min(day) AS d0, max(day) AS d9 FROM ud
+        |), spine AS (
+        |  SELECT unnest(generate_series(d0, d9, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b
+        |)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(per.dau, 0) AS dau,
+        |  coalesce(per.n_new, 0) AS n_new,
+        |  coalesce(per.dau, 0) - coalesce(per.n_new, 0) AS n_returning
+        |FROM spine s LEFT JOIN per ON s.day = per.day
+        |ORDER BY day""".stripMargin,
 
     "q_events_time_to_convert" ->
       """WITH ev AS (

@@ -97,6 +97,20 @@ class WarehouseSpec extends SparkSpecBase {
     assert(p50 == want, s"p50 $p50 != recount $want")
   }
 
+  test("q_events_new_vs_returning: decomposition exact, news sum to the cohort") {
+    val rows = SparkEntry.queries("q_events_new_vs_returning")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, nw, ret) =>
+      assert(nw + ret == dau && nw >= 0 && ret >= 0, s"$d: $nw+$ret!=$dau") }
+    // every user is new exactly once: Σ n_new = distinct users
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == users)
+    // day 1 has no possible returners
+    assert(rows.head._4 == 0L, "first day must be all-new")
+  }
+
   test("q_data_profile: counts reconcile and min<=max per column") {
     val rows = SparkEntry.queries("q_data_profile")(spark, sfDir).collect()
     assert(rows.length == 4)
