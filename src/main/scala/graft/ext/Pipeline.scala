@@ -585,9 +585,13 @@ object Pipeline {
         .join(offDf, Seq("__b"))
         .crossJoin(broadcast(tot))
         .withColumn("cum", col("__off") + col("__cum"))
-        // multiples of step inside (cum−w, cum]: g·step hits THIS doc
-        .withColumn("mult",
-          expr(s"cum div (tot div $k) - (cum - w) div (tot div $k)"))
+        // multiples of step inside (cum−w, cum]: g·step hits THIS doc.
+        // step floors at 1 (a shard with Σw < k would otherwise make
+        // Spark's div-by-zero NULL out while DuckDB RAISES — divergent
+        // failure modes on the same degenerate input)
+        .withColumn("mult", expr(
+          s"cum div greatest(tot div $k, 1)" +
+            s" - (cum - w) div greatest(tot div $k, 1)"))
         .filter(col("mult") >= 1L)
         .select(col("doc_id"), col("w"), col("mult"))
         .orderBy(col("doc_id"))
@@ -1743,10 +1747,11 @@ object Pipeline {
         |  FROM d),
         |t AS (SELECT sum(w) AS tot FROM d)
         |SELECT doc_id, w,
-        |  CAST(cum // (tot // 40) - (cum - w) // (tot // 40) AS BIGINT)
-        |    AS mult
+        |  CAST(cum // greatest(tot // 40, 1)
+        |       - (cum - w) // greatest(tot // 40, 1) AS BIGINT) AS mult
         |FROM c, t
-        |WHERE cum // (tot // 40) - (cum - w) // (tot // 40) >= 1
+        |WHERE cum // greatest(tot // 40, 1)
+        |      - (cum - w) // greatest(tot // 40, 1) >= 1
         |ORDER BY doc_id""".stripMargin,
 
     "pipe_temperature_mix" ->
