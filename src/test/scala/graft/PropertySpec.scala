@@ -184,6 +184,37 @@ class PropertySpec extends SparkSpecBase {
     assert(counts == again)
   }
 
+  test("winnowing guarantee: any shared 6-word run collides ≥1 fingerprint") {
+    // the MOSS theorem the dedup_winnowing admission rule relies on:
+    // with k=3 word-grams and window w=4, a shared contiguous run of
+    // w+k−1 = 6 words contains one FULL window of identical grams, and
+    // the min-hash gram of that window is selected in both documents —
+    // so the fingerprint-hash sets must intersect, wherever the run
+    // sits and whatever surrounds it
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fpSet(text: String, k: Int = 3, w: Int = 4): Set[String] = {
+      val ws = text.split(" ", -1)
+      val hp = (1 to ws.length - (k - 1)).map(i =>
+        (md5hex(ws.slice(i - 1, i - 1 + k).mkString(" ")), i.toLong))
+      if (hp.length < w) Set.empty
+      else (0 to hp.length - w).map(i => hp.slice(i, i + w).min._1).toSet
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 40).map("w" + _)
+    def soup(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    for (trial <- 1 to 100) {
+      val run = (1 to 6).map(i => s"shared${trial}_$i")
+      def plant(pre: Int, post: Int) =
+        (soup(pre) ++ run ++ soup(post)).mkString(" ")
+      val a = plant(rnd.nextInt(30), rnd.nextInt(30))
+      val b = plant(rnd.nextInt(30), rnd.nextInt(30))
+      assert(fpSet(a).intersect(fpSet(b)).nonEmpty,
+        s"trial $trial: shared 6-run produced no fingerprint collision")
+    }
+  }
+
   test("DistRank two-level rank ≡ global row_number on random keyed data") {
     // DistRank is load-bearing for every corpus-wide total order
     // (curriculum, vocab ranks, shuffle order, gini): the decomposition
