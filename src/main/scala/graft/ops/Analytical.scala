@@ -586,6 +586,47 @@ object Analytical {
         .select(col("user_id"), col("sess_no").cast("long").as("sess_no"),
           col("n_events"), col("start_us"), col("end_us"))
         .orderBy(col("user_id"), col("sess_no"))
+    }),
+
+    // session DISTRIBUTION report — the one-row corpus summary product
+    // analytics reads off sessionization (q_sessionize emits the raw
+    // sessions; this is the dashboard number): sessions/user and
+    // session-duration percentiles, all over integer session frames.
+    // The session build is q_sessionize's per-key window chain; both
+    // downstream aggregates are user- or session-sized. Percentile
+    // interpolation on exact integers (q_events_time_to_convert rule).
+    "q_events_session_stats" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000 * 1000
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          graft.engine.Engine.eventTsMicros(col("ts")).as("ts_us"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val sessions = ev
+        .withColumn("prev", lag(col("ts_us"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum(col("new_sess")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(ts_us) - min(ts_us)) div 1000000").as("dur_s"))
+      val perUser = sessions.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sess"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(n_sess, 0.5)"), 4).as("p50_sessions_per_user"),
+          max(col("n_sess")).as("max_sessions_per_user"))
+      sessions
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          round(expr("percentile(dur_s, 0.5)"), 4).as("p50_duration_s"),
+          round(expr("percentile(dur_s, 0.9)"), 4).as("p90_duration_s"))
+        .crossJoin(broadcast(perUser))
+        .select(col("n_users"), col("n_sessions"),
+          col("p50_sessions_per_user"), col("max_sessions_per_user"),
+          graft.ext.TextAnalysis.ratioRound(col("n_events"),
+            col("n_sessions"), 6).as("mean_events_per_session"),
+          col("p50_duration_s"), col("p90_duration_s"))
     })
   )
 
@@ -930,6 +971,43 @@ object Analytical {
         |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
         |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM numbered GROUP BY user_id, sess_no
-        |ORDER BY user_id, sess_no""".stripMargin
+        |ORDER BY user_id, sess_no""".stripMargin,
+
+    "q_events_session_stats" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |), marked AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), numbered AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM marked
+        |), sess AS (
+        |  SELECT user_id, sess_no, count(*) AS n_events,
+        |    (max(ts_us) - min(ts_us)) // 1000000 AS dur_s
+        |  FROM numbered GROUP BY user_id, sess_no
+        |), pu AS (
+        |  SELECT count(*) AS n_users,
+        |    round(quantile_cont(n_sess, 0.5), 4) AS p50_sessions_per_user,
+        |    CAST(max(n_sess) AS BIGINT) AS max_sessions_per_user
+        |  FROM (SELECT user_id, count(*) AS n_sess FROM sess GROUP BY 1)
+        |), g AS (
+        |  SELECT count(*) AS n_sessions,
+        |    CAST(sum(n_events) AS BIGINT) AS n_events,
+        |    round(quantile_cont(dur_s, 0.5), 4) AS p50_duration_s,
+        |    round(quantile_cont(dur_s, 0.9), 4) AS p90_duration_s
+        |  FROM sess
+        |)
+        |SELECT pu.n_users, g.n_sessions, pu.p50_sessions_per_user,
+        |  pu.max_sessions_per_user,
+        |  CAST((2 * g.n_events * 1000000 + g.n_sessions)
+        |    // (2 * g.n_sessions) AS DOUBLE) / 1000000.0
+        |    AS mean_events_per_session,
+        |  g.p50_duration_s, g.p90_duration_s
+        |FROM g, pu""".stripMargin
   )
 }

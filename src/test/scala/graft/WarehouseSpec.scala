@@ -111,6 +111,18 @@ class WarehouseSpec extends SparkSpecBase {
     assert(rows.head._4 == 0L, "first day must be all-new")
   }
 
+  test("q_events_session_stats: totals reconcile with the raw session frame") {
+    val r = SparkEntry.queries("q_events_session_stats")(spark, sfDir)
+      .collect().head
+    val sessions = SparkEntry.queries("q_sessionize")(spark, sfDir).collect()
+    assert(r.getLong(1) == sessions.length, "n_sessions matches q_sessionize")
+    assert(r.getLong(0) == sessions.map(_.getLong(0)).distinct.length)
+    assert(r.getLong(3) >= 1L)
+    val meanEv = sessions.map(_.getLong(2)).sum.toDouble / sessions.length
+    assert(math.abs(r.getDouble(4) - meanEv) < 1e-5, "mean events per session")
+    assert(r.getDouble(5) <= r.getDouble(6), "p50 <= p90 duration")
+  }
+
   test("q_data_profile: counts reconcile and min<=max per column") {
     val rows = SparkEntry.queries("q_data_profile")(spark, sfDir).collect()
     assert(rows.length == 4)
