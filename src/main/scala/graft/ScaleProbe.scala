@@ -304,7 +304,8 @@ object ScaleProbe {
       // variants share a prefix — n_variants counts the distinct tails
       "dedup_prefix",
       // FIM is the pure per-row reorder shape: linear walls, no shuffle
-      "pipe_fim_transform", "q_events_new_vs_returning")
+      "pipe_fim_transform", "q_events_new_vs_returning",
+      "q_events_session_stats")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
