@@ -184,6 +184,29 @@ class PropertySpec extends SparkSpecBase {
     assert(counts == again)
   }
 
+  test("PPS certainty inclusion: w ≥ step forces a hit, mult counts multiples") {
+    // the textbook systematic-PPS property: an interval of length ≥ step
+    // must contain a multiple of step, so any doc with w ≥ step is
+    // sampled with certainty, with multiplicity = multiples inside —
+    // verified on random weight lines with the exact engine arithmetic
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 50) {
+      val k = 40L
+      val ws = (1 to 200).map(_ => rnd.nextInt(5000).toLong + 1L)
+      val tot = ws.sum
+      val step = math.max(tot / k, 1L)
+      var cum = 0L
+      ws.foreach { w =>
+        val before = cum; cum += w
+        val mult = cum / step - before / step
+        assert(mult >= 0 && mult <= w / step + 1, s"trial $trial mult $mult")
+        if (w >= step) assert(mult >= 1,
+          s"trial $trial: certainty doc (w=$w ≥ step=$step) missed")
+      }
+      assert(cum / step == tot / step)
+    }
+  }
+
   test("winnowing guarantee: any shared 6-word run collides ≥1 fingerprint") {
     // the MOSS theorem the dedup_winnowing admission rule relies on:
     // with k=3 word-grams and window w=4, a shared contiguous run of
