@@ -305,7 +305,12 @@ object ScaleProbe {
       "dedup_prefix",
       // FIM is the pure per-row reorder shape: linear walls, no shuffle
       "pipe_fim_transform", "q_events_new_vs_returning",
-      "q_events_session_stats")
+      "q_events_session_stats",
+      // round-10: the SNM rewrite's whole point is bounded pairs on a
+      // corpus whose 30 blocks each grow linearly — the replica shard's
+      // blocks are ~100× the sf0.1 ones, so the r9 full pair-join would
+      // have been ~10⁴× the pairs while SNM is ~100× (O(rows × W))
+      "dedup_levenshtein")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -77,6 +77,51 @@ private[graft] object DistRank {
       order: Seq[Column], out: String): DataFrame =
     rowNumberWithCount(s, df, shard, order, out)._1
 
+  /** Per-GROUP exact row_number — rank within each `group` key by
+    * `order`, with every sort partition bounded by (group, shard)
+    * instead of the whole group. The grouped form of [[rowNumber]] for
+    * per-block ranks whose block COUNT is an algorithm constant while
+    * block SIZE grows with the corpus (the dedup_levenshtein
+    * `(lang, len_bucket)` blocking: 30 blocks total, so a plain
+    * `Window.partitionBy(group)` would put a whole corpus block — 2.5M
+    * rows at the 100× probe, unbounded at 100 TB — into ONE sort task).
+    *
+    * Same contract as [[rowNumberWithCount]]: `shard` must be
+    * order-consistent with `order` WITHIN a group (shard(x) < shard(y)
+    * ⇒ x sorts before y; order-equal rows share a shard). The census is
+    * |groups × shards| rows — bounded by the group-key and shard-key
+    * alphabets, never the corpus — and is prefix-summed per group on
+    * the driver under the same K-row contract as the flat form. */
+  def rowNumberGrouped(s: SparkSession, df: DataFrame, group: Seq[String],
+      shard: Column, order: Seq[Column], out: String): DataFrame = {
+    val tagged = df.withColumn("__shard", shard.cast("long"))
+    val census = tagged
+      .groupBy(group.head, (group.tail :+ "__shard"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    val gIdx = group.indices
+    val offsets: Seq[Row] = census.toSeq
+      .groupBy(r => gIdx.map(r.get))
+      .valuesIterator.flatMap { rows =>
+        val sorted = rows.sortBy(_.getAs[Long]("__shard"))
+        val offs = sorted.scanLeft(0L)((acc, r) => acc + r.getAs[Long]("__n"))
+        sorted.zip(offs).map { case (r, off) =>
+          Row.fromSeq(gIdx.map(r.get) ++ Seq(r.getAs[Long]("__shard"), off))
+        }
+      }.toSeq
+    val schema = StructType(group.map(n => df.schema(n)) ++
+      Seq(StructField("__shard", LongType, nullable = false),
+        StructField("__off", LongType, nullable = false)))
+    val offDf = broadcast(s.createDataFrame(offsets.asJava, schema))
+    val w = Window.partitionBy((group.map(col) :+ col("__shard")): _*)
+      .orderBy(order: _*)
+    tagged
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+      .join(offDf, group :+ "__shard")
+      .withColumn(out, col("__lrn") + col("__off"))
+      .drop("__shard", "__lrn", "__off")
+  }
+
   /** The (count DESC, word ASC) shard key shared by the vocab ranks:
     * `-wc·128 + ascii(first byte)`. The count term dominates (every
     * printable first byte < 128), so shards are order-consistent with

@@ -461,31 +461,58 @@ object TextAnalysis {
     }),
 
     // fuzzy dedup by edit distance: Levenshtein ≤ 5 on a deterministic
-    // sample, blocked by (lang, length bucket) to bound the pair space —
-    // the string-similarity cousin of the Jaccard verifier
+    // sample, SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo,
+    // SIGMOD '95) inside (lang, length bucket) blocks. The r9 shape —
+    // full pair-join inside each block — was the verdict's one weak
+    // plan: block COUNT is an algorithm constant (30 keys) while block
+    // SIZE grows with the corpus, so within-block pairs grew
+    // quadratically (149k pairs at sf0.1 and unbounded at 100 TB). A
+    // drop-cap à la minhashCandidates would be wrong here: each pair
+    // has exactly ONE block (no 16-band second chance), so dropping an
+    // oversized block loses every pair in it. SNM instead ranks each
+    // block by head40 and compares only rank-neighbors within W = 32 —
+    // pairs are O(rows × W), linear in the corpus, and edit-close
+    // 40-char heads sort adjacently so recall survives. W ≥ the largest
+    // sf0.01 block (27), so at the verified scale the result equals the
+    // full pair set; the oracle mirrors the SNM semantics exactly.
     "dedup_levenshtein" -> ((s, dir) => {
+      val W = 32
       // modulus 2 (the dedup_ngram_jaccard precedent): the %10 sample
       // met ZERO qualifying pairs at the verified sf0.01 scale, so the
       // blocking + threshold algebra was only vacuously cross-checked;
       // %2 yields real pairs whose dist column the oracle hash-compares
       val sample = t(s, dir, "documents")
         .filter(col("doc_id") % 2 === 0)
-        // spread the pair DP across cores (the dedup_ngram_jaccard
-        // precedent): the sample reads as ONE file split, and without
-        // this the per-pair Levenshtein matrix runs serially
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 40).as("head40"),
           // integer DIV, not cast(double): DuckDB's double→int cast
           // rounds to nearest while Spark truncates
           expr("n_chars DIV 100").as("len_bucket"))
-      val a = sample.select(col("doc_id").as("doc_a"), col("lang"),
-        col("len_bucket"), col("head40").as("h_a"))
-      val b = sample.select(col("doc_id").as("doc_b"), col("lang"),
-        col("len_bucket"), col("head40").as("h_b"))
-      a.join(b, Seq("lang", "len_bucket"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
+      // per-block rank via the grouped two-level form: shard by the
+      // head40 first code point (order-consistent with the string sort —
+      // UTF-8 binary order IS code-point order on the first character),
+      // so no sort partition ever holds a whole corpus block
+      val ranked = DistRank.rowNumberGrouped(s, sample,
+        Seq("lang", "len_bucket"),
+        ascii(substring(col("head40"), 1, 1)),
+        Seq(col("head40"), col("doc_id")), "rn")
+      // neighbor pairing as a bounded equi-join on rank-chunks of width
+      // W: a pair with 1 ≤ rn_b − rn_a ≤ W has chunk_b ∈ {chunk_a,
+      // chunk_a+1}, so emitting the b side to its own chunk and the
+      // previous one makes the equi-join exhaustive; chunk count grows
+      // with the corpus, so join parallelism scales where the r9
+      // block-key join could not
+      val aSide = ranked.select(col("doc_id").as("id_a"), col("lang"),
+        col("len_bucket"), col("head40").as("h_a"), col("rn").as("rn_a"),
+        expr(s"(rn - 1) DIV $W").as("chunk"))
+      val bSide = ranked.select(col("doc_id").as("id_b"), col("lang"),
+        col("len_bucket"), col("head40").as("h_b"), col("rn").as("rn_b"),
+        explode(array(expr(s"(rn - 1) DIV $W"),
+          expr(s"(rn - 1) DIV $W - 1"))).as("chunk"))
+      aSide.join(bSide, Seq("lang", "len_bucket", "chunk"))
+        .filter((col("rn_b") - col("rn_a")).between(1, W))
+        .select(least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"),
           levenshtein(col("h_a"), col("h_b")).cast("long").as("dist"))
         .filter(col("dist") <= 5)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1804,11 +1831,17 @@ object TextAnalysis {
         |  SELECT doc_id, lang, substring(text, 1, 40) AS head40,
         |    n_chars // 100 AS len_bucket
         |  FROM documents WHERE doc_id % 2 = 0
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang, len_bucket
+        |    ORDER BY head40, doc_id) AS rn
+        |  FROM sample
         |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |  greatest(a.doc_id, b.doc_id) AS doc_b,
         |  CAST(levenshtein(a.head40, b.head40) AS BIGINT) AS dist
-        |FROM sample a JOIN sample b
-        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |FROM ranked a JOIN ranked b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |  AND b.rn - a.rn BETWEEN 1 AND 32
         |WHERE levenshtein(a.head40, b.head40) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -53,6 +53,10 @@ object Udaf {
     // the reference's headline benchmark (README.md:57-75): the sum trio
     // over a 1,000,000-row `types` table — built-in sum vs both custom
     // aggregates. Rows-only (generated table, no oracle parquet).
+    // Timing provenance: the r9 0.43s-vs-r8 0.177s drift was bisected in
+    // r10 to the MACHINE window, not code — the unchanged r8 binary
+    // re-measures 0.30-0.32s today while this code measures ~0.26-0.28s
+    // (COVERAGE.md "Bench provenance notes" has the full decomposition).
     "q_types_1m_trio" -> ((s, _) => {
       withUdafs(s)
       graft.engine.TypesTable.generate(s, 1000000L, seed = 42)

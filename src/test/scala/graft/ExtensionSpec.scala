@@ -126,6 +126,32 @@ class ExtensionSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq((10L, 20L, 1L)), s"got ${rows.toSeq}")
   }
 
+  test("levenshtein dedup SNM window: rank-adjacent pairs found, >W-apart pair excluded") {
+    // pins the sorted-neighborhood semantics (W = 32): 34 docs in ONE
+    // (lang, len_bucket) block whose heads sort as aa < ab < … < bh.
+    // Consecutive heads are 1 edit apart (found); the first and last
+    // heads are only 2 edits apart but 33 rank positions apart — the
+    // SNM window must exclude them, which is exactly the linear-pairs
+    // bound the r9 full block pair-join lacked.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snm").toString
+    val tail = "0123456789012345678901234567890123456789".take(38)
+    val prefixes = (for {
+      c1 <- 'a' to 'b'; c2 <- 'a' to 'z'
+    } yield s"$c1$c2").take(34)
+    val docs = prefixes.zipWithIndex.map { case (p, i) =>
+      ((i + 1) * 2L, p + tail, "en", 50L)
+    }
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_levenshtein")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 4L)), s"adjacent pair missing: $pairs")
+    assert(pairs.contains((66L, 68L)), s"adjacent pair missing: $pairs")
+    assert(!pairs.contains((2L, 68L)),
+      "pair 33 rank positions apart must be outside the W=32 neighborhood")
+  }
+
   test("upsert merge: batch wins on key, inserts append, totals conserve") {
     import org.apache.spark.sql.functions._
     val docs = graft.engine.Engine.table(spark, sfDir, "documents")

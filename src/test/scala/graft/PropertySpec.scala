@@ -258,4 +258,26 @@ class PropertySpec extends SparkSpecBase {
     assert(ranked.length == rows.length)
     assert(ranked.toSet == want, "two-level rank must equal the global rank")
   }
+
+  test("DistRank grouped rank ≡ per-group row_number on random keyed data") {
+    // rowNumberGrouped carries dedup_levenshtein's sorted-neighborhood
+    // blocking: the per-(group, shard) decomposition must be EXACTLY the
+    // per-group rank, ties resolved by the tiebreaker, groups independent
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(200).toLong % 50))
+    val df = rows.toDF("id", "g", "v").repartition(13)
+    val ranked = graft.ext.DistRank.rowNumberGrouped(spark, df, Seq("g"),
+        expr("v div 8"), Seq(col("v").asc, col("id").asc), "r")
+      .select(col("id"), col("g"), col("r"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(t => (t._3, t._1)).zipWithIndex
+        .map { case ((id, _, _), i) => (id, g, i + 1L) }
+    }.toSet
+    assert(ranked.length == rows.length)
+    assert(ranked.toSet == want, "grouped rank must equal per-group row_number")
+  }
 }
