@@ -309,8 +309,10 @@ object ScaleProbe {
       // round-10: the SNM rewrite's whole point is bounded pairs on a
       // corpus whose 30 blocks each grow linearly — the replica shard's
       // blocks are ~100× the sf0.1 ones, so the r9 full pair-join would
-      // have been ~10⁴× the pairs while SNM is ~100× (O(rows × W))
-      "dedup_levenshtein")
+      // have been ~10⁴× the pairs while SNM is ~100× (O(rows × W));
+      // the MIH phash row probes 32-bit buckets (fan-out corpus/2^32)
+      // against the banded row's corpus/2^16 at identical output
+      "dedup_levenshtein", "mm_phash_dedup_mih")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

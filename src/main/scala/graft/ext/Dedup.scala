@@ -64,16 +64,20 @@ object Dedup {
     graft.functions.HashExpressions.simhash64(tokens(c))
 
   /** Exact near-dup verifier: Jaccard similarity of two DISTINCT-element
-    * arrays (shingles() is distinct). |A∪B| = |A|+|B|−|A∩B| for sets, so
-    * one array_intersect (one hash-set build per pair) replaces the
-    * intersect+union pair — half the per-candidate set-op cost on the
-    * LSH verify hot path. Same rational value as the oracle's
-    * len(list_intersect)/len(list_distinct(list_concat)) formula. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(a).cast("double") + size(b).cast("double") - inter
-    when(union === 0, lit(0.0)).otherwise(inter / union)
-  }
+    * arrays (shingles() is distinct). Same rational value as the oracle's
+    * len(list_intersect)/len(list_distinct(list_concat)) formula.
+    *
+    * Native one-pass kernel since r10: the previous composed form
+    * (`size(array_intersect)/(|a|+|b|−size(array_intersect))`) repeated
+    * array_intersect three times, and Catalyst pushes `jaccard ≥ t`
+    * filters into the verify-join CONDITION where the expression runs
+    * interpreted without subexpression elimination — measured
+    * ~310µs/pair, ~80s of the 100× incremental-minhash probe wall.
+    * [[graft.functions.HashExpressions.JaccardSim]] mirrors the exact
+    * distinct-intersection / raw-size-union semantics in one compiled
+    * pass per pair. */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.HashExpressions.jaccard_sim(a, b)
 
   // NOTE (measured, 100× shard + sf0.1): hashing each shingle to a
   // 60-bit long via md5 (the oracle-portable hash) to shrink the
@@ -346,8 +350,50 @@ object Dedup {
         .select(col("doc_id").as("c_id"), shingles(col("text")).as("sh_c"))
         .filter(size(col("sh_c")) > 0)
         .join(cands.select(col("c_id")), Seq("c_id"), "leftsemi")
-      val dupOf = cands
-        .join(shS, "s_id").join(shC, "c_id")
+      // Verify WITHOUT an O(pairs × array) exchange. The naive
+      // cands ⋈ shS ⋈ shC chain re-partitions the (pair, sh_s)
+      // intermediate by c_id, so a shard doc's shingle array rides the
+      // wire once PER PAIR — on the 100× replica shard (8M true
+      // near-dup pairs, ~48 corpus partners per shard doc) that single
+      // exchange measured 2.31 GB of the query's 2.57 GB total.
+      // Blocked attach instead: group the pair list per shard doc
+      // (bounded: ≤ bands × maxBucket = 1024 partners), attach sh_s
+      // ONCE per doc, then explode only per c-id BLOCK (pmod P) and
+      // join block-aligned against shC partitioned the same way — each
+      // array now ships at most min(partners, P) times, i.e.
+      // O(docs × P) worst-case array bytes instead of O(pairs).
+      // P trades copies against join parallelism; defaultParallelism
+      // matches the machine here and scales with the cluster.
+      val P = par
+      // subset co-partitioning: both join children are hash-partitioned
+      // on cpart alone while the join keys are (cpart, c_id). Spark's
+      // default requires ALL keys in the child partitioning before it
+      // elides the exchange; equal cpart-hashes still co-locate equal
+      // (cpart, c_id) rows, so accepting the subset is purely a planner
+      // relaxation — set session-wide (no restore: execution is lazy,
+      // and the flag can only remove provably-redundant exchanges).
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // block key = pmod(hash(c_id), P), not pmod(c_id, P): shard ids
+      // here are always even (doc_id % 2 residue), so a raw modulus
+      // would leave half the block partitions empty — hash() decorrelates
+      // the key from any id arithmetic (plan-internal only; the oracle
+      // never sees cpart)
+      val byS = cands.groupBy(col("s_id"))
+        .agg(collect_set(col("c_id")).as("cs"))
+      val sParts = byS.join(shS, "s_id")
+        .select(col("s_id"), col("sh_s"), col("cs"),
+          explode(array_distinct(transform(col("cs"),
+            c => pmod(hash(c), lit(P))))).as("cpart"))
+        .select(col("s_id"), col("sh_s"), col("cpart"),
+          filter(col("cs"), c => pmod(hash(c), lit(P)) === col("cpart"))
+            .as("cs_part"))
+      val sExp = sParts.repartition(P, col("cpart"))
+        .select(col("cpart"), col("s_id"), col("sh_s"),
+          explode(col("cs_part")).as("c_id"))
+      val shCp = shC
+        .withColumn("cpart", pmod(hash(col("c_id")), lit(P)))
+        .repartition(P, col("cpart"))
+      val dupOf = sExp.join(shCp, Seq("cpart", "c_id"))
         .select(col("s_id"), col("c_id"),
           jaccard(col("sh_s"), col("sh_c")).as("j"))
         .filter(col("j") >= 0.7)

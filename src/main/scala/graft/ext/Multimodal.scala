@@ -282,6 +282,60 @@ object Multimodal {
         .orderBy(col("hamming"))
     }),
 
+    // multi-index Hamming widening of mm_phash_dedup (Norouzi et al.,
+    // "Fast Search in Hamming Space with Multi-Index Hashing") — the
+    // 10^11-media shape the banded row's scale note names. The 4×16-bit
+    // banding bounds bucket fan-out by corpus/2^16 per band: at 10^11
+    // media that is ~1.5M ids per hot bucket and the in-bucket pairing
+    // goes quadratic. MIH flips the trade: 2 bands of 32 bits (buckets
+    // of corpus/2^32 — ~23 ids at 10^11) with the PROBE side expanded
+    // to every key within Hamming 1 of its band key (1 exact + 32
+    // one-bit flips). Pigeonhole at radius 3 over 2 bands: the errors
+    // split (0,3)(1,2)(2,1)(3,0), so some band carries ≤1 error and the
+    // expanded equi-join is EXHAUSTIVE — the result set is identical to
+    // the banded row's, and the oracle row is literally shared. Cost
+    // shape: 33× probe rows (each 16 bytes) against 65536× tighter
+    // buckets — linear fan-out where the 16-bit banding is quadratic in
+    // bucket load.
+    "mm_phash_dedup_mih" -> ((s, dir) => {
+      val fp = mediaTable(s, dir).select(col("media_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          graft.functions.HashExpressions.word_shingles(
+            col("payload").cast("string"), 1, distinct = false).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("media_id"), col("n_bytes"),
+          graft.functions.HashExpressions.simhash64(col("tk")).as("fp"))
+      val mask32 = lit(0xFFFFFFFFL)
+      val indexSide = fp.select(col("media_id").as("id_b"),
+        col("fp").as("fp_b"), col("n_bytes").as("bytes_b"),
+        posexplode(transform(sequence(lit(0), lit(1)),
+          b => call_function("shiftright", col("fp"), b * 32)
+            .bitwiseAND(mask32))).as(Seq("band", "bkey")))
+      // probe side: each band key plus its 32 one-bit neighbors — the
+      // radius-⌊r/m⌋ query expansion that lets 2 wide bands cover r = 3
+      val probeSide = fp.select(col("media_id").as("id_a"),
+          col("fp").as("fp_a"),
+          posexplode(transform(sequence(lit(0), lit(1)),
+            b => call_function("shiftright", col("fp"), b * 32)
+              .bitwiseAND(mask32))).as(Seq("band", "bkey0")))
+        .select(col("id_a"), col("fp_a"), col("band"),
+          explode(concat(array(col("bkey0")),
+            transform(sequence(lit(0), lit(31)),
+              i => col("bkey0").bitwiseXOR(
+                call_function("shiftleft", lit(1L), i))))).as("bkey"))
+      probeSide.join(indexSide, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("bytes_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // a close pair can match via both bands / several flips
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_media"),
+          sum(col("bytes_b")).cast("long").as("review_bytes"))
+        .orderBy(col("hamming"))
+    }),
+
     // WebDataset-style shard planner: assign every sample to a ~16 KB
     // tar shard by cumulative payload bytes in a deterministic
     // pseudo-shuffled order (md5 of the payload — IID shards without a
@@ -436,7 +490,45 @@ object Multimodal {
 
     // simhash64 mirror (the dedup_simhash oracle's fp chain) over the
     // payload's decoded text, 4×16-bit bands, per-distance report
+    // shared verbatim with mm_phash_dedup_mih below: MIH is a candidate-
+    // generation widening, not a semantics change — identical pair set
     "mm_phash_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), hs AS (
+        |  SELECT media_id, n_bytes,
+        |    list_transform(tk, t -> ('0x' || substr(md5(t),1,16))::UBIGINT) AS th
+        |  FROM toks WHERE len(tk) > 0
+        |), fp AS (
+        |  SELECT media_id, n_bytes,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN coalesce(list_sum(list_transform(th, h ->
+        |          CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+        |      THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END)), 0)
+        |      AS UBIGINT) AS f
+        |  FROM hs
+        |), pairs AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    b.n_bytes AS bytes_b,
+        |    CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        |  FROM (SELECT media_id, f, t.band, (f >> (t.band * 16)) & 65535 AS bkey
+        |        FROM fp, range(0, 4) t(band)) a
+        |  JOIN (SELECT media_id, n_bytes, f, t.band,
+        |          (f >> (t.band * 16)) & 65535 AS bkey
+        |        FROM fp, range(0, 4) t(band)) b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 3
+        |)
+        |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_media,
+        |  CAST(sum(bytes_b) AS BIGINT) AS review_bytes
+        |FROM pairs GROUP BY hamming ORDER BY hamming""".stripMargin,
+
+    "mm_phash_dedup_mih" ->
       """WITH toks AS (
         |  SELECT doc_id AS media_id,
         |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

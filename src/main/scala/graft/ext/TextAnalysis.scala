@@ -2265,13 +2265,20 @@ object TextAnalysis {
     },
 
     // same generated training chain, then the 6 merges applied in rank
-    // order to the per-language vocab as nested replaces (the m1..m6
-    // 1-row frames cross-join in)
+    // order to the per-language vocab as nested replaces. The m1..m6
+    // 1-row frames come in via LEFT JOIN ON TRUE, NOT a cross join: if
+    // training exhausts before 6 rounds (the early-stop case
+    // bpeTrainMerges handles and BpeSpec pins) an empty m_k would empty
+    // a cross-joined result while the Spark side still encodes with the
+    // merges actually learned. A NULL pair coalesces to chr(1), whose
+    // '~'+chr(1)+'~' search string can never occur in a segmented word
+    // ([a-z0-9~] alphabet) — the replace degrades to a no-op, exactly
+    // the engine's behavior for a missing round.
     "text_bpe_encode" -> {
       val seg0 = "'~' || array_to_string(string_split(w, ''), '~') || '~'"
       val segExpr = (1 to 6).foldLeft(seg0) { (acc, k) =>
-        s"replace($acc, '~' || replace(m$k.pair, ' ', '~') || '~'," +
-          s" '~' || replace(m$k.pair, ' ', '') || '~')"
+        s"replace($acc, '~' || replace(coalesce(m$k.pair, chr(1)), ' ', '~') || '~'," +
+          s" '~' || replace(coalesce(m$k.pair, chr(1)), ' ', '') || '~')"
       }
       s"""$bpeTrainOracleCtes,
          |wl AS (
@@ -2284,7 +2291,9 @@ object TextAnalysis {
          |  SELECT lang, wc, length(w) AS wlen,
          |    len(list_filter(string_split($segExpr, '~'),
          |      x -> len(x) > 0)) AS n_sym
-         |  FROM wl, m1, m2, m3, m4, m5, m6
+         |  FROM wl
+         |  LEFT JOIN m1 ON TRUE LEFT JOIN m2 ON TRUE LEFT JOIN m3 ON TRUE
+         |  LEFT JOIN m4 ON TRUE LEFT JOIN m5 ON TRUE LEFT JOIN m6 ON TRUE
          |), agg AS (
          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
          |    CAST(sum(wc) AS BIGINT) AS word_mass,

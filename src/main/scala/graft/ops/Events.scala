@@ -284,25 +284,33 @@ object Events {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val types = t(s, dir, "events").select(col("event_type"))
         .distinct().collect().map(_.getString(0)).sorted
-      val nFrom = counts.groupBy(_._1).map { case (f, xs) =>
-        f -> xs.map(_._3).sum }
-      val p6 = counts.map { case (f, to, n) =>
-        (f, to) -> ((2L * n * 1000000L + nFrom(f)) / (2L * nFrom(f))) }.toMap
-      var pi = types.map(_ -> 1000000L / types.length).toMap
-      for (_ <- 1 to 5) {
-        val num = types.map(to => to -> types.map(f =>
-          pi(f) * p6.getOrElse((f, to), 0L)).sum).toMap
-        pi = types.map(to => to -> (num(to) + 500000L) / 1000000L).toMap
-      }
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      s.createDataFrame(
-          types.map(ty => Row(ty, pi(ty), pi(ty).toDouble / 1e6))
-            .toList.asJava,
-          StructType(Seq(StructField("event_type", StringType, false),
-            StructField("pi6", LongType, false),
-            StructField("p_steady", DoubleType, false))))
-        .orderBy(col("pi6").desc, col("event_type"))
+      val outSchema = StructType(Seq(
+        StructField("event_type", StringType, false),
+        StructField("pi6", LongType, false),
+        StructField("p_steady", DoubleType, false)))
+      // empty events table: 1000000/types.length below would throw
+      // driver-side while the DuckDB oracle returns an empty frame —
+      // short-circuit to the same empty result (the guarded-division
+      // rule the rest of this file follows)
+      if (types.isEmpty) s.createDataFrame(List.empty[Row].asJava, outSchema)
+      else {
+        val nFrom = counts.groupBy(_._1).map { case (f, xs) =>
+          f -> xs.map(_._3).sum }
+        val p6 = counts.map { case (f, to, n) =>
+          (f, to) -> ((2L * n * 1000000L + nFrom(f)) / (2L * nFrom(f))) }.toMap
+        var pi = types.map(_ -> 1000000L / types.length).toMap
+        for (_ <- 1 to 5) {
+          val num = types.map(to => to -> types.map(f =>
+            pi(f) * p6.getOrElse((f, to), 0L)).sum).toMap
+          pi = types.map(to => to -> (num(to) + 500000L) / 1000000L).toMap
+        }
+        s.createDataFrame(
+            types.map(ty => Row(ty, pi(ty), pi(ty).toDouble / 1e6))
+              .toList.asJava, outSchema)
+          .orderBy(col("pi6").desc, col("event_type"))
+      }
     }),
 
     // new-vs-returning split — growth accounting's first chart: each

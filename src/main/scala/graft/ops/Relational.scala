@@ -40,6 +40,36 @@ object Relational {
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 
+  /** The cleared-3σ anomaly flag over a dense (h, event_type, n) grid —
+    * factored out of q_events_anomaly so AnomalySpec can drive it with
+    * planted 10⁸-scale counts. Σx stays BIGINT (wraps only past ~4·10¹⁷
+    * per 24-cell window); n is cast to DECIMAL(38,0) BEFORE squaring so
+    * Σx² and both cleared inequality sides are exact to counts of
+    * ~10¹⁵ per (hour, type) — the r9-documented 64-bit ceiling
+    * (~4·10⁷) is gone. */
+  private[graft] def anomalyFlags(dense: DataFrame): DataFrame = {
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    val dec = "decimal(38,0)"
+    dense
+      .withColumn("w_n", count(lit(1)).over(trail))
+      .withColumn("w_sum", coalesce(sum(col("n")).over(trail), lit(0L)))
+      .withColumn("w_sum2",
+        coalesce(sum(col("n").cast(dec) * col("n").cast(dec)).over(trail),
+          lit(0L).cast(dec)).cast(dec))
+      .withColumn("__dev",
+        col("w_n").cast(dec) * col("n").cast(dec) - col("w_sum").cast(dec))
+      .withColumn("dev2w",
+        (col("__dev") * col("__dev") * (col("w_n") - 1L).cast(dec)).cast(dec))
+      .withColumn("var_w",
+        (lit(9L).cast(dec) * col("w_n").cast(dec) *
+          (col("w_n").cast(dec) * col("w_sum2") -
+            col("w_sum").cast(dec) * col("w_sum").cast(dec))).cast(dec))
+      .withColumn("is_anomaly",
+        col("w_n") >= 12L && col("dev2w") > col("var_w"))
+      .drop("__dev")
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
@@ -479,41 +509,30 @@ object Relational {
     // the alerting readout downstream of gap-fill: an hour is anomalous
     // when its count deviates from the trailing 24 h mean by more than
     // 3 sample standard deviations. The 3σ test is evaluated ENTIRELY
-    // in BIGINT — (n·x − Σx)²·(n−1) > 9·n·(n·Σx² − (Σx)²) is the z² > 9
-    // inequality cleared of divisions — so the verdict can never flip
-    // on a float accumulation order (stddev over a window is exactly
-    // the cross-engine float hazard this avoids). MAGNITUDE BOUND (the
-    // grid-note discipline): with per-(hour,type) counts ≤ C the
-    // cleared terms peak at ~(24·C)²·23 and ~9·24·24·C² — both stay
-    // under 2⁶³ for C ≲ 4·10⁷ events/hour/type (≈ 10 kHz sustained per
-    // type, ~400× the 100×-probe shard). Past that bound Spark wraps
-    // silently while DuckDB raises, so the engines diverge in
-    // DIFFERENT ways: before deploying against a corpus that hot,
-    // clear the inequality in DECIMAL(38,0) (bound then ~10¹⁵ C) or
-    // pre-scale the grid to coarser cells. Warm-up hours with
-    // fewer than 12 trailing observations never flag. Same scale shape
-    // as the grid family: one corpus aggregation, then time-range-sized.
-    "q_events_anomaly" -> ((s, dir) => {
-      val trail = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        .rowsBetween(-24, -1)
-      denseHourlyCounts(s, dir)
-        .withColumn("w_n", count(lit(1)).over(trail))
-        .withColumn("w_sum", coalesce(sum(col("n")).over(trail), lit(0L)))
-        .withColumn("w_sum2",
-          coalesce(sum(col("n") * col("n")).over(trail), lit(0L)))
-        .withColumn("dev2w",
-          (col("w_n") * col("n") - col("w_sum")) *
-            (col("w_n") * col("n") - col("w_sum")) * (col("w_n") - 1L))
-        .withColumn("var_w",
-          lit(9L) * col("w_n") *
-            (col("w_n") * col("w_sum2") - col("w_sum") * col("w_sum")))
-        .withColumn("is_anomaly",
-          col("w_n") >= 12L && col("dev2w") > col("var_w"))
+    // in integer arithmetic — (n·x − Σx)²·(n−1) > 9·n·(n·Σx² − (Σx)²)
+    // is the z² > 9 inequality cleared of divisions — so the verdict
+    // can never flip on a float accumulation order (stddev over a
+    // window is exactly the cross-engine float hazard this avoids).
+    // Since r10 the cleared terms are computed in DECIMAL(38,0)
+    // (HUGEINT on the oracle side, rendered as DECIMAL(38,0)): the
+    // previous all-BIGINT form wrapped silently past per-(hour,type)
+    // counts of C ≈ 4·10⁷ (the terms peak at ~(24·C)²·23), while
+    // DuckDB raised — divergent failure modes on the same hot corpus.
+    // The 38-digit grid holds to C ≈ 10¹⁵ events/hour/type, far past
+    // any physical ingest rate; the window SUMS (Σx, Σx²) stay BIGINT,
+    // safe to C ≈ 6·10⁸ per hour-cell... also widened: w_sum2 sums
+    // n² which wraps at C ≈ 6·10⁸ — the decimal cast happens BEFORE
+    // squaring, so every squared term is exact. AnomalySpec drives
+    // [[anomalyFlags]] with planted 10⁸-scale counts and cross-checks
+    // BigInt ground truth. Warm-up hours with fewer than 12 trailing
+    // observations never flag. Same scale shape as the grid family:
+    // one corpus aggregation, then time-range-sized.
+    "q_events_anomaly" -> ((s, dir) =>
+      anomalyFlags(denseHourlyCounts(s, dir))
         .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("w_n"), col("w_sum"),
           col("dev2w"), col("var_w"), col("is_anomaly"))
-        .orderBy(col("hour"), col("event_type"))
-    }),
+        .orderBy(col("hour"), col("event_type"))),
 
     // forward-fill (LOCF) over the same dense grid — the OTHER fill
     // mode a metrics readout needs: a gauge keeps its last observed
@@ -889,18 +908,25 @@ object Relational {
         |  SELECT h, event_type, n,
         |    CAST(count(*) OVER tw AS BIGINT) AS w_n,
         |    CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT) AS w_sum,
-        |    CAST(coalesce(sum(n * n) OVER tw, 0) AS BIGINT) AS w_sum2
+        |    coalesce(sum(CAST(n AS HUGEINT) * n) OVER tw,
+        |             CAST(0 AS HUGEINT)) AS w_sum2h
         |  FROM dense
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
         |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
         |)
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
         |  w_n, w_sum,
-        |  (w_n * n - w_sum) * (w_n * n - w_sum) * (w_n - 1) AS dev2w,
-        |  9 * w_n * (w_n * w_sum2 - w_sum * w_sum) AS var_w,
+        |  CAST((CAST(w_n AS HUGEINT) * n - w_sum)
+        |       * (CAST(w_n AS HUGEINT) * n - w_sum) * (w_n - 1)
+        |    AS DECIMAL(38,0)) AS dev2w,
+        |  CAST(9 * CAST(w_n AS HUGEINT)
+        |       * (w_n * w_sum2h - CAST(w_sum AS HUGEINT) * w_sum)
+        |    AS DECIMAL(38,0)) AS var_w,
         |  (w_n >= 12 AND
-        |   (w_n * n - w_sum) * (w_n * n - w_sum) * (w_n - 1)
-        |     > 9 * w_n * (w_n * w_sum2 - w_sum * w_sum)) AS is_anomaly
+        |   (CAST(w_n AS HUGEINT) * n - w_sum)
+        |     * (CAST(w_n AS HUGEINT) * n - w_sum) * (w_n - 1)
+        |     > 9 * CAST(w_n AS HUGEINT)
+        |       * (w_n * w_sum2h - CAST(w_sum AS HUGEINT) * w_sum)) AS is_anomaly
         |FROM win ORDER BY hour, event_type""".stripMargin,
 
     "q_events_locf" ->

@@ -21,6 +21,39 @@ import graft.engine.Engine
   */
 object Scale {
 
+  /** Retires prior fingerprint GENERATIONS of one logical cache entry:
+    * warehouse children named `prefix<fp>` with fp ≠ `current` are
+    * deleted and their same-named catalog entries dropped. The
+    * fingerprint key (see q_bucketed_join) correctly invalidates on
+    * source regeneration, but without retirement every regeneration
+    * leaves the previous bucketed table / layout directory behind
+    * forever — unbounded tmp-warehouse growth (ADVICE r9). Called just
+    * before each generation's existence check; a no-op when nothing is
+    * stale. Two concurrent sessions on the SAME source share one
+    * fingerprint, so neither can delete the other's live generation. */
+  private def retireStaleGenerations(spark: SparkSession, wh: String,
+      prefix: String, current: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(wh)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val st = java.nio.file.Files.list(dir)
+      val stale = try st.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(prefix) && n != prefix + current
+        }.toList
+      finally st.close()
+      stale.foreach { p =>
+        val n = p.getFileName.toString
+        if (spark.catalog.tableExists(n))
+          spark.sql(s"DROP TABLE IF EXISTS `$n`")
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q): Unit)
+        finally walk.close()
+      }
+    }
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
 
@@ -238,6 +271,8 @@ object Scale {
         Paths.get(dir, "lineitem.parquet"), "bucket8")
       val oTbl = "o_b_" + Engine.contentFingerprint(
         Paths.get(dir, "orders.parquet"), "bucket8")
+      retireStaleGenerations(s, wh, "li_b_", liTbl.stripPrefix("li_b_"))
+      retireStaleGenerations(s, wh, "o_b_", oTbl.stripPrefix("o_b_"))
       if (!s.catalog.tableExists(liTbl)) {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
           .write.mode("overwrite").option("path", s"$wh/$liTbl")
@@ -285,6 +320,7 @@ object Scale {
       val sfTag = Engine.contentFingerprint(
         Paths.get(dir, "orders.parquet"), "zorder")
       val path = s"$wh/orders_z_$sfTag"
+      retireStaleGenerations(s, wh, "orders_z_", sfTag)
       if (!java.nio.file.Files.exists(Paths.get(s"$path/_SUCCESS")))
         writeZOrdered(
           t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
@@ -360,6 +396,7 @@ object Scale {
       val sfTag = Engine.contentFingerprint(
         Paths.get(dir, "events.parquet"), "bydate")
       val path = s"$wh/events_bydate_$sfTag"
+      retireStaleGenerations(s, wh, "events_bydate_", sfTag)
       if (!java.nio.file.Files.exists(Paths.get(s"$path/_SUCCESS")))
         t(s, dir, "events")
           .withColumn("event_date", to_date(col("ts")))
@@ -387,6 +424,8 @@ object Scale {
         Paths.get(dir, "documents.parquet"), "compact")
       val frag = s"$wh/docs_frag_$sfTag"
       val comp = s"$wh/docs_compact_$sfTag"
+      retireStaleGenerations(s, wh, "docs_frag_", sfTag)
+      retireStaleGenerations(s, wh, "docs_compact_", sfTag)
       if (!java.nio.file.Files.exists(Paths.get(s"$comp/_SUCCESS"))) {
         t(s, dir, "documents").repartition(64)
           .write.mode("overwrite").parquet(frag)

@@ -124,6 +124,78 @@ object StreamQueries {
         .orderBy(col("user_id"), col("sess_no"))
     }),
 
+    // EXACTLY-ONCE ACROSS RESTART — the one streaming behavior the
+    // other rows don't pin (r9 verdict #5): the sessionize replay is
+    // KILLED mid-stream (phase 1 drains only the first 2 of the 4
+    // replay files, then stops, leaving open sessions and committed
+    // offsets in the checkpoint), and a NEW query resumes from the
+    // same checkpointLocation as the remaining files arrive. The sink
+    // is the production parquet FILE sink: its _spark_metadata commit
+    // log is what makes the restart exactly-once (a memory sink resets
+    // on restart and would silently drop phase-1 emissions), and the
+    // final read-back goes through that log, so an uncommitted file
+    // from the kill could never leak into the result. The drained
+    // output must hash-match the UNINTERRUPTED batch oracle — sessions
+    // straddling the kill boundary prove state recovery; the offset
+    // log proves no row is lost or replayed. The kill lands at a batch
+    // boundary deliberately: Spark's commit protocol makes ANY
+    // interruption resume from the last committed batch, so the
+    // boundary is the deterministic representative of every kill
+    // point. Work dirs are per-invocation temps (the result frame
+    // reads `out` lazily, so nothing here may delete them).
+    "q_stream_recovery" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.file.Files
+      val sentinel = sentinelEvents(s, dir, Seq(-1L -> "sentinel"))
+      val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
+      val work = Files.createTempDirectory("graft_recovery")
+      val in = work.resolve("in")
+      Files.createDirectories(in)
+      val out = work.resolve("out").toString
+      val ckpt = work.resolve("ckpt").toString
+      val files = {
+        val st = Files.list(java.nio.file.Paths.get(rd))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
+        } finally st.close()
+      }
+      def arm(names: Seq[java.nio.file.Path]): Unit = names.foreach { p =>
+        val dst = in.resolve(p.getFileName)
+        Files.copy(p, dst)
+        // preserve the replay order key (FileStreamSource sorts by mtime)
+        if (!dst.toFile.setLastModified(p.toFile.lastModified))
+          throw new IllegalStateException(s"cannot stamp mtime on $dst")
+      }
+      def drain(): Unit = {
+        val src = s.readStream.schema(EventsStream.eventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(in.toString)
+          .select(col("user_id"),
+            graft.engine.Engine.eventTs(col("ts")).as("ts"), col("event_type"))
+          .as[Sessionize.TimedEvent]
+        val q = withStatePartitions(s, 8) {
+          Sessionize.incremental(src, 30).writeStream
+            .outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        q.awaitTermination()
+        q.stop()
+      }
+      arm(files.take(2)); drain() // phase 1: killed with state in flight
+      arm(files.drop(2)); drain() // phase 2: recovery from the checkpoint
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      s.read.parquet(out)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          row_number().over(w).cast("long").as("sess_no"),
+          col("n_events"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("sess_no"))
+    }),
+
     // the SAME unbounded sessionization on transformWithState (Spark
     // 4's arbitrary stateful API — named typed state + explicit
     // event-time timers, RocksDB-backed state-v2): identical fold,
@@ -141,20 +213,34 @@ object StreamQueries {
           graft.engine.Engine.eventTs(col("ts")).as("ts"), col("event_type"))
         .as[Sessionize.TimedEvent]
       val provKey = "spark.sql.streaming.stateStore.providerClass"
+      // changelog checkpointing: commit a per-batch delta instead of a
+      // full RocksDB snapshot upload — the production setting at real
+      // state sizes (snapshot cost ∝ total state, changelog ∝ batch
+      // writes) and ~0.4s/run of the tws-vs-fMGWS bench gap here
+      val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled"
       val prev = s.conf.getOption(provKey)
+      val prevCl = s.conf.getOption(clKey)
       val q =
         try {
           s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
             "state.RocksDBStateStoreProvider")
+          s.conf.set(clKey, "true")
           withStatePartitions(s, 8) {
             SessionizeTws.incremental(src, 30).writeStream
               .outputMode("append").format("memory").queryName(sink)
               .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
               .start()
           }
-        } finally prev match {
-          case Some(v) => s.conf.set(provKey, v)
-          case None => s.conf.unset(provKey)
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(provKey, v)
+            case None => s.conf.unset(provKey)
+          }
+          prevCl match {
+            case Some(v) => s.conf.set(clKey, v)
+            case None => s.conf.unset(clKey)
+          }
         }
       q.awaitTermination()
       q.stop()
@@ -524,6 +610,8 @@ object StreamQueries {
   val oracleSql: Map[String, String] = Map(
     "q_sessionize_stream" -> graft.ops.Analytical.oracleSql("q_sessionize"),
     "q_sessionize_tws" -> graft.ops.Analytical.oracleSql("q_sessionize"),
+    // the restart must be INVISIBLE in the output — same batch oracle
+    "q_stream_recovery" -> graft.ops.Analytical.oracleSql("q_sessionize"),
     "q_stream_session_window" ->
       graft.ops.Relational2.oracleSql("q_events_session_window"),
     "q_events_window_stream" -> graft.ops.Relational.oracleSql("q_events_window"),

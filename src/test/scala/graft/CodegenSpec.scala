@@ -96,6 +96,36 @@ class CodegenSpec extends SparkSpecBase {
     }
   }
 
+  test("jaccard_sim codegen compiles, matches interpreted eval and the composed form") {
+    bothWays("jaccard_sim") {
+      val a = docs.select(col("doc_id").as("ida"),
+        word_shingles(col("text"), 3).as("sha"))
+      val b = docs.select(col("doc_id").as("idb"),
+        word_shingles(col("text"), 3).as("shb"))
+      a.join(b, col("ida") % 7 === col("idb") % 7)
+        .select(col("ida"), col("idb"),
+          round(jaccard_sim(col("sha"), col("shb")), 9).as("j"))
+    }
+    // value pin against the composed expression it replaced: distinct
+    // intersection over raw-size union, union 0 → 0.0
+    val rows = docs.limit(40)
+      .select(word_shingles(col("text"), 3).as("sh"), col("doc_id"))
+    val a = rows.select(col("doc_id").as("ida"), col("sh").as("sha"))
+    val b = rows.select(col("doc_id").as("idb"), col("sh").as("shb"))
+    val both = a.crossJoin(b)
+      .select(jaccard_sim(col("sha"), col("shb")).as("native"),
+        {
+          val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+          val union = size(col("sha")).cast("double") +
+            size(col("shb")).cast("double") - inter
+          when(union === 0, lit(0.0)).otherwise(inter / union).as("composed")
+        })
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native=${r.getDouble(0)} composed=${r.getDouble(1)}"))
+  }
+
   test("hyperplane_sig codegen compiles and matches interpreted eval") {
     bothWays("hyperplane_sig") {
       vecs.select(col("vec_id"), hyperplane_sig(col("embedding"), 16).as("sig"))

@@ -1264,15 +1264,17 @@ class ExtensionSpec extends SparkSpecBase {
     val rows = SparkEntry.queries("q_events_anomaly")(spark, sfDir).collect()
     assert(rows.exists(_.getBoolean(7)), "no anomaly flagged — vacuous")
     rows.foreach { r =>
+      // dev2w/var_w are DECIMAL(38,0) since the r10 overflow widening
       val (n, wn, wsum, dev2w, varw, flag) =
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-          r.getLong(6), r.getBoolean(7))
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          BigInt(r.getDecimal(5).toBigInteger),
+          BigInt(r.getDecimal(6).toBigInteger), r.getBoolean(7))
       if (wn < 12) assert(!flag, s"warm-up hour flagged: $r")
       else {
         // exact recompute of the cleared inequality from the outputs
         val lhs = BigInt(wn * n - wsum).pow(2) * BigInt(wn - 1)
-        assert(lhs == BigInt(dev2w), s"dev2w drifted: $r")
-        assert(flag == (lhs > BigInt(varw)), s"verdict drifted: $r")
+        assert(lhs == dev2w, s"dev2w drifted: $r")
+        assert(flag == (lhs > varw), s"verdict drifted: $r")
         assert(dev2w >= 0 && varw >= 0)
         // loose double cross-check: a flag means z² is comfortably > 9
         // away from the boundary band (the exact integer test is the
@@ -2314,6 +2316,20 @@ class ExtensionSpec extends SparkSpecBase {
     val mass = out.values.sum
     assert(mass > 900000L && mass <= 1000000L + 3L * types.length,
       s"steady-state mass $mass off the 1e6 grid")
+  }
+
+  test("markov steady state: empty events table yields an empty frame, not a crash") {
+    // the uniform-vector init divides by the type count; an empty table
+    // must short-circuit to the oracle's empty result instead of
+    // throwing ArithmeticException driver-side (ADVICE r9)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mkv").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_events_markov")(spark, dir)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq == Seq("event_type", "pi6", "p_steady"))
   }
 
   test("time-weighted average: hand-computed trapezoids, zero-span days dropped") {

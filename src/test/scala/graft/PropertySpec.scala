@@ -280,4 +280,50 @@ class PropertySpec extends SparkSpecBase {
     assert(ranked.length == rows.length)
     assert(ranked.toSet == want, "grouped rank must equal per-group row_number")
   }
+
+  test("anomaly flags: DECIMAL(38,0) inequality exact at planted 1e8-scale counts") {
+    // 30 hours of one type at C ≈ 1e8 with one planted 4e8 spike:
+    // dev2w ≈ (24·3e8)²·23 ≈ 1.2e21 — an order past the old BIGINT
+    // ceiling (9.2e18), where the r9 form wrapped silently while DuckDB
+    // raised. Ground truth recomputed in BigInt, compared exactly.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hr: Int) = new java.sql.Timestamp(base.getTime + hr * 3600000L)
+    val rnd = new scala.util.Random(5)
+    val ns = (0 until 30).map { hr =>
+      if (hr == 27) 400000000L else 100000000L + rnd.nextInt(1000)
+    }
+    val dense = ns.zipWithIndex
+      .map { case (n, hr) => (at(hr), "load", n) }
+      .toDF("h", "event_type", "n")
+    val out = graft.ops.Relational.anomalyFlags(dense)
+      .orderBy(col("h"))
+      .select(col("n"), col("w_n"), col("w_sum"), col("dev2w"),
+        col("var_w"), col("is_anomaly"))
+      .collect()
+    assert(out.length == ns.length)
+    var sawPastInt64 = false
+    var sawFlag = false
+    for (i <- ns.indices) {
+      val w = ns.slice(math.max(0, i - 24), i)
+      val wn = BigInt(w.length)
+      val ws = w.map(BigInt(_)).sum
+      val ws2 = w.map(x => BigInt(x) * BigInt(x)).sum
+      val dev = wn * BigInt(ns(i)) - ws
+      val dev2w = dev * dev * (wn - 1)
+      val varw = BigInt(9) * wn * (wn * ws2 - ws * ws)
+      val flag = w.length >= 12 && dev2w > varw
+      val r = out(i)
+      assert(BigInt(r.getDecimal(3).toBigInteger) == dev2w,
+        s"hour $i dev2w: got ${r.getDecimal(3)} want $dev2w")
+      assert(BigInt(r.getDecimal(4).toBigInteger) == varw,
+        s"hour $i var_w: got ${r.getDecimal(4)} want $varw")
+      assert(r.getBoolean(5) == flag, s"hour $i flag mismatch")
+      if (dev2w > BigInt(Long.MaxValue)) sawPastInt64 = true
+      if (flag) sawFlag = true
+    }
+    assert(sawPastInt64, "vacuous: no term exceeded the old 64-bit ceiling")
+    assert(sawFlag, "vacuous: the planted spike did not flag")
+  }
 }

@@ -17,6 +17,31 @@ class ScaleSpec extends SparkSpecBase {
       s"bucketed join must not shuffle its inputs:\n$plan")
   }
 
+  test("stale fingerprint generations are retired when a cache entry is rebuilt") {
+    // fake a prior generation of every fingerprinted layout; running the
+    // caching queries must delete them (ADVICE r9: regeneration would
+    // otherwise grow the tmp warehouse without bound) while the live
+    // generation keeps working
+    val wh = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warehouse")
+    java.nio.file.Files.createDirectories(wh)
+    val fakes = Seq("li_b_deadbeef", "o_b_deadbeef", "orders_z_deadbeef",
+      "events_bydate_deadbeef", "docs_frag_deadbeef", "docs_compact_deadbeef")
+    fakes.foreach { n =>
+      val d = wh.resolve(n)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("part-0.parquet"), "stale")
+    }
+    assert(ops.Scale.queries("q_bucketed_join")(spark, sfDir).count() > 0)
+    assert(ops.Scale.queries("q_zorder_scan")(spark, sfDir).count() > 0)
+    assert(ops.Scale.queries("q_partition_prune")(spark, sfDir).count() > 0)
+    assert(ops.Scale.queries("q_compact")(spark, sfDir).count() > 0)
+    fakes.foreach { n =>
+      assert(!java.nio.file.Files.exists(wh.resolve(n)),
+        s"stale generation $n survived the rebuild")
+    }
+  }
+
   test("salted join equals plain join on a pathologically skewed key") {
     import spark.implicits._
     // one key owns half the rows — the case AQE's skew handling is for,

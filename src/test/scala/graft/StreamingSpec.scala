@@ -6,6 +6,51 @@ import graft.streaming.EventsStream
   * equivalent batch computation when the finite input is fully drained. */
 class StreamingSpec extends SparkSpecBase {
 
+  test("checkpoint recovery: killed replay resumes exactly-once and is non-vacuous") {
+    import org.apache.spark.sql.functions._
+    // the restart must be invisible: kill-and-resume output == the
+    // uninterrupted replay's output, row for row
+    val rec = SparkEntry.queries("q_stream_recovery")(spark, sfDir)
+      .collect().map(_.toString).toSeq.sorted
+    val unint = SparkEntry.queries("q_sessionize_stream")(spark, sfDir)
+      .collect().map(_.toString).toSeq.sorted
+    assert(rec.nonEmpty, "no sessions emitted at all")
+    assert(rec == unint, "recovered output differs from uninterrupted replay")
+    // non-vacuousness on PLANTED data (no natural testdata session
+    // straddles the kill at any SF — checked at sf0.001/sf0.01): over a
+    // 3h span the kill lands at lo + span·2/3 = 2:00, so user 2's
+    // events at 1:55 and 2:05 are ONE session whose state must survive
+    // the restart and merge with a post-restart event, and user 1's
+    // 0:00–0:10 session closes under the phase-1 watermark (1:55 −
+    // 30min delay), so the file sink committed output BEFORE the kill.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rec_plant").toString
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(minute: Long) = new java.sql.Timestamp(base.getTime + minute * 60000L)
+    Seq(
+      (1L, at(0), 1L, "a", 1.0, "{}"),
+      (2L, at(10), 1L, "a", 1.0, "{}"),     // closes pre-kill
+      (3L, at(115), 2L, "a", 1.0, "{}"),    // 1:55 — in phase 1
+      (4L, at(125), 2L, "a", 1.0, "{}"),    // 2:05 — after the kill
+      (5L, at(60), 3L, "a", 1.0, "{}"),
+      (6L, at(180), 3L, "a", 1.0, "{}"))    // 3:00 — pins hi
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rec2 = SparkEntry.queries("q_stream_recovery")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    val batch = SparkEntry.queries("q_sessionize")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(rec2.toSet == batch.toSet,
+      s"planted recovery ${rec2.toSeq} != batch ${batch.toSeq}")
+    // the replay's own arithmetic: span = hi − lo + 1 µs over [0:00, 3:00]
+    val bound2Us = base.getTime * 1000L + (180L * 60000000L + 1L) * 2 / 3
+    assert(rec2.exists { case (u, _, n, s0, s1) =>
+      u == 2L && n == 2L && s0 < bound2Us && s1 >= bound2Us },
+      s"planted spanning session missing: ${rec2.toSeq}")
+  }
+
   test("incremental sessionization across micro-batches matches the pure fold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Sessionize
