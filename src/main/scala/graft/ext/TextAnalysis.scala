@@ -513,8 +513,12 @@ object TextAnalysis {
         .filter((col("rn_b") - col("rn_a")).between(1, W))
         .select(least(col("id_a"), col("id_b")).as("doc_a"),
           greatest(col("id_a"), col("id_b")).as("doc_b"),
-          levenshtein(col("h_a"), col("h_b")).cast("long").as("dist"))
-        .filter(col("dist") <= 5)
+          // 3-arg threshold form: Spark computes only the |i−j| ≤ 5
+          // diagonal band of the DP matrix (O(len·k) vs O(len²)) and
+          // returns −1 past the threshold — identical accepted
+          // distances, so the unthresholded oracle filter matches
+          levenshtein(col("h_a"), col("h_b"), 5).cast("long").as("dist"))
+        .filter(col("dist") >= 0)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
