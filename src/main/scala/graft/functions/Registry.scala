@@ -54,6 +54,7 @@ object Registry {
       case _ => throw new IllegalArgumentException("word_shingles(text[, n[, distinct]])")
     }},
     "dot_f32" -> { exprs: Seq[Expression] => DotF32(exprs(0), exprs(1)) },
+    "jaccard_sim" -> { exprs: Seq[Expression] => JaccardSim(exprs(0), exprs(1)) },
     "hyperplane_sig" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => HyperplaneSig(c, 8)
       case Seq(c, b) => HyperplaneSig(c, intArg(b, "hyperplane_sig bits"))

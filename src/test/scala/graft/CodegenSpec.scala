@@ -124,6 +124,21 @@ class CodegenSpec extends SparkSpecBase {
     assert(both.nonEmpty)
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
       s"native=${r.getDouble(0)} composed=${r.getDouble(1)}"))
+    // duplicate-element semantics pin (shingles() is distinct, so the
+    // corpus never exercises this path): intersection counts DISTINCT
+    // shared elements, the union denominator uses RAW sizes — exactly
+    // the composed form. array('a','a','b') ∩ array('a','c') = {'a'}
+    // → 1 / (3 + 2 − 1) = 0.25. Also the both-empty → 0.0 guard.
+    graft.functions.Registry.registerAll(spark)
+    val pins = spark.sql(
+      """SELECT
+        |  jaccard_sim(array('a','a','b'), array('a','c')) AS dup_case,
+        |  jaccard_sim(array(), array()) AS empty_case,
+        |  jaccard_sim(array('x'), array()) AS half_empty
+        |""".stripMargin).head()
+    assert(pins.getDouble(0) == 0.25, s"dup_case: ${pins.getDouble(0)}")
+    assert(pins.getDouble(1) == 0.0)
+    assert(pins.getDouble(2) == 0.0)
   }
 
   test("hyperplane_sig codegen compiles and matches interpreted eval") {
