@@ -133,8 +133,9 @@ class CodegenSpec extends SparkSpecBase {
     val pins = spark.sql(
       """SELECT
         |  jaccard_sim(array('a','a','b'), array('a','c')) AS dup_case,
-        |  jaccard_sim(array(), array()) AS empty_case,
-        |  jaccard_sim(array('x'), array()) AS half_empty
+        |  jaccard_sim(CAST(array() AS ARRAY<STRING>),
+        |              CAST(array() AS ARRAY<STRING>)) AS empty_case,
+        |  jaccard_sim(array('x'), CAST(array() AS ARRAY<STRING>)) AS half_empty
         |""".stripMargin).head()
     assert(pins.getDouble(0) == 0.25, s"dup_case: ${pins.getDouble(0)}")
     assert(pins.getDouble(1) == 0.0)
