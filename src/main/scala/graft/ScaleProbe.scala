@@ -311,8 +311,12 @@ object ScaleProbe {
       // blocks are ~100× the sf0.1 ones, so the r9 full pair-join would
       // have been ~10⁴× the pairs while SNM is ~100× (O(rows × W));
       // the MIH phash row probes 32-bit buckets (fan-out corpus/2^32)
-      // against the banded row's corpus/2^16 at identical output
-      "dedup_levenshtein", "mm_phash_dedup_mih")
+      // against the banded row's corpus/2^16 at identical output;
+      // recovery replays kill-and-resume over the 10M-event shard —
+      // checkpointed offsets + state + the parquet sink's commit log at
+      // 100× the verified scale
+      "dedup_levenshtein", "mm_phash_dedup_mih", "q_stream_recovery",
+      "q_stream_recovery_tws")
     // probe-only variants measured AGAINST a queries() entry (never part
     // of the driver contract): the in-bucket LSH verify alternative
     val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

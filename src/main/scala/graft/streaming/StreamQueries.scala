@@ -196,6 +196,88 @@ object StreamQueries {
         .orderBy(col("user_id"), col("sess_no"))
     }),
 
+    // the SAME kill-and-resume on the PRODUCTION state backend:
+    // transformWithState over RocksDB with changelog checkpointing.
+    // What this pins beyond q_stream_recovery's HDFS-store run: the
+    // resume path must rebuild phase-1 state by loading the last
+    // RocksDB snapshot and REPLAYING the per-batch changelogs (the
+    // changelog commit writes a delta, not a snapshot — recovery is
+    // where that design choice gets exercised), plus timer state
+    // (named ValueState + registered event-time timers) surviving the
+    // restart. Same oracle — the restart and the backend must both be
+    // invisible in the output.
+    "q_stream_recovery_tws" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.file.Files
+      val sentinel = sentinelEvents(s, dir, Seq(-1L -> "sentinel"))
+      val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
+      val work = Files.createTempDirectory("graft_recovery_tws")
+      val in = work.resolve("in")
+      Files.createDirectories(in)
+      val out = work.resolve("out").toString
+      val ckpt = work.resolve("ckpt").toString
+      val files = {
+        val st = Files.list(java.nio.file.Paths.get(rd))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
+        } finally st.close()
+      }
+      def arm(names: Seq[java.nio.file.Path]): Unit = names.foreach { p =>
+        val dst = in.resolve(p.getFileName)
+        Files.copy(p, dst)
+        if (!dst.toFile.setLastModified(p.toFile.lastModified))
+          throw new IllegalStateException(s"cannot stamp mtime on $dst")
+      }
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled"
+      def drain(): Unit = {
+        val src = s.readStream.schema(EventsStream.eventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(in.toString)
+          .select(col("user_id"),
+            graft.engine.Engine.eventTs(col("ts")).as("ts"), col("event_type"))
+          .as[Sessionize.TimedEvent]
+        val prev = s.conf.getOption(provKey)
+        val prevCl = s.conf.getOption(clKey)
+        val q =
+          try {
+            s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+              "state.RocksDBStateStoreProvider")
+            s.conf.set(clKey, "true")
+            withStatePartitions(s, 8) {
+              SessionizeTws.incremental(src, 30).writeStream
+                .outputMode("append").format("parquet")
+                .option("path", out).option("checkpointLocation", ckpt)
+                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start()
+            }
+          } finally {
+            prev match {
+              case Some(v) => s.conf.set(provKey, v)
+              case None => s.conf.unset(provKey)
+            }
+            prevCl match {
+              case Some(v) => s.conf.set(clKey, v)
+              case None => s.conf.unset(clKey)
+            }
+          }
+        q.awaitTermination()
+        q.stop()
+      }
+      arm(files.take(2)); drain() // killed with RocksDB state in flight
+      arm(files.drop(2)); drain() // snapshot + changelog replay resume
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      s.read.parquet(out)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          row_number().over(w).cast("long").as("sess_no"),
+          col("n_events"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("sess_no"))
+    }),
+
     // the SAME unbounded sessionization on transformWithState (Spark
     // 4's arbitrary stateful API — named typed state + explicit
     // event-time timers, RocksDB-backed state-v2): identical fold,
@@ -612,6 +694,7 @@ object StreamQueries {
     "q_sessionize_tws" -> graft.ops.Analytical.oracleSql("q_sessionize"),
     // the restart must be INVISIBLE in the output — same batch oracle
     "q_stream_recovery" -> graft.ops.Analytical.oracleSql("q_sessionize"),
+    "q_stream_recovery_tws" -> graft.ops.Analytical.oracleSql("q_sessionize"),
     "q_stream_session_window" ->
       graft.ops.Relational2.oracleSql("q_events_session_window"),
     "q_events_window_stream" -> graft.ops.Relational.oracleSql("q_events_window"),

@@ -281,6 +281,30 @@ class PropertySpec extends SparkSpecBase {
     assert(ranked.toSet == want, "grouped rank must equal per-group row_number")
   }
 
+  test("JaccardSim ≡ composed array_intersect form on random arrays (dups/unicode/empty)") {
+    // the native kernel replaced the composed expression on every
+    // minhash verify path — the two must agree on EVERY input shape,
+    // including duplicate elements (remove-counting), multibyte
+    // strings (UTF8String hashing), and empty sides (0.0 guard)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = Vector("a", "bb", "κόσμε", "日本", "x y", "", "ß", "z")
+    def arr(): Seq[String] =
+      Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.length)))
+    val rows = (1 to 500).map(i => (i.toLong, arr(), arr()))
+    val df = rows.toDF("id", "a", "b")
+    val inter = size(array_intersect(col("a"), col("b"))).cast("double")
+    val union = size(col("a")).cast("double") + size(col("b")).cast("double") - inter
+    val out = df.select(col("id"),
+        graft.functions.HashExpressions.jaccard_sim(col("a"), col("b")).as("nat"),
+        when(union === 0, lit(0.0)).otherwise(inter / union).as("comp"))
+      .collect()
+    assert(out.length == rows.length)
+    out.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id=${r.getLong(0)}: native=${r.getDouble(1)} composed=${r.getDouble(2)}"))
+  }
+
   test("anomaly flags: DECIMAL(38,0) inequality exact at planted 1e8-scale counts") {
     // 30 hours of one type at C ≈ 1e8 with one planted 4e8 spike:
     // dev2w ≈ (24·3e8)²·23 ≈ 1.2e21 — an order past the old BIGINT

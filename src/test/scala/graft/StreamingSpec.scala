@@ -49,6 +49,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(rec2.exists { case (u, _, n, s0, s1) =>
       u == 2L && n == 2L && s0 < bound2Us && s1 >= bound2Us },
       s"planted spanning session missing: ${rec2.toSeq}")
+    // the RocksDB/transformWithState recovery twin must produce the
+    // same sessions from the same planted kill (snapshot + changelog
+    // replay restoring named state AND registered timers)
+    val recTws = SparkEntry.queries("q_stream_recovery_tws")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(recTws.toSet == batch.toSet,
+      s"tws recovery ${recTws.toSeq} != batch ${batch.toSeq}")
   }
 
   test("incremental sessionization across micro-batches matches the pure fold") {
