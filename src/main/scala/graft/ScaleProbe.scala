@@ -99,6 +99,21 @@ object ScaleProbe {
         1, 15), 16, 10).cast("long").as("h"))
       .agg(expr("bit_xor(h)")).head().getLong(0)
 
+  /** Order-independent checksum of the full dedup_incremental_minhash
+    * output — the r10 blocked-attach verify's spill-squeeze reference
+    * (its 269 MB peak task is the dedup family's largest: the per-doc
+    * collect_set, the block-join sorts, and the final agg are all
+    * spillable hash/sort machinery). */
+  private[graft] def incMinhashChecksum(spark: SparkSession, dir: String): Long =
+    graft.SparkEntry.queries("dedup_incremental_minhash")(spark, dir)
+      .select(conv(substring(md5(concat_ws("|",
+        col("doc_id").cast("string"), col("n_shingles").cast("string"),
+        coalesce(col("dup_partner").cast("string"), lit("-")),
+        col("n_corpus_matches").cast("string"),
+        col("dup_of_corpus").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+
   /** Order-independent checksum of the full text_bm25 output — the
     * reference value SpillProbe's memory-squeezed rerun must reproduce. */
   private[graft] def bm25Checksum(spark: SparkSession, dir: String): Long =
@@ -371,6 +386,15 @@ object ScaleProbe {
     bm25Ck.foreach { c =>
       if (onlyProbes.isDefined)
         mergeArtifact(factor, "bm25_checksum", s"""{"checksum":$c}""")
+    }
+    // and for the r10 blocked-attach minhash verify (see incMinhashChecksum)
+    val incCk: Option[Long] =
+      if (rows.exists(_._1 == "dedup_incremental_minhash"))
+        Some(incMinhashChecksum(spark, out))
+      else None
+    incCk.foreach { c =>
+      if (onlyProbes.isDefined)
+        mergeArtifact(factor, "inc_minhash_checksum", s"""{"checksum":$c}""")
     }
     // survivor funnel of the end-to-end corpus build — the evidence the
     // bare probe row can't carry on this shard: near-dup replicas

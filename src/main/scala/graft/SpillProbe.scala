@@ -184,6 +184,42 @@ object SpillProbe {
       Files.writeString(probeFile, mapper.writeValueAsString(rootNode) + "\n")
       println(s"merged bm25_spill into $probeFile")
     }
+
+    // ---- fourth squeeze target: the blocked minhash verify (r10) -----
+    // dedup_incremental_minhash's rebuilt verify carries the dedup
+    // family's largest peak task (269 MB: per-shard-doc collect_set,
+    // block-join sorts, final agg). All of it is spillable hash/sort
+    // machinery — under the squeezed pool the full output checksum must
+    // equal the unconstrained run's value recorded by ScaleProbe.
+    memSpill.set(0L); diskSpill.set(0L); peakTask.set(0L)
+    val t3 = System.nanoTime()
+    val incCk = ScaleProbe.incMinhashChecksum(spark, out)
+    val incWall = (System.nanoTime() - t3) / 1e9
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    val incDiskMb = diskSpill.get() / 1e6
+    val incPeakMb = peakTask.get() / 1e6
+    println(f"SPILL PROBE (inc minhash): checksum=$incCk wall=$incWall%.1fs " +
+      f"disk_spill=$incDiskMb%.1f MB peak_task=$incPeakMb%.1f MB")
+    require(incDiskMb > 0,
+      s"blocked minhash verify did not spill under fraction=$frac — claim untested")
+    if (Files.exists(probeFile)) {
+      val mapper = new ObjectMapper()
+      val rootNode = mapper.readTree(Files.readString(probeFile)).asInstanceOf[ObjectNode]
+      val ref = rootNode.path("inc_minhash_checksum").path("checksum")
+      if (!ref.isMissingNode)
+        require(ref.asLong() == incCk,
+          s"spilled minhash verify diverged: unconstrained=${ref.asLong()} spilled=$incCk")
+      def r1(v: Double): Double = math.rint(v * 10) / 10
+      val row = rootNode.putObject("inc_minhash_spill")
+      row.put("mem_fraction", frac.toDouble)
+      row.put("checksum", incCk)
+      row.put("matches_unconstrained", !ref.isMissingNode)
+      row.put("wall_s", r1(incWall))
+      row.put("disk_spill_mb", r1(incDiskMb))
+      row.put("peak_task_mem_mb", r1(incPeakMb))
+      Files.writeString(probeFile, mapper.writeValueAsString(rootNode) + "\n")
+      println(s"merged inc_minhash_spill into $probeFile")
+    }
     spark.stop()
   }
 }
