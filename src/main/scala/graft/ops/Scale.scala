@@ -30,7 +30,11 @@ object Scale {
     * forever — unbounded tmp-warehouse growth (ADVICE r9). Called just
     * before each generation's existence check; a no-op when nothing is
     * stale. Two concurrent sessions on the SAME source share one
-    * fingerprint, so neither can delete the other's live generation. */
+    * fingerprint, so neither can delete the other's live generation —
+    * and every prefix embeds [[srcTag]] (an md5 of the source DIR), so
+    * a session on sf0.1 can never retire a concurrent sf0.01 session's
+    * live layout either: retirement only ever removes a superseded
+    * generation of the SAME logical source. */
   private def retireStaleGenerations(spark: SparkSession, wh: String,
       prefix: String, current: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -53,6 +57,13 @@ object Scale {
       }
     }
   }
+
+
+  /** 8-hex tag of the source dir — scopes cache names and retirement to
+    * one logical source (see [[retireStaleGenerations]]). */
+  private def srcTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(spark, dir, name)
@@ -267,12 +278,15 @@ object Scale {
     // query (stale bucket files) silently diverge.
     "q_bucketed_join" -> ((s, dir) => {
       val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse").toString
-      val liTbl = "li_b_" + Engine.contentFingerprint(
+      val st = srcTag(dir)
+      val liFp = Engine.contentFingerprint(
         Paths.get(dir, "lineitem.parquet"), "bucket8")
-      val oTbl = "o_b_" + Engine.contentFingerprint(
+      val oFp = Engine.contentFingerprint(
         Paths.get(dir, "orders.parquet"), "bucket8")
-      retireStaleGenerations(s, wh, "li_b_", liTbl.stripPrefix("li_b_"))
-      retireStaleGenerations(s, wh, "o_b_", oTbl.stripPrefix("o_b_"))
+      val liTbl = s"li_b_${st}_$liFp"
+      val oTbl = s"o_b_${st}_$oFp"
+      retireStaleGenerations(s, wh, s"li_b_${st}_", liFp)
+      retireStaleGenerations(s, wh, s"o_b_${st}_", oFp)
       if (!s.catalog.tableExists(liTbl)) {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
           .write.mode("overwrite").option("path", s"$wh/$liTbl")
@@ -319,8 +333,9 @@ object Scale {
       // fingerprint cache key — see q_bucketed_join
       val sfTag = Engine.contentFingerprint(
         Paths.get(dir, "orders.parquet"), "zorder")
-      val path = s"$wh/orders_z_$sfTag"
-      retireStaleGenerations(s, wh, "orders_z_", sfTag)
+      val st = srcTag(dir)
+      val path = s"$wh/orders_z_${st}_$sfTag"
+      retireStaleGenerations(s, wh, s"orders_z_${st}_", sfTag)
       if (!java.nio.file.Files.exists(Paths.get(s"$path/_SUCCESS")))
         writeZOrdered(
           t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
@@ -395,8 +410,9 @@ object Scale {
       // ('sf-1' vs 'sf_1').
       val sfTag = Engine.contentFingerprint(
         Paths.get(dir, "events.parquet"), "bydate")
-      val path = s"$wh/events_bydate_$sfTag"
-      retireStaleGenerations(s, wh, "events_bydate_", sfTag)
+      val st = srcTag(dir)
+      val path = s"$wh/events_bydate_${st}_$sfTag"
+      retireStaleGenerations(s, wh, s"events_bydate_${st}_", sfTag)
       if (!java.nio.file.Files.exists(Paths.get(s"$path/_SUCCESS")))
         t(s, dir, "events")
           .withColumn("event_date", to_date(col("ts")))
@@ -422,10 +438,11 @@ object Scale {
       // fingerprint cache key — see q_bucketed_join
       val sfTag = Engine.contentFingerprint(
         Paths.get(dir, "documents.parquet"), "compact")
-      val frag = s"$wh/docs_frag_$sfTag"
-      val comp = s"$wh/docs_compact_$sfTag"
-      retireStaleGenerations(s, wh, "docs_frag_", sfTag)
-      retireStaleGenerations(s, wh, "docs_compact_", sfTag)
+      val st = srcTag(dir)
+      val frag = s"$wh/docs_frag_${st}_$sfTag"
+      val comp = s"$wh/docs_compact_${st}_$sfTag"
+      retireStaleGenerations(s, wh, s"docs_frag_${st}_", sfTag)
+      retireStaleGenerations(s, wh, s"docs_compact_${st}_", sfTag)
       if (!java.nio.file.Files.exists(Paths.get(s"$comp/_SUCCESS"))) {
         t(s, dir, "documents").repartition(64)
           .write.mode("overwrite").parquet(frag)

@@ -25,8 +25,19 @@ class ScaleSpec extends SparkSpecBase {
     val wh = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_warehouse")
     java.nio.file.Files.createDirectories(wh)
-    val fakes = Seq("li_b_deadbeef", "o_b_deadbeef", "orders_z_deadbeef",
-      "events_bydate_deadbeef", "docs_frag_deadbeef", "docs_compact_deadbeef")
+    // cache names embed an md5-derived source-dir tag (retirement is
+    // scoped per logical source — a different-SF session's layouts are
+    // never touched); the fakes must carry THIS source's tag to count
+    // as stale generations of it
+    val st = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val fakes = Seq(s"li_b_${st}_deadbeef", s"o_b_${st}_deadbeef",
+      s"orders_z_${st}_deadbeef", s"events_bydate_${st}_deadbeef",
+      s"docs_frag_${st}_deadbeef", s"docs_compact_${st}_deadbeef")
+    // and a FOREIGN-source generation that must SURVIVE the rebuilds
+    val foreign = wh.resolve("li_b_00000000_deadbeef")
+    java.nio.file.Files.createDirectories(foreign)
+    java.nio.file.Files.writeString(foreign.resolve("part-0.parquet"), "live")
     fakes.foreach { n =>
       val d = wh.resolve(n)
       java.nio.file.Files.createDirectories(d)
@@ -40,6 +51,12 @@ class ScaleSpec extends SparkSpecBase {
       assert(!java.nio.file.Files.exists(wh.resolve(n)),
         s"stale generation $n survived the rebuild")
     }
+    assert(java.nio.file.Files.exists(foreign),
+      "foreign-source generation was retired — retirement must be source-scoped")
+    val fw = java.nio.file.Files.walk(foreign)
+    try fw.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    finally fw.close()
   }
 
   test("salted join equals plain join on a pathologically skewed key") {
