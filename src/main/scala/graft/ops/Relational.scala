@@ -527,11 +527,19 @@ object Relational {
     // BigInt ground truth. Warm-up hours with fewer than 12 trailing
     // observations never flag. Same scale shape as the grid family:
     // one corpus aggregation, then time-range-sized.
+    // dev2w/var_w are DECIMAL(38,0) internally (overflow-proof) but
+    // rendered as canonical integer STRINGS in the output: the r10
+    // driver hash disagreed on decimal128 serialization even though
+    // every cell was repr-identical to the oracle, so both engines
+    // now emit VARCHAR — scale-0 decimals print the same plain
+    // integer in Spark and DuckDB.
     "q_events_anomaly" -> ((s, dir) =>
       anomalyFlags(denseHourlyCounts(s, dir))
         .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("w_n"), col("w_sum"),
-          col("dev2w"), col("var_w"), col("is_anomaly"))
+          col("dev2w").cast("string").as("dev2w"),
+          col("var_w").cast("string").as("var_w"),
+          col("is_anomaly"))
         .orderBy(col("hour"), col("event_type"))),
 
     // forward-fill (LOCF) over the same dense grid — the OTHER fill
@@ -916,12 +924,12 @@ object Relational {
         |)
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
         |  w_n, w_sum,
-        |  CAST((CAST(w_n AS HUGEINT) * n - w_sum)
+        |  CAST(CAST((CAST(w_n AS HUGEINT) * n - w_sum)
         |       * (CAST(w_n AS HUGEINT) * n - w_sum) * (w_n - 1)
-        |    AS DECIMAL(38,0)) AS dev2w,
-        |  CAST(9 * CAST(w_n AS HUGEINT)
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS dev2w,
+        |  CAST(CAST(9 * CAST(w_n AS HUGEINT)
         |       * (w_n * w_sum2h - CAST(w_sum AS HUGEINT) * w_sum)
-        |    AS DECIMAL(38,0)) AS var_w,
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS var_w,
         |  (w_n >= 12 AND
         |   (CAST(w_n AS HUGEINT) * n - w_sum)
         |     * (CAST(w_n AS HUGEINT) * n - w_sum) * (w_n - 1)

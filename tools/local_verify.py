@@ -3,12 +3,80 @@
 parquet dumps, run each oracle_sql.json entry in DuckDB over the same
 testdata parquet tables, and compare row counts, schemas and values.
 
-Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [--strict]
+
+--strict mimics the driver's HASH comparison instead of the default
+value-tolerant one: cells are rendered to canonical strings (no float
+tolerance beyond repr, decimals as plain integers/exact strings,
+arrays element-wise) with columns sorted by name, and the two renderings
+must be byte-identical. The r10 "303 oracle-green" miscount shipped
+because the tolerant compare passed a row the driver hash-failed
+(q_events_anomaly, decimal128 serialization) — certification claims
+must come from strict mode. Strict also WARNS on any decimal-typed
+output column, the one dtype class observed to hash unstably at the
+driver layer even when every cell repr matches.
 """
 import json, math, sys
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
+
+STRICT = "--strict" in sys.argv
+
+
+def canon_cell(v) -> str:
+    """Canonical per-cell string serialization (driver-hash mimic)."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    # Decimal, str, int, timestamps: str() is the canonical form —
+    # python Decimal('123') prints '123'; scale-0 arrow decimals
+    # arrive here as Decimal.
+    return str(v)
+
+
+def strict_compare(name, spark_df, duck_df):
+    problems = []
+    if list(sorted(spark_df.columns)) != list(sorted(duck_df.columns)):
+        return [f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"]
+    if len(spark_df) != len(duck_df):
+        return [f"row count: spark={len(spark_df)} duck={len(duck_df)}"]
+    s, d = norm(spark_df), norm(duck_df)
+    for c in s.columns:
+        if "decimal" in str(s[c].dtype).lower() or any(
+                type(x).__name__ == "Decimal" for x in s[c].head(1)):
+            problems.append(
+                f"WARN decimal-typed column [{c}]: driver hash observed "
+                f"unstable on decimal128 even with identical cells — "
+                f"render as VARCHAR/BIGINT instead")
+    bad = 0
+    for c in s.columns:
+        for i, (a, b) in enumerate(zip(s[c].tolist(), d[c].tolist())):
+            an = a is None or (isinstance(a, float) and math.isnan(a))
+            bn = b is None or (isinstance(b, float) and math.isnan(b))
+            if an and bn:
+                continue
+            ca, cb = canon_cell(a), canon_cell(b)
+            if an != bn or ca != cb:
+                if bad < 3:
+                    problems.append(f"strict[{c}][row {i}]: spark={ca!r} duck={cb!r}")
+                bad += 1
+    if bad:
+        problems.append(f"... {bad} strict-mismatched cells total")
+    return problems
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -59,7 +127,8 @@ def compare(name, spark_df, duck_df):
     return problems
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -81,8 +150,12 @@ def main():
         except Exception as e:
             fail.append((name, [f"oracle SQL error: {e}"]))
             continue
-        problems = compare(name, spark_df, duck_df)
-        (fail if problems else ok).append((name, problems))
+        problems = (strict_compare if STRICT else compare)(name, spark_df, duck_df)
+        hard = [p for p in problems if not p.startswith("WARN")]
+        for p in problems:
+            if p.startswith("WARN"):
+                print(f"!! {name}: {p}")
+        (fail if hard else ok).append((name, hard))
     missing = set(oracle) - produced
     print(f"== OK ({len(ok)}): " + " ".join(n for n, _ in ok))
     print(f"== ROWS-ONLY ({len(rows_only)}): " + " ".join(f"{n}({r})" for n, r in rows_only))
