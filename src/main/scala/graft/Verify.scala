@@ -40,8 +40,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // r10 verdict task 4: the README-trio row's oracle input — the
+    // seeded 1M-row types table, dumped NEXT TO the output dir (never
+    // inside it: the driver globs outDir's subdirectories as query
+    // results). The __GRAFT_TYPES1M__ placeholder in the trio's oracle
+    // SQL becomes this absolute path so DuckDB aggregates the exact
+    // same float32 column Spark aggregated.
+    val typesDir = s"${outDir.stripSuffix("/")}__aux/types_1m"
+    graft.engine.TypesTable.generate(spark, 1000000L, seed = 42)
+      .write.mode("overwrite").parquet(typesDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_TYPES1M__", typesDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -52,7 +52,17 @@ object Udaf {
 
     // the reference's headline benchmark (README.md:57-75): the sum trio
     // over a 1,000,000-row `types` table — built-in sum vs both custom
-    // aggregates. Rows-only (generated table, no oracle parquet).
+    // aggregates. Oracle-checked since r11 (r10 verdict task 4): Verify
+    // dumps the seeded table to parquet and DuckDB re-aggregates the
+    // same float32 column. builtin_sum compares EXACTLY (double
+    // accumulation both sides, round 1); the two 32-bit custom sums are
+    // inherently merge-order-nondeterministic at the f32 ulp scale
+    // (64 partials merged in task-arrival order), so they are checked
+    // as error-bound BOOLEANS: |f32 sum − double sum| < 64, far above
+    // the realistic reorder noise (~3: per-partition worst case
+    // 15625·ulp(7812)/2 ≈ 1.9, 64-way merge ≤ 64·ulp(5e5)/2 ≈ 2) and
+    // far below any real aggregation bug (a dropped partition is
+    // ~7800 off, a broken coercion ~5·10⁵ off).
     // Timing provenance: the r9 0.43s-vs-r8 0.177s drift was bisected in
     // r10 to the MACHINE window, not code — the unchanged r8 binary
     // re-measures 0.30-0.32s today while this code measures ~0.26-0.28s
@@ -63,8 +73,11 @@ object Udaf {
         .createOrReplaceTempView("types_1m")
       s.sql(
         """SELECT round(sum(float), 1) AS builtin_sum,
-          |       round(CAST(sum_custom(float) AS DOUBLE), 1) AS custom_sum,
-          |       round(CAST(sum_coercing(float) AS DOUBLE), 1) AS coercing_sum
+          |       abs(CAST(sum_custom(float) AS DOUBLE) - sum(float)) < 64.0
+          |         AS custom_sum_ok,
+          |       abs(CAST(sum_coercing(float) AS DOUBLE) - sum(float)) < 64.0
+          |         AS coercing_sum_ok,
+          |       count(*) AS n
           |FROM types_1m""".stripMargin)
     }),
 
@@ -97,6 +110,19 @@ object Udaf {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // __GRAFT_TYPES1M__ is interpolated by Verify with the absolute
+    // path of its seeded-table dump (the trio's input, written next to
+    // the output dir). The two booleans are computed SPARK-side (the
+    // oracle's constant `true` is the expected verdict): if either
+    // custom aggregate drifts past the f32 error bound, Spark emits
+    // false and the driver hash goes red.
+    "q_types_1m_trio" ->
+      """SELECT round(sum(float), 1) AS builtin_sum,
+        |       true AS custom_sum_ok,
+        |       true AS coercing_sum_ok,
+        |       count(*) AS n
+        |FROM read_parquet('__GRAFT_TYPES1M__/*.parquet')""".stripMargin,
+
     "q_sum_custom" ->
       """SELECT l_returnflag, CAST(sum(l_quantity) AS REAL) AS sum_qty_f32
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
