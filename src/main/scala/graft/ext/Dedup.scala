@@ -105,26 +105,23 @@ object Dedup {
     * nested columns (measured; the same holds on a cluster, where caching
     * also costs memory pressure on every executor).
     *
-    * Repartitions ONLY under-parallel inputs: a small parquet input
-    * arrives as ONE split and per-row signature math dominates, so a
-    * local single-file table is spread across every core before
-    * computing. At corpus scale the scan is already many-split and the
-    * repartition would push every document's TEXT through an exchange
-    * for nothing — there the signature math runs scan-local and only
-    * derived rows (band keys, ids) ever shuffle (r10 verdict task 3:
-    * the 100× incremental-minhash probe carried ~3.7 KB/doc largely in
-    * these text repartitions). */
-  def signatures(docs: DataFrame): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val base =
-      if (docs.rdd.getNumPartitions < par)
-        docs.repartition(par, col("doc_id"))
-      else docs
-    base
+    * Repartitions first: a small parquet input arrives as ONE split, and
+    * per-row signature math dominates — spread it across every core
+    * before computing (at corpus scale the input is already many-split,
+    * and the hash repartition just balances). The repartition is ALSO
+    * the reuse point: consumers of the same signatures frame share one
+    * exchange (ReuseExchange), so the minhash pass runs ONCE per query.
+    * Measured r11: making the repartition conditional on scan
+    * parallelism (to keep text out of the exchange, r10 verdict task 3)
+    * un-deduplicates that pass — every consumer re-ran scan+shingle+
+    * minhash and the incremental probe regressed 6× wall at 100×
+    * (51.8→323s) for only −8% shuffle. The text exchange stays. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig"))
-  }
 
   /** Candidate pairs from MinHash-LSH banding over a [[signatures]] frame:
     * explode band keys, bucket by (band, key), self-join inside buckets.
@@ -346,23 +343,27 @@ object Dedup {
         .select(col("s_id"), col("c_id")).distinct()
         .localCheckpoint(true)
       val par = s.sparkContext.defaultParallelism
-      // ids-FIRST restriction (r10 verdict task 3): the candidate id
-      // sets are broadcast onto the SCAN side as semi filters, so no
-      // non-candidate document's text or shingle array ever enters an
-      // exchange — the r9 form computed shingles for the whole side and
-      // semi-joined after, which shipped every array through the join
-      // exchange before the restriction applied. Broadcast is safe by
-      // construction: both id sets are ingest-bounded (s_id ≤ shard
-      // docs; c_id ≤ shard docs × bands × maxBucket partners), never
-      // corpus-bounded, and cands is already materialized so the
-      // distinct is a cheap local pass.
-      val sIds = cands.select(col("s_id")).distinct()
-      val cIds = cands.select(col("c_id")).distinct()
-      val shS = shard.select(col("doc_id").as("s_id"), col("text"))
-        .join(broadcast(sIds), Seq("s_id"), "leftsemi")
-        .repartition(par, col("s_id"))
-        .select(col("s_id"), shingles(col("text")).as("sh_s"))
+      // semi-restrict BOTH shingle sides to documents that actually
+      // appear in a candidate pair before any shingle array is shuffled:
+      // the semi join ships 8-byte ids; in production (dup fraction ≪ 1)
+      // this is what makes "only candidate corpus docs ship shingles"
+      // literally true — the corpus side's text never rides the verify
+      // exchange for the non-candidate bulk.
+      //
+      // MEASURED r11 (verdict task 3 prescription tried and reverted):
+      // an ids-FIRST variant — broadcast the candidate id sets onto the
+      // scan side, shingle only candidates post-filter — cut shuffle
+      // 58→39 MB at 10× but DOUBLED wall (6.7→13.8s; 100×: 51.8→323s
+      // with the signatures() exchange also removed). Cause: the
+      // repartition subtrees below are IDENTICAL to signatures()' and
+      // ReuseExchange already deduplicates them, so the text exchange
+      // this "saves" was free, while the two id broadcasts added
+      // blocking driver collects and a second scan. This form stands on
+      // measurement, not on the per-exchange byte count.
+      val shS = shard.repartition(par, col("doc_id"))
+        .select(col("doc_id").as("s_id"), shingles(col("text")).as("sh_s"))
         .filter(size(col("sh_s")) > 0)
+        .join(cands.select(col("s_id")), Seq("s_id"), "leftsemi")
       // Verify WITHOUT an O(pairs × array) exchange. The naive
       // cands ⋈ shS ⋈ shC chain re-partitions the (pair, sh_s)
       // intermediate by c_id, so a shard doc's shingle array rides the
@@ -403,17 +404,13 @@ object Dedup {
       val sExp = sParts.repartition(P, col("cpart"))
         .select(col("cpart"), col("s_id"), col("sh_s"),
           explode(col("cs_part")).as("c_id"))
-      // corpus side ships candidate TEXT once through the cpart
-      // exchange and shingles post-exchange at P-way parallelism —
-      // shipping the text (1×) beats shipping the derived shingle
-      // array (~3× the text bytes) and beats shingling pre-exchange on
-      // an under-parallel local scan
-      val shCp = corpus.select(col("doc_id").as("c_id"), col("text"))
-        .join(broadcast(cIds), Seq("c_id"), "leftsemi")
+      val shC = corpus.repartition(par, col("doc_id"))
+        .select(col("doc_id").as("c_id"), shingles(col("text")).as("sh_c"))
+        .filter(size(col("sh_c")) > 0)
+        .join(cands.select(col("c_id")), Seq("c_id"), "leftsemi")
+      val shCp = shC
         .withColumn("cpart", pmod(hash(col("c_id")), lit(P)))
         .repartition(P, col("cpart"))
-        .select(col("cpart"), col("c_id"), shingles(col("text")).as("sh_c"))
-        .filter(size(col("sh_c")) > 0)
       val dupOf = sExp.join(shCp, Seq("cpart", "c_id"))
         .select(col("s_id"), col("c_id"),
           jaccard(col("sh_s"), col("sh_c")).as("j"))

@@ -49,12 +49,22 @@ private[graft] object DistRank {
 
   /** `df` plus column `out` = exact global row_number by `order`.
     * Also returns the exact total row count (a free by-product of the
-    * census — saves callers a second corpus aggregate). */
+    * census — saves callers a second corpus aggregate).
+    *
+    * CONTRACT: `shard` must evaluate non-NULL on every row. The offset
+    * attach is a plain (null-unsafe) equi-join, so a NULL shard would
+    * silently rank as NULL — the census fails fast instead (ADVICE
+    * r10). Same for the group keys of [[rowNumberGrouped]]. */
   def rowNumberWithCount(s: SparkSession, df: DataFrame, shard: Column,
       order: Seq[Column], out: String): (DataFrame, Long) = {
     val tagged = df.withColumn("__shard", shard.cast("long"))
     val census = tagged.groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          "DistRank: shard expression evaluated to NULL — ranks would " +
+            "silently null out through the offset equi-join")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
     val total = census.map(_._2).sum
     val offsets = census.map(_._1)
       .zip(census.map(_._2).scanLeft(0L)(_ + _))
@@ -100,6 +110,18 @@ private[graft] object DistRank {
       .agg(count(lit(1)).as("__n"))
       .collect()
     val gIdx = group.indices
+    // fail fast on NULL group/shard keys (ADVICE r10): the offset
+    // attach below is a null-UNSAFE equi-join, so a null key would
+    // silently produce null ranks (and a null ordering divergence vs
+    // a DuckDB oracle's NULLS LAST) instead of an error
+    census.foreach { r =>
+      gIdx.foreach(i => require(!r.isNullAt(i),
+        s"DistRank: group key '${group(i)}' is NULL in the census — " +
+          "ranks would silently null out through the offset equi-join"))
+      require(!r.isNullAt(group.length),
+        "DistRank: shard expression evaluated to NULL — ranks would " +
+          "silently null out through the offset equi-join")
+    }
     val offsets: Seq[Row] = census.toSeq
       .groupBy(r => gIdx.map(r.get))
       .valuesIterator.flatMap { rows =>

@@ -306,40 +306,44 @@ object Multimodal {
         .select(col("media_id"), col("n_bytes"),
           graft.functions.HashExpressions.simhash64(col("tk")).as("fp"))
       val mask32 = lit(0xFFFFFFFFL)
-      // BOTH join sides carry ids + band keys only (r10 verdict task 3:
-      // the r10 probe side dragged fp_a and the index side fp_b/bytes_b
-      // through the 33×/2× expansions — 1.13 GB of the 100× probe's
-      // shuffle was payload riding candidate generation). Fingerprints
-      // and byte counts re-join AFTER the band match, onto the
-      // distinct (id_a, id_b) pair set — 16-byte pair rows are the only
-      // expansion-sized exchange.
+      // Fingerprints ride BOTH expansions on purpose: they are what
+      // lets the hamming ≤ 3 filter run BEFORE the pair distinct.
+      // MEASURED r11 (verdict task 3 prescription tried and reverted):
+      // an ids-only variant — (id, band, bkey) rows through the
+      // expansions, fp/bytes re-joined after a distinct over the raw
+      // band matches — more than DOUBLED the 100× probe's shuffle
+      // (1130→2468 MB) and took wall 12.4→99s, because on a near-dup-
+      // heavy corpus the unfiltered band-match pair set dwarfs the
+      // 8-byte fp column it saves; the hamming filter is the selective
+      // step and must precede the distinct exchange. The one payload
+      // that CAN leave candidate generation is bytes_b (never needed
+      // before the verdict): it re-joins after the filtered distinct.
       val indexSide = fp.select(col("media_id").as("id_b"),
+        col("fp").as("fp_b"),
         posexplode(transform(sequence(lit(0), lit(1)),
           b => call_function("shiftright", col("fp"), b * 32)
             .bitwiseAND(mask32))).as(Seq("band", "bkey")))
       // probe side: each band key plus its 32 one-bit neighbors — the
       // radius-⌊r/m⌋ query expansion that lets 2 wide bands cover r = 3
       val probeSide = fp.select(col("media_id").as("id_a"),
+          col("fp").as("fp_a"),
           posexplode(transform(sequence(lit(0), lit(1)),
             b => call_function("shiftright", col("fp"), b * 32)
               .bitwiseAND(mask32))).as(Seq("band", "bkey0")))
-        .select(col("id_a"), col("band"),
+        .select(col("id_a"), col("fp_a"), col("band"),
           explode(concat(array(col("bkey0")),
             transform(sequence(lit(0), lit(31)),
               i => col("bkey0").bitwiseXOR(
                 call_function("shiftleft", lit(1L), i))))).as("bkey"))
       val pairs = probeSide.join(indexSide, Seq("band", "bkey"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct() // a close pair can match via both bands / several flips
-      pairs
-        .join(fp.select(col("media_id").as("id_a"), col("fp").as("fp_a")),
-          Seq("id_a"))
-        .join(fp.select(col("media_id").as("id_b"), col("fp").as("fp_b"),
-          col("n_bytes").as("bytes_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"), col("bytes_b"),
+        .select(col("id_a"), col("id_b"),
           bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct() // a close pair can match via both bands / several flips
+      pairs
+        .join(fp.select(col("media_id").as("id_b"),
+          col("n_bytes").as("bytes_b")), Seq("id_b"))
         .groupBy(col("hamming"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("id_b")).as("n_media"),

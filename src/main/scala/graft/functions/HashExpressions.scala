@@ -407,15 +407,27 @@ object HashExpressions {
       if (na == 0 && nb == 0) return 0.0
       // set from the smaller side (dedups it), count distinct matches by
       // REMOVAL so duplicates on the probe side aren't double-counted —
-      // exactly array_intersect's distinct-intersection cardinality
+      // exactly array_intersect's distinct-intersection cardinality.
+      // NULL slots are guarded explicitly (ADVICE r10): an Unsafe array's
+      // getUTF8String on a null slot is layout-dependent garbage, so
+      // without the isNullAt checks the result could vary by physical
+      // representation. array_intersect treats null as ONE distinct
+      // value present on both sides — mirrored here via the hasNull
+      // flag (set side dedups its nulls; probe side consumes once).
       val (s, t, ns, nt) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
       val set = new java.util.HashSet[UTF8String](ns * 2)
+      var hasNull = false
       var i = 0
-      while (i < ns) { set.add(s.getUTF8String(i)); i += 1 }
+      while (i < ns) {
+        if (s.isNullAt(i)) hasNull = true else set.add(s.getUTF8String(i))
+        i += 1
+      }
       var inter = 0
       i = 0
       while (i < nt) {
-        if (set.remove(t.getUTF8String(i))) inter += 1
+        if (t.isNullAt(i)) {
+          if (hasNull) { inter += 1; hasNull = false }
+        } else if (set.remove(t.getUTF8String(i))) inter += 1
         i += 1
       }
       val union = (na + nb - inter).toDouble

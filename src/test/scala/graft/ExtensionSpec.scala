@@ -2410,6 +2410,28 @@ class ExtensionSpec extends SparkSpecBase {
       s"got ${rows.toSeq}")
   }
 
+  test("bpe encode: early-stopped training encodes with the merges learned") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpex2").toString
+    // same exhaustion corpus as the train spec: 2 merges then no pairs
+    // remain. Encode must apply exactly those 2 merges — both words
+    // collapse to ONE symbol, so fertility = 1.0 exactly. The DuckDB
+    // oracle reproduces this row verbatim (verified r11: the LEFT JOIN
+    // ON TRUE + chr(1) no-op renders the missing rounds 3..6 inert —
+    // a cross join against the empty m3..m6 would empty the result).
+    val text = (Seq.fill(3)("ab") ++ Seq.fill(2)("cd")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("text_bpe_encode")(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getDouble(5), row.getDouble(6)) ==
+      (("en", 2L, 5L, 5L, 10L, 1.0, 2.0)), s"got ${row.toString}")
+  }
+
   test("quality classifier: exact integer recount of the logit from raw docs") {
     val stopRe = java.util.regex.Pattern.compile(
       "\\b(the|a|and|of|to|in|is|on|for|with)\\b")

@@ -281,6 +281,28 @@ class PropertySpec extends SparkSpecBase {
     assert(ranked.toSet == want, "grouped rank must equal per-group row_number")
   }
 
+  test("DistRank fails fast on NULL shard or group keys, never null ranks") {
+    // the offset attach is a null-UNSAFE equi-join: a NULL key would
+    // silently rank as NULL (and diverge from a DuckDB oracle's nulls
+    // ordering). The census asserts instead (ADVICE r10).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Some(1L)), (2L, None), (3L, Some(2L)))
+      .toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ext.DistRank.rowNumber(spark, df,
+        col("v"), Seq(col("id").asc), "r").collect()
+    }
+    assert(e1.getMessage.contains("NULL"))
+    val df2 = Seq((1L, Some("a"), 1L), (2L, None, 1L))
+      .toDF("id", "g", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.DistRank.rowNumberGrouped(spark, df2, Seq("g"),
+        col("v"), Seq(col("id").asc), "r").collect()
+    }
+    assert(e2.getMessage.contains("NULL"))
+  }
+
   test("JaccardSim ≡ composed array_intersect form on random arrays (dups/unicode/empty)") {
     // the native kernel replaced the composed expression on every
     // minhash verify path — the two must agree on EVERY input shape,
@@ -289,7 +311,11 @@ class PropertySpec extends SparkSpecBase {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val rnd = new scala.util.Random(13)
-    val alphabet = Vector("a", "bb", "κόσμε", "日本", "x y", "", "ß", "z")
+    // null is IN the alphabet (ADVICE r10): array_intersect treats a
+    // null element as one distinct value on both sides, and the kernel
+    // must agree regardless of the array's physical layout
+    val alphabet = Vector("a", "bb", "κόσμε", "日本", "x y", "", "ß", "z",
+      null, null)
     def arr(): Seq[String] =
       Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.length)))
     val rows = (1 to 500).map(i => (i.toLong, arr(), arr()))
