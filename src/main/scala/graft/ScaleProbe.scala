@@ -396,6 +396,28 @@ object ScaleProbe {
       if (onlyProbes.isDefined)
         mergeArtifact(factor, "inc_minhash_checksum", s"""{"checksum":$c}""")
     }
+    // amortized-recovery probe (r10 verdict task 8): the recovery ROWS
+    // replay at maxFilesPerTrigger=1 (maximal commit count — their 100×
+    // walls are nearly all per-batch commit overhead, the cost the row
+    // deliberately exercises). This variant re-runs kill-and-resume at
+    // a production batch size and compares it against the UNINTERRUPTED
+    // run of the same input at the same trigger: the ratio isolates the
+    // restart's own cost and must sit well under 2×.
+    val recAmort: Option[String] =
+      if (rows.exists(_._1 == "q_stream_recovery") ||
+          onlyProbes.exists(_.contains("recovery_amortized"))) Some {
+        val (u, r, n) = streaming.StreamQueries.recoveryAmortized(spark, out)
+        def r1(v: Double): Double = math.rint(v * 10) / 10
+        val ratio = math.rint(r / u * 100) / 100
+        val json = s"""{"uninterrupted_s":${r1(u)},"recovered_s":${r1(r)},""" +
+          s""""ratio":$ratio,"sessions":$n}"""
+        println(s"PROBE recovery_amortized $json")
+        json
+      } else None
+    recAmort.foreach { json =>
+      if (onlyProbes.isDefined)
+        mergeArtifact(factor, "recovery_amortized", json)
+    }
     // survivor funnel of the end-to-end corpus build — the evidence the
     // bare probe row can't carry on this shard: near-dup replicas
     // collapse, then the shard's bench-id arithmetic puts every original

@@ -82,6 +82,80 @@ object StreamQueries {
     s.readStream.schema(EventsStream.eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(rd)
 
+  /** Probe-only (r10 verdict task 8, run by ScaleProbe — never a
+    * driver-contract row): the recovery ROWS replay at
+    * maxFilesPerTrigger=1 on purpose, exercising per-batch state/
+    * offset/sink commits as many times as the input allows — which is
+    * why their 100× walls are nearly all commit overhead. A production
+    * deployment batches; this probe re-runs the SAME kill-and-resume
+    * sessionization at a production batch size (half the replay files
+    * per trigger ⇒ one batch per phase) and measures it against the
+    * UNINTERRUPTED streaming run of the same input at the same
+    * trigger. The restart's own cost — query re-start + offset-log +
+    * state reload — is the only delta, so the ratio shows recovery
+    * amortizing once commits stop dominating. Outputs must agree
+    * exactly (count + Σn_events), same bar as the contract rows.
+    * Returns (uninterrupted_s, recovered_s, sessions). */
+  private[graft] def recoveryAmortized(s: SparkSession, dir: String): (Double, Double, Long) = {
+    import s.implicits._
+    import java.nio.file.Files
+    val sentinel = sentinelEvents(s, dir, Seq(-1L -> "sentinel"))
+    val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
+    val files = {
+      val st = Files.list(java.nio.file.Paths.get(rd))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally st.close()
+    }
+    val mft = math.max(files.size / 2, 1)
+    def run(kill: Boolean): (Double, Long, Long) = {
+      val work = Files.createTempDirectory("graft_rec_amort")
+      val in = work.resolve("in")
+      Files.createDirectories(in)
+      val out = work.resolve("out").toString
+      val ckpt = work.resolve("ckpt").toString
+      def arm(names: Seq[java.nio.file.Path]): Unit = names.foreach { p =>
+        val dst = in.resolve(p.getFileName)
+        Files.copy(p, dst)
+        if (!dst.toFile.setLastModified(p.toFile.lastModified))
+          throw new IllegalStateException(s"cannot stamp mtime on $dst")
+      }
+      def drain(): Unit = {
+        val src = s.readStream.schema(EventsStream.eventsSchema)
+          .option("maxFilesPerTrigger", mft.toString).parquet(in.toString)
+          .select(col("user_id"),
+            graft.engine.Engine.eventTs(col("ts")).as("ts"), col("event_type"))
+          .as[Sessionize.TimedEvent]
+        val q = withStatePartitions(s, 8) {
+          Sessionize.incremental(src, 30).writeStream
+            .outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        q.awaitTermination()
+        q.stop()
+      }
+      val t0 = System.nanoTime()
+      if (kill) {
+        arm(files.take(files.size / 2)); drain()
+        arm(files.drop(files.size / 2)); drain()
+      } else { arm(files); drain() }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val agg = s.read.parquet(out).filter(col("user_id") =!= -1L)
+        .agg(count(lit(1)).as("n"), sum(col("n_events")).as("ev")).head()
+      (wall, agg.getLong(0), agg.getLong(1))
+    }
+    val (uWall, uN, uEv) = run(kill = false)
+    val (rWall, rN, rEv) = run(kill = true)
+    require(uN == rN && uEv == rEv,
+      s"recovered output diverged: uninterrupted ($uN, $uEv) vs killed ($rN, $rEv)")
+    (uWall, rWall, uN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MULTI-batch sessionization through the UNBOUNDED operator
     // (Sessionize.incremental — event-time watermark + timeout): the

@@ -59,6 +59,55 @@ class ScaleSpec extends SparkSpecBase {
     finally fw.close()
   }
 
+  test("warehouse entry count stays bounded across 3 source regenerations") {
+    // r10 verdict task 9: retirement must hold EVERY cached-layout
+    // family (bucketed li/o, z-order, by-date partition, frag/compact)
+    // to exactly one live generation per logical source as the source
+    // is regenerated repeatedly — the unbounded-growth regression is a
+    // count that climbs by 6 per regeneration.
+    val src = java.nio.file.Files.createTempDirectory("graft_regen").toString
+    def regen(g: Int): Unit =
+      Seq("lineitem", "orders", "events", "documents").foreach { t =>
+        // g rows of difference per generation → a fresh content
+        // fingerprint every time, like a driver-side testdata rewrite
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(800 + g)
+          .coalesce(1).write.mode("overwrite").parquet(s"$src/$t.parquet")
+      }
+    val wh = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warehouse")
+    val st = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    def entries(): Seq[String] =
+      if (!java.nio.file.Files.isDirectory(wh)) Seq.empty
+      else {
+        val l = java.nio.file.Files.list(wh)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.contains(s"_${st}_")).toList.sorted
+        } finally l.close()
+      }
+    for (g <- 1 to 3) {
+      regen(g)
+      Seq("q_bucketed_join", "q_zorder_scan", "q_partition_prune",
+        "q_compact").foreach { q =>
+        ops.Scale.queries(q)(spark, src).count(): Unit
+      }
+      val names = entries()
+      assert(names.size == 6,
+        s"generation $g: expected 6 live layouts (one per family), " +
+          s"got ${names.size}: $names")
+    }
+    // cleanup: this source is throwaway — retire its last generation too
+    entries().foreach { n =>
+      if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE `$n`")
+      val w = java.nio.file.Files.walk(wh.resolve(n))
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally w.close()
+    }
+  }
+
   test("salted join equals plain join on a pathologically skewed key") {
     import spark.implicits._
     // one key owns half the rows — the case AQE's skew handling is for,
