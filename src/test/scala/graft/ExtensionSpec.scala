@@ -1264,11 +1264,13 @@ class ExtensionSpec extends SparkSpecBase {
     val rows = SparkEntry.queries("q_events_anomaly")(spark, sfDir).collect()
     assert(rows.exists(_.getBoolean(7)), "no anomaly flagged — vacuous")
     rows.foreach { r =>
-      // dev2w/var_w are DECIMAL(38,0) since the r10 overflow widening
+      // dev2w/var_w: DECIMAL(38,0) math since the r10 overflow
+      // widening, rendered as canonical integer STRINGS since r11
+      // (driver-hash-stable serialization — the values are unchanged)
       val (n, wn, wsum, dev2w, varw, flag) =
         (r.getLong(2), r.getLong(3), r.getLong(4),
-          BigInt(r.getDecimal(5).toBigInteger),
-          BigInt(r.getDecimal(6).toBigInteger), r.getBoolean(7))
+          BigInt(r.getString(5)),
+          BigInt(r.getString(6)), r.getBoolean(7))
       if (wn < 12) assert(!flag, s"warm-up hour flagged: $r")
       else {
         // exact recompute of the cleared inequality from the outputs
