@@ -198,6 +198,25 @@ object Bench {
     // window can't reproduce the reference, the row keeps its measured
     // time but is flagged `env_suspect` in the artifact — reported,
     // never silently rewritten, and all raw runs stay auditable.
+    // re-window budget: in a FULLY contaminated window every row can
+    // diverge, and 3 extra runs × 307 rows would triple the sweep.
+    // Re-measure only the worst offenders by absolute excess seconds
+    // (where the phantom regression actually distorts the total);
+    // anything past the budget is flagged env_suspect without the
+    // re-window — still reported, just not re-paid-for.
+    val rewindowBudget = 15
+    def excess(r: BenchRow): Double =
+      refStats.get(r.name).map(ref => r.min - ref._1).getOrElse(0.0)
+    val rewindowSet = healed
+      .filter { r =>
+        val swNow = mb(r.shufWriteB)
+        val sameSig = refStats.get(r.name).exists { case (_, refSw) =>
+          (refSw - swNow).abs <= math.max(1.0, 0.2 * math.max(refSw, swNow)) }
+        val divergent = refStats.get(r.name).exists { case (refMin, _) =>
+          r.min > 0.3 && refMin > 0.02 && r.min > 3.0 * refMin }
+        sameSig && divergent
+      }
+      .sortBy(r => -excess(r)).take(rewindowBudget).map(_.name).toSet
     val rechecked = healed.map { r =>
       val swNow = mb(r.shufWriteB)
       val sameSig = refStats.get(r.name).exists { case (_, refSw) =>
@@ -205,6 +224,7 @@ object Bench {
       val divergent = refStats.get(r.name).exists { case (refMin, _) =>
         r.min > 0.3 && refMin > 0.02 && r.min > 3.0 * refMin }
       if (!(sameSig && divergent)) (r, false)
+      else if (!rewindowSet.contains(r.name)) (r, true)
       else {
         val fn = SparkEntry.queries(r.name)
         val rerunsM = (1 to Runs).map { _ =>
@@ -254,7 +274,7 @@ object Bench {
       case r if isSuspect(r.median, r.min) => "\"" + r.name + "\""
     }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"failed":[${failed.mkString(",")}],"suspect":[${suspects.mkString(",")}],"env_suspect":[${envSuspects.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min; suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals (last window when healed) — same-shuffle+high-gc reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and the better median published (runs holds both windows) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the last committed BENCH_LOCAL min with unchanged shuffle signature, and a post-sweep re-window could not reproduce the reference — read as uniform environment contamination, not code"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"failed":[${failed.mkString(",")}],"suspect":[${suspects.mkString(",")}],"env_suspect":[${envSuspects.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min; suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals (last window when healed) — same-shuffle+high-gc reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and the better median published (runs holds both windows) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the last committed BENCH_LOCAL min with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the 15-row re-window budget was exhausted — read as uniform environment contamination, not code"}"""
     try Files.writeString(Paths.get(outFile), full + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] write failed: $e") }
     // stdout: short + complete beats long + truncated
