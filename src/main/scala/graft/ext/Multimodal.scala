@@ -306,20 +306,24 @@ object Multimodal {
         .select(col("media_id"), col("n_bytes"),
           graft.functions.HashExpressions.simhash64(col("tk")).as("fp"))
       val mask32 = lit(0xFFFFFFFFL)
-      // Fingerprints ride BOTH expansions on purpose: they are what
-      // lets the hamming ≤ 3 filter run BEFORE the pair distinct.
-      // MEASURED r11 (verdict task 3 prescription tried and reverted):
-      // an ids-only variant — (id, band, bkey) rows through the
-      // expansions, fp/bytes re-joined after a distinct over the raw
-      // band matches — more than DOUBLED the 100× probe's shuffle
-      // (1130→2468 MB) and took wall 12.4→99s, because on a near-dup-
-      // heavy corpus the unfiltered band-match pair set dwarfs the
-      // 8-byte fp column it saves; the hamming filter is the selective
-      // step and must precede the distinct exchange. The one payload
-      // that CAN leave candidate generation is bytes_b (never needed
-      // before the verdict): it re-joins after the filtered distinct.
+      // Fingerprints AND bytes ride the expansions on purpose — the
+      // r10 verdict's task-3 slimming prescriptions were both tried
+      // and MEASURED as regressions in r11, paired same-window runs of
+      // the two binaries on the 100× shard:
+      //  - ids-only expansions with fp/bytes re-joined after a distinct
+      //    over raw band matches: shuffle 1130→2468 MB, wall ~8×. The
+      //    hamming ≤ 3 filter is the selective step and must run BEFORE
+      //    the pair distinct, which needs fp on both expansion sides.
+      //  - keeping fp but re-joining only bytes_b after the filtered
+      //    distinct: shuffle 1130→1034 MB (−8%) but wall 16.6→43.3s /
+      //    17.4→34.7s (paired r10-vs-r11 binaries, same windows) — the
+      //    re-join forces a THIRD full simhash pass over every payload,
+      //    which costs far more than the 8-byte column it sheds.
+      // Candidate rows are (ids, fp, bytes) ≈ 40 B — already thin; the
+      // expansion-row COUNT (33×, the MIH trade) is the cost, not the
+      // payload width.
       val indexSide = fp.select(col("media_id").as("id_b"),
-        col("fp").as("fp_b"),
+        col("fp").as("fp_b"), col("n_bytes").as("bytes_b"),
         posexplode(transform(sequence(lit(0), lit(1)),
           b => call_function("shiftright", col("fp"), b * 32)
             .bitwiseAND(mask32))).as(Seq("band", "bkey")))
@@ -335,15 +339,12 @@ object Multimodal {
             transform(sequence(lit(0), lit(31)),
               i => col("bkey0").bitwiseXOR(
                 call_function("shiftleft", lit(1L), i))))).as("bkey"))
-      val pairs = probeSide.join(indexSide, Seq("band", "bkey"))
+      probeSide.join(indexSide, Seq("band", "bkey"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
+        .select(col("id_a"), col("id_b"), col("bytes_b"),
           bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct() // a close pair can match via both bands / several flips
-      pairs
-        .join(fp.select(col("media_id").as("id_b"),
-          col("n_bytes").as("bytes_b")), Seq("id_b"))
         .groupBy(col("hamming"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("id_b")).as("n_media"),
