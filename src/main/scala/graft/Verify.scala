@@ -46,7 +46,10 @@ object Verify {
     // results). The __GRAFT_TYPES1M__ placeholder in the trio's oracle
     // SQL becomes this absolute path so DuckDB aggregates the exact
     // same float32 column Spark aggregated.
-    val typesDir = s"${outDir.stripSuffix("/")}__aux/types_1m"
+    // absolute: the oracle SQL's interpolated path is resolved by the
+    // driver's DuckDB process from ITS working directory, not ours
+    val typesDir = Paths.get(s"${outDir.stripSuffix("/")}__aux/types_1m")
+      .toAbsolutePath.toString
     graft.engine.TypesTable.generate(spark, 1000000L, seed = 42)
       .write.mode("overwrite").parquet(typesDir)
     val json = SparkEntry.oracleSql
