@@ -49,12 +49,24 @@ object Dedup {
   /** LSH band keys: hash r consecutive signature slots per band. Two
     * documents with Jaccard ~s collide in ≥1 of b bands with probability
     * 1-(1-s^r)^b; with b=16, r=4 the S-curve threshold is ≈0.5.
-    * Keyed by md5 over the fixed-width-hex slot values so the DuckDB
-    * oracle reproduces the buckets bit-for-bit. */
+    * Keyed by the first 60 BITS of md5 over the fixed-width-hex slot
+    * values, as a BIGINT — not the 32-char hex string (r11): the band
+    * key is the widest column on every banding exchange (bucket
+    * groupBys, candidate joins, the okC cap filter), and the 60-bit
+    * prefix cuts it 36→8 bytes per row while the DuckDB oracle still
+    * reproduces the buckets bit-for-bit (same prefix both sides — the
+    * md5Hash64/'0x'||substr pattern the signature slots already use;
+    * 15 hex chars keeps Spark's conv() inside the signed-long range,
+    * the ScaleProbe checksum precedent). A 60-bit prefix collision
+    * (~10⁻⁵ at 5M buckets) merely MERGES two buckets identically in
+    * both engines — candidates stay a superset and the exact Jaccard
+    * verify decides membership, so results are unchanged even then. */
   def bandKeys(sig: Column, bands: Int = 16, rows: Int = 4): Column = {
     val hx = transform(sig, x => lower(lpad(hex(x), 16, "0")))
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws(",", slice(hx, b * rows + 1, lit(rows)))))
+      b => conv(substring(
+          md5(concat_ws(",", slice(hx, b * rows + 1, lit(rows)))), 1, 15),
+        16, 10).cast("long"))
   }
 
   /** 64-bit SimHash over token hashes: bit j is set iff the sum of
@@ -796,7 +808,7 @@ object Dedup {
       |  FROM sig
       |), banded AS (
       |  SELECT doc_id, t.band,
-      |    md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')) AS bkey
+      |    ('0x' || substr(md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')), 1, 15))::BIGINT AS bkey
       |  FROM hexsig, range(0, 16) t(band)
       |)""".stripMargin
 
@@ -830,7 +842,7 @@ object Dedup {
         |  FROM sig
         |), banded AS (
         |  SELECT doc_id, t.band,
-        |    md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')) AS bkey
+        |    ('0x' || substr(md5(array_to_string(hx[t.band*4+1 : t.band*4+4], ',')), 1, 15))::BIGINT AS bkey
         |  FROM hexsig, range(0, 16) t(band)
         |), okbuckets AS (
         |  SELECT band, bkey FROM banded
