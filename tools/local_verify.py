@@ -31,6 +31,8 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # int(inf) raises OverflowError (r11 ADVICE)
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -48,6 +50,16 @@ def canon_cell(v) -> str:
     return str(v)
 
 
+def _has_decimal(series) -> bool:
+    """Decimal detection over the WHOLE column (not head(1): an
+    object-dtype column whose first row is None escaped the r11 check)."""
+    if "decimal" in str(series.dtype).lower():
+        return True
+    if series.dtype.kind != "O":
+        return False
+    return any(type(x).__name__ == "Decimal" for x in series.tolist())
+
+
 def strict_compare(name, spark_df, duck_df):
     problems = []
     if list(sorted(spark_df.columns)) != list(sorted(duck_df.columns)):
@@ -56,21 +68,37 @@ def strict_compare(name, spark_df, duck_df):
         return [f"row count: spark={len(spark_df)} duck={len(duck_df)}"]
     s, d = norm(spark_df), norm(duck_df)
     for c in s.columns:
-        if "decimal" in str(s[c].dtype).lower() or any(
-                type(x).__name__ == "Decimal" for x in s[c].head(1)):
+        # BOTH sides: a decimal appearing only in the DuckDB rendering is
+        # just as hash-unstable at the driver as a Spark-side one
+        if _has_decimal(s[c]) or _has_decimal(d[c]):
             problems.append(
                 f"WARN decimal-typed column [{c}]: driver hash observed "
                 f"unstable on decimal128 even with identical cells — "
                 f"render as VARCHAR/BIGINT instead")
+        # float-vs-int kind divergence: canon_cell collapses 5.0 and 5 to
+        # '5', so a dtype split passes strict locally while the driver's
+        # own serialization (unobservable from here) may well not — the
+        # exact local-green/driver-red class strict mode exists to catch.
+        ks, kd = s[c].dtype.kind, d[c].dtype.kind
+        if {ks, kd} == {"f", "i"} or {ks, kd} == {"f", "u"}:
+            problems.append(
+                f"WARN dtype-kind split [{c}]: spark={s[c].dtype} "
+                f"duck={d[c].dtype} — integer-valued floats canonicalize "
+                f"like ints here but may not at the driver; align the "
+                f"output types")
     bad = 0
     for c in s.columns:
         for i, (a, b) in enumerate(zip(s[c].tolist(), d[c].tolist())):
-            an = a is None or (isinstance(a, float) and math.isnan(a))
-            bn = b is None or (isinstance(b, float) and math.isnan(b))
-            if an and bn:
+            # only a SAME-KIND null pair is mutually equal in strict mode:
+            # Spark NULL vs DuckDB NaN must compare as '\\N' vs 'NaN'
+            # (the r11 ADVICE hole — `an and bn` treated them as equal)
+            a_none, b_none = a is None, b is None
+            a_nan = isinstance(a, float) and math.isnan(a)
+            b_nan = isinstance(b, float) and math.isnan(b)
+            if (a_none and b_none) or (a_nan and b_nan):
                 continue
             ca, cb = canon_cell(a), canon_cell(b)
-            if an != bn or ca != cb:
+            if ca != cb:
                 if bad < 3:
                     problems.append(f"strict[{c}][row {i}]: spark={ca!r} duck={cb!r}")
                 bad += 1
