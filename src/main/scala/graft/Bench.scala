@@ -4,9 +4,101 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One query's bench record: timing stats plus the task-metric columns
-  * that make a slow run attributable (see Bench scaladoc). */
+  * that make a slow run attributable (see Bench scaladoc). `raw` is
+  * `warmup +: timed₁ ++ timed₂ ++ …` — raw(0) is the untimed warmup and
+  * every later entry is a timed run, appended window by window, which is
+  * what lets the pooled stats be recomputed from `raw` alone. `load` is
+  * the 1-minute /proc/loadavg read before and after each timed window
+  * ([b₁,a₁,b₂,a₂,…]) — this machine's walls swing 2-10× under co-tenant
+  * load and every round has spent effort re-adjudicating phantom
+  * regressions; with the readings in the artifact a slow window is
+  * attributable without a paired re-run. */
 private[graft] case class BenchRow(name: String, median: Double, min: Double,
-    raw: Seq[Double], shufWriteB: Long, shufReadB: Long, gcMsRuns: Seq[Long])
+    raw: Seq[Double], shufWriteB: Long, shufReadB: Long, gcMsRuns: Seq[Long],
+    load: Seq[Double])
+
+/** Pure stat/guard policies for [[Bench]], extracted so they are
+  * unit-testable without a SparkSession (BenchStatsSpec). Both carried a
+  * silent bias before r12:
+  *
+  *  - the heal published min(median₁, median₂) — a best-of-two selection
+  *    bias on bimodal queries (the lower window wins even when it is the
+  *    outlier), and a rerun window that did NOT improve the stat was
+  *    dropped from `raw`, contradicting the artifact's own "all raw runs
+  *    stay auditable" note;
+  *  - the env-guard's 15-row re-window budget had never fired in anger,
+  *    so its budget-exhausted path (flag without re-measurement) was
+  *    untested.
+  */
+private[graft] object BenchStats {
+
+  /** Median with the standard even-count convention (mean of the two
+    * middle elements) — pooled windows have even run counts. */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Intra-window contamination heuristic: median/min > 2× means most
+    * timed runs hit a contention window the warmup couldn't absorb.
+    * Sub-50ms queries are exempt — at scheduling-floor timescales the
+    * ratio is all jitter, no signal. */
+  def isSuspect(median: Double, min: Double): Boolean =
+    median >= 0 && min > 0.05 && median / min > 2.0
+
+  /** Merge one rerun window into a row.
+    *
+    * `raw`/`gcMsRuns`/`load` grow by the rerun's data UNCONDITIONALLY —
+    * a rerun that fails or fails to improve the stat is exactly the
+    * evidence a later reader needs (it proves the reference could not be
+    * reproduced). The published median/min are recomputed over ALL
+    * successful timed runs from EVERY window pooled (raw minus the
+    * warmup minus failed runs): no window is privileged, so there is no
+    * best-of-N selection bias, and re-merging a second window (a row can
+    * pass through both the heal and the env-guard rerun) just extends
+    * the pool. A row whose original runs all failed stays failed
+    * (median −1) regardless of rerun outcomes — a query that ever
+    * poisoned its session must fail loudly, not average out. */
+  def combineWindows(r: BenchRow, rerunTimed: Seq[Double],
+      rerunGc: Seq[Long], rerunLoad: Seq[Double]): BenchRow = {
+    val grown = r.copy(raw = r.raw ++ rerunTimed,
+      gcMsRuns = r.gcMsRuns ++ rerunGc, load = r.load ++ rerunLoad)
+    val pooled = grown.raw.drop(1).filter(_ >= 0)
+    if (r.median < 0 || pooled.isEmpty) grown
+    else grown.copy(median = median(pooled), min = pooled.min)
+  }
+
+  /** Shuffle signature match: plan-determined bytes agree within ±20%
+    * (AQE jitter) or 1 MB, whichever is wider. */
+  def sameSignature(refSwMb: Double, swNowMb: Double): Boolean =
+    (refSwMb - swNowMb).abs <= math.max(1.0, 0.2 * math.max(refSwMb, swNowMb))
+
+  /** Uniform-contamination divergence: min > 3× the committed reference
+    * min, both far enough from the scheduling floor to mean anything. */
+  def divergent(refMin: Double, minNow: Double): Boolean =
+    minNow > 0.3 && refMin > 0.02 && minNow > 3.0 * refMin
+
+  /** Env-guard selection. `rows` are (name, min, shuffle_write_mb) of
+    * the post-heal sweep; returns (rewindow, flaggedWithoutRewindow):
+    * every same-signature divergent row is flagged, the `budget` worst
+    * by absolute excess seconds (where phantom regression actually
+    * distorts the total) get one more measured window, and the rest are
+    * reported `env_suspect` WITHOUT re-measurement — in a fully
+    * contaminated window every row diverges and 3 extra runs × 307 rows
+    * would triple the sweep. */
+  def selectRewindow(rows: Seq[(String, Double, Double)],
+      refStats: Map[String, (Double, Double)],
+      budget: Int): (Set[String], Set[String]) = {
+    val flagged = rows.filter { case (n, minNow, swNow) =>
+      refStats.get(n).exists { case (refMin, refSw) =>
+        sameSignature(refSw, swNow) && divergent(refMin, minNow) } }
+    val rewindow = flagged
+      .sortBy { case (n, minNow, _) => -(minNow - refStats(n)._1) }
+      .take(budget).map(_._1).toSet
+    (rewindow, flagged.map(_._1).toSet -- rewindow)
+  }
+}
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
@@ -26,12 +118,13 @@ private[graft] case class BenchRow(name: String, median: Double, min: Double,
   * per-row-expression queries would be timed as bare scans. The noop
   * sink materializes every output column through the full plan.
   *
-  * The full JSON (median + min + raw runs) goes to BENCH_LOCAL.json;
-  * stdout gets a SHORT single line (total + slowest-10 medians + file
-  * pointer) because the driver captures only a ~2,000-char stdout tail.
-  * The line is printed AFTER spark.stop() so no shutdown log can trail
-  * it — the driver JSON-decodes the last stdout line (see build.sbt's
-  * outputStrategy note for the other half of that contract).
+  * The full JSON (median + min + raw runs + per-window loadavg) goes to
+  * BENCH_LOCAL.json; stdout gets a SHORT single line (total +
+  * slowest-10 medians + file pointer) because the driver captures only
+  * a ~2,000-char stdout tail. The line is printed AFTER spark.stop() so
+  * no shutdown log can trail it — the driver JSON-decodes the last
+  * stdout line (see build.sbt's outputStrategy note for the other half
+  * of that contract).
   */
 object Bench {
   private val Runs = 3
@@ -58,6 +151,13 @@ object Bench {
     (shufWrite.get(), shufRead.get(), gcMs.get())
   }
 
+  /** 1-minute system load average (−1 when unreadable — non-Linux or a
+    * locked-down /proc). Sampled around every timed window so co-tenant
+    * contamination is attributable from the artifact alone. */
+  private def loadavg1(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case NonFatal(_) => -1.0 }
+
   /** Forces full materialization of every column; -1.0 = query failed.
     * Catches NonFatal only: after an OOM or other fatal JVM error the
     * session is undefined and every later median would be silently
@@ -75,34 +175,80 @@ object Bench {
     }
   }
 
+  /** One timed window: `Runs` measured executions with per-run metric
+    * snapshots, bracketed by loadavg readings. */
+  private def timedWindow(sc: org.apache.spark.SparkContext,
+      spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => DataFrame)
+      : (Seq[(Double, Long, Long, Long)], Seq[Double]) = {
+    val lb = loadavg1()
+    val runs = (1 to Runs).map { _ =>
+      resetMetrics(sc)
+      val sec = timeOnce(fn(spark, sfDir))
+      val (sw, sr, gc) = snapMetrics(sc)
+      (sec, sw, sr, gc)
+    }
+    (runs, Seq(lb, loadavg1()))
+  }
+
+  /** The committed reference snapshot for the uniform-contamination
+    * guard: (min, shuffle_write_mb) per query. Read from
+    * `git show HEAD:<outFile>` first — in the driver's fresh-checkout
+    * flow that is byte-identical to the file, but in any local
+    * back-to-back run the FILE already holds the immediately previous
+    * (possibly contaminated) run's output, which would silently drift
+    * the 3× divergence baseline (r11 ADVICE). Falls back to the file
+    * (annotated as such in the artifact) when git is unavailable, then
+    * to empty. SPARK_GRAFT_BENCH_REF overrides both. */
+  private def readRefStats(outFile: String)
+      : (Map[String, (Double, Double)], String) = {
+    def parse(json: String): Map[String, (Double, Double)] = {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val mins = root.path("min")
+      val sw = root.path("shuffle_write_mb")
+      import scala.jdk.CollectionConverters._
+      mins.properties().asScala.collect {
+        case e if e.getValue.isNumber && sw.path(e.getKey).isNumber =>
+          e.getKey -> (e.getValue.asDouble, sw.path(e.getKey).asDouble)
+      }.toMap
+    }
+    sys.env.get("SPARK_GRAFT_BENCH_REF") match {
+      case Some(p) =>
+        try (parse(Files.readString(Paths.get(p))), s"env:$p")
+        catch { case NonFatal(_) => (Map.empty, s"env:$p:unreadable") }
+      case None =>
+        val path = Paths.get(outFile).toAbsolutePath
+        val fromGit =
+          try {
+            val pb = new ProcessBuilder("git", "-C", path.getParent.toString,
+              "show", s"HEAD:./${path.getFileName}")
+            pb.redirectErrorStream(false)
+            val proc = pb.start()
+            val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+            if (proc.waitFor() == 0 && out.nonEmpty)
+              Some((parse(out), "git:HEAD"))
+            else None
+          } catch { case NonFatal(_) => None }
+        fromGit.orElse {
+          try Some((parse(Files.readString(path)), s"file:$path"))
+          catch { case NonFatal(_) => None }
+        }.getOrElse((Map.empty, "none"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
-    // last committed BENCH_LOCAL (the driver checks out the repo, so at
-    // process start outFile still holds the previous round's committed
-    // snapshot) → (min, shuffle_write_mb) per query, the reference for
-    // the uniform-contamination guard below. Unparsable/missing ⇒ empty.
-    val refStats: Map[String, (Double, Double)] = {
-      val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", outFile)
-      try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(Files.readString(Paths.get(refPath)))
-        val mins = root.path("min")
-        val sw = root.path("shuffle_write_mb")
-        import scala.jdk.CollectionConverters._
-        mins.properties().asScala.collect {
-          case e if e.getValue.isNumber && sw.path(e.getKey).isNumber =>
-            e.getKey -> (e.getValue.asDouble, sw.path(e.getKey).asDouble)
-        }.toMap
-      } catch { case NonFatal(_) => Map.empty }
-    }
+    val (refStats, refSource) = readRefStats(outFile)
+    val suiteLoadStart = loadavg1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Engine.tune(spark)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
@@ -129,25 +275,20 @@ object Bench {
         val warm = timeOnce(fn(spark, sfDir))
         // a failed warmup means the query itself fails — don't run it
         // 3 more times just to fail 3 more times
-        val runsM =
-          if (warm < 0) Seq.fill(Runs)((-1.0, 0L, 0L, 0L))
-          else (1 to Runs).map { _ =>
-            resetMetrics(sc)
-            val sec = timeOnce(fn(spark, sfDir))
-            val (sw, sr, gc) = snapMetrics(sc)
-            (sec, sw, sr, gc)
-          }
+        val (runsM, load) =
+          if (warm < 0) (Seq.fill(Runs)((-1.0, 0L, 0L, 0L)), Seq.empty[Double])
+          else timedWindow(sc, spark, sfDir, fn)
         val timed = runsM.map(_._1)
         // any failed run poisons the stats: report -1, never a
         // healthy-looking near-zero exception time
         val bad = timed.contains(-1.0)
-        val median = if (bad) -1.0 else timed.sorted.apply(Runs / 2)
+        val median = if (bad) -1.0 else BenchStats.median(timed)
         val min = if (bad) -1.0 else timed.min
         // shuffle bytes are plan-determined (median across runs absorbs
         // AQE jitter); gc is the per-run variance signal, kept as a list
         def med(xs: Seq[Long]): Long = xs.sorted.apply(Runs / 2)
         BenchRow(name, median, min, warm +: timed,
-          med(runsM.map(_._2)), med(runsM.map(_._3)), runsM.map(_._4))
+          med(runsM.map(_._2)), med(runsM.map(_._3)), runsM.map(_._4), load)
       }
     // self-heal pass (r9 verdict #3): a suspect row (median/min > 2×)
     // means two of three timed runs hit a contention window — GC pause,
@@ -155,99 +296,50 @@ object Bench {
     // r9 artifact carried three such rows with 13.5s GC pauses inside
     // one run. Re-measure each suspect ONCE after the full sweep (by
     // then the JVM has settled and nothing else is in flight) and
-    // publish whichever median is lower; every raw run from both
-    // windows stays in `runs` so the heal is auditable, and a row still
-    // suspect AFTER the heal is a genuine bimodal query, not noise.
-    def isSuspect(median: Double, min: Double): Boolean =
-      median >= 0 && min > 0.05 && median / min > 2.0
+    // publish the median over ALL timed runs from both windows
+    // (BenchStats.combineWindows — r11 published the LOWER of the two
+    // medians, a best-of-two selection bias); every raw run from both
+    // windows stays in `runs` whatever the rerun showed, and a row
+    // still suspect AFTER the heal is a genuine bimodal query, not noise.
     val healed = results.map { r =>
-      if (!isSuspect(r.median, r.min)) r
+      if (!BenchStats.isSuspect(r.median, r.min)) r
       else {
-        val fn = SparkEntry.queries(r.name)
-        val rerunsM = (1 to Runs).map { _ =>
-          resetMetrics(sc)
-          val sec = timeOnce(fn(spark, sfDir))
-          val (sw, sr, gc) = snapMetrics(sc)
-          (sec, sw, sr, gc)
-        }
-        val timed = rerunsM.map(_._1)
-        val med2 =
-          if (timed.contains(-1.0)) Double.MaxValue
-          else timed.sorted.apply(Runs / 2)
-        if (med2 >= r.median) r
-        else {
-          def med(xs: Seq[Long]): Long = xs.sorted.apply(Runs / 2)
-          BenchRow(r.name, med2, math.min(r.min, timed.min),
-            r.raw ++ timed, med(rerunsM.map(_._2)), med(rerunsM.map(_._3)),
-            rerunsM.map(_._4))
-        }
+        val (rerunsM, load2) =
+          timedWindow(sc, spark, sfDir, SparkEntry.queries(r.name))
+        BenchStats.combineWindows(r, rerunsM.map(_._1), rerunsM.map(_._4), load2)
       }
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def r2(v: Double): Double = math.rint(v * 100) / 100
     def mb(v: Long): Double = math.rint(v / 1e4) / 100
     // reference-window guard (r10 verdict #3): the intra-window suspect
     // heuristic (median/min > 2×) is blind to UNIFORMLY slow windows —
     // r10's driver window ran the alphabetically-contiguous dedup_*/
     // emb_* block 4-13× slow across ALL runs (identical shuffle bytes,
     // zero GC), so nothing tripped the ratio and ~31s of phantom
-    // regression was published. Guard: `refStats` was read at process
-    // start from the LAST COMMITTED BENCH_LOCAL (same path, before this
-    // run overwrites it). A query whose min is >3× its reference min
-    // while its shuffle signature is unchanged (same plan ⇒ same bytes,
-    // ±20% AQE jitter) gets ONE more post-sweep window; if even that
-    // window can't reproduce the reference, the row keeps its measured
-    // time but is flagged `env_suspect` in the artifact — reported,
-    // never silently rewritten, and all raw runs stay auditable.
-    // re-window budget: in a FULLY contaminated window every row can
-    // diverge, and 3 extra runs × 307 rows would triple the sweep.
-    // Re-measure only the worst offenders by absolute excess seconds
-    // (where the phantom regression actually distorts the total);
-    // anything past the budget is flagged env_suspect without the
-    // re-window — still reported, just not re-paid-for.
+    // regression was published. Guard: a query whose min is >3× the
+    // committed reference min (readRefStats — git HEAD, not the file a
+    // local back-to-back run just overwrote) while its shuffle signature
+    // is unchanged (same plan ⇒ same bytes, ±20% AQE jitter) gets ONE
+    // more post-sweep window; if even that window can't reproduce the
+    // reference, the row keeps its pooled measured time but is flagged
+    // `env_suspect` in the artifact — reported, never silently
+    // rewritten, and all raw runs from every window stay auditable.
+    // Selection and budget policy live in BenchStats.selectRewindow
+    // (unit-tested, incl. the budget-exhausted path).
     val rewindowBudget = 15
-    def excess(r: BenchRow): Double =
-      refStats.get(r.name).map(ref => r.min - ref._1).getOrElse(0.0)
-    val rewindowSet = healed
-      .filter { r =>
-        val swNow = mb(r.shufWriteB)
-        val sameSig = refStats.get(r.name).exists { case (_, refSw) =>
-          (refSw - swNow).abs <= math.max(1.0, 0.2 * math.max(refSw, swNow)) }
-        val divergent = refStats.get(r.name).exists { case (refMin, _) =>
-          r.min > 0.3 && refMin > 0.02 && r.min > 3.0 * refMin }
-        sameSig && divergent
-      }
-      .sortBy(r => -excess(r)).take(rewindowBudget).map(_.name).toSet
+    val (rewindowSet, overBudget) = BenchStats.selectRewindow(
+      healed.map(r => (r.name, r.min, mb(r.shufWriteB))), refStats, rewindowBudget)
     val rechecked = healed.map { r =>
-      val swNow = mb(r.shufWriteB)
-      val sameSig = refStats.get(r.name).exists { case (_, refSw) =>
-        (refSw - swNow).abs <= math.max(1.0, 0.2 * math.max(refSw, swNow)) }
-      val divergent = refStats.get(r.name).exists { case (refMin, _) =>
-        r.min > 0.3 && refMin > 0.02 && r.min > 3.0 * refMin }
-      if (!(sameSig && divergent)) (r, false)
-      else if (!rewindowSet.contains(r.name)) (r, true)
+      if (overBudget.contains(r.name)) (r, true)
+      else if (!rewindowSet.contains(r.name)) (r, false)
       else {
-        val fn = SparkEntry.queries(r.name)
-        val rerunsM = (1 to Runs).map { _ =>
-          resetMetrics(sc)
-          val sec = timeOnce(fn(spark, sfDir))
-          val (sw, sr, gc) = snapMetrics(sc)
-          (sec, sw, sr, gc)
-        }
+        val (rerunsM, load2) =
+          timedWindow(sc, spark, sfDir, SparkEntry.queries(r.name))
         val timed = rerunsM.map(_._1)
         val refMin = refStats(r.name)._1
         val stillSlow = timed.contains(-1.0) || timed.min > 3.0 * refMin
-        val med2 =
-          if (timed.contains(-1.0)) Double.MaxValue
-          else timed.sorted.apply(Runs / 2)
-        val row =
-          if (med2 >= r.median) r
-          else {
-            def med(xs: Seq[Long]): Long = xs.sorted.apply(Runs / 2)
-            BenchRow(r.name, med2, math.min(r.min, timed.min),
-              r.raw ++ timed, med(rerunsM.map(_._2)), med(rerunsM.map(_._3)),
-              rerunsM.map(_._4))
-          }
-        (row, stillSlow)
+        (BenchStats.combineWindows(r, timed, rerunsM.map(_._4), load2), stillSlow)
       }
     }
     val healed2 = rechecked.map(_._1)
@@ -262,19 +354,22 @@ object Bench {
     val shufR = obj(healed2.map(r => r.name -> mb(r.shufReadB).toString))
     val gc = obj(healed2.map(r =>
       r.name -> r.gcMsRuns.mkString("[", ",", "]")))
+    val loads = obj(healed2.map(r =>
+      r.name -> r.load.map(r2).mkString("[", ",", "]")))
     val ok = healed2.filter(_.median >= 0)
     val failed = healed2.collect { case r if r.median < 0 => "\"" + r.name + "\"" }
     val total = r3(ok.map(_.median).sum)
-    // drift guard: median/min > 2× means two of three timed runs were
-    // inflated (a contention window wider than the warmup absorbed) —
-    // the artifact self-reports suspects instead of requiring archaeology
-    // over the raw runs. Sub-50ms queries are exempt: at scheduling-floor
+    // drift guard: median/min > 2× means the timed runs split across a
+    // contention window wider than the warmup absorbed — the artifact
+    // self-reports suspects instead of requiring archaeology over the
+    // raw runs. Sub-50ms queries are exempt: at scheduling-floor
     // timescales the ratio is all jitter, no signal.
     val suspects = ok.collect {
-      case r if isSuspect(r.median, r.min) => "\"" + r.name + "\""
+      case r if BenchStats.isSuspect(r.median, r.min) => "\"" + r.name + "\""
     }
+    val suiteLoadEnd = loadavg1()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"failed":[${failed.mkString(",")}],"suspect":[${suspects.mkString(",")}],"env_suspect":[${envSuspects.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min; suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals (last window when healed) — same-shuffle+high-gc reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and the better median published (runs holds both windows) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the last committed BENCH_LOCAL min with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the 15-row re-window budget was exhausted — read as uniform environment contamination, not code"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(suiteLoadEnd)}],"bench_ref":"$refSource","failed":[${failed.mkString(",")}],"suspect":[${suspects.mkString(",")}],"env_suspect":[${envSuspects.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min; suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref, git HEAD of this file) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the 15-row re-window budget was exhausted — read as uniform environment contamination, not code"}"""
     try Files.writeString(Paths.get(outFile), full + "\n")
     catch { case NonFatal(e) => System.err.println(s"[bench] write failed: $e") }
     // stdout: short + complete beats long + truncated

@@ -139,6 +139,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Engine.tune(spark)
 
     // _SUCCESS marker, not the directory: a generation run killed
     // mid-write must regenerate, not get probed as a complete shard

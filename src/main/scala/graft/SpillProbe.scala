@@ -53,6 +53,7 @@ object SpillProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Engine.tune(spark)
 
     val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
     val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)

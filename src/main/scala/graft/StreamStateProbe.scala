@@ -45,6 +45,7 @@ object StreamStateProbe {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Engine.tune(spark)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     import graft.streaming.Sessionize

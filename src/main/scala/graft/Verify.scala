@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Engine.tune(spark)
     new java.io.File(outDir).mkdirs()
     // optional name filter (comma-separated) for fast local iteration;
     // the driver never sets it, so the full dump is the default

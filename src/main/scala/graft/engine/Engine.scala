@@ -92,8 +92,31 @@ object Engine {
     spark
   }
 
+  /** Session-wide planner tuning, owned HERE — at session construction,
+    * where global scope is explicit — rather than hidden inside one
+    * query builder (r11 VERDICT task 5; it previously lived in
+    * ext/Dedup's incremental-minhash builder as a side effect of the
+    * first execution).
+    *
+    * `requireAllClusterKeysForCoPartition=false` — subset
+    * co-partitioning: several blocked-attach joins (dedup incremental
+    * verify, minhash calibration) hash-partition both children on a
+    * block key alone while joining on (block, id). Spark's default
+    * demands ALL join keys in the child partitioning before it elides
+    * the exchange; equal block-hashes still co-locate equal (block, id)
+    * rows, so accepting the subset is purely a planner relaxation —
+    * performance-only, it can only remove provably-redundant exchanges
+    * and never changes results. Idempotent; every main and the test
+    * base apply it so one query's plan never depends on which session
+    * ran it. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark
+  }
+
   /** Register views + UDAFs on an existing session (idempotent). */
   def configure(spark: SparkSession, opts: Options = Options()): SparkSession = {
+    tune(spark)
     TypesTable.generate(spark, opts.typesTableLength, opts.seed)
       .createOrReplaceTempView("types")
     opts.csvPath.foreach { p =>

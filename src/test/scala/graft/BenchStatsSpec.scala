@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for [[BenchStats]] — the bench's window-merge and
+  * env-guard policies, pure of any SparkSession. Two r11 findings are
+  * pinned here: the heal's best-of-two-medians selection bias (replaced
+  * by a pooled all-runs median) and the never-exercised budget-exhausted
+  * path of the re-window guard. */
+class BenchStatsSpec extends AnyFunSuite {
+
+  private def row(name: String, raw: Seq[Double]): BenchRow = {
+    val timed = raw.drop(1)
+    BenchRow(name, BenchStats.median(timed), timed.min, raw,
+      1000000L, 2000000L, Seq(1L, 2L, 3L), Seq(0.5, 0.6))
+  }
+
+  test("median: odd and even run counts") {
+    assert(BenchStats.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(BenchStats.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+  }
+
+  test("combineWindows pools ALL timed runs — no best-of-window bias") {
+    // planted bimodal pair of windows: window 1 contaminated (two 10s
+    // runs), window 2 clean. min-of-medians (the r11 policy) would
+    // publish 1.1 — the pooled median over all six runs is 1.15, the
+    // unbiased center of what was actually measured.
+    val r = row("q", raw = Seq(12.0, 1.0, 10.0, 10.0)) // warm, then timed
+    assert(BenchStats.isSuspect(r.median, r.min))
+    val c = BenchStats.combineWindows(r, Seq(1.1, 1.0, 1.2), Seq(4L, 5L, 6L),
+      Seq(0.7, 0.8))
+    assert(c.median == BenchStats.median(Seq(1.0, 10.0, 10.0, 1.1, 1.0, 1.2)))
+    assert(math.abs(c.median - 1.15) < 1e-12)
+    assert(c.min == 1.0)
+    // every raw run from both windows stays auditable
+    assert(c.raw == Seq(12.0, 1.0, 10.0, 10.0, 1.1, 1.0, 1.2))
+    assert(c.gcMsRuns == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(c.load == Seq(0.5, 0.6, 0.7, 0.8))
+  }
+
+  test("combineWindows keeps a NON-improving rerun window's evidence") {
+    // r11 discarded the rerun raw when med2 >= median, contradicting the
+    // artifact's "all raw runs stay auditable" note — the evidence that
+    // a re-window failed to reproduce the reference was lost.
+    val r = row("q", raw = Seq(2.0, 1.0, 1.0, 1.0))
+    val c = BenchStats.combineWindows(r, Seq(5.0, 5.0, 5.0), Seq(9L, 9L, 9L),
+      Seq(3.0, 3.1))
+    assert(c.raw == Seq(2.0, 1.0, 1.0, 1.0, 5.0, 5.0, 5.0))
+    assert(c.median == 3.0) // pooled (1,1,1,5,5,5) — not min(1, 5)
+    assert(c.load == Seq(0.5, 0.6, 3.0, 3.1))
+  }
+
+  test("combineWindows: failed rerun runs are appended but excluded from stats") {
+    val r = row("q", raw = Seq(2.0, 1.0, 9.0, 9.0))
+    val c = BenchStats.combineWindows(r, Seq(-1.0, 1.2, -1.0), Seq(0L, 0L, 0L),
+      Seq(1.0, 1.0))
+    assert(c.raw.count(_ == -1.0) == 2) // evidence kept
+    assert(c.median == BenchStats.median(Seq(1.0, 9.0, 9.0, 1.2)))
+  }
+
+  test("combineWindows: an all-failed row stays failed") {
+    val r = BenchRow("q", -1.0, -1.0, Seq(-1.0, -1.0, -1.0, -1.0),
+      0L, 0L, Seq(0L, 0L, 0L), Seq.empty)
+    val c = BenchStats.combineWindows(r, Seq(1.0, 1.0, 1.0), Seq(0L, 0L, 0L),
+      Seq(1.0, 1.0))
+    assert(c.median == -1.0 && c.min == -1.0)
+    assert(c.raw.takeRight(3) == Seq(1.0, 1.0, 1.0))
+  }
+
+  test("combineWindows is idempotent across heal + env-guard merges") {
+    val r = row("q", raw = Seq(2.0, 1.0, 10.0, 10.0))
+    val once = BenchStats.combineWindows(r, Seq(1.0, 1.0, 1.0), Seq(0L, 0L, 0L),
+      Seq(1.0, 1.0))
+    val twice = BenchStats.combineWindows(once, Seq(1.0, 1.0, 1.0),
+      Seq(0L, 0L, 0L), Seq(1.0, 1.0))
+    // pooled over raw.drop(1) — a second merge extends the same pool
+    assert(twice.median ==
+      BenchStats.median(Seq(1.0, 10.0, 10.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)))
+    assert(twice.raw.length == 10)
+  }
+
+  test("selectRewindow: divergence needs an unchanged shuffle signature") {
+    val ref = Map("a" -> (1.0, 100.0), "b" -> (1.0, 100.0))
+    // a: 4x slower, same signature -> selected; b: 4x slower but shuffle
+    // signature moved 2x (a real plan change) -> not an env artifact
+    val (rw, over) = BenchStats.selectRewindow(
+      Seq(("a", 4.0, 101.0), ("b", 4.0, 200.0)), ref, budget = 15)
+    assert(rw == Set("a") && over.isEmpty)
+  }
+
+  test("selectRewindow: floors exempt scheduling-jitter rows") {
+    val ref = Map("tiny" -> (0.01, 5.0), "small" -> (0.05, 5.0))
+    val (rw, over) = BenchStats.selectRewindow(
+      Seq(("tiny", 0.2, 5.0), ("small", 0.31, 5.0)), ref, budget = 15)
+    // tiny: refMin 0.01 <= 0.02 floor; small: 0.31 > 3*0.05 and past both
+    // floors -> selected
+    assert(rw == Set("small") && over.isEmpty)
+  }
+
+  test("budget exhaustion flags the excess rows env_suspect WITHOUT re-measurement") {
+    // synthetic fully-contaminated window: 20 divergent same-signature
+    // rows against a budget of 15 — the 15 worst by absolute excess
+    // seconds get the re-window, the other 5 are flagged directly.
+    // Excess for row i is (10 + i) - 1, so the five SMALLEST-excess rows
+    // (q0..q4) must be the flagged-without-rewindow set.
+    val ref = (0 until 20).map(i => s"q$i" -> (1.0, 50.0)).toMap
+    val rows = (0 until 20).map(i => (s"q$i", 10.0 + i, 50.0))
+    val (rw, over) = BenchStats.selectRewindow(rows, ref, budget = 15)
+    assert(rw.size == 15)
+    assert(over == Set("q0", "q1", "q2", "q3", "q4"))
+    assert((rw ++ over).size == 20)
+  }
+
+  test("selectRewindow ignores rows absent from the reference") {
+    val (rw, over) = BenchStats.selectRewindow(
+      Seq(("new_query", 100.0, 50.0)), Map.empty, budget = 15)
+    assert(rw.isEmpty && over.isEmpty)
+  }
+}
