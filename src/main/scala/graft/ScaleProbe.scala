@@ -344,28 +344,39 @@ object ScaleProbe {
     // it will actually run (the other probes never touch it)
     if (toRun.contains("q_histogram"))
       ScaleProbe.ordersShard(spark, base, out, factor, cpus.toInt): Unit
+    // 1-min /proc/loadavg bracketing each probed query (−1 when
+    // unreadable): this machine's walls swing 2-10× under co-tenant
+    // load — with the readings in the row, a slow wall is attributable
+    // from the artifact alone (shuffle/peak-mem are the durable,
+    // plan-determined signals; wall + loadavg together explain the rest)
+    def loadavg1(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     val rows = toRun.map { name =>
       val q = SparkEntry.queries.getOrElse(name, extraProbes(name))
       peakTask.set(0L)
+      val loadBefore = loadavg1()
       val t0 = System.nanoTime()
       val m = Explain.analyze(q(spark, out))
         .filter(col("metric") === "shuffleBytesWritten")
         .agg(sum(col("value")).as("bytes"))
         .collect() // 1 row — diagnostic main, not an operator
       val secs = (System.nanoTime() - t0) / 1e9
+      val loadAfter = loadavg1()
       // real listener-bus flush: a straggling TaskEnd would otherwise be
       // credited to the NEXT probe after peakTask.set(0)
       org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       val peakMb = peakTask.get() / 1e6
       val shuffleMb = m.headOption.filterNot(_.isNullAt(0))
         .map(_.getLong(0) / 1e6).getOrElse(0.0)
-      println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB peak_task_mem=$peakMb%8.1f MB")
-      (name, secs, shuffleMb, peakMb)
+      println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB peak_task_mem=$peakMb%8.1f MB loadavg=$loadBefore%.2f->$loadAfter%.2f")
+      (name, secs, shuffleMb, peakMb, (loadBefore, loadAfter))
     }
-    if (onlyProbes.isDefined) rows.foreach { case (n, w, mb, pk) =>
+    if (onlyProbes.isDefined) rows.foreach { case (n, w, mb, pk, (lb, la)) =>
       def r1(v: Double): Double = math.rint(v * 10) / 10
+      def r2(v: Double): Double = math.rint(v * 100) / 100
       mergeProbeRow(factor, n,
-        s"""{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)}}""")
+        s"""{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)},"loadavg":[${r2(lb)},${r2(la)}]}""")
     }
     // order-independent output checksum of the inverted index over this
     // shard — the reference value graft.SpillProbe compares its
@@ -1191,8 +1202,9 @@ object ScaleProbe {
 
     if (onlyProbes.isEmpty) {
       def r1(v: Double): Double = math.rint(v * 10) / 10
-      val json = rows.map { case (n, w, mb, pk) =>
-        s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)}}"""
+      def r2(v: Double): Double = math.rint(v * 100) / 100
+      val json = rows.map { case (n, w, mb, pk, (lb, la)) =>
+        s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)},"loadavg":[${r2(lb)},${r2(la)}]}"""
       }.mkString(
         s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
           (Seq(ivfPruning, incrBucketed, windowRange, windowRangePrefix,

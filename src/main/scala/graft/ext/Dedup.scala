@@ -60,13 +60,14 @@ object Dedup {
     * the ScaleProbe checksum precedent). A 60-bit prefix collision
     * (~10⁻⁵ at 5M buckets) merely MERGES two buckets identically in
     * both engines — candidates stay a superset and the exact Jaccard
-    * verify decides membership, so results are unchanged even then. */
+    * verify decides membership, so results are unchanged even then.
+    * The prefix idiom and its collision-safety rule live in
+    * [[graft.functions.HashExpressions.md5Prefix60]]. */
   def bandKeys(sig: Column, bands: Int = 16, rows: Int = 4): Column = {
     val hx = transform(sig, x => lower(lpad(hex(x), 16, "0")))
     transform(sequence(lit(0), lit(bands - 1)),
-      b => conv(substring(
-          md5(concat_ws(",", slice(hx, b * rows + 1, lit(rows)))), 1, 15),
-        16, 10).cast("long"))
+      b => graft.functions.HashExpressions.md5Prefix60(
+        md5(concat_ws(",", slice(hx, b * rows + 1, lit(rows))))))
   }
 
   /** 64-bit SimHash over token hashes: bit j is set iff the sum of
@@ -392,13 +393,10 @@ object Dedup {
       // matches the machine here and scales with the cluster.
       val P = par
       // subset co-partitioning: both join children are hash-partitioned
-      // on cpart alone while the join keys are (cpart, c_id). Spark's
-      // default requires ALL keys in the child partitioning before it
-      // elides the exchange; equal cpart-hashes still co-locate equal
-      // (cpart, c_id) rows, so accepting the subset is purely a planner
-      // relaxation — set session-wide (no restore: execution is lazy,
-      // and the flag can only remove provably-redundant exchanges).
-      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // on cpart alone while the join keys are (cpart, c_id) — the
+      // session-wide requireAllClusterKeysForCoPartition relaxation
+      // that makes Spark elide the redundant exchange is owned by
+      // Engine.tune (applied at every session construction, r12).
       // block key = pmod(hash(c_id), P), not pmod(c_id, P): shard ids
       // here are always even (doc_id % 2 residue), so a raw modulus
       // would leave half the block partitions empty — hash() decorrelates
@@ -490,6 +488,26 @@ object Dedup {
         col("sig").as("sig_a"), col("sh").as("sh_a"))
       val sb = sig.select(col("doc_id").as("doc_b"),
         col("sig").as("sig_b"), col("sh").as("sh_b"))
+      // MEASURED r12 (verdict task 7 prescription tried and reverted):
+      // a blocked-attach variant (the dedup_incremental_minhash shape —
+      // pair lists grouped per doc_a, (sig_a, sh_a) attached once per
+      // doc, exploded per doc_b block, block-aligned join) was built and
+      // probed against this form on the same shards:
+      //   10×: shuffle 34.6 → 301.3 MB (9×), peak task 303 → 135 MB
+      //   100×: shuffle 1289.2 → 1107.0 MB (−14%), peak 103 → 233 MB
+      // The 10× blow-up is the tell (plan-verified on the shards): the
+      // PAIR LIST is 16-byte rows, so Catalyst broadcasts IT into the
+      // checkpointed sig scans — at 10× BOTH pair joins are
+      // BroadcastHashJoin and no heavy payload rides any exchange (the
+      // 34.6 MB is just the banding); at 100× the first join still
+      // broadcasts and only the second is a SortMergeJoin. The
+      // variant's explicit block repartitions destroy the broadcast
+      // option everywhere while buying only 14% on the one exchange
+      // that remains, at 2.3× the peak task memory (the block explode
+      // holds payload copies in the build). The plain pair-join form
+      // stands on measurement; at true 100 TB the levers are the bucket
+      // cap (bounding pairs) and the broadcast-able pair list, not
+      // re-plumbing the verify exchange.
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
       cands.join(sa, "doc_a").join(sb, "doc_b")
         .select(

@@ -606,13 +606,20 @@ object TextAnalysis {
     // verbatim). Postings are DF-capped (≤ 50 docs per fingerprint, the
     // dedup_containment rule: a boilerplate fingerprint would fan every
     // carrier into every other); the pair count IS the join's groupBy,
-    // only 32-hex keys ride exchanges; admission shared ≥ 3 with the
-    // fingerprint-containment score reported on the 1e-6 grid.
+    // and only 8-byte BIGINT keys ride exchanges (r12: the posting key
+    // is the 60-bit md5 prefix — md5Prefix60's safety rule applies
+    // because a prefix collision only merges two posting lists
+    // IDENTICALLY in both engines, feeding the same shared-≥3 admission
+    // count; the SELECTION inside winnowFrame stays on the full hex,
+    // where the leftmost-min tie rule depends on the whole digest);
+    // admission shared ≥ 3 with the fingerprint-containment score
+    // reported on the 1e-6 grid.
     "dedup_winnowing" -> ((s, dir) => {
       val cap = 50
       val fp = winnowFrame(s, dir)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sel, x -> x.h))")).as("h"))
+        .select(col("doc_id"), explode(array_distinct(transform(col("sel"),
+          x => graft.functions.HashExpressions.md5Prefix60(x.getField("h")))))
+          .as("h"))
         .localCheckpoint(false) // 3 consumers of one selection pass
       val sz = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       val keep = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -1587,7 +1594,8 @@ object TextAnalysis {
     "dedup_winnowing" ->
       (winnowOracleCtes +
       """, fp AS (
-        |  SELECT DISTINCT doc_id, wh AS h FROM sel
+        |  SELECT DISTINCT doc_id, ('0x' || substr(wh, 1, 15))::BIGINT AS h
+        |  FROM sel
         |), sz AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1
         |), keep AS (

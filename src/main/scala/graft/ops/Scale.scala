@@ -21,6 +21,22 @@ import graft.engine.Engine
   */
 object Scale {
 
+  /** Grace window protecting a superseded-but-recent generation from
+    * retirement. Scenario (ADVICE r10/r11): session A starts, builds
+    * generation g1; the SOURCE parquet is regenerated in place; session
+    * B starts, computes g2 (same [[srcTag]], different fingerprint) and
+    * would otherwise delete g1 while A — which has no way to know its
+    * source was replaced — still holds open scans over it. A generation
+    * directory's mtime is its build time, so "modified within the
+    * grace" ≈ "possibly the live layout of a concurrent session that
+    * started recently". The sweep is deferred, never lost: every later
+    * rebuild retries, and by then the directory has aged out. */
+  private[graft] val GenerationGraceMs: Long = 30L * 60 * 1000
+
+  /** `<base>_<8-hex srcTag>_` — the tagged-prefix shape every caller
+    * passes; captures the pre-tag base for the legacy sweep. */
+  private val TaggedPrefix = "^(.*_)[0-9a-f]{8}_$".r
+
   /** Retires prior fingerprint GENERATIONS of one logical cache entry:
     * warehouse children named `prefix<fp>` with fp ≠ `current` are
     * deleted and their same-named catalog entries dropped. The
@@ -34,16 +50,38 @@ object Scale {
     * and every prefix embeds [[srcTag]] (an md5 of the source DIR), so
     * a session on sf0.1 can never retire a concurrent sf0.01 session's
     * live layout either: retirement only ever removes a superseded
-    * generation of the SAME logical source. */
+    * generation of the SAME logical source. Two r12 hardenings:
+    *
+    *  - generations younger than [[GenerationGraceMs]] survive this
+    *    pass — see the grace scaladoc for the concurrent-older-session
+    *    hazard it closes;
+    *  - legacy pre-srcTag names (`<base><32-hex fp>`, written before
+    *    commit bdc0c9d introduced the per-source tag) never match any
+    *    tagged prefix and would persist forever; they are swept here
+    *    under the same grace. Exactly-32-hex after the base cannot
+    *    collide with the tagged format (8-hex tag + '_' + 32-hex fp).
+    */
   private def retireStaleGenerations(spark: SparkSession, wh: String,
       prefix: String, current: String): Unit = {
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(wh)
     if (java.nio.file.Files.isDirectory(dir)) {
+      val cutoff = System.currentTimeMillis() - GenerationGraceMs
+      val legacyRe = prefix match {
+        case TaggedPrefix(base) =>
+          Some(("^" + java.util.regex.Pattern.quote(base) + "[0-9a-f]{32}$").r)
+        case _ => None
+      }
       val st = java.nio.file.Files.list(dir)
       val stale = try st.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
-          n.startsWith(prefix) && n != prefix + current
+          val staleGen = n.startsWith(prefix) && n != prefix + current
+          val legacy = legacyRe.exists(_.matches(n))
+          (staleGen || legacy) &&
+            // age guard — a vanished/unreadable mtime means another
+            // session is racing the same sweep: skip, don't throw
+            (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false })
         }.toList
       finally st.close()
       stale.foreach { p =>

@@ -38,11 +38,26 @@ class ScaleSpec extends SparkSpecBase {
     val foreign = wh.resolve("li_b_00000000_deadbeef")
     java.nio.file.Files.createDirectories(foreign)
     java.nio.file.Files.writeString(foreign.resolve("part-0.parquet"), "live")
+    // a LEGACY pre-srcTag generation (`li_b_<32-hex fp>`, the naming
+    // before commit bdc0c9d) — invisible to every tagged prefix, so
+    // only the r12 legacy sweep can retire it
+    val legacy = wh.resolve("li_b_" + "0123456789abcdef0123456789abcdef")
+    java.nio.file.Files.createDirectories(legacy)
+    java.nio.file.Files.writeString(legacy.resolve("part-0.parquet"), "old")
+    // a RECENT stale generation of this source: fresh mtime means it may
+    // be the live layout of a concurrent session that started before the
+    // source was regenerated — the age grace must keep it this pass
+    val recent = wh.resolve(s"o_b_${st}_cafecafe")
+    java.nio.file.Files.createDirectories(recent)
+    java.nio.file.Files.writeString(recent.resolve("part-0.parquet"), "maybe-live")
     fakes.foreach { n =>
       val d = wh.resolve(n)
       java.nio.file.Files.createDirectories(d)
       java.nio.file.Files.writeString(d.resolve("part-0.parquet"), "stale")
     }
+    // age the sweepable plants past the grace window (mtime is the
+    // build-time signal the grace keys on); `recent` keeps its fresh one
+    backdate(fakes.map(wh.resolve) :+ legacy :+ foreign)
     assert(ops.Scale.queries("q_bucketed_join")(spark, sfDir).count() > 0)
     assert(ops.Scale.queries("q_zorder_scan")(spark, sfDir).count() > 0)
     assert(ops.Scale.queries("q_partition_prune")(spark, sfDir).count() > 0)
@@ -51,12 +66,27 @@ class ScaleSpec extends SparkSpecBase {
       assert(!java.nio.file.Files.exists(wh.resolve(n)),
         s"stale generation $n survived the rebuild")
     }
+    assert(!java.nio.file.Files.exists(legacy),
+      "legacy pre-srcTag generation survived — the one-time sweep missed it")
+    assert(java.nio.file.Files.exists(recent),
+      "recent stale generation was retired inside the grace window — " +
+        "a concurrent older session's live layout would have been yanked")
     assert(java.nio.file.Files.exists(foreign),
       "foreign-source generation was retired — retirement must be source-scoped")
-    val fw = java.nio.file.Files.walk(foreign)
-    try fw.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
-    finally fw.close()
+    Seq(foreign, recent).foreach { d =>
+      val fw = java.nio.file.Files.walk(d)
+      try fw.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally fw.close()
+    }
+  }
+
+  /** Ages directories past Scale's retirement grace window. */
+  private def backdate(dirs: Seq[java.nio.file.Path]): Unit = {
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * ops.Scale.GenerationGraceMs)
+    dirs.filter(java.nio.file.Files.exists(_))
+      .foreach(java.nio.file.Files.setLastModifiedTime(_, old))
   }
 
   test("warehouse entry count stays bounded across 3 source regenerations") {
@@ -89,6 +119,12 @@ class ScaleSpec extends SparkSpecBase {
       }
     for (g <- 1 to 3) {
       regen(g)
+      // age the PREVIOUS generation's layouts past the retirement grace:
+      // in production regenerations are minutes-to-rounds apart, so the
+      // superseded dirs have long aged out by the next rebuild — this
+      // loop regenerates in seconds and must simulate that passage of
+      // time or the grace (correctly) defers every sweep
+      backdate(entries().map(wh.resolve))
       Seq("q_bucketed_join", "q_zorder_scan", "q_partition_prune",
         "q_compact").foreach { q =>
         ops.Scale.queries(q)(spark, src).count(): Unit
