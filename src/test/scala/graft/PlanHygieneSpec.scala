@@ -380,4 +380,19 @@ class PlanHygieneSpec extends SparkSpecBase {
     val outRows = m.filter(r => r.getString(3) == "numOutputRows" && r.getLong(5) > 0)
     assert(outRows.nonEmpty, "no populated numOutputRows metric")
   }
+
+  test("Engine.tune: subset co-partitioning elides the blocked-verify re-exchange") {
+    // the relaxation moved from inside the incremental-minhash builder to
+    // Engine.tune (r12) — if a session stops applying it, the block join
+    // on (cpart, c_id) silently re-exchanges both multi-KB-row children
+    // and only the 100x probe would notice. Pin it in the plan instead.
+    assert(spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+      == "false", "Engine.tune not applied to the test session")
+    val p = plan("dedup_incremental_minhash")
+    assert("hashpartitioning\\(cpart".r.findFirstIn(p).isDefined,
+      s"expected the explicit block repartitions on cpart:\n$p")
+    assert("hashpartitioning\\(cpart[^)]*c_id".r.findFirstIn(p).isEmpty,
+      s"join re-exchanged on (cpart, c_id) — the Engine.tune subset " +
+        s"co-partitioning relaxation was lost:\n$p")
+  }
 }
