@@ -321,6 +321,10 @@ object ScaleProbe {
       "dedup_prefix",
       // FIM is the pure per-row reorder shape: linear walls, no shuffle
       "pipe_fim_transform", "q_events_new_vs_returning",
+      // r12: repetition stats became one native TokenStats pass per row
+      // (was explode + groupBy(doc, w) + three per-doc windows) — the
+      // probe pins the zero-shuffle-growth claim like fim/classifier
+      "text_repetition",
       "q_events_session_stats",
       // round-10: the SNM rewrite's whole point is bounded pairs on a
       // corpus whose 30 blocks each grow linearly — the replica shard's

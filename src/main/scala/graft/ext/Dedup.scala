@@ -775,7 +775,18 @@ object Dedup {
           .as("gram"))
         .select(col("doc_id"), xxhash64(col("gram")).as("h"))
       // per-gram distinct-doc count: the (doc_id, h) distinct partial-
-      // aggregates map-side, so the exchange carries each doc's gram SET
+      // aggregates map-side, so the exchange carries each doc's gram SET.
+      //
+      // MEASURED r12 (tried and reverted): pre-aggregating to
+      // (doc_id, h, cnt) so "both consumers share one gc subtree" is a
+      // 1.8× shuffle / 1.9× wall LOSS at 10× (59.4→105.1 MB,
+      // 3.2→6.0s). In THIS shape nd is broadcast into the occurrence
+      // stream (plan: BroadcastHashJoin over scan→Generate with NO
+      // probe-side exchange), so the raw-occurrence join the variant
+      // "fixed" never shuffles at all — while the variant added a
+      // second set-exchange on the probe side and Catalyst's inferred
+      // join-key non-null filter made the two gc subtrees unequal, so
+      // ReuseExchange never fired and the gram pass STILL ran twice.
       val nd = g.distinct().groupBy(col("h")).agg(count(lit(1)).as("nd"))
       val per = g.join(nd, "h")
         .groupBy(col("doc_id"))

@@ -193,24 +193,32 @@ object Multimodal {
     // (no per-doc window), narrow key joins, a single aggregation row
     // exploded to 4 stages.
     "mm_caption_filter" -> ((s, dir) => {
+      // r12 re-plan: caption word stats are per-row quantities — the
+      // native TokenStats pass replaces the explode → groupBy(media, w)
+      // → groupBy(media) chain that shuffled every caption token
+      // corpus-wide TWICE (297.7 MB at the 100× shard) and the
+      // stats join-back with it. One media⋈caption join remains (the
+      // two sides are genuinely different tables); token-less captions
+      // reproduce the old left-join-miss gates exactly (n_words=0
+      // fails g_len; top_cnt coalesced to 1 made g_dup 5<=0 false,
+      // mirrored here by the n_words>0 conjunct).
       val media = mediaTable(s, dir).select(col("media_id"),
         octet_length(col("payload")).cast("long").as("n_bytes"))
+      val ts = graft.functions.HashExpressions.token_stats(col("text"))
+      // coalesce: TokenStats is null-intolerant, and a NULL-text caption
+      // must take the same explicit-false gates the old left-join miss
+      // produced, not NULL-propagated ones
       val caps = t(s, dir, "documents").select(col("doc_id").as("media_id"),
-        col("lang"), col("text"))
-      val stats = caps.select(col("media_id"),
-          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
-            x => length(x) > 0)).as("w"))
-        .groupBy(col("media_id"), col("w")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("media_id"))
-        .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_cnt"))
-      val flags = media.join(caps.select(col("media_id"), col("lang")), "media_id")
-        .join(stats, Seq("media_id"), "left")
+        col("lang"),
+        coalesce(ts.getField("n_words"), lit(0L)).as("n_words"),
+        coalesce(ts.getField("top_cnt"), lit(0L)).as("top_cnt"))
+      val flags = media.join(caps, "media_id")
         .select(
-          coalesce(col("n_words"), lit(0L)).between(5L, 60L).as("g_len"),
+          col("n_words").between(5L, 60L).as("g_len"),
           (col("lang") === "en").as("g_lang"),
           (col("n_bytes") >= 64L).as("g_bytes"),
-          (coalesce(col("top_cnt"), lit(1L)) * 5L <=
-            coalesce(col("n_words"), lit(0L))).as("g_dup"))
+          (col("n_words") > 0L &&
+            col("top_cnt") * 5L <= col("n_words")).as("g_dup"))
       flags.agg(
           count(lit(1)).as("n0"),
           count(when(col("g_len"), 1)).as("n1"),

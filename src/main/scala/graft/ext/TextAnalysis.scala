@@ -405,24 +405,27 @@ object TextAnalysis {
     // two hash aggregations; the per-doc window runs over vocabulary-sized
     // partitions (distinct words), not raw tokens.
     "text_repetition" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val toks = d.select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
-          x => length(x) > 0)).as("w"))
-      val wc = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-      wc.withColumn("n_words", sum(col("cnt")).over(byDoc))
-        .withColumn("n_distinct", count(lit(1)).over(byDoc))
-        .withColumn("rn", row_number().over(
-          byDoc.orderBy(col("cnt").desc, col("w"))))
-        .filter(col("rn") === 1)
+      // r12 re-plan: all four statistics never leave their row, so the
+      // explode → groupBy(doc, w) → three-window formulation (which
+      // shuffled every token occurrence corpus-wide, then every distinct
+      // (doc, word) pair again for the per-doc windows) is one native
+      // TokenStats pass per document — a pure map stage at any corpus
+      // size. Same values including the mode tie rule (cnt desc, word
+      // binary asc); token-less docs stay excluded via the n_words gate.
+      val ts = graft.functions.HashExpressions.token_stats(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ts.as("ts"))
+        .filter(col("ts.n_words") > 0)
         .select(col("doc_id"),
-          col("n_words"), col("n_distinct"),
+          col("ts.n_words").as("n_words"),
+          col("ts.n_distinct").as("n_distinct"),
           // 1 − a/b ≡ (b−a)/b exactly, so the integer rounder applies
-          ratioRound(col("n_words") - col("n_distinct"), col("n_words"), 6)
-            .as("dup_word_ratio"),
-          col("w").as("top_word"), col("cnt").as("top_cnt"),
-          ratioRound(col("cnt"), col("n_words"), 6).as("top_word_frac"))
+          ratioRound(col("ts.n_words") - col("ts.n_distinct"),
+            col("ts.n_words"), 6).as("dup_word_ratio"),
+          col("ts.top_word").as("top_word"),
+          col("ts.top_cnt").as("top_cnt"),
+          ratioRound(col("ts.top_cnt"), col("ts.n_words"), 6)
+            .as("top_word_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -551,17 +554,38 @@ object TextAnalysis {
     // first_doc). The per-doc ratio lands on the exact 1e-6 grid via
     // pure-BIGINT ratioRoundInt.
     "text_ngram_novelty" -> ((s, dir) => {
-      val grams = t(s, dir, "documents")
+      // r12 re-plan (measured): novelty WITHOUT the gram join-back.
+      // The old shape joined the full (doc_id, gk) frame against the
+      // first-occurrence table — the corpus's widest exchange here —
+      // and ran the scan+shingle+md5 subtree twice (groupBy(gk) and
+      // join(gk) partition identically but with different partials, so
+      // no exchange reuse). Novel counts fall straight out of the
+      // first-occurrence table instead: group fst by first_doc. Both
+      // engines now count novelty at the KEY level (one per distinct
+      // 60-bit gk a doc introduced) rather than per gram string — the
+      // two differ only when two distinct grams of ONE doc collide in
+      // the 60-bit prefix (~n_grams²/2^61 per doc, the family's
+      // accepted bound; a cross-doc collision resolved to the same
+      // min either way). n_grams stays string-level via a join-free
+      // map pass (size of the distinct-shingle array).
+      val docs = t(s, dir, "documents")
+      val grams = docs
         .select(col("doc_id"),
           explode(graft.functions.HashExpressions.word_shingles(col("text"), 8))
             .as("g"))
         .select(col("doc_id"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gk"))
-      val first = grams.groupBy(col("gk")).agg(min(col("doc_id")).as("first_doc"))
-      grams.join(first, Seq("gk"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+      val novel = grams.groupBy(col("gk")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+        .select(col("first_doc").as("doc_id"), col("n_novel"))
+      docs
+        .select(col("doc_id"),
+          size(graft.functions.HashExpressions.word_shingles(col("text"), 8))
+            .cast("long").as("n_grams"))
+        .filter(col("n_grams") > 0)
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty", ratioRound(col("n_novel"), col("n_grams"), 6))
         .orderBy(col("doc_id"))
     }),
@@ -1940,16 +1964,19 @@ object TextAnalysis {
         |  FROM shng, unnest(sh) t(x)
         |), fst AS (
         |  SELECT gk, min(doc_id) AS first_doc FROM g GROUP BY gk
-        |), agg AS (
-        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |    CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS BIGINT)
-        |      AS n_novel
-        |  FROM g JOIN fst f USING (gk) GROUP BY g.doc_id
+        |), novel AS (
+        |  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM fst GROUP BY 1
+        |), totals AS (
+        |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams FROM shng
+        |  WHERE len(sh) > 0
         |)
-        |SELECT doc_id, n_grams, n_novel,
-        |  CAST((n_novel * 2000000 + n_grams) // (n_grams * 2) AS DOUBLE)
-        |    / 1000000.0 AS novelty
-        |FROM agg ORDER BY doc_id""".stripMargin,
+        |SELECT t.doc_id, t.n_grams,
+        |  coalesce(n.n_novel, 0) AS n_novel,
+        |  CAST((coalesce(n.n_novel, 0) * 2000000 + t.n_grams)
+        |    // (t.n_grams * 2) AS DOUBLE) / 1000000.0 AS novelty
+        |FROM totals t LEFT JOIN novel n USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "text_entropy" ->
       """WITH c AS (

@@ -41,6 +41,7 @@ object Registry {
       case _ => throw new IllegalArgumentException("unicode_normalize(s[, form])")
     }},
     "cdc_cuts" -> { exprs: Seq[Expression] => CdcCuts(exprs.head) },
+    "token_stats" -> { exprs: Seq[Expression] => TokenStats(exprs.head) },
     "word_tiles" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => WordTiles(c, 10)
       case Seq(c, n) => WordTiles(c, intArg(n, "word_tiles n"))

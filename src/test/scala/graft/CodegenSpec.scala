@@ -61,6 +61,45 @@ class CodegenSpec extends SparkSpecBase {
     }
   }
 
+  test("token_stats codegen compiles, matches interpreted eval and the windowed form") {
+    bothWays("token_stats") {
+      docs.select(col("doc_id"), token_stats(col("text")).as("ts"))
+    }
+    // value cross-check against the explode → groupBy → window
+    // formulation this expression replaced (r12): identical
+    // (n_words, n_distinct, top_word, top_cnt) per doc, including the
+    // (cnt desc, word asc) tie rule, over the real corpus shard
+    val viaExpr = docs
+      .select(col("doc_id"), token_stats(col("text")).as("ts"))
+      .filter(col("ts.n_words") > 0)
+      .select(col("doc_id"), col("ts.n_words"), col("ts.n_distinct"),
+        col("ts.top_word"), col("ts.top_cnt"))
+      .collect().map(_.toString()).sorted.toSeq
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val viaWindow = docs
+      .select(col("doc_id"), explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => length(x) > 0)).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n_words", sum(col("cnt")).over(byDoc))
+      .withColumn("n_distinct", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("cnt").desc, col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("w"), col("cnt"))
+      .collect().map(_.toString()).sorted.toSeq
+    assert(viaExpr == viaWindow, "token_stats diverges from the windowed form")
+    assert(viaExpr.nonEmpty, "vacuous: no docs with tokens")
+    // edge pins: empty text and a tie both resolve deterministically
+    val edge = spark.range(1).select(
+      token_stats(lit("")).as("e"),
+      token_stats(lit("b a b a")).as("t"),
+      token_stats(lit("  ??  ")).as("p")).head()
+    assert(edge.getStruct(0).toString == "[0,0,,0]", s"empty: ${edge.getStruct(0)}")
+    assert(edge.getStruct(1).toString == "[4,2,a,2]", s"tie: ${edge.getStruct(1)}")
+    assert(edge.getStruct(2).toString == "[0,0,,0]", s"punct: ${edge.getStruct(2)}")
+  }
+
   test("cdc_cuts codegen compiles and matches interpreted eval") {
     bothWays("cdc_cuts") {
       docs.select(col("doc_id"), cdc_cuts(col("text")).as("cuts"))

@@ -149,6 +149,19 @@ class PlanHygieneSpec extends SparkSpecBase {
     * checked-in plan dump is stable across sessions. */
   private def normalizePlan(p: String): String = p
     .replaceAll("#\\d+", "#")
+    .replaceAll("plan_id=\\d+", "plan_id=") // session-global counters and
+    // per-run identities: every refresh otherwise rewrites ~2k lines of
+    // pure id noise and buries the real plan deltas (r12)
+    .replaceAll("@[0-9a-f]{6,16}\\b", "@") // JVM object identity (UDAF refs)
+    .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_") // lambda-var counter
+    .replaceAll("RDD\\[\\d+\\]", "RDD[]") // RDD id (localCheckpoint scans)
+    .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda") // JIT class
+    .replaceAll("uuid\\(Some\\(-?\\d+\\)\\)", "uuid(Some())") // per-run seed
+    .replaceAll("Broadcast\\(\\d+\\)", "Broadcast()") // runtime-filter id
+    .replaceAll("at (\\w+\\.scala):\\d+", "at $1") // call-site line churn
+    // bucketed-table generation fingerprints (q_bucketed_join): the name
+    // embeds a content hash that changes when the warehouse regenerates
+    .replaceAll("([a-z]+_b_[0-9a-f]{8}_)[0-9a-f]{32}", "$1<fp>")
     .replaceAll("\\S*/tmp\\S*", "<tmpPath>")
     .replaceAll("\\S*graft_warehouse\\S*", "<warehouse>")
 
