@@ -1325,23 +1325,19 @@ object TextAnalysis {
   /** Winnowing selection (MOSS, k=3 word-grams, window w=4): doc_id,
     * n_grams, and `sel` = the distinct (h, pos) window-minimum
     * fingerprints. Shared by `text_winnowing` (reports density/checksum)
-    * and `dedup_winnowing` (collides fingerprints across docs). Pure
-    * per-row array-expression chain — zero shuffle. */
-  private[ext] def winnowFrame(s: SparkSession, dir: String): DataFrame = {
-    val k = 3; val w = 4
+    * and `dedup_winnowing` (collides fingerprints across docs). One
+    * native [[graft.functions.HashExpressions.WinnowSel]] pass per row
+    * since r12 (the HOF transform/slice/array_min chain it replaces paid
+    * interpreted lambda frames per window and held both winnowing bench
+    * rows at ~2.9s/2.1s; CodegenSpec pins value equality against that
+    * chain) — still zero shuffle. */
+  private[ext] def winnowFrame(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("n_grams",
-        greatest(size(col("ws")) - (k - 1), lit(0)).cast("long"))
-      .filter(col("n_grams") >= w)
-      .withColumn("hp", expr(
-        s"""transform(sequence(1, size(ws) - ${k - 1}),
-           |  i -> struct(md5(concat_ws(' ', slice(ws, i, $k))) AS h,
-           |              cast(i AS bigint) AS pos))""".stripMargin))
-      .withColumn("sel", expr(
-        s"""array_distinct(transform(sequence(1, size(hp) - ${w - 1}),
-           |  i -> array_min(slice(hp, i, $w))))""".stripMargin))
-  }
+      .withColumn("wsel",
+        graft.functions.HashExpressions.winnow_sel(col("text"), 3, 4))
+      .withColumn("n_grams", col("wsel.n_grams"))
+      .filter(col("n_grams") >= 4)
+      .withColumn("sel", col("wsel.sel"))
 
   /** DuckDB mirror of [[winnowFrame]] through the distinct-fingerprint
     * `sel` CTE (doc_id, wkey, wh) — shared WITH-prefix for the two

@@ -598,6 +598,101 @@ object HashExpressions {
   def token_stats(c: Column): Column =
     Bridge.column(TokenStats(Bridge.expression(c)))
 
+  /** Winnowing selection (MOSS, k-word grams, window w) in one compiled
+    * pass: struct(n_grams, sel) where sel is the distinct (h, pos)
+    * window-minimum fingerprint list. Replaces the per-row HOF chain
+    * (split → transform(sequence)+slice+md5 per gram → per-window
+    * array_min over slice → array_distinct), whose interpreted lambda
+    * frames held the two winnowing bench rows at ~2.9s/2.1s — the
+    * CharEntropy/CdcCuts move.
+    *
+    * Exact mirror contract (pinned by ExtensionSpec's plain-Scala
+    * recount + leftmost-tie fixture + PropertySpec's MOSS guarantee,
+    * and the independent DuckDB window formulation):
+    *  - words = split(text, " ") with EMPTY TOKENS KEPT (plain space
+    *    split, NOT tokenizeLower — winnowing fingerprints the raw
+    *    word stream);
+    *  - n_grams = max(words − (k−1), 0); callers filter n_grams ≥ w;
+    *  - gram i (1-based pos) = lowercase md5 hex of the k words joined
+    *    by ' ';
+    *  - window minimum by (h asc, pos asc) — hex is ASCII so string
+    *    order = binary order, and strict-less keeps the LEFTMOST of
+    *    equal hashes (real for word-soup docs);
+    *  - sel keeps first-occurrence order (array_distinct semantics). */
+  case class WinnowSel(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(k >= 1 && w >= 1)
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    private val selType = ArrayType(StructType(Seq(
+      StructField("h", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false))), containsNull = false)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("sel", selType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+    def kernel(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val words = u.toString.split(" ", -1)
+      val nGrams = math.max(words.length - (k - 1), 0)
+      val sel = new scala.collection.mutable.ArrayBuffer[Any]()
+      if (nGrams >= w) {
+        val md = md5Local.get()
+        val grams = new Array[String](nGrams)
+        val sb = new StringBuilder
+        var i = 0
+        while (i < nGrams) {
+          sb.clear()
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          md.reset()
+          val dig = md.digest(sb.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          val hex = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            hex(2 * b) = Character.forDigit((dig(b) >> 4) & 0xf, 16)
+            hex(2 * b + 1) = Character.forDigit(dig(b) & 0xf, 16)
+            b += 1
+          }
+          grams(i) = new String(hex)
+          i += 1
+        }
+        val seen = new java.util.HashSet[Long]()
+        var s = 0
+        while (s <= nGrams - w) {
+          var m = s
+          var j = s + 1
+          while (j < s + w) {
+            if (grams(j).compareTo(grams(m)) < 0) m = j
+            j += 1
+          }
+          // dedup key: pos is unique per candidate, so the long index
+          // alone identifies the (h, pos) pair
+          if (seen.add(m.toLong))
+            sel += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](UTF8String.fromString(grams(m)), (m + 1).toLong))
+          s += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nGrams.toLong, new GenericArrayData(sel.toArray)))
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("winnowSel", this, classOf[WinnowSel].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowSel =
+      copy(child = c)
+    override def prettyName: String = "winnow_sel"
+  }
+
+  def winnow_sel(c: Column, k: Int = 3, w: Int = 4): Column =
+    Bridge.column(WinnowSel(Bridge.expression(c), k, w))
+
   def hyperplane_sig(c: Column, bits: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(c), bits))
 

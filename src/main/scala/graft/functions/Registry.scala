@@ -42,6 +42,12 @@ object Registry {
     }},
     "cdc_cuts" -> { exprs: Seq[Expression] => CdcCuts(exprs.head) },
     "token_stats" -> { exprs: Seq[Expression] => TokenStats(exprs.head) },
+    "winnow_sel" -> { exprs: Seq[Expression] => exprs match {
+      case Seq(c) => WinnowSel(c, 3, 4)
+      case Seq(c, k, w) => WinnowSel(c, intArg(k, "winnow_sel k"),
+        intArg(w, "winnow_sel w"))
+      case _ => throw new IllegalArgumentException("winnow_sel(text[, k, w])")
+    }},
     "word_tiles" -> { exprs: Seq[Expression] => exprs match {
       case Seq(c) => WordTiles(c, 10)
       case Seq(c, n) => WordTiles(c, intArg(n, "word_tiles n"))

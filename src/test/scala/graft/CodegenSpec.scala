@@ -100,6 +100,37 @@ class CodegenSpec extends SparkSpecBase {
     assert(edge.getStruct(2).toString == "[0,0,,0]", s"punct: ${edge.getStruct(2)}")
   }
 
+  test("winnow_sel codegen compiles, matches interpreted eval and the HOF chain") {
+    bothWays("winnow_sel") {
+      docs.select(col("doc_id"), winnow_sel(col("text"), 3, 4).as("wsel"))
+    }
+    // value cross-check against the transform/slice/array_min/
+    // array_distinct chain this expression replaced (r12): identical
+    // (n_grams, sel) per doc over the real corpus shard, including
+    // first-occurrence order and the leftmost-min tie rule
+    val viaExpr = docs
+      .select(col("doc_id"), winnow_sel(col("text"), 3, 4).as("wsel"))
+      .filter(col("wsel.n_grams") >= 4)
+      .select(col("doc_id"), col("wsel.n_grams").as("n_grams"),
+        col("wsel.sel").as("sel"))
+      .collect().map(_.toString()).sorted.toSeq
+    val viaHof = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_grams", greatest(size(col("ws")) - 2, lit(0)).cast("long"))
+      .filter(col("n_grams") >= 4)
+      .withColumn("hp", expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> struct(md5(concat_ws(' ', slice(ws, i, 3))) AS h,
+          |              cast(i AS bigint) AS pos))""".stripMargin))
+      .withColumn("sel", expr(
+        """array_distinct(transform(sequence(1, size(hp) - 3),
+          |  i -> array_min(slice(hp, i, 4))))""".stripMargin))
+      .select(col("doc_id"), col("n_grams"), col("sel"))
+      .collect().map(_.toString()).sorted.toSeq
+    assert(viaExpr == viaHof, "winnow_sel diverges from the HOF chain")
+    assert(viaExpr.nonEmpty, "vacuous: no docs cleared the window gate")
+  }
+
   test("cdc_cuts codegen compiles and matches interpreted eval") {
     bothWays("cdc_cuts") {
       docs.select(col("doc_id"), cdc_cuts(col("text")).as("cuts"))
