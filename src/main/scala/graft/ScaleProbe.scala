@@ -141,6 +141,22 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.Engine.tune(spark)
 
+    // shard-need predicates for gated runs (SPARK_GRAFT_ONLY): the
+    // orders-shard rule generalized in r12 — a 1000× gated run of
+    // document-family rows must not pay the 100M-row events crossJoin
+    // (minutes of generation for a shard no gated row reads). A full
+    // (ungated) run still generates everything.
+    val gatedNames = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def gatedNeeds(p: String => Boolean): Boolean =
+      gatedNames.forall(_.exists(p))
+    val needEmbeddings = gatedNeeds(n => n.startsWith("ann_") ||
+      n.startsWith("emb_") || Set("dedup_embedding", "dedup_semantic",
+        "text_rrf_fusion", "text_retrieval_eval",
+        "text_source_similarity")(n))
+    val needEvents = gatedNeeds(n => n.startsWith("q_events") ||
+      n.startsWith("q_stream") || n.startsWith("q_sessionize"))
+
     // _SUCCESS marker, not the directory: a generation run killed
     // mid-write must regenerate, not get probed as a complete shard
     if (!Files.exists(Paths.get(s"$out/documents.parquet/_SUCCESS"))) {
@@ -163,7 +179,8 @@ object ScaleProbe {
     // vectors that all land in the same LSH buckets / IVF cells, the
     // adversarial shape for bucketed ANN (mirrors the documents shard's
     // near-dup construction)
-    if (!Files.exists(Paths.get(s"$out/embeddings.parquet/_SUCCESS"))) {
+    if (needEmbeddings &&
+        !Files.exists(Paths.get(s"$out/embeddings.parquet/_SUCCESS"))) {
       val t0 = System.nanoTime()
       val emb = Engine.table(spark, base, "embeddings")
       val reps = spark.range(factor).select(col("id").as("k"))
@@ -182,7 +199,8 @@ object ScaleProbe {
     // time range (ids remapped) — the load shape those operators claim
     // to be immune to (their output is time-range-sized, so only the
     // first hourly aggregation should grow with the factor)
-    if (!Files.exists(Paths.get(s"$out/events.parquet/_SUCCESS"))) {
+    if (needEvents &&
+        !Files.exists(Paths.get(s"$out/events.parquet/_SUCCESS"))) {
       val t0 = System.nanoTime()
       val ev = Engine.table(spark, base, "events")
       val reps = spark.range(factor).select(col("id").as("k"))
@@ -195,7 +213,8 @@ object ScaleProbe {
       println(f"generated ${factor}x events in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     val nDocs = Engine.table(spark, out, "documents").count()
-    val nVecs = Engine.table(spark, out, "embeddings").count()
+    val nVecs = if (needEmbeddings)
+      Engine.table(spark, out, "embeddings").count() else -1L
     println(s"shard: $nDocs documents, $nVecs embeddings")
 
     // shuffle volume = sum of per-operator "shuffle bytes written"
