@@ -98,6 +98,35 @@ private[graft] object BenchStats {
       .take(budget).map(_._1).toSet
     (rewindow, flagged.map(_._1).toSet -- rewindow)
   }
+
+  /** Per-query wall cap (r12 verdict task 1b): a query that stalls —
+    * environment collapse, a pathological plan, a hung stream — must be
+    * recorded failed at the cap instead of eating the whole suite (the
+    * r12 driver bench died rc=124 with ZERO rows reported). 10× the
+    * committed reference median tolerates any plausible contention
+    * window (the worst attributed degradation on this machine is ~4×)
+    * while still bounding a stall; the 60s floor keeps sub-second rows
+    * from being cap-killed by one GC pause; a query with no committed
+    * reference (a new row) gets a generous fixed cap — the suite budget
+    * is the backstop for those. */
+  def capSeconds(refMedian: Option[Double]): Double =
+    refMedian.filter(_ > 0).map(m => math.max(60.0, 10.0 * m))
+      .getOrElse(600.0)
+
+  /** Suite wall-budget mode (r12 verdict task 1c). `full` below the
+    * budget: warmup + 3 timed runs + heal/env-guard passes. `degraded`
+    * between 1× and 2×: one capped timed run, no warmup, no post-sweep
+    * passes — completion beats precision once the window has already
+    * degraded past the budget, and degraded rows are flagged so a reader
+    * never mistakes them for clean medians. `skip` past 2×: remaining
+    * rows are recorded failed WITHOUT running — the hard stop that
+    * guarantees the artifact and the stdout line exist before any
+    * external timeout (the driver killed r12 at ~55 min; 2× the default
+    * 25-min budget leaves margin even after a long in-flight query). */
+  def budgetMode(elapsedSec: Double, budgetSec: Double): String =
+    if (elapsedSec <= budgetSec) "full"
+    else if (elapsedSec <= 2.0 * budgetSec) "degraded"
+    else "skip"
 }
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
@@ -175,20 +204,58 @@ object Bench {
     }
   }
 
-  /** One timed window: `Runs` measured executions with per-run metric
-    * snapshots, bracketed by loadavg readings. */
+  /** [[timeOnce]] under a wall cap, enforced by running the query on a
+    * worker thread inside its own job group and cancelling the group
+    * when the cap elapses (the only way to bound a single Spark action
+    * from outside — there is no per-action timeout API). Returns
+    * (seconds-or-−1, capped?). On a cap kill the jobs are cancelled with
+    * task interruption, the worker is given 30s to unwind, and any
+    * streaming query the row left running is stopped so later rows
+    * aren't contaminated by a zombie micro-batch thread (job-group
+    * cancellation doesn't reach a stream's own execution thread). */
+  private def timeOnceCapped(spark: SparkSession, df: => DataFrame,
+      capSec: Double): (Double, Boolean) = {
+    val sc = spark.sparkContext
+    val group = "bench-cap-" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.util.concurrent.atomic.AtomicReference[java.lang.Double](null)
+    val worker = new Thread(() => {
+      sc.setJobGroup(group, "bench per-query wall cap", interruptOnCancel = true)
+      try out.set(timeOnce(df)) finally sc.clearJobGroup()
+    }, group)
+    worker.setDaemon(true)
+    worker.start()
+    worker.join(math.max(1000L, (capSec * 1000).toLong))
+    if (worker.isAlive) {
+      System.err.println(f"[bench] cap $capSec%.0fs blown — cancelling $group")
+      try sc.cancelJobGroup(group) catch { case NonFatal(_) => () }
+      worker.join(30000)
+      if (worker.isAlive) worker.interrupt()
+      spark.streams.active.foreach(q =>
+        try q.stop() catch { case NonFatal(_) => () })
+      (-1.0, true)
+    } else (Option(out.get()).map(_.doubleValue()).getOrElse(-1.0), false)
+  }
+
+  /** One timed window: `runs` measured executions with per-run metric
+    * snapshots, bracketed by loadavg readings. Returns the runs, the
+    * loadavg bracket, and whether any run was cap-killed. */
   private def timedWindow(sc: org.apache.spark.SparkContext,
       spark: SparkSession, sfDir: String,
-      fn: (SparkSession, String) => DataFrame)
-      : (Seq[(Double, Long, Long, Long)], Seq[Double]) = {
+      fn: (SparkSession, String) => DataFrame, capSec: Double,
+      runs: Int = Runs)
+      : (Seq[(Double, Long, Long, Long)], Seq[Double], Boolean) = {
     val lb = loadavg1()
-    val runs = (1 to Runs).map { _ =>
+    var capped = false
+    val measured = (1 to runs).map { _ =>
       resetMetrics(sc)
-      val sec = timeOnce(fn(spark, sfDir))
+      val (sec, c) =
+        if (capped) (-1.0, false) // cap already blown — don't re-stall
+        else timeOnceCapped(spark, fn(spark, sfDir), capSec)
+      capped ||= c
       val (sw, sr, gc) = snapMetrics(sc)
       (sec, sw, sr, gc)
     }
-    (runs, Seq(lb, loadavg1()))
+    (measured, Seq(lb, loadavg1()), capped)
   }
 
   /** The committed reference snapshot for the uniform-contamination
@@ -201,15 +268,19 @@ object Bench {
     * (annotated as such in the artifact) when git is unavailable, then
     * to empty. SPARK_GRAFT_BENCH_REF overrides both. */
   private def readRefStats(outFile: String)
-      : (Map[String, (Double, Double)], String) = {
-    def parse(json: String): Map[String, (Double, Double)] = {
+      : (Map[String, (Double, Double, Double)], String) = {
+    // per query: (median, min, shuffle_write_mb) — median feeds the
+    // per-query wall cap, (min, sw) the uniform-contamination guard
+    def parse(json: String): Map[String, (Double, Double, Double)] = {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val meds = root.path("queries")
       val mins = root.path("min")
       val sw = root.path("shuffle_write_mb")
       import scala.jdk.CollectionConverters._
       mins.properties().asScala.collect {
         case e if e.getValue.isNumber && sw.path(e.getKey).isNumber =>
-          e.getKey -> (e.getValue.asDouble, sw.path(e.getKey).asDouble)
+          e.getKey -> (meds.path(e.getKey).asDouble(-1.0),
+            e.getValue.asDouble, sw.path(e.getKey).asDouble)
       }.toMap
     }
     sys.env.get("SPARK_GRAFT_BENCH_REF") match {
@@ -236,11 +307,68 @@ object Bench {
     }
   }
 
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+  private def r2(v: Double): Double = math.rint(v * 100) / 100
+  private def mb(v: Long): Double = math.rint(v / 1e4) / 100
+  private def obj(kvs: Seq[(String, String)]): String =
+    kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** The full BENCH_LOCAL.json body. Extracted because it is now written
+    * INCREMENTALLY — after every completed row of the main sweep and
+    * after each post-sweep pass — with `"partial": true` until the suite
+    * finishes (r12 verdict task 1a: the r12 driver run was killed by an
+    * external timeout and, because the old code wrote the file once at
+    * the very end, left NOTHING — an interrupted sweep must still leave
+    * a parseable, mostly-complete artifact for readers and for the next
+    * run's readRefStats). */
+  private def artifactJson(rows: Seq[BenchRow], envSuspects: Seq[String],
+      partial: Boolean, degraded: Seq[String], capped: Seq[String],
+      skipped: Seq[String], refSource: String, suiteLoadStart: Double,
+      budgetSec: Double, sfDir: String): String = {
+    def q(names: Seq[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val medians = obj(rows.map(r => r.name -> r3(r.median).toString))
+    val mins = obj(rows.map(r => r.name -> r3(r.min).toString))
+    val runs = obj(rows.map(r =>
+      r.name -> r.raw.map(r3).mkString("[", ",", "]")))
+    val shufW = obj(rows.map(r => r.name -> mb(r.shufWriteB).toString))
+    val shufR = obj(rows.map(r => r.name -> mb(r.shufReadB).toString))
+    val gc = obj(rows.map(r =>
+      r.name -> r.gcMsRuns.mkString("[", ",", "]")))
+    val loads = obj(rows.map(r =>
+      r.name -> r.load.map(r2).mkString("[", ",", "]")))
+    val ok = rows.filter(_.median >= 0)
+    val failed = rows.collect { case r if r.median < 0 => r.name }
+    val total = r3(ok.map(_.median).sum)
+    // drift guard: median/min > 2× means the timed runs split across a
+    // contention window wider than the warmup absorbed — the artifact
+    // self-reports suspects instead of requiring archaeology over the
+    // raw runs. Sub-50ms queries are exempt: at scheduling-floor
+    // timescales the ratio is all jitter, no signal.
+    val suspects = rows.collect {
+      case r if r.median >= 0 && BenchStats.isSuspect(r.median, r.min) => r.name
+    }
+    s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(loadavg1())}],"bench_ref":"$refSource","budget_sec":${r2(budgetSec)},"failed":${q(failed)},"suspect":${q(suspects)},"env_suspect":${q(envSuspects)},"degraded":${q(degraded)},"capped":${q(capped)},"skipped":${q(skipped)},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min (degraded rows have no warmup: their runs array holds the single timed run); suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref, git HEAD of this file) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the re-window budget (15 rows, or the suite wall budget) was exhausted — read as uniform environment contamination, not code; partial = the suite was still running when this file was last flushed (the file is rewritten after every completed row, so an externally killed sweep still leaves its finished rows here); capped = a run blew the per-query wall cap (max(60s, 10x committed reference median); 600s when unreferenced) and was cancelled, reported failed; degraded = measured past the suite wall budget (budget_sec) with a single timed run, no warmup, no heal/env passes; skipped = not run at all past 2x the budget — the hard stop that guarantees this artifact exists before any external timeout"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    // suite wall budget (r12 verdict task 1c): the r12 driver bench was
+    // externally killed at ~55 min with nothing written. Default 25 min:
+    // a clean full sweep runs ~16 min, so the budget only bites when the
+    // window has degraded well past noise — and 2× (the skip hard-stop)
+    // still finishes inside the observed driver timeout with margin.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1500.0)
     val (refStats, refSource) = readRefStats(outFile)
+    val refMinSw = refStats.map { case (n, (_, mn, sw)) => n -> (mn, sw) }
+    def cap(name: String): Double =
+      BenchStats.capSeconds(refStats.get(name).map(_._1))
+    val suiteT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - suiteT0) / 1e9
+    def mode(): String = BenchStats.budgetMode(elapsed(), budgetSec)
     val suiteLoadStart = loadavg1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -259,37 +387,81 @@ object Bench {
         }
       }
     })
+    val degraded = scala.collection.mutable.LinkedHashSet[String]()
+    val capped = scala.collection.mutable.LinkedHashSet[String]()
+    val skipped = scala.collection.mutable.LinkedHashSet[String]()
+    def flush(rows: Seq[BenchRow], envSuspects: Seq[String],
+        partial: Boolean): Unit = {
+      val json = artifactJson(rows, envSuspects, partial, degraded.toSeq,
+        capped.toSeq, skipped.toSeq, refSource, suiteLoadStart, budgetSec,
+        sfDir)
+      // temp + atomic rename: an external kill landing mid-write must
+      // never truncate the artifact the flush exists to preserve
+      try {
+        val out = Paths.get(outFile)
+        val tmp = Paths.get(outFile + ".tmp")
+        Files.writeString(tmp, json + "\n")
+        Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      catch { case NonFatal(e) => System.err.println(s"[bench] write failed: $e") }
+    }
     // suite-level warmup: absorb JVM/classloader/parquet-footer startup
     // and build the bucketed tables once — bucketing is a write-once
     // layout whose cost amortizes across every later co-located join
-    // (its query then measures the join, not the one-time layout)
-    timeOnce(SparkEntry.queries("q1_agg")(spark, sfDir))
-    timeOnce(SparkEntry.queries("q_bucketed_join")(spark, sfDir))
+    // (its query then measures the join, not the one-time layout).
+    // Capped like everything else: a stalled warmup must not eat the
+    // whole budget before the sweep has written a single row.
+    timeOnceCapped(spark, SparkEntry.queries("q1_agg")(spark, sfDir),
+      cap("q1_agg"))
+    timeOnceCapped(spark, SparkEntry.queries("q_bucketed_join")(spark, sfDir),
+      cap("q_bucketed_join"))
     // optional name filter for local iteration (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val sc = spark.sparkContext
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val acc = scala.collection.mutable.ArrayBuffer[BenchRow]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val warm = timeOnce(fn(spark, sfDir))
-        // a failed warmup means the query itself fails — don't run it
-        // 3 more times just to fail 3 more times
-        val (runsM, load) =
-          if (warm < 0) (Seq.fill(Runs)((-1.0, 0L, 0L, 0L)), Seq.empty[Double])
-          else timedWindow(sc, spark, sfDir, fn)
-        val timed = runsM.map(_._1)
-        // any failed run poisons the stats: report -1, never a
-        // healthy-looking near-zero exception time
-        val bad = timed.contains(-1.0)
-        val median = if (bad) -1.0 else BenchStats.median(timed)
-        val min = if (bad) -1.0 else timed.min
-        // shuffle bytes are plan-determined (median across runs absorbs
-        // AQE jitter); gc is the per-run variance signal, kept as a list
-        def med(xs: Seq[Long]): Long = xs.sorted.apply(Runs / 2)
-        BenchRow(name, median, min, warm +: timed,
-          med(runsM.map(_._2)), med(runsM.map(_._3)), runsM.map(_._4), load)
+      .foreach { case (name, fn) =>
+        val row = mode() match {
+          case "skip" =>
+            skipped += name
+            BenchRow(name, -1.0, -1.0, Seq.empty, 0L, 0L, Seq.empty, Seq.empty)
+          case "degraded" =>
+            degraded += name
+            val (runsM, load, c) =
+              timedWindow(sc, spark, sfDir, fn, cap(name), runs = 1)
+            if (c) capped += name
+            val sec = runsM.head._1
+            BenchRow(name, sec, sec, runsM.map(_._1), runsM.head._2,
+              runsM.head._3, runsM.map(_._4), load)
+          case _ =>
+            val (warm, wCapped) = timeOnceCapped(spark, fn(spark, sfDir), cap(name))
+            if (wCapped) capped += name
+            // a failed warmup means the query itself fails — don't run
+            // it 3 more times just to fail 3 more times
+            val (runsM, load, c) =
+              if (warm < 0) (Seq.fill(Runs)((-1.0, 0L, 0L, 0L)), Seq.empty[Double], false)
+              else timedWindow(sc, spark, sfDir, fn, cap(name))
+            if (c) capped += name
+            val timed = runsM.map(_._1)
+            // any failed run poisons the stats: report -1, never a
+            // healthy-looking near-zero exception time
+            val bad = timed.contains(-1.0)
+            val median = if (bad) -1.0 else BenchStats.median(timed)
+            val min = if (bad) -1.0 else timed.min
+            // shuffle bytes are plan-determined (median across runs
+            // absorbs AQE jitter); gc is the per-run variance signal
+            def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+            BenchRow(name, median, min, warm +: timed,
+              med(runsM.map(_._2)), med(runsM.map(_._3)), runsM.map(_._4), load)
+        }
+        acc += row
+        flush(acc.toSeq, Seq.empty, partial = true)
       }
+    val results = acc.toSeq
     // self-heal pass (r9 verdict #3): a suspect row (median/min > 2×)
     // means two of three timed runs hit a contention window — GC pause,
     // co-tenant burst — that the per-query warmup couldn't absorb. The
@@ -300,18 +472,24 @@ object Bench {
     // (BenchStats.combineWindows — r11 published the LOWER of the two
     // medians, a best-of-two selection bias); every raw run from both
     // windows stays in `runs` whatever the rerun showed, and a row
-    // still suspect AFTER the heal is a genuine bimodal query, not noise.
-    val healed = results.map { r =>
-      if (!BenchStats.isSuspect(r.median, r.min)) r
-      else {
-        val (rerunsM, load2) =
-          timedWindow(sc, spark, sfDir, SparkEntry.queries(r.name))
-        BenchStats.combineWindows(r, rerunsM.map(_._1), rerunsM.map(_._4), load2)
+    // still suspect AFTER the heal is a genuine bimodal query, not
+    // noise. Skipped entirely once past the suite budget — in a window
+    // that degraded, more windows are more contamination, not less.
+    val live = scala.collection.mutable.LinkedHashMap(
+      results.map(r => r.name -> r): _*)
+    results.foreach { r =>
+      if (BenchStats.isSuspect(r.median, r.min) && mode() == "full" &&
+          !degraded.contains(r.name) && !skipped.contains(r.name)) {
+        val (rerunsM, load2, c) = timedWindow(sc, spark, sfDir,
+          SparkEntry.queries(r.name), cap(r.name))
+        if (c) capped += r.name
+        live(r.name) = BenchStats.combineWindows(r, rerunsM.map(_._1),
+          rerunsM.map(_._4), load2)
+        flush(live.values.toSeq, Seq.empty, partial = true)
       }
     }
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    def r2(v: Double): Double = math.rint(v * 100) / 100
-    def mb(v: Long): Double = math.rint(v / 1e4) / 100
+    val healed = live.values.toSeq
+    flush(healed, Seq.empty, partial = true)
     // reference-window guard (r10 verdict #3): the intra-window suspect
     // heuristic (median/min > 2×) is blind to UNIFORMLY slow windows —
     // r10's driver window ran the alphabetically-contiguous dedup_*/
@@ -326,58 +504,42 @@ object Bench {
     // `env_suspect` in the artifact — reported, never silently
     // rewritten, and all raw runs from every window stay auditable.
     // Selection and budget policy live in BenchStats.selectRewindow
-    // (unit-tested, incl. the budget-exhausted path).
+    // (unit-tested, incl. the budget-exhausted path). A re-window that
+    // the SUITE budget cancels is flagged without re-measurement — the
+    // same semantics as exhausting the 15-row budget.
     val rewindowBudget = 15
+    val eligible = healed.filterNot(r =>
+      degraded.contains(r.name) || skipped.contains(r.name))
     val (rewindowSet, overBudget) = BenchStats.selectRewindow(
-      healed.map(r => (r.name, r.min, mb(r.shufWriteB))), refStats, rewindowBudget)
+      eligible.map(r => (r.name, r.min, mb(r.shufWriteB))), refMinSw,
+      rewindowBudget)
     val rechecked = healed.map { r =>
       if (overBudget.contains(r.name)) (r, true)
       else if (!rewindowSet.contains(r.name)) (r, false)
+      else if (mode() != "full") (r, true)
       else {
-        val (rerunsM, load2) =
-          timedWindow(sc, spark, sfDir, SparkEntry.queries(r.name))
+        val (rerunsM, load2, c) = timedWindow(sc, spark, sfDir,
+          SparkEntry.queries(r.name), cap(r.name))
+        if (c) capped += r.name
         val timed = rerunsM.map(_._1)
-        val refMin = refStats(r.name)._1
+        val refMin = refStats(r.name)._2
         val stillSlow = timed.contains(-1.0) || timed.min > 3.0 * refMin
         (BenchStats.combineWindows(r, timed, rerunsM.map(_._4), load2), stillSlow)
       }
     }
     val healed2 = rechecked.map(_._1)
-    val envSuspects = rechecked.collect { case (r, true) => "\"" + r.name + "\"" }
-    def obj(kvs: Seq[(String, String)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val medians = obj(healed2.map(r => r.name -> r3(r.median).toString))
-    val mins = obj(healed2.map(r => r.name -> r3(r.min).toString))
-    val runs = obj(healed2.map(r =>
-      r.name -> r.raw.map(r3).mkString("[", ",", "]")))
-    val shufW = obj(healed2.map(r => r.name -> mb(r.shufWriteB).toString))
-    val shufR = obj(healed2.map(r => r.name -> mb(r.shufReadB).toString))
-    val gc = obj(healed2.map(r =>
-      r.name -> r.gcMsRuns.mkString("[", ",", "]")))
-    val loads = obj(healed2.map(r =>
-      r.name -> r.load.map(r2).mkString("[", ",", "]")))
+    val envSuspects = rechecked.collect { case (r, true) => r.name }
+    flush(healed2, envSuspects, partial = false)
     val ok = healed2.filter(_.median >= 0)
-    val failed = healed2.collect { case r if r.median < 0 => "\"" + r.name + "\"" }
+    val failed = healed2.filter(_.median < 0)
+    val suspects = ok.filter(r => BenchStats.isSuspect(r.median, r.min))
     val total = r3(ok.map(_.median).sum)
-    // drift guard: median/min > 2× means the timed runs split across a
-    // contention window wider than the warmup absorbed — the artifact
-    // self-reports suspects instead of requiring archaeology over the
-    // raw runs. Sub-50ms queries are exempt: at scheduling-floor
-    // timescales the ratio is all jitter, no signal.
-    val suspects = ok.collect {
-      case r if BenchStats.isSuspect(r.median, r.min) => "\"" + r.name + "\""
-    }
-    val suiteLoadEnd = loadavg1()
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(suiteLoadEnd)}],"bench_ref":"$refSource","failed":[${failed.mkString(",")}],"suspect":[${suspects.mkString(",")}],"env_suspect":[${envSuspects.mkString(",")}],"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min; suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref, git HEAD of this file) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the 15-row re-window budget was exhausted — read as uniform environment contamination, not code"}"""
-    try Files.writeString(Paths.get(outFile), full + "\n")
-    catch { case NonFatal(e) => System.err.println(s"[bench] write failed: $e") }
     // stdout: short + complete beats long + truncated
     val top = obj(
       ok.sortBy(-_.median).take(10).sortBy(_.name)
         .map(r => r.name -> r3(r.median).toString))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"suspect":${suspects.size},"env_suspect":${envSuspects.size},"n":${healed2.size},"sf":"$sfDir","stat":"median_of_$Runs","file":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"suspect":${suspects.size},"env_suspect":${envSuspects.size},"degraded":${degraded.size},"capped":${capped.size},"skipped":${skipped.size},"n":${healed2.size},"sf":"$sfDir","stat":"median_of_$Runs","file":"$outFile"}"""
     // silence shutdown logs, stop, THEN print: the line must be last
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()

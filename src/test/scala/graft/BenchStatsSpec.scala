@@ -116,4 +116,23 @@ class BenchStatsSpec extends AnyFunSuite {
       Seq(("new_query", 100.0, 50.0)), Map.empty, budget = 15)
     assert(rw.isEmpty && over.isEmpty)
   }
+
+  test("capSeconds: 10x reference median with a 60s floor; 600s unreferenced") {
+    // sub-second rows must not be cap-killed by one GC pause
+    assert(BenchStats.capSeconds(Some(0.5)) == 60.0)
+    assert(BenchStats.capSeconds(Some(5.9)) == 60.0)
+    // past the floor the cap tracks the committed median
+    assert(BenchStats.capSeconds(Some(8.0)) == 80.0)
+    // a failed reference median (-1) is no reference at all
+    assert(BenchStats.capSeconds(Some(-1.0)) == 600.0)
+    assert(BenchStats.capSeconds(None) == 600.0)
+  }
+
+  test("budgetMode: full within budget, degraded to 2x, skip past 2x") {
+    assert(BenchStats.budgetMode(0.0, 1500.0) == "full")
+    assert(BenchStats.budgetMode(1500.0, 1500.0) == "full")
+    assert(BenchStats.budgetMode(1500.1, 1500.0) == "degraded")
+    assert(BenchStats.budgetMode(3000.0, 1500.0) == "degraded")
+    assert(BenchStats.budgetMode(3000.1, 1500.0) == "skip")
+  }
 }
