@@ -88,48 +88,43 @@ object Replay {
       extras: Seq[DataFrame], extraTag: String): String = {
     val fp = sourceFingerprint(dir, chunks, extraTag)
     val root = Paths.get(sys.props("java.io.tmpdir"), s"graft_replay_$fp")
-    val marker = root.resolve("_REPLAY_COMPLETE")
-    if (Files.exists(marker)) return root.toString
-    // a dir without the marker is a stale partial from a crashed build
-    // (builds within one JVM are serialized by the query map) — remove
-    // it or the promote moves below collide on existing file names
-    if (Files.exists(root)) {
-      val st = Files.walk(root)
-      try st.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
-      finally st.close()
+    // build-into-temp + atomic rename (graft.ops.Scale.ensureGeneration,
+    // r12 verdict task 2): the pre-r13 code deleted a marker-less root
+    // and rebuilt IN PLACE — safe within one JVM (builds are serialized
+    // by the query map) but a second JVM racing the same fingerprint
+    // could delete chunk files the first was actively streaming from.
+    // Under the commit protocol the root only ever appears complete.
+    graft.ops.Scale.ensureGeneration(root.toString, "_REPLAY_COMPLETE") { tmp =>
+      val out = Paths.get(tmp)
+      Files.createDirectories(out)
+      val stage = Files.createTempDirectory("graft_replay_stage")
+      val ev = graft.engine.Engine.table(s, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val Array(lo, hi) = ev.agg(min(us), max(us)).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val span = hi - lo + 1
+      // fixed epoch base: mtimes must only be distinct and ascending
+      val base = 1700000000000L
+      (0 until chunks).foreach { k =>
+        val b0 = lo + span * k / chunks
+        val b1 = lo + span * (k + 1) / chunks
+        ev.filter(us >= b0 && us < b1)
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/c$k")
+        promote(Paths.get(s"$stage/c$k"), out, f"f$k%03d.parquet",
+          base + k * 60000L)
+      }
+      extras.zipWithIndex.foreach { case (df, j) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$stage/extra$j")
+        promote(Paths.get(s"$stage/extra$j"), out,
+          f"f${chunks + j}%03d.parquet", base + (chunks + j) * 60000L)
+      }
+      // the staging dir has served its purpose (only _SUCCESS/.crc
+      // leftovers remain after the part-file moves) — reclaim it
+      // instead of leaking one per build
+      graft.ops.Scale.deleteTree(stage)
+      Files.writeString(out.resolve("_REPLAY_COMPLETE"), "ok"): Unit
     }
-    Files.createDirectories(root)
-    val stage = Files.createTempDirectory("graft_replay_stage")
-    val ev = graft.engine.Engine.table(s, dir, "events")
-    val us = unix_micros(col("ts").cast("timestamp"))
-    val Array(lo, hi) = ev.agg(min(us), max(us)).head() match {
-      case r => Array(r.getLong(0), r.getLong(1))
-    }
-    val span = hi - lo + 1
-    // fixed epoch base: mtimes must only be distinct and ascending
-    val base = 1700000000000L
-    (0 until chunks).foreach { k =>
-      val b0 = lo + span * k / chunks
-      val b1 = lo + span * (k + 1) / chunks
-      ev.filter(us >= b0 && us < b1)
-        .coalesce(1).write.mode("overwrite").parquet(s"$stage/c$k")
-      promote(Paths.get(s"$stage/c$k"), root, f"f$k%03d.parquet",
-        base + k * 60000L)
-    }
-    extras.zipWithIndex.foreach { case (df, j) =>
-      df.coalesce(1).write.mode("overwrite").parquet(s"$stage/extra$j")
-      promote(Paths.get(s"$stage/extra$j"), root,
-        f"f${chunks + j}%03d.parquet", base + (chunks + j) * 60000L)
-    }
-    // the staging dir has served its purpose (only _SUCCESS/.crc
-    // leftovers remain after the part-file moves) — reclaim it instead
-    // of leaking one per build
-    val stw = Files.walk(stage)
-    try stw.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p): Unit)
-    finally stw.close()
-    Files.writeString(marker, "ok")
     root.toString
   }
 

