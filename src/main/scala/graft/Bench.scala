@@ -375,18 +375,7 @@ object Bench {
     // warmups) — onto RAM, decoupling the walls from disk state. The
     // shutdown hook reclaims it on exit, including the SIGTERM a driver
     // timeout delivers; only SIGKILL leaks, until reboot.
-    val scratchMedium = {
-      val shm = Paths.get("/dev/shm")
-      val base = if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-        else Paths.get(sys.props("java.io.tmpdir"))
-      val root = base.resolve(s"graft_bench_${ProcessHandle.current().pid()}")
-      Files.createDirectories(root)
-      sys.props("java.io.tmpdir") = root.toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try graft.ops.Scale.deleteTree(root)
-        catch { case _: Throwable => () }))
-      if (base.startsWith(shm)) "tmpfs" else "disk"
-    }
+    val scratchMedium = Scratch.install("bench", preferTmpfs = true)
     val (refStats, refSource) = readRefStats(outFile)
     val refMinSw = refStats.map { case (n, (_, mn, sw)) => n -> (mn, sw) }
     def cap(name: String): Double =

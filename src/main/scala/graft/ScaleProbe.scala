@@ -132,6 +132,13 @@ object ScaleProbe {
     val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
       s"/tmp/graft_scale_probe_${factor}x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // per-run disk scratch (reclaimed at exit): replay layouts and
+    // streaming checkpoints at 1000x are multi-GB and used to persist in
+    // /tmp forever — exactly the churn debris that degraded the windows
+    // after the r12 probe. The SHARD dir (`out`) deliberately stays
+    // outside the scratch so gated reruns can reuse it; see the keep
+    // policy at the bottom of main.
+    Scratch.install("probe", preferTmpfs = false): Unit
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -380,7 +387,21 @@ object ScaleProbe {
       peakTask.set(0L)
       val loadBefore = loadavg1()
       val t0 = System.nanoTime()
-      val m = Explain.analyze(q(spark, out))
+      // fail FAST and attributably when a gated probe reads a shard the
+      // needEmbeddings/needEvents patterns skipped (ADVICE r12): the raw
+      // PATH_NOT_FOUND surfaces mid-probe with no hint that the fix is
+      // the gate patterns, not the data
+      val m = (try Explain.analyze(q(spark, out))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains(out) &&
+                e.getMessage.contains("PATH_NOT_FOUND") =>
+            throw new IllegalStateException(
+              s"probe '$name' reads a shard this gated run skipped " +
+                s"(needEmbeddings=$needEmbeddings, needEvents=$needEvents): " +
+                s"${e.getMessage.linesIterator.next()} — update the " +
+                "gatedNeeds patterns in ScaleProbe", e)
+        })
         .filter(col("metric") === "shuffleBytesWritten")
         .agg(sum(col("value")).as("bytes"))
         .collect() // 1 row — diagnostic main, not an operator
@@ -1253,6 +1274,23 @@ object ScaleProbe {
         "/root/repo") + s"/PROBE_LOCAL_${factor}x.json"
       try Files.writeString(Paths.get(outFile), json + "\n")
       catch { case e: Exception => System.err.println(s"[probe] write failed: $e") }
+    }
+    // shard reclamation (r12 verdict task 5): the 1000x probe leaves
+    // ~10 GB of generated shards, and the windows measured after it
+    // degraded measurably (the r12 driver bench ran 39 minutes later
+    // into a timeout). A successful FULL sweep deletes its shards — they
+    // regenerate on demand. Gated runs keep theirs by default (they ARE
+    // the iteration flow, and regenerating per iteration would cause
+    // more churn than it avoids); SPARK_GRAFT_PROBE_KEEP=1/0 overrides
+    // either way. Only reached on success: a failed run leaves the shard
+    // for the diagnosis rerun.
+    val keep = sys.env.get("SPARK_GRAFT_PROBE_KEEP") match {
+      case Some(v) => v == "1"
+      case None => onlyProbes.isDefined
+    }
+    if (!keep) {
+      graft.ops.Scale.deleteTree(Paths.get(out))
+      println(s"[probe] reclaimed shard dir $out")
     }
     spark.stop()
   }

@@ -41,6 +41,9 @@ object SpillProbe {
     val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
       s"/tmp/graft_scale_probe_${factor}x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // reclaim spill/checkpoint debris at exit (the ScaleProbe policy);
+    // the shard dir stays outside the scratch for reuse
+    Scratch.install("spillprobe", preferTmpfs = false): Unit
     // 0.05 of an 8 GB heap ≈ 400 MB unified pool shared by all tasks —
     // far under the rewrite's measured 1149 MB single-task peak, so the
     // sort CANNOT fit and must spill to finish. Overridable for tuning.

@@ -36,6 +36,8 @@ object StreamStateProbe {
     // The probe runs under either to show the boundedness result is a
     // property of the OPERATOR, not of a store implementation.
     val rocks = sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")
+    // reclaim checkpoint/state-store debris at exit (the ScaleProbe policy)
+    Scratch.install("stateprobe", preferTmpfs = false): Unit
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

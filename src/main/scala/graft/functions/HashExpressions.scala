@@ -568,7 +568,10 @@ object HashExpressions {
       var i = 0
       while (i < tokens.length) {
         val t = tokens(i)
-        val prev = counts.get(t) // null unboxes to 0
+        // explicit missing-key default: the old `counts.get(t)` only
+        // worked because BoxesRunTime unboxes a null Integer to 0 — a
+        // behavior a refactor to another map type would silently lose
+        val prev = counts.getOrDefault(t, 0)
         counts.put(t, prev + 1)
         i += 1
       }
