@@ -129,8 +129,12 @@ object ScaleProbe {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // factor-specific default dir: a 10x and a 100x probe must never
     // silently share (and mis-report) one cached shard
+    // diversified-vocabulary shard variant (see the builder below); its
+    // shard lives in its own dir and its rows merge under
+    // `<name>_diversified` so the standard-shard rows stay comparable
+    val diversified = sys.env.get("SPARK_GRAFT_PROBE_DIVERSIFIED").contains("1")
     val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
-      s"/tmp/graft_scale_probe_${factor}x")
+      s"/tmp/graft_scale_probe_${factor}x" + (if (diversified) "_div" else ""))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // per-run disk scratch (reclaimed at exit): replay layouts and
     // streaming checkpoints at 1000x are multi-GB and used to persist in
@@ -170,16 +174,61 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val docs = Engine.table(spark, base, "documents")
       val reps = spark.range(factor).select(col("id").as("k"))
-      val text = when(col("k") === 0, col("text"))
-        .otherwise(concat(col("text"), lit(" v"), col("k")))
-      docs.crossJoin(reps)
-        .select(
-          (col("doc_id") * factor + col("k")).as("doc_id"),
-          text.as("text"), col("lang"), col("source"),
-          length(text).cast("long").as("n_chars"))
+      val replicated = if (!diversified) {
+        // standard shard: replica 0 verbatim, every other replica
+        // appends a distinct tail token — a factor-way NEAR-dup corpus,
+        // the adversarial shape for MinHash banding
+        val text = when(col("k") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v"), col("k")))
+        docs.crossJoin(reps)
+          .select((col("doc_id") * factor + col("k")).as("doc_id"),
+            text.as("text"), col("lang"), col("source"),
+            length(text).cast("long").as("n_chars"))
+      } else {
+        // DIVERSIFIED shard (r12 verdict task 7): on the standard shard
+        // every replica of a doc shares the doc's ENTIRE shingle
+        // vocabulary, so the containment family's DF cap drops all of
+        // it and the only survivors — the replica-suffix grams —
+        // multiply with the factor, making the 1000× shuffle ratio
+        // super-linear BY CONSTRUCTION (14.2, adjudicated r12). A real
+        // corpus differs in two ways this builder reproduces:
+        //  - cross-doc sharing without whole-vocabulary replication:
+        //    replica k of doc i INTERLEAVES doc i's words with doc
+        //    ((i+k) mod N)'s — mixed shingles belong to the (i,partner)
+        //    pairing, not to the whole replica family;
+        //  - Heaps-law vocabulary growth: every 6th word is salted with
+        //    the replica id, so ~half of each replica's 3-gram shingles
+        //    are corpus-unique. Those df=1 postings ride the df-filter
+        //    exchange at full linear volume (the corpus-sized cost the
+        //    probe exists to measure — the synthetic base vocabulary is
+        //    so small that WITHOUT the salt, partial aggregation
+        //    collapses the exchange and the probe reads near-zero) but
+        //    can never generate a candidate pair.
+        val nOrig = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+        val partner = docs.select(col("doc_id").as("p_id"),
+          col("text").as("p_text"))
+        val wa = split(col("text"), " ")
+        val wb = split(col("p_text"), " ")
+        val nMin = least(size(wa), size(wb))
+        val interleaved = concat(
+          flatten(zip_with(slice(wa, lit(1), nMin), slice(wb, lit(1), nMin),
+            (x, y) => array(x, y))),
+          slice(wa, nMin + 1, greatest(size(wa) - nMin, lit(0))))
+        val rid = (col("doc_id") * factor + col("k")).cast("string")
+        val mixed = array_join(transform(interleaved, (w, p) =>
+          when(p % 6 === 5, concat(w, lit("u"), rid)).otherwise(w)), " ")
+        val text = when(col("k") === 0, col("text")).otherwise(mixed)
+        docs.crossJoin(reps)
+          .withColumn("p_id", (col("doc_id") + col("k")) % lit(nOrig))
+          .join(broadcast(partner), Seq("p_id"))
+          .select((col("doc_id") * factor + col("k")).as("doc_id"),
+            text.as("text"), col("lang"), col("source"),
+            length(text).cast("long").as("n_chars"))
+      }
+      replicated
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      println(f"generated ${factor}x shard in ${(System.nanoTime() - t0) / 1e9}%.1fs -> $out")
+      println(f"generated ${factor}x${if (diversified) " diversified" else ""} shard in ${(System.nanoTime() - t0) / 1e9}%.1fs -> $out")
     }
     // embeddings shard for the ANN probes: replica 0 verbatim, every
     // other replica nudged by k·1e-3 per component — near-identical
@@ -419,7 +468,7 @@ object ScaleProbe {
     if (onlyProbes.isDefined) rows.foreach { case (n, w, mb, pk, (lb, la)) =>
       def r1(v: Double): Double = math.rint(v * 10) / 10
       def r2(v: Double): Double = math.rint(v * 100) / 100
-      mergeProbeRow(factor, n,
+      mergeProbeRow(factor, if (diversified) s"${n}_diversified" else n,
         s"""{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)},"loadavg":[${r2(lb)},${r2(la)}]}""")
     }
     // order-independent output checksum of the inverted index over this
