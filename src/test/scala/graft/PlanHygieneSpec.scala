@@ -152,13 +152,22 @@ class PlanHygieneSpec extends SparkSpecBase {
     .replaceAll("plan_id=\\d+", "plan_id=") // session-global counters and
     // per-run identities: every refresh otherwise rewrites ~2k lines of
     // pure id noise and buries the real plan deltas (r12)
-    .replaceAll("@[0-9a-f]{6,16}\\b", "@") // JVM object identity (UDAF refs)
+    // JVM object identity (UDAF refs, UnsafeArrayData literals): anchored
+    // to a preceding identifier char (ADVICE r12) so a standalone hex
+    // token can never be munged — every real identity in the dump is
+    // `ClassName@hex`; a quoted literal like 'user@deadbeef' would still
+    // normalize, the accepted residual
+    .replaceAll("(?<=[\\w$])@[0-9a-f]{6,16}\\b", "@")
     .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_") // lambda-var counter
     .replaceAll("RDD\\[\\d+\\]", "RDD[]") // RDD id (localCheckpoint scans)
     .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda") // JIT class
     .replaceAll("uuid\\(Some\\(-?\\d+\\)\\)", "uuid(Some())") // per-run seed
     .replaceAll("Broadcast\\(\\d+\\)", "Broadcast()") // runtime-filter id
-    .replaceAll("at (\\w+\\.scala):\\d+", "at $1") // call-site line churn
+    // call-site LINE churn (localCheckpoint scans): the file name stays,
+    // so a call-site moving to a different FILE still surfaces as a
+    // delta — only same-file line drift (every unrelated edit above the
+    // site) is deliberately invisible (ADVICE r12, adjudicated)
+    .replaceAll("at (\\w+\\.scala):\\d+", "at $1")
     // bucketed-table generation fingerprints (q_bucketed_join): the name
     // embeds a content hash that changes when the warehouse regenerates
     .replaceAll("([a-z]+_b_[0-9a-f]{8}_)[0-9a-f]{32}", "$1<fp>")

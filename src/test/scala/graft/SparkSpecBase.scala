@@ -6,6 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session for the whole test JVM. */
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // per-run scratch tmpdir, reclaimed at JVM exit: spec runs used to
+    // leave hundreds of createTempDirectory dirs and replay layouts in
+    // /tmp forever — exactly the disk-state drift the bench's env guard
+    // keeps having to adjudicate (r12). Also isolates concurrent test
+    // JVMs' scratch warehouses from each other.
+    Scratch.install("test", preferTmpfs = false): Unit
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
