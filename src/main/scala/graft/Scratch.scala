@@ -20,6 +20,17 @@ object Scratch {
     * called BEFORE the SparkSession is built: Spark resolves its local
     * dirs from the property at context start. Returns the medium
     * (`"tmpfs"` or `"disk"`) for the caller's artifact. */
+  /** A temp directory under the CURRENT `java.io.tmpdir` property.
+    * `Files.createTempDirectory(prefix)` (one-arg) resolves the
+    * property ONCE in a JVM-wide static (sun.nio.fs.TempFileHelper), so
+    * in an sbt-hosted test JVM — where sbt touched temp files long
+    * before [[install]] ran — the redirect is silently ignored and the
+    * dirs leak into the real /tmp forever. Every scratch-dir call site
+    * in this repo goes through here instead. */
+  def tempDir(prefix: String): java.nio.file.Path =
+    Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), prefix)
+
   def install(tag: String, preferTmpfs: Boolean): String = {
     val shm = Paths.get("/dev/shm")
     val useShm = preferTmpfs && Files.isDirectory(shm) && Files.isWritable(shm)

@@ -97,7 +97,7 @@ object Replay {
     graft.ops.Scale.ensureGeneration(root.toString, "_REPLAY_COMPLETE") { tmp =>
       val out = Paths.get(tmp)
       Files.createDirectories(out)
-      val stage = Files.createTempDirectory("graft_replay_stage")
+      val stage = graft.Scratch.tempDir("graft_replay_stage")
       val ev = graft.engine.Engine.table(s, dir, "events")
       val us = unix_micros(col("ts").cast("timestamp"))
       val Array(lo, hi) = ev.agg(min(us), max(us)).head() match {

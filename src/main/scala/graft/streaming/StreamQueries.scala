@@ -112,7 +112,7 @@ object StreamQueries {
     }
     val mft = math.max(files.size / 2, 1)
     def run(kill: Boolean): (Double, Long, Long) = {
-      val work = Files.createTempDirectory("graft_rec_amort")
+      val work = graft.Scratch.tempDir("graft_rec_amort")
       val in = work.resolve("in")
       Files.createDirectories(in)
       val out = work.resolve("out").toString
@@ -228,7 +228,7 @@ object StreamQueries {
       import java.nio.file.Files
       val sentinel = sentinelEvents(s, dir, Seq(-1L -> "sentinel"))
       val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
-      val work = Files.createTempDirectory("graft_recovery")
+      val work = graft.Scratch.tempDir("graft_recovery")
       val in = work.resolve("in")
       Files.createDirectories(in)
       val out = work.resolve("out").toString
@@ -291,7 +291,7 @@ object StreamQueries {
       import java.nio.file.Files
       val sentinel = sentinelEvents(s, dir, Seq(-1L -> "sentinel"))
       val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "sessionize-sentinel")
-      val work = Files.createTempDirectory("graft_recovery_tws")
+      val work = graft.Scratch.tempDir("graft_recovery_tws")
       val in = work.resolve("in")
       Files.createDirectories(in)
       val out = work.resolve("out").toString
@@ -688,8 +688,7 @@ object StreamQueries {
     // oracle exact). Keys hit by both the update and delete rule take
     // the delete — latest-op-wins, as in the batch twin.
     "q_stream_cdc" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("stream_cdc").toString
+      val root = graft.Scratch.tempDir("stream_cdc").toString
       graft.engine.Engine.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
         .write.mode("overwrite").parquet(s"$root/corpus_v0")
@@ -729,8 +728,7 @@ object StreamQueries {
     }),
 
     "q_stream_upsert" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("stream_upsert").toString
+      val root = graft.Scratch.tempDir("stream_upsert").toString
       graft.engine.Engine.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
         .write.mode("overwrite").parquet(s"$root/corpus_v0")

@@ -70,7 +70,7 @@ class ExtensionSpec extends SparkSpecBase {
     // degenerate repeated-word doc vs an all-distinct doc (the all-1
     // counts also pin the tie-break: top word = alphabetically first)
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    val dir = graft.Scratch.tempDir("graft_rep").toString
     Seq((1L, "spam spam spam spam spam ham"), (2L, "all words differ here now"))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("text_repetition")(spark, dir).collect()
@@ -95,7 +95,7 @@ class ExtensionSpec extends SparkSpecBase {
     val words = (1 to 17).map(i => f"w$i%02d")
     val docA = words.mkString(" ")                     // 15 distinct 3-gram shingles → szb 0
     val docB = (words ++ Seq("w18", "w19")).mkString(" ") // 17 shingles → szb 1
-    val dir = java.nio.file.Files.createTempDirectory("graft_ngram").toString
+    val dir = graft.Scratch.tempDir("graft_ngram").toString
     // doc_ids are multiples of 10: the query probes the %10==0 sample
     Seq((10L, docA, "en"), (20L, docB, "en"))
       .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
@@ -113,7 +113,7 @@ class ExtensionSpec extends SparkSpecBase {
     // ground truth, including the distant-doc exclusion the testdata
     // pairs don't exercise
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_lev").toString
+    val dir = graft.Scratch.tempDir("graft_lev").toString
     val a = "the quick brown fox jumps over the lazy dog and keeps running onward" // 69 chars
     val b = a.replace("lazy", "hazy")   // 1 edit inside head40
     val c = "completely different content with nothing shared at all here truly" // same bucket
@@ -134,7 +134,7 @@ class ExtensionSpec extends SparkSpecBase {
     // SNM window must exclude them, which is exactly the linear-pairs
     // bound the r9 full block pair-join lacked.
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_snm").toString
+    val dir = graft.Scratch.tempDir("graft_snm").toString
     val tail = "0123456789012345678901234567890123456789".take(38)
     val prefixes = (for {
       c1 <- 'a' to 'b'; c2 <- 'a' to 'z'
@@ -181,7 +181,7 @@ class ExtensionSpec extends SparkSpecBase {
     // 6400-doc stratum → threshold 2^31 admits ~half, and the result
     // must STILL be exactly the 50 smallest (md5, doc_id) of the stratum
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_strat").toString
+    val dir = graft.Scratch.tempDir("graft_strat").toString
     (0L until 6400L).map(i => (i, s"doc $i", "en", "src0"))
       .toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/documents.parquet")
@@ -203,7 +203,7 @@ class ExtensionSpec extends SparkSpecBase {
     // words, all count 1 → vocab = lexicographic first 4096 (tie-break
     // c desc, w asc), the other 904 take the 0.5-count floor
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_oov").toString
+    val dir = graft.Scratch.tempDir("graft_oov").toString
     Seq((1L, (0 until 5000).map(i => f"w$i%04d").mkString(" ")))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
     val r = SparkEntry.queries("text_unigram_logprob")(spark, dir).head()
@@ -220,7 +220,7 @@ class ExtensionSpec extends SparkSpecBase {
     // must report n_spans=6, n_dup_spans=5, ratio 5/6. docC (12 distinct
     // other tokens → 3 grams) shares nothing.
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    val dir = graft.Scratch.tempDir("graft_substr").toString
     val common = (1 to 14).map(i => f"w$i%02d")
     val docA = (common :+ "alpha").mkString(" ")
     val docB = (common :+ "omega").mkString(" ")
@@ -289,7 +289,7 @@ class ExtensionSpec extends SparkSpecBase {
 
   test("text_entropy: known distributions score exactly; empty and NULL text pinned") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_ent").toString
+    val dir = graft.Scratch.tempDir("graft_ent").toString
     Seq((1L, Some("aabb")), (2L, Some("aaaa")), (3L, Some("abcd")),
         (4L, Some("")), (5L, Option.empty[String]))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
@@ -310,7 +310,7 @@ class ExtensionSpec extends SparkSpecBase {
     import spark.implicits._
     // doc 1: "a b a b a b" → bigrams [a b]×3 + [b a]×2; C1(a)=C1(b)=3;
     // in-model lps are ln(3/3)=0 and ln(2/3)
-    val dir1 = java.nio.file.Files.createTempDirectory("graft_bg1").toString
+    val dir1 = graft.Scratch.tempDir("graft_bg1").toString
     Seq((1L, "a b a b a b")).toDF("doc_id", "text")
       .write.parquet(s"$dir1/documents.parquet")
     val r1 = SparkEntry.queries("text_bigram_logprob")(spark, dir1).head()
@@ -321,7 +321,7 @@ class ExtensionSpec extends SparkSpecBase {
     // doc 2: 5000 distinct zero-padded words → 4999 distinct bigrams, all
     // count 1; the top-4096 (lexicographic tie-break = first 4096) score
     // ln(1/1)=0, the remaining 903 take the 0.5/total floor
-    val dir2 = java.nio.file.Files.createTempDirectory("graft_bg2").toString
+    val dir2 = graft.Scratch.tempDir("graft_bg2").toString
     Seq((1L, (0 until 5000).map(i => f"w$i%04d").mkString(" ")))
       .toDF("doc_id", "text").write.parquet(s"$dir2/documents.parquet")
     val r2 = SparkEntry.queries("text_bigram_logprob")(spark, dir2).head()
@@ -640,7 +640,7 @@ class ExtensionSpec extends SparkSpecBase {
     // handle them); pad_to=0 → padded_tokens=0 once hit the unguarded
     // ratioRound denominator and threw under ANSI
     val rows = Seq((1L, "   "), (2L, ""), (3L, "one two three"))
-    val tmp = java.nio.file.Files.createTempDirectory("lbz").toString
+    val tmp = graft.Scratch.tempDir("lbz").toString
     rows.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     val out = SparkEntry.queries("pipe_length_buckets")(spark, tmp)
@@ -708,7 +708,7 @@ class ExtensionSpec extends SparkSpecBase {
     val rows = Seq(
       (1L, "xx", 100L), (2L, "xx", 200L), (3L, "xx", 300L), (4L, "xx", 400L),
       (9L, "yy", 777L))
-    val tmp = java.nio.file.Files.createTempDirectory("qcut").toString
+    val tmp = graft.Scratch.tempDir("qcut").toString
     rows.toDF("doc_id", "lang", "n_chars").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     val out = SparkEntry.queries("pipe_quality_cut")(spark, tmp)
@@ -729,7 +729,7 @@ class ExtensionSpec extends SparkSpecBase {
       "echo", "foxtrot", "golf", "hotel")
     val body = words.map(w => s"$w stopaaca").mkString(" ")
     val rows = Seq((1L, "A " + body), (2L, "a much longer inserted prefix " + body))
-    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    val tmp = graft.Scratch.tempDir("cdc").toString
     rows.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     // one row per chunk now: (doc_id, n_chunks, chunk_idx, chunk_len, fp)
@@ -753,7 +753,7 @@ class ExtensionSpec extends SparkSpecBase {
     val rows = (0L until 25L).map { i =>
       (i, if (i == 0) "common common" else if (i == 3) "common rare" else "common")
     }
-    val tmp = java.nio.file.Files.createTempDirectory("invidx").toString
+    val tmp = graft.Scratch.tempDir("invidx").toString
     rows.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     val out = SparkEntry.queries("text_inverted_index")(spark, tmp)
@@ -785,7 +785,7 @@ class ExtensionSpec extends SparkSpecBase {
       (0L, "apple banana"), (1L, "zebra"),
       (5L, "apple apple apple banana"), (6L, "apple"),
       (7L, "cherry cherry"))
-    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    val tmp = graft.Scratch.tempDir("bm25").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     // brute-force BM25 (Lucene 1+ idf, k1=1.2, b=0.75) in plain Scala,
@@ -826,7 +826,7 @@ class ExtensionSpec extends SparkSpecBase {
     // pairs: abab → ab,ba,ab; abc → ab,bc
     // ab: 3·2 + 1 = 7, ba: 3, bc: 1
     val docs = Seq((1L, "abab abc abab"), (2L, "abab z"))
-    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    val tmp = graft.Scratch.tempDir("bpe").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     val got = SparkEntry.queries("text_bpe_pairs")(spark, tmp)
@@ -844,7 +844,7 @@ class ExtensionSpec extends SparkSpecBase {
   test("count-min sketch: estimates match a brute-force mirror, est >= truth") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb aa cc aa bb"), (2L, "bb dd aa"))
-    val tmp = java.nio.file.Files.createTempDirectory("cms").toString
+    val tmp = graft.Scratch.tempDir("cms").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     // brute-force CMS with the same md5-derived buckets
@@ -873,7 +873,7 @@ class ExtensionSpec extends SparkSpecBase {
     // docs 1,2,4 share one payload (10 bytes); 3 is unique (4 bytes)
     val rows = Seq((1L, "same bytes"), (2L, "same bytes"),
       (3L, "diff"), (4L, "same bytes"))
-    val tmp = java.nio.file.Files.createTempDirectory("mmdedup").toString
+    val tmp = graft.Scratch.tempDir("mmdedup").toString
     rows.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -891,7 +891,7 @@ class ExtensionSpec extends SparkSpecBase {
     // sources: A has 3 docs, B has 1 — round-robin deals A,B,A,A
     // (B exhausts after round 1); within-source order is md5(doc_id)
     val rows = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
-    val tmp = java.nio.file.Files.createTempDirectory("ilv").toString
+    val tmp = graft.Scratch.tempDir("ilv").toString
     rows.toDF("doc_id", "source").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     val out = SparkEntry.queries("pipe_interleave")(spark, tmp)
@@ -921,7 +921,7 @@ class ExtensionSpec extends SparkSpecBase {
       (1L, "xx", "s1", words(10)), (2L, "xx", "s1", words(20)),
       (3L, "xx", "s2", words(30)), (4L, "xx", "s2", words(40)),
       (9L, "yy", "s1", words(8)))
-    val tmp = java.nio.file.Files.createTempDirectory("card").toString
+    val tmp = graft.Scratch.tempDir("card").toString
     rows.toDF("doc_id", "lang", "source", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     val out = SparkEntry.queries("pipe_dataset_card")(spark, tmp)
@@ -1007,7 +1007,7 @@ class ExtensionSpec extends SparkSpecBase {
     val symbols = ("the and " + "#### " * 60).trim // symbol soup
     val tiny = ("a b c d " * 15 + "the and").trim // mean word len ~1 → fail
     val rows = Seq((1L, good), (2L, short), (3L, symbols), (4L, tiny))
-    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    val tmp = graft.Scratch.tempDir("gopher").toString
     rows.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     val out = SparkEntry.queries("text_gopher_rules")(spark, tmp)
@@ -1059,7 +1059,7 @@ class ExtensionSpec extends SparkSpecBase {
     // iterations must align pc1 with the all-ones direction (sign-free)
     import spark.implicits._
     val dim = 8
-    val dir = java.nio.file.Files.createTempDirectory("pca_fixture").toString
+    val dir = graft.Scratch.tempDir("pca_fixture").toString
     (0 until 300).map { k =>
       val a = (k % 21 - 10) / 10.0
       (k.toLong,
@@ -1135,7 +1135,7 @@ class ExtensionSpec extends SparkSpecBase {
     val shuffled = rnd.shuffle(words)
     val docs = shuffled.grouped(200).zipWithIndex
       .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
-    val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
+    val tmp = graft.Scratch.tempDir("zipf").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
     val fit = SparkEntry.queries("text_zipf_fit")(spark, tmp).head()
@@ -1471,7 +1471,7 @@ class ExtensionSpec extends SparkSpecBase {
     val a = (1 to 20).map(i => s"w$i").mkString(" ")
     val mixed = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"new$i")).mkString(" ")
     val rows = Seq((1L, a), (2L, a), (3L, mixed))
-    val tmp = java.nio.file.Files.createTempDirectory("novel").toString
+    val tmp = graft.Scratch.tempDir("novel").toString
     rows.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -1512,7 +1512,7 @@ class ExtensionSpec extends SparkSpecBase {
       (4L, ts(0), 2L, "view"), (5L, ts(25), 2L, "click"),
       (6L, ts(0), 3L, "click"), (7L, ts(1), 3L, "purchase"),
       (8L, ts(0), 4L, "view"), (9L, ts(1), 4L, "click"), (10L, ts(26), 4L, "purchase"))
-    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    val tmp = graft.Scratch.tempDir("funnel").toString
     rows.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
@@ -1533,7 +1533,7 @@ class ExtensionSpec extends SparkSpecBase {
       (1L, ts(0), 1L), (2L, ts(1), 1L), (3L, ts(3), 1L),
       (4L, ts(0), 2L), (5L, ts(1), 2L),
       (6L, ts(1), 3L))
-    val tmp = java.nio.file.Files.createTempDirectory("retention").toString
+    val tmp = graft.Scratch.tempDir("retention").toString
     rows.toDF("event_id", "ts", "user_id")
       .withColumn("event_type", lit("view"))
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
@@ -1565,7 +1565,7 @@ class ExtensionSpec extends SparkSpecBase {
       (7L, ts(0), 4L, "click", 0.0, """{"k":1}"""),
       (8L, ts(0), 4L, "click", 0.0, """{"k":7}"""),
       (9L, ts(1), 4L, "purchase", 4.0, "{}"))
-    val tmp = java.nio.file.Files.createTempDirectory("attr").toString
+    val tmp = graft.Scratch.tempDir("attr").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val out = SparkEntry.queries("q_events_attribution")(spark, tmp)
@@ -1585,7 +1585,7 @@ class ExtensionSpec extends SparkSpecBase {
       (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"),
       (3L, ts(2), 1L, "purchase"),
       (4L, ts(0), 2L, "view"), (5L, ts(1), 2L, "view"))
-    val tmp = java.nio.file.Files.createTempDirectory("trans").toString
+    val tmp = graft.Scratch.tempDir("trans").toString
     rows.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
@@ -1611,7 +1611,7 @@ class ExtensionSpec extends SparkSpecBase {
       (6L, ts(5, 1), 3L, "purchase", 6.0),
       (7L, ts(6, 1), 4L, "view", 0.0), (8L, ts(7, 1), 4L, "view", 0.0),
       (9L, ts(8, 1), 4L, "view", 0.0), (10L, ts(9, 1), 4L, "purchase", 8.0))
-    val tmp = java.nio.file.Files.createTempDirectory("rfm").toString
+    val tmp = graft.Scratch.tempDir("rfm").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
@@ -1629,7 +1629,7 @@ class ExtensionSpec extends SparkSpecBase {
     // be its two LONGEST docs (doc_id tie-break), srcA identical shape
     val docs = (1 to 10).map(i => (i.toLong, "srcA", 100L + i)) ++
       (11 to 50).map(i => (i.toLong, "srcB", 200L + i))
-    val tmp = java.nio.file.Files.createTempDirectory("domcap").toString
+    val tmp = graft.Scratch.tempDir("domcap").toString
     docs.toDF("doc_id", "source", "n_chars")
       .withColumn("text", lit("x")).withColumn("lang", lit("en"))
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -1647,7 +1647,7 @@ class ExtensionSpec extends SparkSpecBase {
     // A∩B = {b,c} of union {a,b,c,d} → 0.5; C shares nothing → no row
     val docs = Seq((1L, "a b c", "srcA"), (2L, "b c d", "srcB"),
       (3L, "x y", "srcC"))
-    val tmp = java.nio.file.Files.createTempDirectory("srcsim").toString
+    val tmp = graft.Scratch.tempDir("srcsim").toString
     docs.toDF("doc_id", "text", "source")
       .withColumn("lang", lit("en"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -1666,7 +1666,7 @@ class ExtensionSpec extends SparkSpecBase {
     // pins spine fill (dau 0), WAU expiry (day 7–8 drop to 0) and the
     // 28-day window holding both users through day 9
     val rows = Seq((1L, ts(0), 1L), (2L, ts(0), 2L), (3L, ts(9), 2L))
-    val tmp = java.nio.file.Files.createTempDirectory("dau").toString
+    val tmp = graft.Scratch.tempDir("dau").toString
     rows.toDF("event_id", "ts", "user_id")
       .withColumn("event_type", lit("view"))
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
@@ -1691,7 +1691,7 @@ class ExtensionSpec extends SparkSpecBase {
       (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"),
       (3L, ts(2), 1L, "purchase"), (4L, ts(3), 1L, "view"),
       (5L, ts(0), 2L, "view"), (6L, ts(1), 2L, "view"), (7L, ts(2), 2L, "view"))
-    val tmp = java.nio.file.Files.createTempDirectory("paths").toString
+    val tmp = graft.Scratch.tempDir("paths").toString
     rows.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
@@ -1710,7 +1710,7 @@ class ExtensionSpec extends SparkSpecBase {
     // top decile (k=1) = the 300-cent whale → share 0.75
     val rows = (1 to 8).map(u => (u.toLong, ts(u), u.toLong, "view", 0.0)) ++
       Seq((9L, ts(9), 9L, "purchase", 1.0), (10L, ts(10), 10L, "purchase", 3.0))
-    val tmp = java.nio.file.Files.createTempDirectory("gini").toString
+    val tmp = graft.Scratch.tempDir("gini").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
@@ -1728,7 +1728,7 @@ class ExtensionSpec extends SparkSpecBase {
     val rows = Seq(
       (1L, ts(0), 2L, "purchase", 1.0), (2L, ts(1), 4L, "purchase", 3.0),
       (3L, ts(2), 1L, "purchase", 1.0), (4L, ts(3), 3L, "purchase", 1.0))
-    val tmp = java.nio.file.Files.createTempDirectory("abtest").toString
+    val tmp = graft.Scratch.tempDir("abtest").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
@@ -1744,7 +1744,7 @@ class ExtensionSpec extends SparkSpecBase {
     // has support 1 and must be filtered. N=30 tokens, c_x=c_y=c_xy=10
     // → PMI = ln(30·10/(10·10)) = ln 3
     val docs = (1 to 10).map(i => (i.toLong, s"alpha beta w$i"))
-    val tmp = java.nio.file.Files.createTempDirectory("colloc").toString
+    val tmp = graft.Scratch.tempDir("colloc").toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -1762,7 +1762,7 @@ class ExtensionSpec extends SparkSpecBase {
     // 5·6/(6·5)=1), AC (support 1) must be filtered
     val li = (1 to 5).flatMap(o => Seq((o.toLong, 101L), (o.toLong, 102L))) ++
       Seq((6L, 101L), (6L, 103L))
-    val tmp = java.nio.file.Files.createTempDirectory("basket").toString
+    val tmp = graft.Scratch.tempDir("basket").toString
     li.toDF("l_orderkey", "l_partkey")
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
     Seq((101L, "BrandA"), (102L, "BrandB"), (103L, "BrandC"))
@@ -1790,7 +1790,7 @@ class ExtensionSpec extends SparkSpecBase {
       ev(2L, if (i % 2 == 0) full else full + 10L)
     }
     val u3 = (0 to 4).map(i => ev(3L, i * 60L))
-    val tmp = java.nio.file.Files.createTempDirectory("bot").toString
+    val tmp = graft.Scratch.tempDir("bot").toString
     (u1 ++ u2 ++ u3).toDF("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
@@ -1814,7 +1814,7 @@ class ExtensionSpec extends SparkSpecBase {
       (0L, Array(1.0f, 0f, 0f)), (10L, Array(0.9f, 0.435f, 0f)),
       (11L, Array(0.9f, 0.435f, 0f)), (12L, Array(0.9f, -0.435f, 0f)),
       (13L, Array(0f, 1.0f, 0f)), (14L, Array(0f, 0f, 1.0f)))
-    val tmp = java.nio.file.Files.createTempDirectory("mmr").toString
+    val tmp = graft.Scratch.tempDir("mmr").toString
     vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val out = SparkEntry.queries("emb_mmr_rerank")(spark, tmp)
@@ -1835,7 +1835,7 @@ class ExtensionSpec extends SparkSpecBase {
       (0L, Array(1.0f, 0f)), (10L, Array(0f, 1.0f)),
       (11L, Array(-1.0f, 0f)), (12L, Array(0.7f, 0.7f)),
       (13L, Array(1.0f, 0.02f)))
-    val tmp = java.nio.file.Files.createTempDirectory("ffirst").toString
+    val tmp = graft.Scratch.tempDir("ffirst").toString
     vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val out = SparkEntry.queries("emb_farthest_first")(spark, tmp)
@@ -1865,7 +1865,7 @@ class ExtensionSpec extends SparkSpecBase {
       (1L, ts(0), 1L, "purchase", 1.0), (2L, ts(1), 1L, "purchase", 2.0),
       (3L, ts(0), 2L, "view", 0.0),
       (4L, ts(1), 3L, "purchase", 4.0))
-    val tmp = java.nio.file.Files.createTempDirectory("ltv").toString
+    val tmp = graft.Scratch.tempDir("ltv").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
@@ -1904,7 +1904,7 @@ class ExtensionSpec extends SparkSpecBase {
     // match it, so BM25 MUST return every source at rank 1
     val rows = (0L to 6L).map(i =>
       (i, (1 to 20).map(j => s"uniq${i}w$j").mkString(" ")))
-    val tmp = java.nio.file.Files.createTempDirectory("ksearch").toString
+    val tmp = graft.Scratch.tempDir("ksearch").toString
     rows.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -1962,7 +1962,7 @@ class ExtensionSpec extends SparkSpecBase {
     // global top pair is 'a b' (mass 3); it merges lang aa's only word
     // to one symbol while lang bb's word stays fully shattered
     val rows = Seq((1L, "ab ab ab", "aa"), (2L, "xyz", "bb"))
-    val tmp = java.nio.file.Files.createTempDirectory("fert").toString
+    val tmp = graft.Scratch.tempDir("fert").toString
     rows.toDF("doc_id", "text", "lang")
       .withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -1984,7 +1984,7 @@ class ExtensionSpec extends SparkSpecBase {
     val rows = (0L to 9L).map(i =>
       (i, if (i % 2 == 0) v0 else v1, 0)) ++
       (10L to 13L).map(i => (i, v0, 1)) // label 1: no drift
-    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    val tmp = graft.Scratch.tempDir("drift").toString
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val out = SparkEntry.queries("emb_centroid_drift")(spark, tmp)
@@ -2003,7 +2003,7 @@ class ExtensionSpec extends SparkSpecBase {
       (3L, words("bien", 10), "fr"),           // fails language
       (4L, "a b c d e f g h i j", "en"),       // fails payload_bytes (19 B)
       (5L, ("dup " * 5) + words("tail", 5), "en")) // fails repetition (5/10)
-    val tmp = java.nio.file.Files.createTempDirectory("capfilter").toString
+    val tmp = graft.Scratch.tempDir("capfilter").toString
     rows.toDF("doc_id", "text", "lang")
       .withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -2022,7 +2022,7 @@ class ExtensionSpec extends SparkSpecBase {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
     val rows = Seq((1L, base), (2L, base), (3L, other))
-    val tmp = java.nio.file.Files.createTempDirectory("phash").toString
+    val tmp = graft.Scratch.tempDir("phash").toString
     rows.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -2118,7 +2118,7 @@ class ExtensionSpec extends SparkSpecBase {
       (3L, at("2024-03-01T13:40:00Z")),
       (4L, at("2024-03-03T02:10:00Z")), (5L, at("2024-03-03T02:50:00Z")))
       .map { case (id, ts) => (id, ts, 1L, "view", 0.0, "{}") }
-    val tmp = java.nio.file.Files.createTempDirectory("seas").toString
+    val tmp = graft.Scratch.tempDir("seas").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val out = SparkEntry.queries("q_events_seasonality")(spark, tmp)
@@ -2138,7 +2138,7 @@ class ExtensionSpec extends SparkSpecBase {
       ("c", 9L)).zipWithIndex.map { case ((typ, u), i) =>
       (i.toLong + 1, new java.sql.Timestamp(t0 + i * 1000L), u, typ, 0.0, "{}")
     }
-    val tmp = java.nio.file.Files.createTempDirectory("aud").toString
+    val tmp = graft.Scratch.tempDir("aud").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val out = SparkEntry.queries("q_events_audience_overlap")(spark, tmp)
@@ -2188,7 +2188,7 @@ class ExtensionSpec extends SparkSpecBase {
     // 9 identical words → 7 identical-hash grams → every window's min
     // is its FIRST position → 4 selected fingerprints (positions 1..4),
     // all the same hash; guaranteed-coverage density holds exactly
-    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    val tmp = graft.Scratch.tempDir("winnow").toString
     Seq((1L, Seq.fill(9)("a").mkString(" ")))
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
@@ -2201,7 +2201,7 @@ class ExtensionSpec extends SparkSpecBase {
 
   test("distinct_on: acctbal tie broken by smallest custkey") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("don").toString
+    val tmp = graft.Scratch.tempDir("don").toString
     Seq((7L, "cust7", 100.0, "SEG"), (3L, "cust3", 100.0, "SEG"),
       (5L, "cust5", 50.0, "SEG"), (9L, "cust9", 10.0, "OTHER"))
       .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
@@ -2236,7 +2236,7 @@ class ExtensionSpec extends SparkSpecBase {
 
   test("line dedup: planted cross-doc boilerplate dropped, unique lines kept") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("linededup").toString
+    val tmp = graft.Scratch.tempDir("linededup").toString
     def words(p: String) = (1 to 8).map(p + _).mkString(" ")
     val docs = Seq(
       1L -> s"${words("a")} ${words("b")}", // line2 shared with doc 2
@@ -2325,7 +2325,7 @@ class ExtensionSpec extends SparkSpecBase {
     // must short-circuit to the oracle's empty result instead of
     // throwing ArithmeticException driver-side (ADVICE r9)
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_mkv").toString
+    val dir = graft.Scratch.tempDir("graft_mkv").toString
     Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
@@ -2336,7 +2336,7 @@ class ExtensionSpec extends SparkSpecBase {
 
   test("time-weighted average: hand-computed trapezoids, zero-span days dropped") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("twa").toString
+    val tmp = graft.Scratch.tempDir("twa").toString
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000L)
     Seq(
@@ -2398,7 +2398,7 @@ class ExtensionSpec extends SparkSpecBase {
 
   test("bpe train: exhausted vocab stops early, rows match completed rounds") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("bpex").toString
+    val tmp = graft.Scratch.tempDir("bpex").toString
     // vocab = {"ab"×3, "cd"×2}: round 1 merges (a b) n=3, round 2 (c d)
     // n=2, then every word is ONE symbol — rounds 3..6 must vanish
     val text = (Seq.fill(3)("ab") ++ Seq.fill(2)("cd")).mkString(" ")
@@ -2414,7 +2414,7 @@ class ExtensionSpec extends SparkSpecBase {
 
   test("bpe encode: early-stopped training encodes with the merges learned") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("bpex2").toString
+    val tmp = graft.Scratch.tempDir("bpex2").toString
     // same exhaustion corpus as the train spec: 2 merges then no pairs
     // remain. Encode must apply exactly those 2 merges — both words
     // collapse to ONE symbol, so fertility = 1.0 exactly. The DuckDB
@@ -2497,7 +2497,7 @@ class ExtensionSpec extends SparkSpecBase {
 
   test("fim transform: PSM reorder pinned on a literal, short docs pass through") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("fim").toString
+    val tmp = graft.Scratch.tempDir("fim").toString
     val t36 = "abcdefghijkl" * 3 // 36 chars: cuts at 12/24
     val docs = Seq(1L -> t36, 2L -> "short doc here") // 14 chars: no FIM
     docs.toDF("doc_id", "text")
@@ -2516,7 +2516,7 @@ class ExtensionSpec extends SparkSpecBase {
 
   test("prefix dedup: planted truncation family flagged, exact copy is not") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("prefdedup").toString
+    val tmp = graft.Scratch.tempDir("prefdedup").toString
     val base = ("word" * 8 + " ") * 20 // prefix far beyond 128 chars
     val docs = Seq(
       1L -> (base + "original tail"),
@@ -2571,7 +2571,7 @@ class ExtensionSpec extends SparkSpecBase {
 
   test("winnowing dedup: planted shared passage pairs, disjoint docs don't") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("windedup").toString
+    val tmp = graft.Scratch.tempDir("windedup").toString
     val passage = (1 to 12).map("shared" + _).mkString(" ")
     val docs = Seq(
       1L -> s"alpha one two three four five six $passage tail1 tail2",

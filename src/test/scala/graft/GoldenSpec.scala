@@ -59,7 +59,7 @@ class GoldenSpec extends SparkSpecBase {
   }
 
   test("CSV `test` table registration (reference datasets/test.csv contract)") {
-    val csv = java.nio.file.Files.createTempDirectory("graft_csv").resolve("test.csv")
+    val csv = graft.Scratch.tempDir("graft_csv").resolve("test.csv")
     java.nio.file.Files.writeString(csv,
       """c1,c2,c3
         |a,1,0.5
@@ -104,7 +104,7 @@ class GoldenSpec extends SparkSpecBase {
     // query, like the README-trio replay pins the custom aggregates
     import org.apache.spark.sql.functions._
     Engine.registerTestdata(spark, sfDir)
-    val dir = java.nio.file.Files.createTempDirectory("graft_golden_arrow").toString
+    val dir = graft.Scratch.tempDir("graft_golden_arrow").toString
     Engine.table(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .write.format("arrowipc").mode("overwrite").save(dir)

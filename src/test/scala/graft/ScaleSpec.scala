@@ -95,7 +95,7 @@ class ScaleSpec extends SparkSpecBase {
     // to exactly one live generation per logical source as the source
     // is regenerated repeatedly — the unbounded-growth regression is a
     // count that climbs by 6 per regeneration.
-    val src = java.nio.file.Files.createTempDirectory("graft_regen").toString
+    val src = graft.Scratch.tempDir("graft_regen").toString
     def regen(g: Int): Unit =
       Seq("lineitem", "orders", "events", "documents").foreach { t =>
         // g rows of difference per generation → a fresh content
@@ -153,7 +153,7 @@ class ScaleSpec extends SparkSpecBase {
     // (FAILED_READ_FILE.FILE_NOT_EXIST). Under ensureGeneration the live
     // path may only APPEAR, complete, via atomic rename — so a reader
     // that can see the dir must always find the marker and every file.
-    val base = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    val base = graft.Scratch.tempDir("graft_gen").toString
     val target = base + "/gen_00000000_feedface"
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
@@ -202,7 +202,7 @@ class ScaleSpec extends SparkSpecBase {
   }
 
   test("generation commit replaces pre-protocol crash debris (dir without marker)") {
-    val base = java.nio.file.Files.createTempDirectory("graft_gen2").toString
+    val base = graft.Scratch.tempDir("graft_gen2").toString
     val target = java.nio.file.Paths.get(base, "gen_00000000_0ddba11")
     // an in-place build killed before _SUCCESS — the pre-r13 layout code
     // could leave exactly this
@@ -363,7 +363,7 @@ class ScaleSpec extends SparkSpecBase {
   test("z-ordered layout is value-invariant under a 2-D box predicate") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val path = java.nio.file.Files.createTempDirectory("zorder_spec").toString + "/z"
+    val path = graft.Scratch.tempDir("zorder_spec").toString + "/z"
     ops.Scale.writeZOrdered(src, path, "o_custkey", "o_totalprice", partitions = 4)
     val back = spark.read.parquet(path)
     assert(back.count() == src.count())
@@ -376,7 +376,7 @@ class ScaleSpec extends SparkSpecBase {
 
   test("compaction collapses a fragmented table to size-derived file count, content intact") {
     import graft.ops.Scale
-    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val base = graft.Scratch.tempDir("graft_compact").toString
     val frag = s"$base/frag"
     val comp = s"$base/comp"
     val docs = graft.engine.Engine.table(spark, sfDir, "documents")
@@ -438,7 +438,7 @@ class ScaleSpec extends SparkSpecBase {
     // migration validator (no canonical global order exists up there)
     val shuffled = graft.engine.Engine.table(spark, sfDir, "documents")
       .repartition(7, col("lang")).sortWithinPartitions(col("doc_id").desc)
-    val tmp = java.nio.file.Files.createTempDirectory("cksum").toString
+    val tmp = graft.Scratch.tempDir("cksum").toString
     shuffled.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val re = SparkEntry.queries("q_table_checksum")(spark, tmp).head()
     assert((0 to 4).forall(i => re.getLong(i) == base.getLong(i)),
@@ -447,7 +447,7 @@ class ScaleSpec extends SparkSpecBase {
     val mutated = graft.engine.Engine.table(spark, sfDir, "documents")
       .withColumn("text", when(col("doc_id") === 0, concat(col("text"), lit("!")))
         .otherwise(col("text")))
-    val tmp2 = java.nio.file.Files.createTempDirectory("cksum2").toString
+    val tmp2 = graft.Scratch.tempDir("cksum2").toString
     mutated.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
     val mu = SparkEntry.queries("q_table_checksum")(spark, tmp2).head()
     assert(mu.getLong(1) != base.getLong(1), "checksum blind to a 1-char edit")
@@ -490,7 +490,7 @@ class ScaleSpec extends SparkSpecBase {
     import spark.implicits._
     // keys: 1×5, 2×3, 3×1, 4×1 → N=10, K=4, mx=5, skew = 5·4/10 = 2.0
     val rows = Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L)
-    val tmp = java.nio.file.Files.createTempDirectory("skew").toString
+    val tmp = graft.Scratch.tempDir("skew").toString
     rows.toDF("o_custkey").write.mode("overwrite")
       .parquet(s"$tmp/orders.parquet")
     val out = SparkEntry.queries("q_skew_report")(spark, tmp)

@@ -24,7 +24,7 @@ class StreamingSpec extends SparkSpecBase {
     // 0:00–0:10 session closes under the phase-1 watermark (1:55 −
     // 30min delay), so the file sink committed output BEFORE the kill.
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_rec_plant").toString
+    val dir = graft.Scratch.tempDir("graft_rec_plant").toString
     val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
     def at(minute: Long) = new java.sql.Timestamp(base.getTime + minute * 60000L)
     Seq(
@@ -232,7 +232,7 @@ class StreamingSpec extends SparkSpecBase {
     val rows = Seq(
       (1L, ts(0, 1), 1L), (2L, ts(0, 5), 1L), (3L, ts(0, 9), 2L),
       (4L, ts(1, 3), 3L))
-    val tmp = java.nio.file.Files.createTempDirectory("sdau").toString
+    val tmp = graft.Scratch.tempDir("sdau").toString
     rows.toDF("event_id", "ts", "user_id")
       .withColumn("event_type", lit("view"))
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
@@ -426,7 +426,7 @@ class StreamingSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("fb_upsert").toString
+    val root = graft.Scratch.tempDir("fb_upsert").toString
     val baseRows = Seq((1L, "a"), (7L, "b"), (13L, "c"), (14L, "d"), (20L, "e"))
     baseRows.toDF("doc_id", "text").withColumn("lang", lit("en"))
       .select(col("doc_id"), col("lang"), col("text"))
@@ -488,7 +488,7 @@ class StreamingSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("fb_cdc").toString
+    val root = graft.Scratch.tempDir("fb_cdc").toString
     // 77 matches BOTH %7 (update) and %11 (delete) → must be deleted
     val baseRows = Seq((1L, "a"), (7L, "b"), (11L, "c"), (13L, "d"),
       (77L, "e"))

@@ -261,7 +261,7 @@ class WarehouseSpec extends SparkSpecBase {
 
   test("q_schema_evolution: v1 rows null-fill the v2-only columns") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("sevo").toString
+    val tmp = graft.Scratch.tempDir("sevo").toString
     // 2 v1-era docs (even ids), 1 v2-era (odd) — quality = n_chars div 100
     Seq((2L, "en", 250L, "sA"), (4L, "en", 150L, "sB"), (5L, "en", 330L, "sC"))
       .toDF("doc_id", "lang", "n_chars", "source")
@@ -277,7 +277,7 @@ class WarehouseSpec extends SparkSpecBase {
 
   test("q_constraint_check: planted violations are counted exactly") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("cons").toString
+    val tmp = graft.Scratch.tempDir("cons").toString
     // customer: dup key 1, one null acctbal
     Seq((1L, Some(10.0)), (1L, Some(20.0)), (2L, None), (3L, Some(5.0)))
       .toDF("c_custkey", "c_acctbal")
@@ -305,7 +305,7 @@ class WarehouseSpec extends SparkSpecBase {
 
   test("q_cdc_apply: latest-op-wins merge on a planted feed") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    val tmp = graft.Scratch.tempDir("cdc").toString
     // keys 1..21, all status O, price 10.0: base = non-%3 (14 rows);
     // updates %5 → {5,10,20}; deletes %7 → {7,14}; inserts %3 (7 rows)
     (1L to 21L).map(k => (k, "O", 10.0)).toDF(
