@@ -16,19 +16,6 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.Engine.tune(spark)
     new java.io.File(outDir).mkdirs()
-    // optional name filter (comma-separated) for fast local iteration;
-    // the driver never sets it, so the full dump is the default
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -53,11 +40,46 @@ object Verify {
       .toAbsolutePath.toString
     graft.engine.TypesTable.generate(spark, 1000000L, seed = 42)
       .write.mode("overwrite").parquet(typesDir)
+    // oracle_sql.json is written FIRST, atomically (r13, the bench's
+    // un-losable lesson applied here): it was written after the ~5-min
+    // query dump, so an external timeout killing Verify mid-sweep would
+    // have zeroed the round's ENTIRE correctness artifact — with the map
+    // on disk up front, every per-query parquet that lands is
+    // oracle-comparable even if the sweep dies partway.
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace("__GRAFT_TYPES1M__", typesDir))}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json.tmp"), json)
+    Files.move(Paths.get(s"$outDir/oracle_sql.json.tmp"), oraclePath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // optional name filter (comma-separated) for fast local iteration;
+    // the driver never sets it, so the full dump is the default
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    // each dump is staged OUTSIDE outDir and renamed in only when
+    // complete: the driver globs outDir's subdirectories as results, so
+    // a dump killed mid-write would otherwise be compared as an empty
+    // frame instead of reading as absent
+    val stage = s"${outDir.stripSuffix("/")}__stage"
+    new java.io.File(stage).mkdirs()
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$stage/$name")
+        graft.ops.Scale.deleteTree(Paths.get(s"$outDir/$name"))
+        Files.move(Paths.get(s"$stage/$name"), Paths.get(s"$outDir/$name"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    graft.ops.Scale.deleteTree(Paths.get(stage))
     spark.stop()
   }
 }
