@@ -187,6 +187,38 @@ object Bench {
     try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case NonFatal(_) => -1.0 }
 
+  /** Window-speed canaries (r13): this box is a VM, and whole days run
+    * uniformly ~1.3× slow (streaming rows 2-3×) while loadavg,
+    * /proc/pressure and steal all read clean — guest metrics cannot see
+    * host-level contention, so every such window has cost a manual
+    * binary-bisection adjudication. Two fixed workloads, measured at
+    * suite start AND end, make window speed readable from the artifact
+    * alone: [[cpuCanaryMs]] pins single-core throughput (20k md5 of a
+    * 1 KB buffer, ~21 MB hashed — the r13 slow day left this UNCHANGED,
+    * which is itself diagnostic), and [[schedCanaryMs]] pins task-
+    * scheduling round-trip latency (20 × 32-task no-op jobs — the cost
+    * every micro-batch pays per stage, which is why streaming rows
+    * amplify 2-3× in windows where batch rows only gain 1.3×). */
+  private def cpuCanaryMs(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](1024)
+    java.util.Arrays.fill(buf, 7.toByte)
+    var i = 0
+    while (i < 2000) { md.update(buf); md.digest(): Unit; i += 1 } // JIT warm
+    val t0 = System.nanoTime()
+    i = 0
+    while (i < 20000) { md.update(buf); md.digest(): Unit; i += 1 }
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private def schedCanaryMs(sc: org.apache.spark.SparkContext): Double = {
+    sc.parallelize(1 to 64, 32).count(): Unit // scheduler/codepath warm
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 20) { sc.parallelize(1 to 64, 32).count(): Unit; i += 1 }
+    (System.nanoTime() - t0) / 1e6
+  }
+
   /** Forces full materialization of every column; -1.0 = query failed.
     * Catches NonFatal only: after an OOM or other fatal JVM error the
     * session is undefined and every later median would be silently
@@ -324,7 +356,8 @@ object Bench {
   private def artifactJson(rows: Seq[BenchRow], envSuspects: Seq[String],
       partial: Boolean, degraded: Seq[String], capped: Seq[String],
       skipped: Seq[String], refSource: String, suiteLoadStart: Double,
-      budgetSec: Double, sfDir: String, scratch: String): String = {
+      budgetSec: Double, sfDir: String, scratch: String,
+      canaries: Seq[(String, Double)]): String = {
     def q(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val medians = obj(rows.map(r => r.name -> r3(r.median).toString))
@@ -348,7 +381,7 @@ object Bench {
     val suspects = rows.collect {
       case r if r.median >= 0 && BenchStats.isSuspect(r.median, r.min) => r.name
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(loadavg1())}],"bench_ref":"$refSource","budget_sec":${r2(budgetSec)},"scratch":"$scratch","failed":${q(failed)},"suspect":${q(suspects)},"env_suspect":${q(envSuspects)},"degraded":${q(degraded)},"capped":${q(capped)},"skipped":${q(skipped)},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min (degraded rows have no warmup: their runs array holds the single timed run); suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref, git HEAD of this file) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the re-window budget (15 rows, or the suite wall budget) was exhausted — read as uniform environment contamination, not code; partial = the suite was still running when this file was last flushed (the file is rewritten after every completed row, so an externally killed sweep still leaves its finished rows here); capped = a run blew the per-query wall cap (max(60s, 10x committed reference median); 600s when unreferenced) and was cancelled, reported failed; degraded = measured past the suite wall budget (budget_sec) with a single timed run, no warmup, no heal/env passes; skipped = not run at all past 2x the budget — the hard stop that guarantees this artifact exists before any external timeout; scratch = the medium (tmpfs|disk) of the per-run java.io.tmpdir root holding checkpoints, state stores, shuffle and layout caches — tmpfs decouples the streaming rows from co-tenant disk churn"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(loadavg1())}],"bench_ref":"$refSource","budget_sec":${r2(budgetSec)},"scratch":"$scratch","canary_ms":${obj(canaries.map { case (k, v) => k -> r2(v).toString })},"failed":${q(failed)},"suspect":${q(suspects)},"env_suspect":${q(envSuspects)},"degraded":${q(degraded)},"capped":${q(capped)},"skipped":${q(skipped)},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min (degraded rows have no warmup: their runs array holds the single timed run); suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref, git HEAD of this file) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the re-window budget (15 rows, or the suite wall budget) was exhausted — read as uniform environment contamination, not code; partial = the suite was still running when this file was last flushed (the file is rewritten after every completed row, so an externally killed sweep still leaves its finished rows here); capped = a run blew the per-query wall cap (max(60s, 10x committed reference median); 600s when unreferenced) and was cancelled, reported failed; degraded = measured past the suite wall budget (budget_sec) with a single timed run, no warmup, no heal/env passes; skipped = not run at all past 2x the budget — the hard stop that guarantees this artifact exists before any external timeout; scratch = the medium (tmpfs|disk) of the per-run java.io.tmpdir root holding checkpoints, state stores, shuffle and layout caches — tmpfs decouples the streaming rows from co-tenant disk churn; canary_ms = fixed window-speed workloads at suite start/end (cpu = 20k md5 of 1KB single-core; sched = 20 no-op 32-task jobs, the per-stage scheduling cost micro-batch streaming amplifies) — host-level slowness is invisible to guest loadavg/pressure, so compare these against the committed reference's before adjudicating a wall delta"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -404,11 +437,12 @@ object Bench {
     val degraded = scala.collection.mutable.LinkedHashSet[String]()
     val capped = scala.collection.mutable.LinkedHashSet[String]()
     val skipped = scala.collection.mutable.LinkedHashSet[String]()
+    val canaries = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def flush(rows: Seq[BenchRow], envSuspects: Seq[String],
         partial: Boolean): Unit = {
       val json = artifactJson(rows, envSuspects, partial, degraded.toSeq,
         capped.toSeq, skipped.toSeq, refSource, suiteLoadStart, budgetSec,
-        sfDir, scratchMedium)
+        sfDir, scratchMedium, canaries.toSeq)
       // temp + atomic rename: an external kill landing mid-write must
       // never truncate the artifact the flush exists to preserve
       try {
@@ -435,6 +469,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val sc = spark.sparkContext
+    canaries += ("cpu_start" -> cpuCanaryMs())
+    canaries += ("sched_start" -> schedCanaryMs(sc))
     val acc = scala.collection.mutable.ArrayBuffer[BenchRow]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -543,6 +579,8 @@ object Bench {
     }
     val healed2 = rechecked.map(_._1)
     val envSuspects = rechecked.collect { case (r, true) => r.name }
+    canaries += ("cpu_end" -> cpuCanaryMs())
+    canaries += ("sched_end" -> schedCanaryMs(sc))
     flush(healed2, envSuspects, partial = false)
     val ok = healed2.filter(_.median >= 0)
     val failed = healed2.filter(_.median < 0)
