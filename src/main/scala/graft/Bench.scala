@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * attributable without a paired re-run. */
 private[graft] case class BenchRow(name: String, median: Double, min: Double,
     raw: Seq[Double], shufWriteB: Long, shufReadB: Long, gcMsRuns: Seq[Long],
-    load: Seq[Double])
+    load: Seq[Double], schedMs: Double = -1.0)
 
 /** Pure stat/guard policies for [[Bench]], extracted so they are
   * unit-testable without a SparkSession (BenchStatsSpec). Both carried a
@@ -109,9 +109,63 @@ private[graft] object BenchStats {
     * from being cap-killed by one GC pause; a query with no committed
     * reference (a new row) gets a generous fixed cap — the suite budget
     * is the backstop for those. */
-  def capSeconds(refMedian: Option[Double]): Double =
-    refMedian.filter(_ > 0).map(m => math.max(60.0, 10.0 * m))
-      .getOrElse(600.0)
+  def capSeconds(refMedian: Option[Double], floorSec: Double = 60.0): Double =
+    refMedian.filter(_ > 0).map(m => math.max(floorSec, 10.0 * m))
+      .getOrElse(math.max(600.0, floorSec))
+
+  /** Canary-scaled per-query wall cap (r13 verdict task 5). The plain
+    * [[capSeconds]] 10×-median floor assumed the worst attributed
+    * degradation on this machine is ~4×; the r13 driver window then
+    * delivered a mid-suite burst that took emb_kmeans to 60× its
+    * committed median and cap-killed 12 healthy rows. Scaling the cap
+    * by the LIVE scheduling-canary ratio (sched_now / the committed
+    * reference's clean-window sched) makes a uniformly-slow-but-alive
+    * window degrade to slow measurements instead of failures, while a
+    * genuine hang still dies at the scaled cap. The multiplier is
+    * floored at 1 (a fast window never tightens below the base policy)
+    * and ceilinged at 50 (a burst worse than 50× is indistinguishable
+    * from a dead box — bounding the cap keeps the suite's hard stop
+    * meaningful); non-positive canary readings (unmeasured, or a
+    * reference that predates the canary field) fall back to ×1. */
+  def scaledCap(refMedian: Option[Double], schedNowMs: Double,
+      schedRefMs: Double, floorSec: Double = 60.0): Double = {
+    val scale =
+      if (schedNowMs > 0 && schedRefMs > 0)
+        math.min(50.0, math.max(1.0, schedNowMs / schedRefMs))
+      else 1.0
+    capSeconds(refMedian, floorSec) * scale
+  }
+
+  /** Timed-run count per row (r13 verdict task 6): a clean full sweep
+    * ran ~16 min inside a 25-min budget — <1.6× headroom, so any taxed
+    * window immediately degraded 200+ rows. Rows whose committed
+    * reference shows median/min within 5% are stable enough that a
+    * third run adds no information (the median of 2 = their mean, and
+    * the pooled heal/env passes still extend the pool when anything
+    * looks off); streaming rows and rows without a committed reference
+    * keep 3 — streaming walls are the suite's most window-sensitive
+    * and a new row has no stability history to lean on. */
+  def timedRuns(refMedian: Option[Double], refMin: Option[Double],
+      streaming: Boolean): Int = {
+    val stable = !streaming && (for (md <- refMedian; mn <- refMin)
+      yield md >= 0 && mn > 0 && md / mn <= 1.05).getOrElse(false)
+    if (stable) 2 else 3
+  }
+
+  /** Reference-snapshot acceptability (r13 verdict task 4): a committed
+    * BENCH_LOCAL.json that carries contamination flags must never
+    * become the readRefStats baseline — the r13 driver committed its
+    * 621.4s / 261-degraded / 12-cap-killed run over the clean 208.6s
+    * snapshot, and adopting it would loosen every per-query cap and
+    * every env-guard ~3×. A snapshot is an acceptable reference only
+    * if it is complete (`partial` false) and every guard list —
+    * failed, degraded, capped, skipped, env_suspect — is empty.
+    * (`suspect` alone is tolerated: a genuinely bimodal row that
+    * survived the heal is information, not contamination.) */
+  def refAcceptable(partial: Boolean, failed: Int, degraded: Int,
+      capped: Int, skipped: Int, envSuspect: Int): Boolean =
+    !partial && failed == 0 && degraded == 0 && capped == 0 &&
+      skipped == 0 && envSuspect == 0
 
   /** Suite wall-budget mode (r12 verdict task 1c). `full` below the
     * budget: warmup + 3 timed runs + heal/env-guard passes. `degraded`
@@ -131,7 +185,11 @@ private[graft] object BenchStats {
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
-  * Each query gets ONE UNTIMED execution first, then 3 timed runs; the
+  * Each query gets ONE UNTIMED execution first, then 2-3 timed runs
+  * ([[BenchStats.timedRuns]]: 2 when the committed reference shows the
+  * row stable within 5% and it isn't streaming, else 3 — r13 task 6
+  * bought ~1.5-2 min of clean-sweep headroom at zero information loss
+  * on stable rows); the
   * reported stat is the MEDIAN of the timed runs (plus MIN, the
   * contention-free estimate on an otherwise-deterministic workload).
   * The round-4 raw-runs data showed why the warmup is per-query, not
@@ -219,6 +277,22 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** Spot sched canary (r13 verdict task 2): 5 no-op 32-task jobs,
+    * scaled ×4 to [[schedCanaryMs]]'s 20-job unit so every reading in
+    * the artifact's canary series is directly comparable. No warm-up
+    * job — mid-suite the scheduler is warm. The r13 driver window's
+    * burst (emb_kmeans at 60× committed) fell BETWEEN the suite-start
+    * and suite-end canaries and was invisible in the artifact; a
+    * ~0.1-0.5s spot reading every 25 full-mode rows, before every
+    * degraded-mode row, and AT every cap kill / retry makes per-row
+    * window attribution possible from the artifact alone. */
+  private def spotSchedMs(sc: org.apache.spark.SparkContext): Double = {
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 5) { sc.parallelize(1 to 64, 32).count(): Unit; i += 1 }
+    (System.nanoTime() - t0) / 1e6 * 4.0
+  }
+
   /** Forces full materialization of every column; -1.0 = query failed.
     * Catches NonFatal only: after an OOM or other fatal JVM error the
     * session is undefined and every later median would be silently
@@ -236,6 +310,16 @@ object Bench {
     }
   }
 
+  /** Rows measured AFTER an un-reaped cap-kill worker (r13 ADVICE): a
+    * worker stuck in driver-side (non-job) computation can survive
+    * cancelJobGroup + the 30s grace + interrupt and keep burning CPU /
+    * launching jobs as a daemon thread, contaminating every subsequent
+    * row's timings and snapMetrics deltas. Recording the row name here
+    * (emitted as `zombie_after` in the artifact) makes later rows
+    * readable as tainted instead of clean medians. */
+  private val zombies =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** [[timeOnce]] under a wall cap, enforced by running the query on a
     * worker thread inside its own job group and cancelling the group
     * when the cap elapses (the only way to bound a single Spark action
@@ -244,9 +328,11 @@ object Bench {
     * task interruption, the worker is given 30s to unwind, and any
     * streaming query the row left running is stopped so later rows
     * aren't contaminated by a zombie micro-batch thread (job-group
-    * cancellation doesn't reach a stream's own execution thread). */
+    * cancellation doesn't reach a stream's own execution thread). A
+    * worker still alive 5s after the interrupt is recorded in
+    * [[zombies]] under `tag`. */
   private def timeOnceCapped(spark: SparkSession, df: => DataFrame,
-      capSec: Double): (Double, Boolean) = {
+      capSec: Double, tag: String = ""): (Double, Boolean) = {
     val sc = spark.sparkContext
     val group = "bench-cap-" + java.util.UUID.randomUUID().toString.take(8)
     val out = new java.util.concurrent.atomic.AtomicReference[java.lang.Double](null)
@@ -261,7 +347,15 @@ object Bench {
       System.err.println(f"[bench] cap $capSec%.0fs blown — cancelling $group")
       try sc.cancelJobGroup(group) catch { case NonFatal(_) => () }
       worker.join(30000)
-      if (worker.isAlive) worker.interrupt()
+      if (worker.isAlive) {
+        worker.interrupt()
+        worker.join(5000)
+        if (worker.isAlive) {
+          zombies.add(if (tag.nonEmpty) tag else group): Unit
+          System.err.println(s"[bench] worker for '$tag' survived interrupt — " +
+            "later rows are tainted (zombie_after)")
+        }
+      }
       spark.streams.active.foreach(q =>
         try q.stop() catch { case NonFatal(_) => () })
       (-1.0, true)
@@ -274,7 +368,7 @@ object Bench {
   private def timedWindow(sc: org.apache.spark.SparkContext,
       spark: SparkSession, sfDir: String,
       fn: (SparkSession, String) => DataFrame, capSec: Double,
-      runs: Int = Runs)
+      runs: Int = Runs, tag: String = "")
       : (Seq[(Double, Long, Long, Long)], Seq[Double], Boolean) = {
     val lb = loadavg1()
     var capped = false
@@ -282,7 +376,7 @@ object Bench {
       resetMetrics(sc)
       val (sec, c) =
         if (capped) (-1.0, false) // cap already blown — don't re-stall
-        else timeOnceCapped(spark, fn(spark, sfDir), capSec)
+        else timeOnceCapped(spark, fn(spark, sfDir), capSec, tag)
       capped ||= c
       val (sw, sr, gc) = snapMetrics(sc)
       (sec, sw, sr, gc)
@@ -290,52 +384,89 @@ object Bench {
     (measured, Seq(lb, loadavg1()), capped)
   }
 
+  /** One parsed reference snapshot: per-query (median, min,
+    * shuffle_write_mb) — median feeds the per-query wall cap, (min, sw)
+    * the uniform-contamination guard — plus whether the snapshot is
+    * ACCEPTABLE as a reference (BenchStats.refAcceptable over its
+    * contamination flags) and its pinned clean-window sched canary
+    * (min of sched_start/sched_end; None for pre-canary snapshots). */
+  private def parseBenchSnapshot(json: String)
+      : (Map[String, (Double, Double, Double)], Boolean, Option[Double]) = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val meds = root.path("queries")
+    val mins = root.path("min")
+    val sw = root.path("shuffle_write_mb")
+    import scala.jdk.CollectionConverters._
+    val stats = mins.properties().asScala.collect {
+      case e if e.getValue.isNumber && sw.path(e.getKey).isNumber =>
+        e.getKey -> (meds.path(e.getKey).asDouble(-1.0),
+          e.getValue.asDouble, sw.path(e.getKey).asDouble)
+    }.toMap
+    val acceptable = BenchStats.refAcceptable(
+      root.path("partial").asBoolean(false),
+      root.path("failed").size(), root.path("degraded").size(),
+      root.path("capped").size(), root.path("skipped").size(),
+      root.path("env_suspect").size())
+    val canary = root.path("canary_ms")
+    val sched = Seq("sched_start", "sched_end")
+      .map(canary.path(_)).filter(_.isNumber).map(_.asDouble())
+    (stats, acceptable, sched.minOption)
+  }
+
   /** The committed reference snapshot for the uniform-contamination
-    * guard: (min, shuffle_write_mb) per query. Read from
-    * `git show HEAD:<outFile>` first — in the driver's fresh-checkout
-    * flow that is byte-identical to the file, but in any local
-    * back-to-back run the FILE already holds the immediately previous
-    * (possibly contaminated) run's output, which would silently drift
-    * the 3× divergence baseline (r11 ADVICE). Falls back to the file
-    * (annotated as such in the artifact) when git is unavailable, then
-    * to empty. SPARK_GRAFT_BENCH_REF overrides both. */
+    * guard and the cap policy. Read from git history, NOT the working
+    * file — in any local back-to-back run the FILE already holds the
+    * immediately previous (possibly contaminated) run's output, which
+    * would silently drift the 3× divergence baseline (r11 ADVICE).
+    * Walks back from HEAD to the MOST RECENT committed snapshot whose
+    * contamination flags are all clean (r13 verdict task 4: the driver
+    * committed its 621.4s / 12-cap-killed window artifact over the
+    * clean 208.6s snapshot at round end — taking HEAD blindly would
+    * loosen every cap and env-guard ~3×; a flagged snapshot is
+    * EVIDENCE, never a baseline). Falls back to the file only when git
+    * is unavailable AND the file itself is unflagged, then to empty.
+    * SPARK_GRAFT_BENCH_REF overrides everything (the explicit local
+    * escape hatch), annotated `:flagged` when it wouldn't have been
+    * accepted on its own. */
   private def readRefStats(outFile: String)
-      : (Map[String, (Double, Double, Double)], String) = {
-    // per query: (median, min, shuffle_write_mb) — median feeds the
-    // per-query wall cap, (min, sw) the uniform-contamination guard
-    def parse(json: String): Map[String, (Double, Double, Double)] = {
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      val meds = root.path("queries")
-      val mins = root.path("min")
-      val sw = root.path("shuffle_write_mb")
-      import scala.jdk.CollectionConverters._
-      mins.properties().asScala.collect {
-        case e if e.getValue.isNumber && sw.path(e.getKey).isNumber =>
-          e.getKey -> (meds.path(e.getKey).asDouble(-1.0),
-            e.getValue.asDouble, sw.path(e.getKey).asDouble)
-      }.toMap
-    }
+      : (Map[String, (Double, Double, Double)], String, Option[Double]) = {
     sys.env.get("SPARK_GRAFT_BENCH_REF") match {
       case Some(p) =>
-        try (parse(Files.readString(Paths.get(p))), s"env:$p")
-        catch { case NonFatal(_) => (Map.empty, s"env:$p:unreadable") }
+        try {
+          val (stats, ok, sched) = parseBenchSnapshot(Files.readString(Paths.get(p)))
+          (stats, s"env:$p" + (if (ok) "" else ":flagged"), sched)
+        } catch { case NonFatal(_) => (Map.empty, s"env:$p:unreadable", None) }
       case None =>
         val path = Paths.get(outFile).toAbsolutePath
-        val fromGit =
+        val dir = path.getParent.toString
+        val name = path.getFileName.toString
+        def git(args: String*): Option[String] =
           try {
-            val pb = new ProcessBuilder("git", "-C", path.getParent.toString,
-              "show", s"HEAD:./${path.getFileName}")
-            pb.redirectErrorStream(false)
+            val pb = new ProcessBuilder((Seq("git", "-C", dir) ++ args): _*)
             val proc = pb.start()
             val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-            if (proc.waitFor() == 0 && out.nonEmpty)
-              Some((parse(out), "git:HEAD"))
-            else None
+            if (proc.waitFor() == 0 && out.nonEmpty) Some(out) else None
           } catch { case NonFatal(_) => None }
+        val shas = git("log", "--format=%H", "-n", "12", "HEAD", "--", name)
+          .map(_.linesIterator.toList).getOrElse(Nil)
+        var skippedFlagged = 0
+        val fromGit = shas.iterator.flatMap { sha =>
+          git("show", s"$sha:./$name").flatMap { body =>
+            try {
+              val (stats, ok, sched) = parseBenchSnapshot(body)
+              if (ok) Some((stats, s"git:${sha.take(7)}" +
+                (if (skippedFlagged > 0) s"+skipped:$skippedFlagged-flagged" else ""),
+                sched))
+              else { skippedFlagged += 1; None }
+            } catch { case NonFatal(_) => None }
+          }
+        }.nextOption()
         fromGit.orElse {
-          try Some((parse(Files.readString(path)), s"file:$path"))
-          catch { case NonFatal(_) => None }
-        }.getOrElse((Map.empty, "none"))
+          try {
+            val (stats, ok, sched) = parseBenchSnapshot(Files.readString(path))
+            if (ok) Some((stats, s"file:$path", sched)) else None
+          } catch { case NonFatal(_) => None }
+        }.getOrElse((Map.empty, "none", None))
     }
   }
 
@@ -357,7 +488,10 @@ object Bench {
       partial: Boolean, degraded: Seq[String], capped: Seq[String],
       skipped: Seq[String], refSource: String, suiteLoadStart: Double,
       budgetSec: Double, sfDir: String, scratch: String,
-      canaries: Seq[(String, Double)]): String = {
+      canaries: Seq[(String, Double)],
+      canarySeries: Seq[(Int, String, Double)],
+      recovered: Seq[(String, String)], cappedTwice: Seq[String],
+      timedRunsPlan: Seq[(String, Int)], schedRefMs: Double): String = {
     def q(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val medians = obj(rows.map(r => r.name -> r3(r.median).toString))
@@ -370,6 +504,11 @@ object Bench {
       r.name -> r.gcMsRuns.mkString("[", ",", "]")))
     val loads = obj(rows.map(r =>
       r.name -> r.load.map(r2).mkString("[", ",", "]")))
+    val schedRows = obj(rows.filter(_.schedMs > 0).map(r =>
+      r.name -> r2(r.schedMs).toString))
+    val series = canarySeries.map { case (i, tag, ms) =>
+      s"""{"i":$i,"tag":"$tag","sched_ms":${r2(ms)}}"""
+    }.mkString("[", ",", "]")
     val ok = rows.filter(_.median >= 0)
     val failed = rows.collect { case r if r.median < 0 => r.name }
     val total = r3(ok.map(_.median).sum)
@@ -381,7 +520,7 @@ object Bench {
     val suspects = rows.collect {
       case r if r.median >= 0 && BenchStats.isSuspect(r.median, r.min) => r.name
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(loadavg1())}],"bench_ref":"$refSource","budget_sec":${r2(budgetSec)},"scratch":"$scratch","canary_ms":${obj(canaries.map { case (k, v) => k -> r2(v).toString })},"failed":${q(failed)},"suspect":${q(suspects)},"env_suspect":${q(envSuspects)},"degraded":${q(degraded)},"capped":${q(capped)},"skipped":${q(skipped)},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min (degraded rows have no warmup: their runs array holds the single timed run); suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref, git HEAD of this file) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the re-window budget (15 rows, or the suite wall budget) was exhausted — read as uniform environment contamination, not code; partial = the suite was still running when this file was last flushed (the file is rewritten after every completed row, so an externally killed sweep still leaves its finished rows here); capped = a run blew the per-query wall cap (max(60s, 10x committed reference median); 600s when unreferenced) and was cancelled, reported failed; degraded = measured past the suite wall budget (budget_sec) with a single timed run, no warmup, no heal/env passes; skipped = not run at all past 2x the budget — the hard stop that guarantees this artifact exists before any external timeout; scratch = the medium (tmpfs|disk) of the per-run java.io.tmpdir root holding checkpoints, state stores, shuffle and layout caches — tmpfs decouples the streaming rows from co-tenant disk churn; canary_ms = fixed window-speed workloads at suite start/end (cpu = 20k md5 of 1KB single-core; sched = 20 no-op 32-task jobs, the per-stage scheduling cost micro-batch streaming amplifies) — host-level slowness is invisible to guest loadavg/pressure, so compare these against the committed reference's before adjudicating a wall delta"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(loadavg1())}],"bench_ref":"$refSource","sched_ref_ms":${r2(schedRefMs)},"budget_sec":${r2(budgetSec)},"scratch":"$scratch","canary_ms":${obj(canaries.map { case (k, v) => k -> r2(v).toString })},"canary_series":$series,"sched_ms":$schedRows,"failed":${q(failed)},"suspect":${q(suspects)},"env_suspect":${q(envSuspects)},"degraded":${q(degraded)},"capped":${q(capped)},"recovered":${obj(recovered)},"capped_twice":${q(cappedTwice)},"zombie_after":${q({ import scala.jdk.CollectionConverters._; zombies.iterator().asScala.toSeq })},"skipped":${q(skipped)},"sf":"$sfDir","timed_runs":${obj(timedRunsPlan.map { case (k, v) => k -> v.toString })},"runs_max":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min (degraded rows have no warmup: their runs array holds the single timed run); suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref = most recent GIT-COMMITTED snapshot of this file whose own flag lists are all empty — a flagged snapshot is evidence, never a baseline) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the re-window budget (15 rows, or the suite wall budget) was exhausted — read as uniform environment contamination, not code; partial = the suite was still running when this file was last flushed (the file is rewritten after every completed row, so an externally killed sweep still leaves its finished rows here); capped = a run blew the per-query wall cap (max(60s, 10x committed reference median) x max(1, sched_now/sched_ref_ms), capped at 50x; 600s base when unreferenced) and was cancelled; every capped row gets ONE post-sweep retry window (warmup + 2 timed runs under a freshly scaled cap): recovered = the retry was clean — its stats replace the row's (the cap-kill was the window, not the query; sched_at_kill_ms vs sched_at_retry_ms show the burst), capped_twice = the retry ALSO blew its cap or failed — the row stays failed and is a genuine stall; canary_series = spot sched-canary readings (5 no-op 32-task jobs scaled x4 to the 20-job canary_ms unit) every 25 full-mode rows, before each degraded-mode row, and at every cap kill and retry, with i = how many rows had completed; sched_ms = the series reading in effect when each row was measured (its cap-scaling input); zombie_after = cap-killed workers that survived interrupt — rows measured after these entries may be contaminated by the un-reaped thread; degraded = measured past the suite wall budget (budget_sec) with a single timed run, no warmup, no heal/env passes; skipped = not run at all past 2x the budget — the hard stop that guarantees this artifact exists before any external timeout; timed_runs = planned first-window timed runs per row (2 for rows whose committed reference median/min is within 5% and which are not streaming, else 3 = runs_max); scratch = the medium (tmpfs|disk) of the per-run java.io.tmpdir root holding checkpoints, state stores, shuffle and layout caches — tmpfs decouples the streaming rows from co-tenant disk churn; canary_ms = fixed window-speed workloads at suite start/end (cpu = 20k md5 of 1KB single-core; sched = 20 no-op 32-task jobs, the per-stage scheduling cost micro-batch streaming amplifies) — host-level slowness is invisible to guest loadavg/pressure, so compare these against sched_ref_ms (the committed reference's pinned clean-window sched canary; 500 is the calibrated fallback for a reference that predates the field — the r13 judge-measured clean-window range was 388-502) before adjudicating a wall delta"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -409,10 +548,25 @@ object Bench {
     // shutdown hook reclaims it on exit, including the SIGTERM a driver
     // timeout delivers; only SIGKILL leaks, until reboot.
     val scratchMedium = Scratch.install("bench", preferTmpfs = true)
-    val (refStats, refSource) = readRefStats(outFile)
+    val (refStats, refSource, refSched) = readRefStats(outFile)
     val refMinSw = refStats.map { case (n, (_, mn, sw)) => n -> (mn, sw) }
-    def cap(name: String): Double =
-      BenchStats.capSeconds(refStats.get(name).map(_._1))
+    // clean-window sched reference for cap scaling: the committed
+    // snapshot's pinned canary when present, else 500ms — the r13
+    // judge-measured clean-window full-canary range was 388-502ms, and
+    // the scale is floored at 1 so an overestimate here can only make
+    // caps slightly less loose, never tighter than the base policy
+    val schedRefMs = refSched.getOrElse(500.0)
+    // TEST KNOB (never set by the driver): shrink the 60s cap floor so
+    // the cap-kill → retry → recovered/capped_twice adjudication path
+    // can be exercised deterministically at sub-second timescales — the
+    // r13 burst replay the verdict's task 1 asks for
+    val capFloor = sys.env.get("SPARK_GRAFT_CAP_FLOOR")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(60.0)
+    // spot sched-canary series (r13 task 2): (rows-completed, tag, ms)
+    val series = scala.collection.mutable.ArrayBuffer[(Int, String, Double)]()
+    def latestSched(): Double = series.lastOption.map(_._3).getOrElse(-1.0)
+    def cap(name: String): Double = BenchStats.scaledCap(
+      refStats.get(name).map(_._1), latestSched(), schedRefMs, capFloor)
     val suiteT0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - suiteT0) / 1e9
     def mode(): String = BenchStats.budgetMode(elapsed(), budgetSec)
@@ -438,11 +592,19 @@ object Bench {
     val capped = scala.collection.mutable.LinkedHashSet[String]()
     val skipped = scala.collection.mutable.LinkedHashSet[String]()
     val canaries = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val recovered = scala.collection.mutable.LinkedHashMap[String, String]()
+    val cappedTwice = scala.collection.mutable.LinkedHashSet[String]()
+    val timedRunsPlan = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // sched spot reading taken AT each cap kill, keyed by row name —
+    // surfaces in the recovered record so a reader can see the burst
+    val killSched = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val killCap = scala.collection.mutable.LinkedHashMap[String, Double]()
     def flush(rows: Seq[BenchRow], envSuspects: Seq[String],
         partial: Boolean): Unit = {
       val json = artifactJson(rows, envSuspects, partial, degraded.toSeq,
         capped.toSeq, skipped.toSeq, refSource, suiteLoadStart, budgetSec,
-        sfDir, scratchMedium, canaries.toSeq)
+        sfDir, scratchMedium, canaries.toSeq, series.toSeq,
+        recovered.toSeq, cappedTwice.toSeq, timedRunsPlan.toSeq, schedRefMs)
       // temp + atomic rename: an external kill landing mid-write must
       // never truncate the artifact the flush exists to preserve
       try {
@@ -455,6 +617,13 @@ object Bench {
       }
       catch { case NonFatal(e) => System.err.println(s"[bench] write failed: $e") }
     }
+    // canaries FIRST (before the suite warmups) so the warmups' caps —
+    // and every row after them — are already scaled by the live window
+    val sc = spark.sparkContext
+    canaries += ("cpu_start" -> cpuCanaryMs())
+    val schedStart = schedCanaryMs(sc)
+    canaries += ("sched_start" -> schedStart)
+    series += ((0, "start", schedStart))
     // suite-level warmup: absorb JVM/classloader/parquet-footer startup
     // and build the bucketed tables once — bucketing is a write-once
     // layout whose cost amortizes across every later co-located join
@@ -462,40 +631,60 @@ object Bench {
     // Capped like everything else: a stalled warmup must not eat the
     // whole budget before the sweep has written a single row.
     timeOnceCapped(spark, SparkEntry.queries("q1_agg")(spark, sfDir),
-      cap("q1_agg"))
+      cap("q1_agg"), "suite-warmup:q1_agg")
     timeOnceCapped(spark, SparkEntry.queries("q_bucketed_join")(spark, sfDir),
-      cap("q_bucketed_join"))
+      cap("q_bucketed_join"), "suite-warmup:q_bucketed_join")
     // optional name filter for local iteration (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val sc = spark.sparkContext
-    canaries += ("cpu_start" -> cpuCanaryMs())
-    canaries += ("sched_start" -> schedCanaryMs(sc))
     val acc = scala.collection.mutable.ArrayBuffer[BenchRow]()
+    var rowIdx = 0
+    // a cap kill gets an immediate spot reading: the burst that killed
+    // the row is only attributable if it is measured AT the kill
+    def stampKill(name: String, capUsed: Double): Unit = {
+      capped += name
+      val s = spotSchedMs(sc)
+      series += ((rowIdx, s"kill:$name", s))
+      killSched(name) = s
+      killCap(name) = capUsed
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        val row = mode() match {
+        val m = mode()
+        // periodic spot canary: every 25 full-mode rows; before EVERY
+        // degraded-mode row (those have a single timed run each, so
+        // per-row attribution is all the artifact will ever have)
+        if (m == "degraded" || (m == "full" && rowIdx % 25 == 0 && rowIdx > 0))
+          series += ((rowIdx,
+            if (m == "degraded") "degraded" else "periodic", spotSchedMs(sc)))
+        val capNow = cap(name)
+        val row = m match {
           case "skip" =>
             skipped += name
+            timedRunsPlan(name) = 0
             BenchRow(name, -1.0, -1.0, Seq.empty, 0L, 0L, Seq.empty, Seq.empty)
           case "degraded" =>
             degraded += name
+            timedRunsPlan(name) = 1
             val (runsM, load, c) =
-              timedWindow(sc, spark, sfDir, fn, cap(name), runs = 1)
-            if (c) capped += name
+              timedWindow(sc, spark, sfDir, fn, capNow, runs = 1, tag = name)
+            if (c) stampKill(name, capNow)
             val sec = runsM.head._1
             BenchRow(name, sec, sec, runsM.map(_._1), runsM.head._2,
-              runsM.head._3, runsM.map(_._4), load)
+              runsM.head._3, runsM.map(_._4), load, latestSched())
           case _ =>
-            val (warm, wCapped) = timeOnceCapped(spark, fn(spark, sfDir), cap(name))
-            if (wCapped) capped += name
+            val nRuns = BenchStats.timedRuns(refStats.get(name).map(_._1),
+              refStats.get(name).map(_._2), name.contains("stream"))
+            timedRunsPlan(name) = nRuns
+            val (warm, wCapped) = timeOnceCapped(spark, fn(spark, sfDir), capNow, name)
+            if (wCapped) stampKill(name, capNow)
             // a failed warmup means the query itself fails — don't run
-            // it 3 more times just to fail 3 more times
+            // it N more times just to fail N more times
             val (runsM, load, c) =
-              if (warm < 0) (Seq.fill(Runs)((-1.0, 0L, 0L, 0L)), Seq.empty[Double], false)
-              else timedWindow(sc, spark, sfDir, fn, cap(name))
-            if (c) capped += name
+              if (warm < 0) (Seq.fill(nRuns)((-1.0, 0L, 0L, 0L)), Seq.empty[Double], false)
+              else timedWindow(sc, spark, sfDir, fn, capNow, runs = nRuns, tag = name)
+            if (c) stampKill(name, capNow)
             val timed = runsM.map(_._1)
             // any failed run poisons the stats: report -1, never a
             // healthy-looking near-zero exception time
@@ -506,8 +695,10 @@ object Bench {
             // absorbs AQE jitter); gc is the per-run variance signal
             def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
             BenchRow(name, median, min, warm +: timed,
-              med(runsM.map(_._2)), med(runsM.map(_._3)), runsM.map(_._4), load)
+              med(runsM.map(_._2)), med(runsM.map(_._3)), runsM.map(_._4),
+              load, latestSched())
         }
+        rowIdx += 1
         acc += row
         flush(acc.toSeq, Seq.empty, partial = true)
       }
@@ -530,11 +721,65 @@ object Bench {
     results.foreach { r =>
       if (BenchStats.isSuspect(r.median, r.min) && mode() == "full" &&
           !degraded.contains(r.name) && !skipped.contains(r.name)) {
+        val healCap = cap(r.name)
         val (rerunsM, load2, c) = timedWindow(sc, spark, sfDir,
-          SparkEntry.queries(r.name), cap(r.name))
-        if (c) capped += r.name
+          SparkEntry.queries(r.name), healCap, tag = r.name)
+        if (c) stampKill(r.name, healCap)
         live(r.name) = BenchStats.combineWindows(r, rerunsM.map(_._1),
           rerunsM.map(_._4), load2)
+        flush(live.values.toSeq, Seq.empty, partial = true)
+      }
+    }
+    // capped-row retry pass (r13 verdict task 1): BENCH_r13 recorded 12
+    // environmental cap-kills as `failed` with no in-artifact
+    // adjudication — every one judge-re-measured green at 1.0-1.8× its
+    // committed median (the burst was the window, not the query), but
+    // the artifact alone could not prove it. Each cap-killed row gets
+    // ONE retry window (warmup + 2 timed runs under a freshly scaled
+    // cap, ~seconds per row at committed medians) stamped with the
+    // sched reading at the kill AND at the retry: a clean retry
+    // REPLACES the row's stats and lands in `recovered` with both
+    // readings — the reader can see the burst without a judge re-run —
+    // while a row that blows its cap twice stays failed and lands in
+    // `capped_twice`, a genuine stall. Runs even in degraded mode (cap
+    // kills concentrate in exactly the windows that degrade; the per-
+    // row cost is bounded by the cap) but not past the hard stop.
+    capped.toSeq.foreach { name =>
+      val cur = live.get(name)
+      if (cur.exists(_.median < 0) && mode() != "skip") {
+        val r = cur.get
+        val sRetry = spotSchedMs(sc)
+        series += ((rowIdx, s"retry:$name", sRetry))
+        val retryCap = BenchStats.scaledCap(
+          refStats.get(name).map(_._1), sRetry, schedRefMs, capFloor)
+        val (warm, wc) = timeOnceCapped(spark,
+          SparkEntry.queries(name)(spark, sfDir), retryCap, name)
+        val (runsM, load2, c2) =
+          if (wc || warm < 0)
+            (Seq.empty[(Double, Long, Long, Long)], Seq.empty[Double], wc)
+          else timedWindow(sc, spark, sfDir, SparkEntry.queries(name),
+            retryCap, runs = 2, tag = name)
+        val timed = runsM.map(_._1)
+        if (wc || c2 || warm < 0 || timed.isEmpty || timed.contains(-1.0)) {
+          if (wc || c2) cappedTwice += name
+          // an error-failed retry (warm < 0, not capped) stays plain
+          // failed: the retry only adjudicates CAP kills
+        } else {
+          def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+          val pooled = (r.raw.drop(1) ++ timed).filter(_ >= 0)
+          live(name) = r.copy(median = BenchStats.median(pooled),
+            min = pooled.min, raw = r.raw ++ timed,
+            shufWriteB = med(runsM.map(_._2)), shufReadB = med(runsM.map(_._3)),
+            gcMsRuns = r.gcMsRuns ++ runsM.map(_._4), load = r.load ++ load2,
+            schedMs = sRetry)
+          recovered(name) = obj(Seq(
+            "sec" -> r3(BenchStats.median(pooled)).toString,
+            "min" -> r3(pooled.min).toString,
+            "sched_at_kill_ms" -> r2(killSched.getOrElse(name, -1.0)).toString,
+            "sched_at_retry_ms" -> r2(sRetry).toString,
+            "cap_at_kill_sec" -> r2(killCap.getOrElse(name, -1.0)).toString,
+            "retry_cap_sec" -> r2(retryCap).toString))
+        }
         flush(live.values.toSeq, Seq.empty, partial = true)
       }
     }
@@ -568,9 +813,10 @@ object Bench {
       else if (!rewindowSet.contains(r.name)) (r, false)
       else if (mode() != "full") (r, true)
       else {
+        val envCap = cap(r.name)
         val (rerunsM, load2, c) = timedWindow(sc, spark, sfDir,
-          SparkEntry.queries(r.name), cap(r.name))
-        if (c) capped += r.name
+          SparkEntry.queries(r.name), envCap, tag = r.name)
+        if (c) stampKill(r.name, envCap)
         val timed = rerunsM.map(_._1)
         val refMin = refStats(r.name)._2
         val stillSlow = timed.contains(-1.0) || timed.min > 3.0 * refMin
@@ -580,7 +826,9 @@ object Bench {
     val healed2 = rechecked.map(_._1)
     val envSuspects = rechecked.collect { case (r, true) => r.name }
     canaries += ("cpu_end" -> cpuCanaryMs())
-    canaries += ("sched_end" -> schedCanaryMs(sc))
+    val schedEnd = schedCanaryMs(sc)
+    canaries += ("sched_end" -> schedEnd)
+    series += ((rowIdx, "end", schedEnd))
     flush(healed2, envSuspects, partial = false)
     val ok = healed2.filter(_.median >= 0)
     val failed = healed2.filter(_.median < 0)
@@ -591,7 +839,7 @@ object Bench {
       ok.sortBy(-_.median).take(10).sortBy(_.name)
         .map(r => r.name -> r3(r.median).toString))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"suspect":${suspects.size},"env_suspect":${envSuspects.size},"degraded":${degraded.size},"capped":${capped.size},"skipped":${skipped.size},"n":${healed2.size},"sf":"$sfDir","stat":"median_of_$Runs","file":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"suspect":${suspects.size},"env_suspect":${envSuspects.size},"degraded":${degraded.size},"capped":${capped.size},"recovered":${recovered.size},"capped_twice":${cappedTwice.size},"zombies":${zombies.size},"skipped":${skipped.size},"n":${healed2.size},"sf":"$sfDir","stat":"median_of_2_or_3","file":"$outFile"}"""
     // silence shutdown logs, stop, THEN print: the line must be last
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()

@@ -1332,10 +1332,13 @@ object ScaleProbe {
     // the iteration flow, and regenerating per iteration would cause
     // more churn than it avoids); SPARK_GRAFT_PROBE_KEEP=1/0 overrides
     // either way. Only reached on success: a failed run leaves the shard
-    // for the diagnosis rerun.
+    // for the diagnosis rerun. A USER-SUPPLIED dir is never deleted
+    // (r13 ADVICE): reclamation exists to clean up the factor-derived
+    // default path, and a recursive delete of an explicitly-pointed
+    // SPARK_GRAFT_PROBE_DIR would destroy whatever else lives there.
     val keep = sys.env.get("SPARK_GRAFT_PROBE_KEEP") match {
       case Some(v) => v == "1"
-      case None => onlyProbes.isDefined
+      case None => onlyProbes.isDefined || sys.env.contains("SPARK_GRAFT_PROBE_DIR")
     }
     if (!keep) {
       graft.ops.Scale.deleteTree(Paths.get(out))

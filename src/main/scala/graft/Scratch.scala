@@ -12,14 +12,6 @@ import java.nio.file.{Files, Paths}
   * churn that nothing cleaned up). */
 object Scratch {
 
-  /** Redirects `java.io.tmpdir` to a fresh per-pid root — tmpfs-backed
-    * (`/dev/shm`) when `preferTmpfs` is set and writable, else a child
-    * of the original tmpdir — and registers recursive deletion at JVM
-    * exit. Normal return and the SIGTERM an external timeout delivers
-    * both run the hook; only SIGKILL leaks (until reboot). Must be
-    * called BEFORE the SparkSession is built: Spark resolves its local
-    * dirs from the property at context start. Returns the medium
-    * (`"tmpfs"` or `"disk"`) for the caller's artifact. */
   /** A temp directory under the CURRENT `java.io.tmpdir` property.
     * `Files.createTempDirectory(prefix)` (one-arg) resolves the
     * property ONCE in a JVM-wide static (sun.nio.fs.TempFileHelper), so
@@ -31,6 +23,14 @@ object Scratch {
     Files.createTempDirectory(
       Paths.get(sys.props("java.io.tmpdir")), prefix)
 
+  /** Redirects `java.io.tmpdir` to a fresh per-pid root — tmpfs-backed
+    * (`/dev/shm`) when `preferTmpfs` is set and writable, else a child
+    * of the original tmpdir — and registers recursive deletion at JVM
+    * exit. Normal return and the SIGTERM an external timeout delivers
+    * both run the hook; only SIGKILL leaks (until reboot). Must be
+    * called BEFORE the SparkSession is built: Spark resolves its local
+    * dirs from the property at context start. Returns the medium
+    * (`"tmpfs"` or `"disk"`) for the caller's artifact. */
   def install(tag: String, preferTmpfs: Boolean): String = {
     val shm = Paths.get("/dev/shm")
     val useShm = preferTmpfs && Files.isDirectory(shm) && Files.isWritable(shm)

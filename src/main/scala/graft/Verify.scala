@@ -77,6 +77,15 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must read as ABSENT, not as its prior
+        // generation (r13 ADVICE): with the stage-then-rename flow a
+        // throw leaves the PREVIOUS run's complete dump at
+        // outDir/<name> in every failure mode, so a driver reusing
+        // outDir would grade a now-broken query against a stale,
+        // previously-correct result
+        try graft.ops.Scale.deleteTree(Paths.get(s"$outDir/$name"))
+        catch { case cleanup: Throwable =>
+          System.err.println(s"[verify] $name stale-dump cleanup failed: $cleanup") }
       }
     }
     graft.ops.Scale.deleteTree(Paths.get(stage))

@@ -126,20 +126,63 @@ object Scale {
     val tmp = Paths.get(path + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
     build(tmp.toString)
-    try java.nio.file.Files.move(tmp, target, ATOMIC_MOVE)
-    catch {
-      case e: java.nio.file.FileSystemException =>
-        if (committed) deleteTree(tmp) // rename-loser: theirs is live
-        else if (java.nio.file.Files.exists(target)) {
-          // incomplete debris from a pre-commit-protocol crash (a dir
-          // written in place, killed before _SUCCESS): replace it
-          deleteTree(target)
-          try java.nio.file.Files.move(tmp, target, ATOMIC_MOVE)
-          catch {
-            case e2: java.nio.file.FileSystemException =>
-              if (committed) deleteTree(tmp) else throw e2
+    // Commit loop. The pre-r14 shape (one rename, one nested retry in
+    // the debris branch) carried two TOCTOU leaks the r13 ADVICE and a
+    // 300-round race harness exposed: (1) with debris present, TWO
+    // builders both fail the first rename, and after builder A replaces
+    // the debris with a committed generation, builder B's in-place
+    // deleteTree(target) destroyed A's LIVE files under a reader's
+    // scan; (2) a rename that fails on debris can find target ABSENT by
+    // the time the catch re-probes it (a competitor just moved the
+    // debris aside) — the old `else throw e` leaked the builder's .tmp
+    // dir. Every arm below either commits, loses to a visible competing
+    // commit, or observably changes the world toward one of those two,
+    // so the loop terminates; the attempt bound turns a genuinely
+    // broken filesystem (cross-device rename, EPERM) into the original
+    // exception instead of a spin.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try { java.nio.file.Files.move(tmp, target, ATOMIC_MOVE); return }
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          if (committed) { deleteTree(tmp); return } // rename-loser: theirs is live
+          if (attempt >= 64) throw e
+          if (java.nio.file.Files.exists(target)) {
+            // incomplete debris from a pre-commit-protocol crash (a dir
+            // written in place, killed before _SUCCESS). Never delete it
+            // in place — move it ASIDE atomically (`.tmp-` prefixed so a
+            // crash here ages out through the stale sweep like any
+            // abandoned build dir) and delete the aside copy. A lost
+            // aside-move means a competitor took the debris first; just
+            // loop.
+            val aside = Paths.get(path + ".tmp-debris-" +
+              java.util.UUID.randomUUID().toString.take(8))
+            try {
+              java.nio.file.Files.move(target, aside, ATOMIC_MOVE)
+              if (java.nio.file.Files.exists(aside.resolve(marker))) {
+                // check-then-act residue: between the `committed` probe
+                // and the aside-move, a competitor committed — we just
+                // moved a COMPLETE generation aside, not debris. Put it
+                // back; if the put-back loses (a third commit landed)
+                // the aside copy is a redundant complete generation of
+                // the same fingerprint — safe to delete. Either way a
+                // committed generation is live at `target` again within
+                // one rename and nothing complete is ever destroyed;
+                // the reader-visible gap is one rename pair wide, which
+                // Spark's task retry rides over (ScaleSpec's debris race
+                // asserts no reader ever sees a PARTIAL dir).
+                try java.nio.file.Files.move(aside, target, ATOMIC_MOVE)
+                catch { case _: java.nio.file.FileSystemException =>
+                  deleteTree(aside) }
+              } else deleteTree(aside)
+            } catch { case _: java.nio.file.FileSystemException => () }
           }
-        } else throw e
+          // target absent (or just vacated): a competitor is mid-flight
+          // between its aside-move and its commit — yield one beat so
+          // the race converges instead of ping-ponging renames
+          Thread.sleep(1)
+      }
     }
   }
 

@@ -135,4 +135,50 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(BenchStats.budgetMode(3000.0, 1500.0) == "degraded")
     assert(BenchStats.budgetMode(3000.1, 1500.0) == "skip")
   }
+
+  test("scaledCap: live-canary multiplier, floored at 1x, ceilinged at 50x") {
+    // clean window (now ≈ ref): the base policy, never tighter
+    assert(BenchStats.scaledCap(Some(8.0), 500.0, 500.0) == 80.0)
+    assert(BenchStats.scaledCap(Some(8.0), 250.0, 500.0) == 80.0)
+    // the r13 driver burst: sched 60x the clean reference would have
+    // kept emb_kmeans (49.7s warmup vs a 60s cap) alive as a slow
+    // measurement instead of a failure — but the 50x ceiling keeps a
+    // dead box from earning an unbounded cap
+    assert(BenchStats.scaledCap(Some(0.82), 30000.0, 500.0) == 60.0 * 50.0)
+    assert(BenchStats.scaledCap(Some(0.82), 1000.0, 500.0) == 120.0)
+    // unmeasured canary or pre-canary reference: plain base policy
+    assert(BenchStats.scaledCap(Some(8.0), -1.0, 500.0) == 80.0)
+    assert(BenchStats.scaledCap(Some(8.0), 1000.0, -1.0) == 80.0)
+    assert(BenchStats.scaledCap(None, 1000.0, 500.0) == 1200.0)
+  }
+
+  test("timedRuns: 2 for stable committed rows, 3 for streaming/volatile/new") {
+    // committed median within 5% of committed min, batch row → 2 runs
+    assert(BenchStats.timedRuns(Some(1.00), Some(0.97), streaming = false) == 2)
+    assert(BenchStats.timedRuns(Some(1.05), Some(1.00), streaming = false) == 2)
+    // volatile history keeps 3
+    assert(BenchStats.timedRuns(Some(1.20), Some(1.00), streaming = false) == 3)
+    // streaming rows keep 3 regardless of history — the suite's most
+    // window-sensitive walls
+    assert(BenchStats.timedRuns(Some(1.00), Some(1.00), streaming = true) == 3)
+    // no committed reference / failed reference → 3
+    assert(BenchStats.timedRuns(None, None, streaming = false) == 3)
+    assert(BenchStats.timedRuns(Some(-1.0), Some(-1.0), streaming = false) == 3)
+    assert(BenchStats.timedRuns(Some(1.0), Some(0.0), streaming = false) == 3)
+  }
+
+  test("refAcceptable: a flagged snapshot is never a reference baseline") {
+    // the clean 208.6s snapshot shape (pre-cap fields read as size 0)
+    assert(BenchStats.refAcceptable(partial = false, 0, 0, 0, 0, 0))
+    // the r13 driver artifact: 12 failed/capped, 261 degraded — taking
+    // it as baseline would loosen every cap and env-guard ~3x
+    assert(!BenchStats.refAcceptable(partial = false, 12, 261, 12, 0, 8))
+    // every flag vetoes independently
+    assert(!BenchStats.refAcceptable(partial = true, 0, 0, 0, 0, 0))
+    assert(!BenchStats.refAcceptable(partial = false, 1, 0, 0, 0, 0))
+    assert(!BenchStats.refAcceptable(partial = false, 0, 1, 0, 0, 0))
+    assert(!BenchStats.refAcceptable(partial = false, 0, 0, 1, 0, 0))
+    assert(!BenchStats.refAcceptable(partial = false, 0, 0, 0, 1, 0))
+    assert(!BenchStats.refAcceptable(partial = false, 0, 0, 0, 0, 1))
+  }
 }

@@ -201,6 +201,70 @@ class ScaleSpec extends SparkSpecBase {
     ops.Scale.deleteTree(java.nio.file.Paths.get(base))
   }
 
+  test("generation commit: debris + concurrent builders never destroys a committed generation") {
+    // r13 ADVICE (medium): with pre-protocol debris present, two
+    // concurrent builders BOTH fail the first rename and both enter the
+    // debris branch; the old code had builder B deleteTree(target) over
+    // builder A's freshly COMMITTED generation — a reader scanning A's
+    // files saw them vanish. The fix moves debris aside atomically and,
+    // if the aside turns out to carry the marker (it was a competing
+    // commit, not debris), puts it back — so a complete generation can
+    // transiently be invisible for one rename pair but can never be
+    // torn in place or destroyed. The reader below therefore flags only
+    // a dir that is STILL present after a failed marker/part check
+    // (a genuinely partial in-place dir), not a mid-rename vanish.
+    (1 to 5).foreach { round =>
+      val base = graft.Scratch.tempDir("graft_gen3").toString
+      val target = base + s"/gen_00000000_deb$round"
+      val t = java.nio.file.Paths.get(target)
+      java.nio.file.Files.createDirectories(t)
+      java.nio.file.Files.writeString(t.resolve("part-0"), "torn"): Unit
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          if (java.nio.file.Files.exists(t.resolve("_SUCCESS"))) {
+            (0 until 5).foreach { i =>
+              if (!java.nio.file.Files.exists(t.resolve(s"part-$i")) &&
+                  java.nio.file.Files.exists(t.resolve("_SUCCESS")))
+                bad.compareAndSet(null, s"committed dir missing part-$i")
+            }
+          }
+          Thread.sleep(0, 200000)
+        }
+      })
+      reader.start()
+      val builders = (1 to 3).map { b =>
+        new Thread(() => ops.Scale.ensureGeneration(target) { tmp =>
+          val d = java.nio.file.Paths.get(tmp)
+          java.nio.file.Files.createDirectories(d)
+          (0 until 5).foreach { i =>
+            java.nio.file.Files.writeString(d.resolve(s"part-$i"), s"b$b-$i"): Unit
+            Thread.sleep(5)
+          }
+          java.nio.file.Files.writeString(d.resolve("_SUCCESS"), ""): Unit
+        })
+      }
+      builders.foreach(_.start()); builders.foreach(_.join())
+      stop.set(true); reader.join()
+      assert(bad.get() == null, String.valueOf(bad.get()))
+      // the committed generation is complete, single-owner, not the debris
+      assert(java.nio.file.Files.exists(t.resolve("_SUCCESS")))
+      val owners = (0 until 5).map(i =>
+        java.nio.file.Files.readString(t.resolve(s"part-$i")).split("-")(0)).toSet
+      assert(owners.size == 1 && !owners.contains("torn"),
+        s"mixed or debris content: $owners")
+      // no .tmp-* / .tmp-debris-* leftovers survive the race
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString).toList
+      } finally l.close()
+      assert(names == List(t.getFileName.toString), s"leftovers: $names")
+      ops.Scale.deleteTree(java.nio.file.Paths.get(base))
+    }
+  }
+
   test("generation commit replaces pre-protocol crash debris (dir without marker)") {
     val base = graft.Scratch.tempDir("graft_gen2").toString
     val target = java.nio.file.Paths.get(base, "gen_00000000_0ddba11")

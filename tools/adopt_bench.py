@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Bench-snapshot adoption gate (r13 verdict task 3).
+
+Checks a candidate BENCH_LOCAL.json against the adoption rule that has
+been applied manually (and correctly rejected two taxed sweeps) in
+rounds 12-13, so a clean-window reference can finally land without a
+human in the loop:
+
+  1. complete, and every guard list empty — partial/failed/degraded/
+     capped/skipped/env_suspect, plus the r14 fields capped_twice and
+     zombie_after, plus suspect (a bimodal row must not seed the
+     reference mins);
+  2. full sweep — at least as many rows as the current committed clean
+     reference (a gated run must never become the baseline);
+  3. every streaming row's min within 1.3x of the committed clean
+     reference's min (streaming walls are the most window-sensitive
+     rows; adopting a taxed baseline would loosen the 3x env-guard on
+     every row to protect nothing — see COVERAGE.md r13 adjudications);
+  4. window-speed canaries inside the calibrated clean band:
+     sched_start/sched_end <= 650 ms (clean measured 388-502; slow
+     days 650-1890) and cpu_start/cpu_end <= 55 ms (normal 36-43).
+
+The committed clean reference is resolved the same way Bench.scala's
+readRefStats does: walk `git log -- BENCH_LOCAL.json` to the most
+recent committed snapshot whose own flag lists are all empty (HEAD
+currently holds the driver's flagged 621.4s window artifact, which
+must never be a baseline).
+
+Exit 0 = adoptable (tools/adopt_bench.sh then commits it, which pins
+its canary values as the new sched_ref for cap scaling). Exit 1 = keep
+the current reference; reasons on stdout.
+"""
+import json
+import subprocess
+import sys
+
+REPO = "/root/repo"
+SCHED_MAX_MS = 650.0
+CPU_MAX_MS = 55.0
+STREAM_RATIO_MAX = 1.3
+FLAG_LISTS = ["failed", "degraded", "capped", "skipped", "env_suspect",
+              "capped_twice", "zombie_after", "suspect"]
+
+
+def git(*args):
+    r = subprocess.run(["git", "-C", REPO, *args], capture_output=True, text=True)
+    return r.stdout if r.returncode == 0 else None
+
+
+def is_clean(snap):
+    if snap.get("partial", False):
+        return False
+    return all(len(snap.get(k, [])) == 0 for k in
+               ["failed", "degraded", "capped", "skipped", "env_suspect"])
+
+
+def committed_clean_ref(name="BENCH_LOCAL.json"):
+    log = git("log", "--format=%H", "-n", "12", "HEAD", "--", name) or ""
+    for sha in log.split():
+        body = git("show", f"{sha}:./{name}")
+        if not body:
+            continue
+        try:
+            snap = json.loads(body)
+        except ValueError:
+            continue
+        if is_clean(snap):
+            return sha[:7], snap
+    return None, None
+
+
+def main():
+    cand_path = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/BENCH_LOCAL.json"
+    cand = json.load(open(cand_path))
+    ref_sha, ref = committed_clean_ref()
+    problems = []
+
+    if cand.get("partial", False):
+        problems.append("partial: the sweep did not finish")
+    for k in FLAG_LISTS:
+        v = cand.get(k, [])
+        if v:
+            problems.append(f"{k} non-empty ({len(v)}): {v[:6]}{'...' if len(v) > 6 else ''}")
+
+    if ref is None:
+        problems.append("no committed clean reference found to compare against")
+    else:
+        n_cand = len(cand.get("queries", {}))
+        n_ref = len(ref.get("queries", {}))
+        if n_cand < n_ref:
+            problems.append(f"gated/partial sweep: {n_cand} rows < reference {n_ref}")
+        refmin = ref.get("min", {})
+        over = []
+        for name, mn in cand.get("min", {}).items():
+            if "stream" in name and name in refmin and refmin[name] > 0 and mn > 0:
+                ratio = mn / refmin[name]
+                if ratio > STREAM_RATIO_MAX:
+                    over.append(f"{name} {ratio:.2f}x ({mn:.2f}s vs {refmin[name]:.2f}s)")
+        if over:
+            problems.append(f"streaming rows above {STREAM_RATIO_MAX}x committed min: " + "; ".join(over))
+
+    can = cand.get("canary_ms", {})
+    for k in ["sched_start", "sched_end"]:
+        v = can.get(k)
+        if v is None:
+            problems.append(f"canary_ms.{k} missing — pre-canary artifact cannot pin sched_ref")
+        elif v > SCHED_MAX_MS:
+            problems.append(f"canary_ms.{k} = {v:.0f} ms > {SCHED_MAX_MS:.0f} (taxed window)")
+    for k in ["cpu_start", "cpu_end"]:
+        v = can.get(k)
+        if v is not None and v > CPU_MAX_MS:
+            problems.append(f"canary_ms.{k} = {v:.1f} ms > {CPU_MAX_MS:.0f}")
+
+    total = cand.get("value")
+    ref_total = ref.get("value") if ref else None
+    print(f"candidate: {cand_path}  total={total}s  rows={len(cand.get('queries', {}))}")
+    print(f"reference: git:{ref_sha}  total={ref_total}s" if ref else "reference: NONE")
+    if problems:
+        print("NOT ADOPTABLE:")
+        for p in problems:
+            print(f"  - {p}")
+        return 1
+    print("ADOPTABLE: all guard lists empty, full sweep, streaming within "
+          f"{STREAM_RATIO_MAX}x, canaries in the clean band "
+          f"(sched {can.get('sched_start'):.0f}/{can.get('sched_end'):.0f} ms)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Clean-reference adoption loop (r13 verdict task 3): run the full
+# bench sweep up to K times; the FIRST window that passes every
+# adoption guard (tools/adopt_bench.py) is committed as the new
+# BENCH_LOCAL.json reference — which also pins its canary_ms values as
+# the sched_ref every later run's cap scaling and window adjudication
+# compares against. A failing window is recorded to /tmp and retried;
+# the committed reference is never touched by a failed attempt
+# (Bench's readRefStats reads git history, not the working file, and
+# skips flagged snapshots).
+#
+# Usage: tools/adopt_bench.sh [K]   (default 3 attempts)
+set -u
+cd /root/repo
+K="${1:-3}"
+for i in $(seq 1 "$K"); do
+  echo "[adopt] attempt $i/$K: full sweep..."
+  SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    tools/run.sh graft.Bench 2>/dev/null | tail -1
+  if python3 tools/adopt_bench.py BENCH_LOCAL.json; then
+    git add BENCH_LOCAL.json
+    total=$(python3 -c "import json;print(json.load(open('BENCH_LOCAL.json'))['value'])")
+    sched=$(python3 -c "import json;c=json.load(open('BENCH_LOCAL.json'))['canary_ms'];print(f\"{c['sched_start']:.0f}/{c['sched_end']:.0f}\")")
+    git commit -m "Adopt clean-window bench snapshot: ${total}s, all guards empty, sched canary ${sched}ms pinned" \
+      -m "Passed tools/adopt_bench.py: every flag list empty, full row count, streaming rows within 1.3x of the prior committed clean mins, canaries in the calibrated clean band. Committing this file pins its canary_ms as the sched_ref that readRefStats feeds the canary-scaled per-query caps." \
+      -m "No-Verification-Needed: bench artifact adoption, no source change"
+    echo "[adopt] adopted and committed."
+    exit 0
+  fi
+  cp -f BENCH_LOCAL.json "/tmp/bench_rejected_$i.json" 2>/dev/null || true
+  git checkout -- BENCH_LOCAL.json 2>/dev/null || true
+  echo "[adopt] attempt $i rejected (saved to /tmp/bench_rejected_$i.json)"
+done
+echo "[adopt] no clean window in $K attempts; committed reference unchanged"
+exit 1
