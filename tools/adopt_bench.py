@@ -17,8 +17,15 @@ human in the loop:
      rows; adopting a taxed baseline would loosen the 3x env-guard on
      every row to protect nothing — see COVERAGE.md r13 adjudications);
   4. window-speed canaries inside the calibrated clean band:
-     sched_start/sched_end <= 650 ms (clean measured 388-502; slow
-     days 650-1890) and cpu_start/cpu_end <= 55 ms (normal 36-43).
+     sched_end <= 650 ms and the MEDIAN of the in-sweep canary_series
+     readings <= 500 ms (clean steady-state measured 230-500; slow
+     days 650-1890), and cpu_start/cpu_end <= 55 ms (normal 36-43).
+     sched_start is reported but NOT gating: since r14 it is measured
+     BEFORE the suite warmups (so the warmups' caps are already
+     canary-scaled), which makes it a cold-JVM reading that runs
+     2-3x the steady state in every window (953 ms start vs 230-315
+     steady in the cleanest window measured) — the series median is
+     the honest window-cleanliness estimator.
 
 The committed clean reference is resolved the same way Bench.scala's
 readRefStats does: walk `git log -- BENCH_LOCAL.json` to the most
@@ -36,6 +43,7 @@ import sys
 
 REPO = "/root/repo"
 SCHED_MAX_MS = 650.0
+SERIES_MEDIAN_MAX_MS = 500.0
 CPU_MAX_MS = 55.0
 STREAM_RATIO_MAX = 1.3
 FLAG_LISTS = ["failed", "degraded", "capped", "skipped", "env_suspect",
@@ -100,12 +108,20 @@ def main():
             problems.append(f"streaming rows above {STREAM_RATIO_MAX}x committed min: " + "; ".join(over))
 
     can = cand.get("canary_ms", {})
-    for k in ["sched_start", "sched_end"]:
-        v = can.get(k)
-        if v is None:
-            problems.append(f"canary_ms.{k} missing — pre-canary artifact cannot pin sched_ref")
-        elif v > SCHED_MAX_MS:
-            problems.append(f"canary_ms.{k} = {v:.0f} ms > {SCHED_MAX_MS:.0f} (taxed window)")
+    v = can.get("sched_end")
+    if v is None:
+        problems.append("canary_ms.sched_end missing — pre-canary artifact cannot pin sched_ref")
+    elif v > SCHED_MAX_MS:
+        problems.append(f"canary_ms.sched_end = {v:.0f} ms > {SCHED_MAX_MS:.0f} (taxed window)")
+    series = [e.get("sched_ms") for e in cand.get("canary_series", [])
+              if e.get("tag") != "start" and isinstance(e.get("sched_ms"), (int, float))]
+    if not series:
+        problems.append("canary_series missing/empty — cannot estimate steady-state window speed")
+    else:
+        series.sort()
+        med = series[len(series) // 2]
+        if med > SERIES_MEDIAN_MAX_MS:
+            problems.append(f"canary_series median = {med:.0f} ms > {SERIES_MEDIAN_MAX_MS:.0f} (taxed window)")
     for k in ["cpu_start", "cpu_end"]:
         v = can.get(k)
         if v is not None and v > CPU_MAX_MS:
@@ -122,7 +138,8 @@ def main():
         return 1
     print("ADOPTABLE: all guard lists empty, full sweep, streaming within "
           f"{STREAM_RATIO_MAX}x, canaries in the clean band "
-          f"(sched {can.get('sched_start'):.0f}/{can.get('sched_end'):.0f} ms)")
+          f"(sched start/end {can.get('sched_start'):.0f}/{can.get('sched_end'):.0f} ms, "
+          f"series median {series[len(series) // 2]:.0f} ms)")
     return 0
 
 
