@@ -159,13 +159,18 @@ private[graft] object BenchStats {
     * snapshot, and adopting it would loosen every per-query cap and
     * every env-guard ~3×. A snapshot is an acceptable reference only
     * if it is complete (`partial` false) and every guard list —
-    * failed, degraded, capped, skipped, env_suspect — is empty.
-    * (`suspect` alone is tolerated: a genuinely bimodal row that
-    * survived the heal is information, not contamination.) */
+    * failed, degraded, capped, skipped, env_suspect, zombie_after —
+    * is empty. zombie_after matters even with every other list clean:
+    * a suite-warmup cap kill never reaches `capped` (stampKill is
+    * per-row), so an un-reaped warmup worker can taint every row of an
+    * otherwise flag-free sweep. (`suspect` alone is tolerated: a
+    * genuinely bimodal row that survived the heal is information, not
+    * contamination. `capped_twice` ⊆ failed, `recovered` ⊆ capped —
+    * both are covered transitively.) */
   def refAcceptable(partial: Boolean, failed: Int, degraded: Int,
-      capped: Int, skipped: Int, envSuspect: Int): Boolean =
+      capped: Int, skipped: Int, envSuspect: Int, zombies: Int = 0): Boolean =
     !partial && failed == 0 && degraded == 0 && capped == 0 &&
-      skipped == 0 && envSuspect == 0
+      skipped == 0 && envSuspect == 0 && zombies == 0
 
   /** Suite wall-budget mode (r12 verdict task 1c). `full` below the
     * budget: warmup + 3 timed runs + heal/env-guard passes. `degraded`
@@ -342,9 +347,12 @@ object Bench {
     }, group)
     worker.setDaemon(true)
     worker.start()
-    worker.join(math.max(1000L, (capSec * 1000).toLong))
+    // floor 50ms, NOT 1000: join(0) would wait forever, but a 1s floor
+    // silently defeats sub-second caps — the SPARK_GRAFT_CAP_FLOOR
+    // burst-replay knob needs caps of ~0.2s to actually kill
+    worker.join(math.max(50L, (capSec * 1000).toLong))
     if (worker.isAlive) {
-      System.err.println(f"[bench] cap $capSec%.0fs blown — cancelling $group")
+      System.err.println(f"[bench] cap $capSec%.1fs blown — cancelling $group")
       try sc.cancelJobGroup(group) catch { case NonFatal(_) => () }
       worker.join(30000)
       if (worker.isAlive) {
@@ -406,7 +414,7 @@ object Bench {
       root.path("partial").asBoolean(false),
       root.path("failed").size(), root.path("degraded").size(),
       root.path("capped").size(), root.path("skipped").size(),
-      root.path("env_suspect").size())
+      root.path("env_suspect").size(), root.path("zombie_after").size())
     val canary = root.path("canary_ms")
     val sched = Seq("sched_start", "sched_end")
       .map(canary.path(_)).filter(_.isNumber).map(_.asDouble())
@@ -447,7 +455,11 @@ object Bench {
             val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
             if (proc.waitFor() == 0 && out.nonEmpty) Some(out) else None
           } catch { case NonFatal(_) => None }
-        val shas = git("log", "--format=%H", "-n", "12", "HEAD", "--", name)
+        // depth 50, not ~a round or two: the driver commits a (usually
+        // flagged) snapshot every round, so a short walk could exhaust
+        // before the last clean adoption and silently drop to "none" —
+        // unreferenced 600s caps, env-guard and fast path disabled
+        val shas = git("log", "--format=%H", "-n", "50", "HEAD", "--", name)
           .map(_.linesIterator.toList).getOrElse(Nil)
         var skippedFlagged = 0
         val fromGit = shas.iterator.flatMap { sha =>
@@ -491,7 +503,8 @@ object Bench {
       canaries: Seq[(String, Double)],
       canarySeries: Seq[(Int, String, Double)],
       recovered: Seq[(String, String)], cappedTwice: Seq[String],
-      timedRunsPlan: Seq[(String, Int)], schedRefMs: Double): String = {
+      timedRunsPlan: Seq[(String, Int)], schedRefMs: Double,
+      streamingNames: Set[String]): String = {
     def q(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val medians = obj(rows.map(r => r.name -> r3(r.median).toString))
@@ -520,7 +533,7 @@ object Bench {
     val suspects = rows.collect {
       case r if r.median >= 0 && BenchStats.isSuspect(r.median, r.min) => r.name
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(loadavg1())}],"bench_ref":"$refSource","sched_ref_ms":${r2(schedRefMs)},"budget_sec":${r2(budgetSec)},"scratch":"$scratch","canary_ms":${obj(canaries.map { case (k, v) => k -> r2(v).toString })},"canary_series":$series,"sched_ms":$schedRows,"failed":${q(failed)},"suspect":${q(suspects)},"env_suspect":${q(envSuspects)},"degraded":${q(degraded)},"capped":${q(capped)},"recovered":${obj(recovered)},"capped_twice":${q(cappedTwice)},"zombie_after":${q({ import scala.jdk.CollectionConverters._; zombies.iterator().asScala.toSeq })},"skipped":${q(skipped)},"sf":"$sfDir","timed_runs":${obj(timedRunsPlan.map { case (k, v) => k -> v.toString })},"runs_max":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min (degraded rows have no warmup: their runs array holds the single timed run); suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref = most recent GIT-COMMITTED snapshot of this file whose own flag lists are all empty — a flagged snapshot is evidence, never a baseline) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the re-window budget (15 rows, or the suite wall budget) was exhausted — read as uniform environment contamination, not code; partial = the suite was still running when this file was last flushed (the file is rewritten after every completed row, so an externally killed sweep still leaves its finished rows here); capped = a run blew the per-query wall cap (max(60s, 10x committed reference median) x max(1, sched_now/sched_ref_ms), capped at 50x; 600s base when unreferenced) and was cancelled; every capped row gets ONE post-sweep retry window (warmup + 2 timed runs under a freshly scaled cap): recovered = the retry was clean — its stats replace the row's (the cap-kill was the window, not the query; sched_at_kill_ms vs sched_at_retry_ms show the burst), capped_twice = the retry ALSO blew its cap or failed — the row stays failed and is a genuine stall; canary_series = spot sched-canary readings (5 no-op 32-task jobs scaled x4 to the 20-job canary_ms unit) every 25 full-mode rows, before each degraded-mode row, and at every cap kill and retry, with i = how many rows had completed; sched_ms = the series reading in effect when each row was measured (its cap-scaling input); zombie_after = cap-killed workers that survived interrupt — rows measured after these entries may be contaminated by the un-reaped thread; degraded = measured past the suite wall budget (budget_sec) with a single timed run, no warmup, no heal/env passes; skipped = not run at all past 2x the budget — the hard stop that guarantees this artifact exists before any external timeout; timed_runs = planned first-window timed runs per row (2 for rows whose committed reference median/min is within 5% and which are not streaming, else 3 = runs_max); scratch = the medium (tmpfs|disk) of the per-run java.io.tmpdir root holding checkpoints, state stores, shuffle and layout caches — tmpfs decouples the streaming rows from co-tenant disk churn; canary_ms = fixed window-speed workloads at suite start/end (cpu = 20k md5 of 1KB single-core; sched = 20 no-op 32-task jobs, the per-stage scheduling cost micro-batch streaming amplifies) — host-level slowness is invisible to guest loadavg/pressure, so compare these against sched_ref_ms (the committed reference's pinned clean-window sched canary; 500 is the calibrated fallback for a reference that predates the field — the r13 judge-measured clean-window range was 388-502) before adjudicating a wall delta"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(loadavg1())}],"bench_ref":"$refSource","sched_ref_ms":${r2(schedRefMs)},"budget_sec":${r2(budgetSec)},"scratch":"$scratch","canary_ms":${obj(canaries.map { case (k, v) => k -> r2(v).toString })},"canary_series":$series,"sched_ms":$schedRows,"failed":${q(failed)},"suspect":${q(suspects)},"env_suspect":${q(envSuspects)},"degraded":${q(degraded)},"capped":${q(capped)},"recovered":${obj(recovered)},"capped_twice":${q(cappedTwice)},"zombie_after":${q({ import scala.jdk.CollectionConverters._; zombies.iterator().asScala.toSeq })},"skipped":${q(skipped)},"streaming":${q(rows.map(_.name).filter(streamingNames.contains))},"sf":"$sfDir","timed_runs":${obj(timedRunsPlan.map { case (k, v) => k -> v.toString })},"runs_max":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min (degraded rows have no warmup: their runs array holds the single timed run); suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref = most recent GIT-COMMITTED snapshot of this file whose own flag lists are all empty — a flagged snapshot is evidence, never a baseline) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the re-window budget (15 rows, or the suite wall budget) was exhausted — read as uniform environment contamination, not code; partial = the suite was still running when this file was last flushed (the file is rewritten after every completed row, so an externally killed sweep still leaves its finished rows here); capped = a run blew the per-query wall cap (max(60s, 10x committed reference median) x max(1, sched_now/sched_ref_ms), capped at 50x; 600s base when unreferenced) and was cancelled; every capped row gets ONE post-sweep retry window (warmup + 2 timed runs under a freshly scaled cap): recovered = the retry was clean — its stats replace the row's (the cap-kill was the window, not the query; sched_at_kill_ms vs sched_at_retry_ms show the burst), capped_twice = the retry ALSO blew its cap or failed — the row stays failed and is a genuine stall; canary_series = spot sched-canary readings (5 no-op 32-task jobs scaled x4 to the 20-job canary_ms unit) every 25 full-mode rows, before each degraded-mode row, and at every cap kill and retry, with i = how many rows had completed; sched_ms = the series reading in effect when each row was measured (its cap-scaling input); zombie_after = cap-killed workers that survived interrupt — rows measured after these entries may be contaminated by the un-reaped thread; degraded = measured past the suite wall budget (budget_sec) with a single timed run, no warmup, no heal/env passes; skipped = not run at all past 2x the budget — the hard stop that guarantees this artifact exists before any external timeout; timed_runs = planned first-window timed runs per row (2 for rows whose committed reference median/min is within 5% and which are not streaming, else 3 = runs_max); streaming = the registry-derived micro-batch replay row set (StreamQueries.queries — includes q_sessionize_tws, which a name grep misses): always 3 timed runs, and the adoption gate's 1.3x-of-committed-min guard applies to exactly these rows; scratch = the medium (tmpfs|disk) of the per-run java.io.tmpdir root holding checkpoints, state stores, shuffle and layout caches — tmpfs decouples the streaming rows from co-tenant disk churn; canary_ms = fixed window-speed workloads at suite start/end (cpu = 20k md5 of 1KB single-core; sched = 20 no-op 32-task jobs, the per-stage scheduling cost micro-batch streaming amplifies) — host-level slowness is invisible to guest loadavg/pressure, so compare these against sched_ref_ms (the committed reference's pinned clean-window sched canary; 500 is the calibrated fallback for a reference that predates the field — the r13 judge-measured clean-window range was 388-502) before adjudicating a wall delta"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -556,6 +569,13 @@ object Bench {
     // the scale is floored at 1 so an overestimate here can only make
     // caps slightly less loose, never tighter than the base policy
     val schedRefMs = refSched.getOrElse(500.0)
+    // the authoritative streaming-row set: registry membership, NOT a
+    // name substring — q_sessionize_tws is a writeStream/Replay
+    // micro-batch query whose name a "stream" grep misses, and the
+    // 2-run fast path must never apply to a streaming wall. The set is
+    // also emitted in the artifact so tools/adopt_bench.py gates the
+    // same 17 rows the bench protects.
+    val streamingNames: Set[String] = graft.streaming.StreamQueries.queries.keySet
     // TEST KNOB (never set by the driver): shrink the 60s cap floor so
     // the cap-kill → retry → recovered/capped_twice adjudication path
     // can be exercised deterministically at sub-second timescales — the
@@ -604,7 +624,8 @@ object Bench {
       val json = artifactJson(rows, envSuspects, partial, degraded.toSeq,
         capped.toSeq, skipped.toSeq, refSource, suiteLoadStart, budgetSec,
         sfDir, scratchMedium, canaries.toSeq, series.toSeq,
-        recovered.toSeq, cappedTwice.toSeq, timedRunsPlan.toSeq, schedRefMs)
+        recovered.toSeq, cappedTwice.toSeq, timedRunsPlan.toSeq, schedRefMs,
+        streamingNames)
       // temp + atomic rename: an external kill landing mid-write must
       // never truncate the artifact the flush exists to preserve
       try {
@@ -685,7 +706,7 @@ object Bench {
               runsM.head._3, runsM.map(_._4), load, latestSched())
           case _ =>
             val nRuns = BenchStats.timedRuns(refStats.get(name).map(_._1),
-              refStats.get(name).map(_._2), name.contains("stream"))
+              refStats.get(name).map(_._2), streamingNames.contains(name))
             timedRunsPlan(name) = nRuns
             val (warm, wCapped) = timeOnceCapped(spark, fn(spark, sfDir), capNow, name)
             if (wCapped) stampKill(name, capNow)
@@ -776,15 +797,19 @@ object Bench {
           // failed: the retry only adjudicates CAP kills
         } else {
           def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
-          val pooled = (r.raw.drop(1) ++ timed).filter(_ >= 0)
-          live(name) = r.copy(median = BenchStats.median(pooled),
-            min = pooled.min, raw = r.raw ++ timed,
+          // the retry REPLACES the row's stats (median/min over the
+          // retry runs ONLY — pre-kill runs from the burst window that
+          // killed the row are contaminated by construction and must
+          // not be pooled into a field documented as a clean recovery);
+          // `raw` still grows so every pre-kill run stays auditable
+          live(name) = r.copy(median = BenchStats.median(timed),
+            min = timed.min, raw = r.raw ++ timed,
             shufWriteB = med(runsM.map(_._2)), shufReadB = med(runsM.map(_._3)),
             gcMsRuns = r.gcMsRuns ++ runsM.map(_._4), load = r.load ++ load2,
             schedMs = sRetry)
           recovered(name) = obj(Seq(
-            "sec" -> r3(BenchStats.median(pooled)).toString,
-            "min" -> r3(pooled.min).toString,
+            "sec" -> r3(BenchStats.median(timed)).toString,
+            "min" -> r3(timed.min).toString,
             "sched_at_kill_ms" -> r2(killSched.getOrElse(name, -1.0)).toString,
             "sched_at_retry_ms" -> r2(sRetry).toString,
             "cap_at_kill_sec" -> r2(killCap.getOrElse(name, -1.0)).toString,
@@ -813,8 +838,13 @@ object Bench {
     // the SUITE budget cancels is flagged without re-measurement — the
     // same semantics as exhausting the 15-row budget.
     val rewindowBudget = 15
+    // recovered rows are excluded: their stats were just REPLACED by a
+    // clean retry window and carry a full adjudication record; a
+    // combineWindows re-pool here would mix the pre-kill burst runs
+    // back into the published median
     val eligible = healed.filterNot(r =>
-      degraded.contains(r.name) || skipped.contains(r.name))
+      degraded.contains(r.name) || skipped.contains(r.name) ||
+        recovered.contains(r.name))
     val (rewindowSet, overBudget) = BenchStats.selectRewindow(
       eligible.map(r => (r.name, r.min, mb(r.shufWriteB))), refMinSw,
       rewindowBudget)

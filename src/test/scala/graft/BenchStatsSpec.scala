@@ -180,5 +180,9 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(!BenchStats.refAcceptable(partial = false, 0, 0, 1, 0, 0))
     assert(!BenchStats.refAcceptable(partial = false, 0, 0, 0, 1, 0))
     assert(!BenchStats.refAcceptable(partial = false, 0, 0, 0, 0, 1))
+    // zombie_after vetoes too: a suite-warmup cap kill never reaches
+    // `capped` (stampKill is per-row), so an un-reaped warmup worker
+    // can taint an otherwise flag-free sweep
+    assert(!BenchStats.refAcceptable(partial = false, 0, 0, 0, 0, 0, zombies = 1))
   }
 }

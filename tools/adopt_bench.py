@@ -63,7 +63,9 @@ def is_clean(snap):
 
 
 def committed_clean_ref(name="BENCH_LOCAL.json"):
-    log = git("log", "--format=%H", "-n", "12", "HEAD", "--", name) or ""
+    # depth 50: the driver commits a usually-flagged snapshot every
+    # round; a short walk could exhaust before the last clean adoption
+    log = git("log", "--format=%H", "-n", "50", "HEAD", "--", name) or ""
     for sha in log.split():
         body = git("show", f"{sha}:./{name}")
         if not body:
@@ -98,9 +100,16 @@ def main():
         if n_cand < n_ref:
             problems.append(f"gated/partial sweep: {n_cand} rows < reference {n_ref}")
         refmin = ref.get("min", {})
+        # the streaming set comes from the candidate's own registry-
+        # derived `streaming` field when present (a name grep misses
+        # q_sessionize_tws — a writeStream/Replay row); the substring
+        # fallback plus that known extra covers pre-field artifacts
+        streaming = set(cand.get("streaming") or
+                        [n for n in cand.get("min", {}) if "stream" in n] +
+                        ["q_sessionize_tws"])
         over = []
         for name, mn in cand.get("min", {}).items():
-            if "stream" in name and name in refmin and refmin[name] > 0 and mn > 0:
+            if name in streaming and name in refmin and refmin[name] > 0 and mn > 0:
                 ratio = mn / refmin[name]
                 if ratio > STREAM_RATIO_MAX:
                     over.append(f"{name} {ratio:.2f}x ({mn:.2f}s vs {refmin[name]:.2f}s)")
@@ -138,7 +147,7 @@ def main():
         return 1
     print("ADOPTABLE: all guard lists empty, full sweep, streaming within "
           f"{STREAM_RATIO_MAX}x, canaries in the clean band "
-          f"(sched start/end {can.get('sched_start'):.0f}/{can.get('sched_end'):.0f} ms, "
+          f"(sched start/end {can.get('sched_start') or -1:.0f}/{can.get('sched_end') or -1:.0f} ms, "
           f"series median {series[len(series) // 2]:.0f} ms)")
     return 0
 

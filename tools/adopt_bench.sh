@@ -10,23 +10,39 @@
 # skips flagged snapshots).
 #
 # Usage: tools/adopt_bench.sh [K]   (default 3 attempts)
-set -u
+set -u -o pipefail
 cd /root/repo
 K="${1:-3}"
 for i in $(seq 1 "$K"); do
   echo "[adopt] attempt $i/$K: full sweep..."
-  SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
-  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-    tools/run.sh graft.Bench 2>/dev/null | tail -1
+  # freshness guard: the gate must never run on a stale artifact — if
+  # the bench fails to launch (e.g. no compiled classes), BENCH_LOCAL
+  # .json still holds the committed snapshot, which would pass the
+  # gate and "adopt" a file with zero new measurements behind it
+  before=$(stat -c %Y BENCH_LOCAL.json 2>/dev/null || echo 0)
+  if ! SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+       SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+       tools/run.sh graft.Bench 2>/dev/null | tail -1; then
+    echo "[adopt] attempt $i: bench run FAILED (compile first? see tools/run.sh)"
+    continue
+  fi
+  after=$(stat -c %Y BENCH_LOCAL.json 2>/dev/null || echo 0)
+  if [ "$after" -le "$before" ]; then
+    echo "[adopt] attempt $i: artifact not rewritten — refusing to gate a stale file"
+    continue
+  fi
   if python3 tools/adopt_bench.py BENCH_LOCAL.json; then
     git add BENCH_LOCAL.json
     total=$(python3 -c "import json;print(json.load(open('BENCH_LOCAL.json'))['value'])")
     sched=$(python3 -c "import json;c=json.load(open('BENCH_LOCAL.json'))['canary_ms'];print(f\"{c['sched_start']:.0f}/{c['sched_end']:.0f}\")")
-    git commit -m "Adopt clean-window bench snapshot: ${total}s, all guards empty, sched canary ${sched}ms pinned" \
+    if git commit -m "Adopt clean-window bench snapshot: ${total}s, all guards empty, sched canary ${sched}ms pinned" \
       -m "Passed tools/adopt_bench.py: every flag list empty, full row count, streaming rows within 1.3x of the prior committed clean mins, canaries in the calibrated clean band. Committing this file pins its canary_ms as the sched_ref that readRefStats feeds the canary-scaled per-query caps." \
-      -m "No-Verification-Needed: bench artifact adoption, no source change"
-    echo "[adopt] adopted and committed."
-    exit 0
+      -m "No-Verification-Needed: bench artifact adoption, no source change"; then
+      echo "[adopt] adopted and committed."
+      exit 0
+    fi
+    echo "[adopt] attempt $i: git commit FAILED — nothing adopted"
+    exit 2
   fi
   cp -f BENCH_LOCAL.json "/tmp/bench_rejected_$i.json" 2>/dev/null || true
   git checkout -- BENCH_LOCAL.json 2>/dev/null || true
