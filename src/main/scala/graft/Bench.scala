@@ -7,7 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that make a slow run attributable (see Bench scaladoc). `raw` is
   * `warmup +: timed₁ ++ timed₂ ++ …` — raw(0) is the untimed warmup and
   * every later entry is a timed run, appended window by window, which is
-  * what lets the pooled stats be recomputed from `raw` alone. `load` is
+  * what lets the pooled stats be recomputed from `raw` alone (exception:
+  * a RECOVERED row's published median/min cover only its retry window —
+  * the pre-kill runs stay in `raw` as evidence but are excluded as
+  * burst-contaminated by construction; see the artifact note). `load` is
   * the 1-minute /proc/loadavg read before and after each timed window
   * ([b₁,a₁,b₂,a₂,…]) — this machine's walls swing 2-10× under co-tenant
   * load and every round has spent effort re-adjudicating phantom
