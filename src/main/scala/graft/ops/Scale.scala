@@ -112,7 +112,14 @@ object Scale {
     * two overlapping test JVMs). Under this commit protocol the live
     * path only ever APPEARS, complete with `_SUCCESS`, via rename(2);
     * no writer ever mutates it in place, so a reader can never observe
-    * a partial or vanishing generation. A rename that loses the race
+    * a PARTIAL generation (ScaleSpec's debris-race harness asserts
+    * exactly this). The guarantee is deliberately one notch weaker
+    * than "never vanishing": in the triple race where pre-protocol
+    * debris, a competing commit, and a third commit all collide, a
+    * COMPLETE generation can be replaced across one aside/put-back
+    * rename pair — a reader that planned its scan against the old
+    * generation's part files re-plans via Spark's task retry; it never
+    * sees a torn directory. A rename that loses the race
     * means a concurrent session committed the same fingerprint first —
     * its files are live (and possibly under scan), ours are redundant
     * and deleted. Abandoned `.tmp-*` dirs from a crashed build age out
@@ -166,15 +173,20 @@ object Scale {
                 // moved a COMPLETE generation aside, not debris. Put it
                 // back; if the put-back loses (a third commit landed)
                 // the aside copy is a redundant complete generation of
-                // the same fingerprint — safe to delete. Either way a
-                // committed generation is live at `target` again within
-                // one rename and nothing complete is ever destroyed;
-                // the reader-visible gap is one rename pair wide, which
-                // Spark's task retry rides over (ScaleSpec's debris race
+                // the same fingerprint. Do NOT delete it here (r14
+                // ADVICE): a reader that planned its scan against the
+                // displaced generation holds its concrete per-build
+                // part-file paths, and destroying them immediately
+                // guarantees every task retry misses; left in place
+                // under its `.tmp-` prefix it ages out through
+                // retireStaleGenerations' sweep like any abandoned
+                // build dir. Either way a committed generation is live
+                // at `target` again within one rename; the reader-
+                // visible gap is one rename pair wide, which Spark's
+                // task retry rides over (ScaleSpec's debris race
                 // asserts no reader ever sees a PARTIAL dir).
                 try java.nio.file.Files.move(aside, target, ATOMIC_MOVE)
-                catch { case _: java.nio.file.FileSystemException =>
-                  deleteTree(aside) }
+                catch { case _: java.nio.file.FileSystemException => () }
               } else deleteTree(aside)
             } catch { case _: java.nio.file.FileSystemException => () }
           }

@@ -254,13 +254,21 @@ class ScaleSpec extends SparkSpecBase {
         java.nio.file.Files.readString(t.resolve(s"part-$i")).split("-")(0)).toSet
       assert(owners.size == 1 && !owners.contains("torn"),
         s"mixed or debris content: $owners")
-      // no .tmp-* / .tmp-debris-* leftovers survive the race
+      // leftovers: a build .tmp-* never survives; a .tmp-debris-* aside
+      // MAY survive the triple race (put-back lost to a third commit) —
+      // since r15 it is deliberately left for retireStaleGenerations'
+      // sweep instead of being destroyed under a reader's scan (r14
+      // ADVICE), but anything left must be a COMPLETE generation
       val l = java.nio.file.Files.list(java.nio.file.Paths.get(base))
       val names = try {
         import scala.jdk.CollectionConverters._
         l.iterator().asScala.map(_.getFileName.toString).toList
       } finally l.close()
-      assert(names == List(t.getFileName.toString), s"leftovers: $names")
+      val extras = names.filterNot(_ == t.getFileName.toString)
+      assert(extras.forall(n => n.contains(".tmp-debris-") &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(base, n, "_SUCCESS"))),
+        s"leftovers beyond complete sweep-deferred asides: $names")
       ops.Scale.deleteTree(java.nio.file.Paths.get(base))
     }
   }

@@ -48,6 +48,15 @@ CPU_MAX_MS = 55.0
 STREAM_RATIO_MAX = 1.3
 FLAG_LISTS = ["failed", "degraded", "capped", "skipped", "env_suspect",
               "capped_twice", "zombie_after", "suspect"]
+# the lists a COMMITTED snapshot must have empty to serve as the
+# baseline — exactly the set Bench.scala's refAcceptable vetoes
+# (suspect is tolerated there: a surviving bimodal row is information;
+# capped_twice ⊆ failed and recovered ⊆ capped are covered
+# transitively). Before r15 this omitted zombie_after, so the gate
+# could compare streaming mins against a zombie-tainted baseline
+# Bench itself would refuse (ADVICE r14).
+CLEAN_LISTS = ["failed", "degraded", "capped", "skipped", "env_suspect",
+               "zombie_after"]
 
 
 def git(*args):
@@ -58,15 +67,18 @@ def git(*args):
 def is_clean(snap):
     if snap.get("partial", False):
         return False
-    return all(len(snap.get(k, [])) == 0 for k in
-               ["failed", "degraded", "capped", "skipped", "env_suspect"])
+    return all(len(snap.get(k, [])) == 0 for k in CLEAN_LISTS)
 
 
 def committed_clean_ref(name="BENCH_LOCAL.json"):
-    # depth 50: the driver commits a usually-flagged snapshot every
-    # round; a short walk could exhaust before the last clean adoption
-    log = git("log", "--format=%H", "-n", "50", "HEAD", "--", name) or ""
-    for sha in log.split():
+    # depth 200 (was 50 — ADVICE r14: a long run of flagged snapshots
+    # between clean adoptions could silently exhaust the walk and
+    # report "no clean reference"); the walk stops at the first clean
+    # hit, so the deeper bound only costs anything in the failure case,
+    # where it now also warns instead of failing silently
+    log = git("log", "--format=%H", "-n", "200", "HEAD", "--", name) or ""
+    shas = log.split()
+    for sha in shas:
         body = git("show", f"{sha}:./{name}")
         if not body:
             continue
@@ -76,6 +88,10 @@ def committed_clean_ref(name="BENCH_LOCAL.json"):
             continue
         if is_clean(snap):
             return sha[:7], snap
+    if shas:
+        print(f"WARNING: walked {len(shas)} committed snapshots of {name} "
+              "without finding a clean one — every one carries flags",
+              file=sys.stderr)
     return None, None
 
 
@@ -131,10 +147,19 @@ def main():
         med = series[len(series) // 2]
         if med > SERIES_MEDIAN_MAX_MS:
             problems.append(f"canary_series median = {med:.0f} ms > {SERIES_MEDIAN_MAX_MS:.0f} (taxed window)")
+    # cpu-canary gate: against the PINNED reference canaries when the
+    # committed clean reference carries them (1.4x the worse of its
+    # start/end readings — the calibrated 36-43ms band with headroom);
+    # the hard-coded CPU_MAX_MS band only covers a reference that
+    # predates the cpu canary fields (c5df4cc and older)
+    ref_cpu = [v for v in ((ref or {}).get("canary_ms", {}).get(k)
+                           for k in ("cpu_start", "cpu_end")) if v is not None]
+    cpu_bound = 1.4 * max(ref_cpu) if ref_cpu else CPU_MAX_MS
+    cpu_src = "1.4x pinned ref" if ref_cpu else "calibrated fallback"
     for k in ["cpu_start", "cpu_end"]:
         v = can.get(k)
-        if v is not None and v > CPU_MAX_MS:
-            problems.append(f"canary_ms.{k} = {v:.1f} ms > {CPU_MAX_MS:.0f}")
+        if v is not None and v > cpu_bound:
+            problems.append(f"canary_ms.{k} = {v:.1f} ms > {cpu_bound:.0f} ({cpu_src})")
 
     total = cand.get("value")
     ref_total = ref.get("value") if ref else None
