@@ -15,10 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ([b₁,a₁,b₂,a₂,…]) — this machine's walls swing 2-10× under co-tenant
   * load and every round has spent effort re-adjudicating phantom
   * regressions; with the readings in the artifact a slow window is
-  * attributable without a paired re-run. */
+  * attributable without a paired re-run. `tSec` (r14 verdict task 1)
+  * is the suite-relative wall-clock second at which each `raw` run
+  * STARTED, index-aligned with `raw` — it lets any run be placed
+  * against the canary_series timeline, so a burst that lands between
+  * spot canary samples is still attributable from the artifact alone
+  * (the r14 q_date_funcs gap: a 186× wall carrying a 25-row-stale 3×
+  * sched stamp). */
 private[graft] case class BenchRow(name: String, median: Double, min: Double,
     raw: Seq[Double], shufWriteB: Long, shufReadB: Long, gcMsRuns: Seq[Long],
-    load: Seq[Double], schedMs: Double = -1.0)
+    load: Seq[Double], schedMs: Double = -1.0, tSec: Seq[Double] = Seq.empty)
 
 /** Pure stat/guard policies for [[Bench]], extracted so they are
   * unit-testable without a SparkSession (BenchStatsSpec). Both carried a
@@ -64,13 +70,42 @@ private[graft] object BenchStats {
     * (median −1) regardless of rerun outcomes — a query that ever
     * poisoned its session must fail loudly, not average out. */
   def combineWindows(r: BenchRow, rerunTimed: Seq[Double],
-      rerunGc: Seq[Long], rerunLoad: Seq[Double]): BenchRow = {
+      rerunGc: Seq[Long], rerunLoad: Seq[Double],
+      rerunT: Seq[Double] = Seq.empty): BenchRow = {
     val grown = r.copy(raw = r.raw ++ rerunTimed,
-      gcMsRuns = r.gcMsRuns ++ rerunGc, load = r.load ++ rerunLoad)
+      gcMsRuns = r.gcMsRuns ++ rerunGc, load = r.load ++ rerunLoad,
+      tSec = r.tSec ++ rerunT)
     val pooled = grown.raw.drop(1).filter(_ >= 0)
     if (r.median < 0 || pooled.isEmpty) grown
     else grown.copy(median = median(pooled), min = pooled.min)
   }
+
+  /** In-sweep burst probe trigger (r14 verdict task 1): a timed run
+    * that blows 3× its committed reference median (with a 0.5s floor —
+    * sub-second walls swing on scheduling jitter alone) is the
+    * full-mode equivalent of a cap kill, and like a cap kill it earns
+    * an IMMEDIATE spot sched-canary reading: the r14 artifact's worst
+    * row (q_date_funcs, 141.8s = 186× committed, runs 23.8/169.9/
+    * 113.6s) carried only a 25-row-stale 1115ms periodic stamp that
+    * could not explain it — the burst fell between spot samples. The
+    * 3× bar matches the env-guard's divergence threshold, so every
+    * row the post-sweep guard could flag has a trip-time reading. */
+  def burstProbe(refMedian: Option[Double], runSec: Double): Boolean =
+    refMedian.exists(m => m > 0 && runSec > math.max(0.5, 3.0 * m))
+
+  /** Degraded-row rewindow selection (r14 verdict task 4): degraded
+    * rows are medians-of-one measured past the blown budget — unlike
+    * cap-killed rows they got no retry, so a taxed window published
+    * 186 single-run walls in r14. Post-sweep, the `budget` worst rows
+    * by ratio-to-committed-median (>3×, same bar as the env guard;
+    * ratio needs both sides positive) get one more bounded window.
+    * `rows` are (name, publishedMedian). */
+  def selectDegradedRewindow(rows: Seq[(String, Double)],
+      refMedians: Map[String, Double], budget: Int): Seq[String] =
+    rows.flatMap { case (n, med) =>
+      refMedians.get(n).filter(_ > 0).collect {
+        case ref if med > 0 && med / ref > 3.0 => (n, med / ref) }
+    }.sortBy(-_._2).take(budget).map(_._1)
 
   /** Shuffle signature match: plan-determined bytes agree within ±20%
     * (AQE jitter) or 1 MB, whichever is wider. */
@@ -253,6 +288,47 @@ object Bench {
     try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case NonFatal(_) => -1.0 }
 
+  /** Host-pressure counters (r14 verdict task 5). The r14 bursts were
+    * invisible to every guest-side metric the artifact carried —
+    * loadavg 1.0-1.5 and gc_ms 0 during a 186× wall — because a
+    * Firecracker guest's loadavg cannot see host-level contention. Two
+    * cumulative counters the guest CAN see distinguish "host steal"
+    * from "JVM pause" in-artifact:
+    *
+    *  - /proc/stat aggregate-cpu field 8 (0-based; `steal`) —
+    *    involuntary wait while the hypervisor ran someone else, in
+    *    USER_HZ ticks summed across all vCPUs (nonzero on this box);
+    *  - cgroup cpu throttled time — v2 `cpu.stat: throttled_usec`, v1
+    *    `cpu/cpu.stat: throttled_time` (ns) — quota throttling, the
+    *    other way a container loses CPU without guest-visible load.
+    *
+    * Both are read at suite start/end and at every spot canary (two
+    * file reads, microseconds), emitted cumulatively; a reader takes
+    * deltas across any window of interest. −1 = unreadable. */
+  private def hostStealTicks(): Long =
+    try {
+      val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = cpu.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case NonFatal(_) => -1L }
+
+  private def hostThrottledMs(): Long =
+    try {
+      val v2 = Paths.get("/sys/fs/cgroup/cpu.stat")
+      val v1 = Paths.get("/sys/fs/cgroup/cpu/cpu.stat")
+      if (Files.isReadable(v2) &&
+          Files.readString(v2).contains("throttled_usec"))
+        Files.readString(v2).linesIterator
+          .find(_.startsWith("throttled_usec"))
+          .map(_.split("\\s+")(1).toLong / 1000L).getOrElse(-1L)
+      else if (Files.isReadable(v1))
+        Files.readString(v1).linesIterator
+          .find(_.startsWith("throttled_time"))
+          .map(_.split("\\s+")(1).toLong / 1000000L).getOrElse(-1L)
+      else -1L
+    } catch { case NonFatal(_) => -1L }
+
   /** Window-speed canaries (r13): this box is a VM, and whole days run
     * uniformly ~1.3× slow (streaming rows 2-3×) while loadavg,
     * /proc/pressure and steal all read clean — guest metrics cannot see
@@ -374,23 +450,29 @@ object Bench {
   }
 
   /** One timed window: `runs` measured executions with per-run metric
-    * snapshots, bracketed by loadavg readings. Returns the runs, the
-    * loadavg bracket, and whether any run was cap-killed. */
+    * snapshots, bracketed by loadavg readings. Each run also records
+    * its suite-relative start second via `tClock` (r14 verdict task 1:
+    * aligning runs against the canary_series timeline is what makes a
+    * between-spot-samples burst attributable). Returns the runs
+    * ((sec, shufW, shufR, gc, tStart) each), the loadavg bracket, and
+    * whether any run was cap-killed. */
   private def timedWindow(sc: org.apache.spark.SparkContext,
       spark: SparkSession, sfDir: String,
       fn: (SparkSession, String) => DataFrame, capSec: Double,
+      tClock: () => Double,
       runs: Int = Runs, tag: String = "")
-      : (Seq[(Double, Long, Long, Long)], Seq[Double], Boolean) = {
+      : (Seq[(Double, Long, Long, Long, Double)], Seq[Double], Boolean) = {
     val lb = loadavg1()
     var capped = false
     val measured = (1 to runs).map { _ =>
       resetMetrics(sc)
+      val t = tClock()
       val (sec, c) =
         if (capped) (-1.0, false) // cap already blown — don't re-stall
         else timeOnceCapped(spark, fn(spark, sfDir), capSec, tag)
       capped ||= c
       val (sw, sr, gc) = snapMetrics(sc)
-      (sec, sw, sr, gc)
+      (sec, sw, sr, gc, t)
     }
     (measured, Seq(lb, loadavg1()), capped)
   }
@@ -444,8 +526,17 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_REF") match {
       case Some(p) =>
         try {
-          val (stats, ok, sched) = parseBenchSnapshot(Files.readString(Paths.get(p)))
-          (stats, s"env:$p" + (if (ok) "" else ":flagged"), sched)
+          val body = Files.readString(Paths.get(p))
+          val (stats, ok, sched) = parseBenchSnapshot(body)
+          // content hash, not just the path: an env-supplied reference
+          // can arrive via process substitution (observed in r14 as
+          // `bench_ref: env:/dev/fd/63`, an unreproducible provenance
+          // string) — the sha12 pins WHAT was compared against even
+          // when the path says nothing
+          val sha12 = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(body.getBytes("UTF-8")).take(6)
+            .map("%02x".format(_)).mkString
+          (stats, s"env:$p:sha256:$sha12" + (if (ok) "" else ":flagged"), sched)
         } catch { case NonFatal(_) => (Map.empty, s"env:$p:unreadable", None) }
       case None =>
         val path = Paths.get(outFile).toAbsolutePath
@@ -458,11 +549,15 @@ object Bench {
             val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
             if (proc.waitFor() == 0 && out.nonEmpty) Some(out) else None
           } catch { case NonFatal(_) => None }
-        // depth 50, not ~a round or two: the driver commits a (usually
-        // flagged) snapshot every round, so a short walk could exhaust
-        // before the last clean adoption and silently drop to "none" —
-        // unreferenced 600s caps, env-guard and fast path disabled
-        val shas = git("log", "--format=%H", "-n", "50", "HEAD", "--", name)
+        // depth 200 (was 50 — r14 ADVICE: a long flagged run between
+        // clean adoptions could silently exhaust the walk): the driver
+        // commits a (usually flagged) snapshot every round, so a short
+        // walk could exhaust before the last clean adoption and
+        // silently drop to "none" — unreferenced 600s caps, env-guard
+        // and fast path disabled. The walk stops at the first clean
+        // hit, so depth only costs in the failure case, which now
+        // warns on stderr instead of failing silently.
+        val shas = git("log", "--format=%H", "-n", "200", "HEAD", "--", name)
           .map(_.linesIterator.toList).getOrElse(Nil)
         var skippedFlagged = 0
         val fromGit = shas.iterator.flatMap { sha =>
@@ -476,6 +571,10 @@ object Bench {
             } catch { case NonFatal(_) => None }
           }
         }.nextOption()
+        if (fromGit.isEmpty && shas.nonEmpty)
+          System.err.println(s"[bench] WARNING: walked ${shas.size} committed " +
+            s"snapshots of $name without finding a clean one " +
+            s"($skippedFlagged flagged) — falling back to the working file")
         fromGit.orElse {
           try {
             val (stats, ok, sched) = parseBenchSnapshot(Files.readString(path))
@@ -504,16 +603,21 @@ object Bench {
       skipped: Seq[String], refSource: String, suiteLoadStart: Double,
       budgetSec: Double, sfDir: String, scratch: String,
       canaries: Seq[(String, Double)],
-      canarySeries: Seq[(Int, String, Double)],
+      canarySeries: Seq[(Int, String, Double, Long)],
       recovered: Seq[(String, String)], cappedTwice: Seq[String],
       timedRunsPlan: Seq[(String, Int)], schedRefMs: Double,
-      streamingNames: Set[String]): String = {
+      streamingNames: Set[String],
+      rewindowed: Seq[(String, String)],
+      schedProbe: Seq[(String, Double)],
+      host: Seq[(String, Long)]): String = {
     def q(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val medians = obj(rows.map(r => r.name -> r3(r.median).toString))
     val mins = obj(rows.map(r => r.name -> r3(r.min).toString))
     val runs = obj(rows.map(r =>
       r.name -> r.raw.map(r3).mkString("[", ",", "]")))
+    val runT = obj(rows.filter(_.tSec.nonEmpty).map(r =>
+      r.name -> r.tSec.map(r2).mkString("[", ",", "]")))
     val shufW = obj(rows.map(r => r.name -> mb(r.shufWriteB).toString))
     val shufR = obj(rows.map(r => r.name -> mb(r.shufReadB).toString))
     val gc = obj(rows.map(r =>
@@ -522,9 +626,19 @@ object Bench {
       r.name -> r.load.map(r2).mkString("[", ",", "]")))
     val schedRows = obj(rows.filter(_.schedMs > 0).map(r =>
       r.name -> r2(r.schedMs).toString))
-    val series = canarySeries.map { case (i, tag, ms) =>
-      s"""{"i":$i,"tag":"$tag","sched_ms":${r2(ms)}}"""
+    val series = canarySeries.map { case (i, tag, ms, steal) =>
+      s"""{"i":$i,"tag":"$tag","sched_ms":${r2(ms)},"steal":$steal}"""
     }.mkString("[", ",", "]")
+    // a cap kill during a post-sweep pass (heal / env re-window /
+    // degraded re-window) on a row whose pooled stats stayed healthy
+    // (combineWindows drops -1 runs) lands in `capped` but needs no
+    // retry — before r15 such rows sat in `capped` with neither
+    // `recovered` nor `capped_twice` adjudication (r14 ADVICE), making
+    // the artifact note's "every capped row gets one retry" claim false
+    val recoveredNames = recovered.map(_._1).toSet
+    val byName = rows.map(r => r.name -> r).toMap
+    val cappedHealthy = capped.filter(n => !recoveredNames.contains(n) &&
+      !cappedTwice.contains(n) && byName.get(n).exists(_.median >= 0))
     val ok = rows.filter(_.median >= 0)
     val failed = rows.collect { case r if r.median < 0 => r.name }
     val total = r3(ok.map(_.median).sum)
@@ -536,7 +650,7 @@ object Bench {
     val suspects = rows.collect {
       case r if r.median >= 0 && BenchStats.isSuspect(r.median, r.min) => r.name
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$medians,"min":$mins,"runs":$runs,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(loadavg1())}],"bench_ref":"$refSource","sched_ref_ms":${r2(schedRefMs)},"budget_sec":${r2(budgetSec)},"scratch":"$scratch","canary_ms":${obj(canaries.map { case (k, v) => k -> r2(v).toString })},"canary_series":$series,"sched_ms":$schedRows,"failed":${q(failed)},"suspect":${q(suspects)},"env_suspect":${q(envSuspects)},"degraded":${q(degraded)},"capped":${q(capped)},"recovered":${obj(recovered)},"capped_twice":${q(cappedTwice)},"zombie_after":${q({ import scala.jdk.CollectionConverters._; zombies.iterator().asScala.toSeq })},"skipped":${q(skipped)},"streaming":${q(rows.map(_.name).filter(streamingNames.contains))},"sf":"$sfDir","timed_runs":${obj(timedRunsPlan.map { case (k, v) => k -> v.toString })},"runs_max":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min (degraded rows have no warmup: their runs array holds the single timed run); suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref = most recent GIT-COMMITTED snapshot of this file whose own flag lists are all empty — a flagged snapshot is evidence, never a baseline) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the re-window budget (15 rows, or the suite wall budget) was exhausted — read as uniform environment contamination, not code; partial = the suite was still running when this file was last flushed (the file is rewritten after every completed row, so an externally killed sweep still leaves its finished rows here); capped = a run blew the per-query wall cap (max(60s, 10x committed reference median) x max(1, sched_now/sched_ref_ms), capped at 50x; 600s base when unreferenced) and was cancelled; every capped row gets ONE post-sweep retry window (warmup + 2 timed runs under a freshly scaled cap): recovered = the retry was clean — its stats replace the row's (the cap-kill was the window, not the query; sched_at_kill_ms vs sched_at_retry_ms show the burst), capped_twice = the retry ALSO blew its cap or failed — the row stays failed and is a genuine stall; canary_series = spot sched-canary readings (5 no-op 32-task jobs scaled x4 to the 20-job canary_ms unit) every 25 full-mode rows, before each degraded-mode row, and at every cap kill and retry, with i = how many rows had completed; sched_ms = the series reading in effect when each row was measured (its cap-scaling input); zombie_after = cap-killed workers that survived interrupt — rows measured after these entries may be contaminated by the un-reaped thread; degraded = measured past the suite wall budget (budget_sec) with a single timed run, no warmup, no heal/env passes; skipped = not run at all past 2x the budget — the hard stop that guarantees this artifact exists before any external timeout; timed_runs = planned first-window timed runs per row (2 for rows whose committed reference median/min is within 5% and which are not streaming, else 3 = runs_max); streaming = the registry-derived micro-batch replay row set (StreamQueries.queries — includes q_sessionize_tws, which a name grep misses): always 3 timed runs, and the adoption gate's 1.3x-of-committed-min guard applies to exactly these rows; scratch = the medium (tmpfs|disk) of the per-run java.io.tmpdir root holding checkpoints, state stores, shuffle and layout caches — tmpfs decouples the streaming rows from co-tenant disk churn; canary_ms = fixed window-speed workloads at suite start/end (cpu = 20k md5 of 1KB single-core; sched = 20 no-op 32-task jobs, the per-stage scheduling cost micro-batch streaming amplifies) — host-level slowness is invisible to guest loadavg/pressure, so compare these against sched_ref_ms (the committed reference's pinned clean-window sched canary; 500 is the calibrated fallback for a reference that predates the field — the r13 judge-measured clean-window range was 388-502) before adjudicating a wall delta"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$medians,"min":$mins,"runs":$runs,"run_t":$runT,"shuffle_write_mb":$shufW,"shuffle_read_mb":$shufR,"gc_ms":$gc,"loadavg":$loads,"loadavg_suite":[${r2(suiteLoadStart)},${r2(loadavg1())}],"bench_ref":"$refSource","sched_ref_ms":${r2(schedRefMs)},"budget_sec":${r2(budgetSec)},"scratch":"$scratch","canary_ms":${obj(canaries.map { case (k, v) => k -> r2(v).toString })},"canary_series":$series,"sched_ms":$schedRows,"failed":${q(failed)},"suspect":${q(suspects)},"env_suspect":${q(envSuspects)},"degraded":${q(degraded)},"capped":${q(capped)},"recovered":${obj(recovered)},"capped_twice":${q(cappedTwice)},"capped_healthy":${q(cappedHealthy)},"rewindowed":${obj(rewindowed)},"sched_probe_ms":${obj(schedProbe.map { case (k, v) => k -> r2(v).toString })},"host":${obj(host.map { case (k, v) => k -> v.toString })},"zombie_after":${q({ import scala.jdk.CollectionConverters._; zombies.iterator().asScala.toSeq })},"skipped":${q(skipped)},"streaming":${q(rows.map(_.name).filter(streamingNames.contains))},"sf":"$sfDir","timed_runs":${obj(timedRunsPlan.map { case (k, v) => k -> v.toString })},"runs_max":$Runs,"stat":"median","note":"runs[0] is the untimed warmup, excluded from median/min (degraded rows have no warmup: their runs array holds the single timed run); suspect = median/min > 2x (contaminated window); shuffle_* = median-run task totals (MB), gc_ms = per-timed-run JVM GC totals across every window; loadavg = 1-min /proc/loadavg before/after each timed window ([b1,a1,b2,a2,...]) — same-shuffle+high-gc-or-load reads as environment pressure, higher-shuffle reads as a plan change; suspect rows were re-measured once post-sweep and median/min recomputed over ALL timed runs pooled across windows (no best-of-window selection; runs holds every window, improving or not) — a surviving suspect is genuinely bimodal; env_suspect = min > 3x the committed reference min (bench_ref = most recent GIT-COMMITTED snapshot of this file whose own flag lists are all empty — a flagged snapshot is evidence, never a baseline) with unchanged shuffle signature, and either a post-sweep re-window could not reproduce the reference or the re-window budget (15 rows, or the suite wall budget) was exhausted — read as uniform environment contamination, not code; partial = the suite was still running when this file was last flushed (the file is rewritten after every completed row, so an externally killed sweep still leaves its finished rows here); capped = a run blew the per-query wall cap (max(60s, 10x committed reference median) x max(1, sched_now/sched_ref_ms), capped at 50x; 600s base when unreferenced) and was cancelled; every capped row LEFT FAILED by its kill gets ONE post-sweep retry window (warmup + 2 timed runs under a freshly scaled cap): recovered = the retry was clean — its stats replace the row's (the cap-kill was the window, not the query; sched_at_kill_ms vs sched_at_retry_ms show the burst), capped_twice = the retry ALSO blew its cap or failed — the row stays failed and is a genuine stall, capped_healthy = the kill landed during a post-sweep pass (heal/re-window) while the row's pooled stats from its other windows stayed healthy — no retry needed, the published median already excludes the killed run; canary_series = spot sched-canary readings (5 no-op 32-task jobs scaled x4 to the 20-job canary_ms unit) every 25 full-mode rows, on the first row after any kill/burst-tagged reading (so a transient burst's reading scales at most one later row's cap instead of 24), before each degraded-mode row, and at every cap kill, burst trip, env_suspect trip and retry, with i = how many rows had completed and steal = cumulative /proc/stat steal ticks at the reading; sched_ms = the series reading that scaled the row's cap (captured BEFORE the window ran — a kill/burst reading taken during the row lands in the series and sched_probe_ms, not here); run_t = suite-relative start second of each runs[] entry, index-aligned, so any run can be placed against the canary_series timeline; sched_probe_ms = a spot canary taken AT a guard trip for non-capped rows — an in-sweep timed run blowing max(0.5s, 3x committed median) (series tag burst:NAME) or an env_suspect flag after its re-window (tag env:NAME) — the kill-time-equivalent reading that lets a full-mode burst be read from the artifact alone (budgeted at 40 probes/sweep: probes cost seconds DURING the bursts they measure; rows past the budget still align via run_t); rewindowed = worst degraded rows (ratio to committed median > 3x, up to 8, budget permitting) re-measured post-sweep with warmup + 2 timed runs — published median/min pool the degraded run with the rewindow runs (two-window stats; prior_sec preserves the single-run value), rows stay listed in degraded; host = cumulative /proc/stat steal ticks (USER_HZ, all-vCPU) and cgroup throttled ms at suite start/end — a wall burst with flat guest loadavg/gc but a steal delta is host CPU steal, one with neither is hypervisor-level (the r14 failure mode); zombie_after = cap-killed workers that survived interrupt — rows measured after these entries may be contaminated by the un-reaped thread; degraded = measured past the suite wall budget (budget_sec) with a single timed run, no warmup, no heal/env passes; skipped = not run at all past 2x the budget — the hard stop that guarantees this artifact exists before any external timeout; timed_runs = planned first-window timed runs per row (2 for rows whose committed reference median/min is within 5% and which are not streaming, else 3 = runs_max); streaming = the registry-derived micro-batch replay row set (StreamQueries.queries — includes q_sessionize_tws, which a name grep misses): always 3 timed runs, and the adoption gate's 1.3x-of-committed-min guard applies to exactly these rows; scratch = the medium (tmpfs|disk) of the per-run java.io.tmpdir root holding checkpoints, state stores, shuffle and layout caches — tmpfs decouples the streaming rows from co-tenant disk churn; canary_ms = fixed window-speed workloads at suite start/end (cpu = 20k md5 of 1KB single-core; sched = 20 no-op 32-task jobs, the per-stage scheduling cost micro-batch streaming amplifies) — host-level slowness is invisible to guest loadavg/pressure, so compare these against sched_ref_ms (the committed reference's pinned clean-window sched canary; 500 is the calibrated fallback for a reference that predates the field — the r13 judge-measured clean-window range was 388-502) before adjudicating a wall delta"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -585,8 +699,11 @@ object Bench {
     // r13 burst replay the verdict's task 1 asks for
     val capFloor = sys.env.get("SPARK_GRAFT_CAP_FLOOR")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(60.0)
-    // spot sched-canary series (r13 task 2): (rows-completed, tag, ms)
-    val series = scala.collection.mutable.ArrayBuffer[(Int, String, Double)]()
+    // spot sched-canary series (r13 task 2): (rows-completed, tag, ms,
+    // cumulative host-steal ticks at the reading — r14 task 5)
+    val series = scala.collection.mutable.ArrayBuffer[(Int, String, Double, Long)]()
+    def mark(i: Int, tag: String, ms: Double): Unit =
+      series += ((i, tag, ms, hostStealTicks()))
     def latestSched(): Double = series.lastOption.map(_._3).getOrElse(-1.0)
     def cap(name: String): Double = BenchStats.scaledCap(
       refStats.get(name).map(_._1), latestSched(), schedRefMs, capFloor)
@@ -618,6 +735,16 @@ object Bench {
     val recovered = scala.collection.mutable.LinkedHashMap[String, String]()
     val cappedTwice = scala.collection.mutable.LinkedHashSet[String]()
     val timedRunsPlan = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // degraded rows re-measured post-sweep (r14 verdict task 4)
+    val rewindowed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // spot canary taken AT a guard trip (burst run / env_suspect flag)
+    // for non-capped rows — the r14 task-1 fix: q_date_funcs published
+    // a 186x wall whose only sched stamp was 25 rows stale
+    val schedProbe = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // host-pressure counters at suite start/end (r14 task 5)
+    val host = scala.collection.mutable.LinkedHashMap[String, Long](
+      "steal_ticks_start" -> hostStealTicks(),
+      "throttled_ms_start" -> hostThrottledMs())
     // sched spot reading taken AT each cap kill, keyed by row name —
     // surfaces in the recovered record so a reader can see the burst
     val killSched = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -628,7 +755,7 @@ object Bench {
         capped.toSeq, skipped.toSeq, refSource, suiteLoadStart, budgetSec,
         sfDir, scratchMedium, canaries.toSeq, series.toSeq,
         recovered.toSeq, cappedTwice.toSeq, timedRunsPlan.toSeq, schedRefMs,
-        streamingNames)
+        streamingNames, rewindowed.toSeq, schedProbe.toSeq, host.toSeq)
       // temp + atomic rename: an external kill landing mid-write must
       // never truncate the artifact the flush exists to preserve
       try {
@@ -647,7 +774,7 @@ object Bench {
     canaries += ("cpu_start" -> cpuCanaryMs())
     val schedStart = schedCanaryMs(sc)
     canaries += ("sched_start" -> schedStart)
-    series += ((0, "start", schedStart))
+    mark(0, "start", schedStart)
     // suite-level warmup: absorb JVM/classloader/parquet-footer startup
     // and build the bucketed tables once — bucketing is a write-once
     // layout whose cost amortizes across every later co-located join
@@ -667,32 +794,72 @@ object Bench {
     // their caps) with startup noise, so a warm spot replaces it
     // before the first row; tools/adopt_bench.py likewise gates on the
     // series median, never the cold start.
-    series += ((0, "warm", spotSchedMs(sc)))
+    mark(0, "warm", spotSchedMs(sc))
     // optional name filter for local iteration (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val acc = scala.collection.mutable.ArrayBuffer[BenchRow]()
     var rowIdx = 0
+    // eager decay (r14 ADVICE): a kill/burst-tagged series reading is
+    // the live cap-scaling input for every later row until the next
+    // periodic sample — up to 24 rows of up-to-50x caps after a
+    // transient burst has passed. Setting this forces a fresh spot
+    // reading before the NEXT row, so a burst reading scales at most
+    // one row's cap.
+    var forceSpot = false
     // a cap kill gets an immediate spot reading: the burst that killed
     // the row is only attributable if it is measured AT the kill
     def stampKill(name: String, capUsed: Double): Unit = {
       capped += name
       val s = spotSchedMs(sc)
-      series += ((rowIdx, s"kill:$name", s))
+      mark(rowIdx, s"kill:$name", s)
       killSched(name) = s
       killCap(name) = capUsed
+      forceSpot = true
     }
+    // in-sweep burst probe (r14 verdict task 1): the full-mode
+    // equivalent of stampKill — a run that blew 3x its committed
+    // median gets a trip-time canary reading into the series AND the
+    // row's sched_probe_ms record. Budgeted at 40 per sweep: the r14
+    // window would have tripped 28 of its 121 full-mode rows (probes
+    // cost ~0.1s clean but seconds DURING the burst they measure —
+    // that window's kill-time readings ran 27-60s for the 20-job
+    // unit), so an unbounded pathological window could spend minutes
+    // probing; past the budget rows still carry run_t for alignment
+    // against the existing series.
+    // env-pass trips (≤ the 15-row rewindow budget by construction)
+    // don't consume the in-sweep budget: an env_suspect flag that
+    // survives its re-window must ALWAYS carry a trip-time reading
+    var burstBudget = 40
+    def stampBurst(name: String, tag: String): Unit =
+      if (tag != "burst" || burstBudget > 0) {
+        if (tag == "burst") burstBudget -= 1
+        val s = spotSchedMs(sc)
+        mark(rowIdx, s"$tag:$name", s)
+        schedProbe(name) = s
+        forceSpot = true
+      }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         val m = mode()
-        // periodic spot canary: every 25 full-mode rows; before EVERY
+        // periodic spot canary: every 25 full-mode rows; on the first
+        // row after any kill/burst reading (eager decay); before EVERY
         // degraded-mode row (those have a single timed run each, so
         // per-row attribution is all the artifact will ever have)
-        if (m == "degraded" || (m == "full" && rowIdx % 25 == 0 && rowIdx > 0))
-          series += ((rowIdx,
-            if (m == "degraded") "degraded" else "periodic", spotSchedMs(sc)))
-        val capNow = cap(name)
+        if (m == "degraded" ||
+            (m == "full" && (forceSpot || (rowIdx % 25 == 0 && rowIdx > 0)))) {
+          mark(rowIdx,
+            if (m == "degraded") "degraded"
+            else if (forceSpot) "refresh" else "periodic", spotSchedMs(sc))
+          forceSpot = false
+        }
+        // captured BEFORE the window runs: sched_ms documents the
+        // reading that actually scaled this row's cap — r14 stamped
+        // latestSched() AFTER stampKill had appended the kill reading
+        val schedUsed = latestSched()
+        val capNow = BenchStats.scaledCap(refStats.get(name).map(_._1),
+          schedUsed, schedRefMs, capFloor)
         val row = m match {
           case "skip" =>
             skipped += name
@@ -702,24 +869,32 @@ object Bench {
             degraded += name
             timedRunsPlan(name) = 1
             val (runsM, load, c) =
-              timedWindow(sc, spark, sfDir, fn, capNow, runs = 1, tag = name)
+              timedWindow(sc, spark, sfDir, fn, capNow, elapsed _, runs = 1, tag = name)
             if (c) stampKill(name, capNow)
             val sec = runsM.head._1
             BenchRow(name, sec, sec, runsM.map(_._1), runsM.head._2,
-              runsM.head._3, runsM.map(_._4), load, latestSched())
+              runsM.head._3, runsM.map(_._4), load, schedUsed,
+              runsM.map(_._5))
           case _ =>
             val nRuns = BenchStats.timedRuns(refStats.get(name).map(_._1),
               refStats.get(name).map(_._2), streamingNames.contains(name))
             timedRunsPlan(name) = nRuns
+            val warmT = elapsed()
             val (warm, wCapped) = timeOnceCapped(spark, fn(spark, sfDir), capNow, name)
             if (wCapped) stampKill(name, capNow)
             // a failed warmup means the query itself fails — don't run
             // it N more times just to fail N more times
             val (runsM, load, c) =
-              if (warm < 0) (Seq.fill(nRuns)((-1.0, 0L, 0L, 0L)), Seq.empty[Double], false)
-              else timedWindow(sc, spark, sfDir, fn, capNow, runs = nRuns, tag = name)
+              if (warm < 0) (Seq.fill(nRuns)((-1.0, 0L, 0L, 0L, elapsed())), Seq.empty[Double], false)
+              else timedWindow(sc, spark, sfDir, fn, capNow, elapsed _, runs = nRuns, tag = name)
             if (c) stampKill(name, capNow)
             val timed = runsM.map(_._1)
+            // guard trip: a timed run past 3x the committed median is
+            // a burst — take the canary reading AT the trip, not 25
+            // rows later (skip when a kill already stamped this row)
+            if (!wCapped && !c && timed.exists(t =>
+                BenchStats.burstProbe(refStats.get(name).map(_._1), t)))
+              stampBurst(name, "burst")
             // any failed run poisons the stats: report -1, never a
             // healthy-looking near-zero exception time
             val bad = timed.contains(-1.0)
@@ -730,7 +905,7 @@ object Bench {
             def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
             BenchRow(name, median, min, warm +: timed,
               med(runsM.map(_._2)), med(runsM.map(_._3)), runsM.map(_._4),
-              load, latestSched())
+              load, schedUsed, warmT +: runsM.map(_._5))
         }
         rowIdx += 1
         acc += row
@@ -752,15 +927,24 @@ object Bench {
     // that degraded, more windows are more contamination, not less.
     val live = scala.collection.mutable.LinkedHashMap(
       results.map(r => r.name -> r): _*)
+    // post-sweep eager decay: the main loop consumes forceSpot, so a
+    // kill DURING a heal/env-pass window would otherwise leave its
+    // burst reading (up to 50x) as every remaining pass row's
+    // cap-scaling input — the same stickiness the main sweep's
+    // `refresh` closes, one level down
+    def freshSchedAfterKill(): Unit =
+      if (series.lastOption.exists(_._2.startsWith("kill:")))
+        mark(rowIdx, "refresh", spotSchedMs(sc))
     results.foreach { r =>
       if (BenchStats.isSuspect(r.median, r.min) && mode() == "full" &&
           !degraded.contains(r.name) && !skipped.contains(r.name)) {
+        freshSchedAfterKill()
         val healCap = cap(r.name)
         val (rerunsM, load2, c) = timedWindow(sc, spark, sfDir,
-          SparkEntry.queries(r.name), healCap, tag = r.name)
+          SparkEntry.queries(r.name), healCap, elapsed _, tag = r.name)
         if (c) stampKill(r.name, healCap)
         live(r.name) = BenchStats.combineWindows(r, rerunsM.map(_._1),
-          rerunsM.map(_._4), load2)
+          rerunsM.map(_._4), load2, rerunsM.map(_._5))
         flush(live.values.toSeq, Seq.empty, partial = true)
       }
     }
@@ -783,16 +967,16 @@ object Bench {
       if (cur.exists(_.median < 0) && mode() != "skip") {
         val r = cur.get
         val sRetry = spotSchedMs(sc)
-        series += ((rowIdx, s"retry:$name", sRetry))
+        mark(rowIdx, s"retry:$name", sRetry)
         val retryCap = BenchStats.scaledCap(
           refStats.get(name).map(_._1), sRetry, schedRefMs, capFloor)
         val (warm, wc) = timeOnceCapped(spark,
           SparkEntry.queries(name)(spark, sfDir), retryCap, name)
         val (runsM, load2, c2) =
           if (wc || warm < 0)
-            (Seq.empty[(Double, Long, Long, Long)], Seq.empty[Double], wc)
+            (Seq.empty[(Double, Long, Long, Long, Double)], Seq.empty[Double], wc)
           else timedWindow(sc, spark, sfDir, SparkEntry.queries(name),
-            retryCap, runs = 2, tag = name)
+            retryCap, elapsed _, runs = 2, tag = name)
         val timed = runsM.map(_._1)
         if (wc || c2 || warm < 0 || timed.isEmpty || timed.contains(-1.0)) {
           if (wc || c2) cappedTwice += name
@@ -809,7 +993,7 @@ object Bench {
             min = timed.min, raw = r.raw ++ timed,
             shufWriteB = med(runsM.map(_._2)), shufReadB = med(runsM.map(_._3)),
             gcMsRuns = r.gcMsRuns ++ runsM.map(_._4), load = r.load ++ load2,
-            schedMs = sRetry)
+            schedMs = sRetry, tSec = r.tSec ++ runsM.map(_._5))
           recovered(name) = obj(Seq(
             "sec" -> r3(BenchStats.median(timed)).toString,
             "min" -> r3(timed.min).toString,
@@ -856,25 +1040,104 @@ object Bench {
       else if (!rewindowSet.contains(r.name)) (r, false)
       else if (mode() != "full") (r, true)
       else {
+        freshSchedAfterKill()
         val envCap = cap(r.name)
         val (rerunsM, load2, c) = timedWindow(sc, spark, sfDir,
-          SparkEntry.queries(r.name), envCap, tag = r.name)
+          SparkEntry.queries(r.name), envCap, elapsed _, tag = r.name)
         if (c) stampKill(r.name, envCap)
         val timed = rerunsM.map(_._1)
         val refMin = refStats(r.name)._2
         val stillSlow = timed.contains(-1.0) || timed.min > 3.0 * refMin
-        (BenchStats.combineWindows(r, timed, rerunsM.map(_._4), load2), stillSlow)
+        // guard trip (r14 verdict task 1): a row the re-window could
+        // not clear gets a canary reading AT the flag, the same
+        // standard cap kills get — unless a kill during this very
+        // window already stamped one
+        if (stillSlow && !c) stampBurst(r.name, "env")
+        (BenchStats.combineWindows(r, timed, rerunsM.map(_._4), load2,
+          rerunsM.map(_._5)), stillSlow)
       }
     }
     val healed2 = rechecked.map(_._1)
     val envSuspects = rechecked.collect { case (r, true) => r.name }
+    // degraded-row rewindow pass (r14 verdict task 4): degraded rows
+    // are single timed runs measured past the blown budget — unlike
+    // cap-killed rows they got no retry, so the r14 driver window
+    // published 186 medians-of-one. The worst (ratio to committed
+    // median > 3x, up to 8) get one more window (warmup + 2 timed runs
+    // under a freshly scaled cap) whose runs are POOLED with the
+    // degraded run (two-window stats; the degraded run stays in the
+    // pool as evidence — with 2 clean runs the median lands on a clean
+    // one). Recovered rows are excluded (their stats were already
+    // replaced by a clean retry); rows stay in `degraded` — the
+    // `rewindowed` record is the adjudication. Bounded by the same
+    // hard stop as the capped-retry pass: never past 2x the budget.
+    val finalRows = scala.collection.mutable.LinkedHashMap(
+      healed2.map(r => r.name -> r): _*)
+    val rwCandidates = BenchStats.selectDegradedRewindow(
+      finalRows.values.toSeq
+        .filter(r => degraded.contains(r.name) && !recovered.contains(r.name))
+        .map(r => (r.name, r.median)),
+      refStats.map { case (n, (md, _, _)) => n -> md }, budget = 8)
+    rwCandidates.foreach { name =>
+      if (mode() != "skip") {
+        val r = finalRows(name)
+        val sRw = spotSchedMs(sc)
+        mark(rowIdx, s"rewindow:$name", sRw)
+        // a rewindow is only worth its runs in a CLEAN window: the
+        // spot reading is taken before anything runs, and past 2x the
+        // pinned clean sched_ref the new window would pool taxed runs
+        // with taxed runs — silently "improving" the stat with more
+        // contamination. Skip; the attempted reading stays in the
+        // series as evidence the pass looked and declined.
+        if (schedRefMs > 0 && sRw > 2.0 * schedRefMs) {
+          flush(finalRows.values.toSeq, envSuspects, partial = true)
+        } else {
+        val rwCap = BenchStats.scaledCap(
+          refStats.get(name).map(_._1), sRw, schedRefMs, capFloor)
+        val warmT = elapsed()
+        val (warm, wc) = timeOnceCapped(spark,
+          SparkEntry.queries(name)(spark, sfDir), rwCap, name)
+        if (wc) stampKill(name, rwCap)
+        val (runsM, load2, c2) =
+          if (wc || warm < 0)
+            (Seq.empty[(Double, Long, Long, Long, Double)], Seq.empty[Double], false)
+          else timedWindow(sc, spark, sfDir, SparkEntry.queries(name),
+            rwCap, elapsed _, runs = 2, tag = name)
+        if (c2) stampKill(name, rwCap)
+        val timed = runsM.map(_._1)
+        if (!wc && !c2 && warm >= 0 && timed.nonEmpty &&
+            !timed.contains(-1.0)) {
+          // degraded raw has NO warmup slot — pool ALL of raw with the
+          // rewindow runs (combineWindows would drop raw(0), which here
+          // is the real degraded timed run, not a warmup); the rewindow
+          // warmup is excluded from the pool like any warmup but its
+          // timestamp is recorded via the runs that follow it
+          val pool = (r.raw ++ timed).filter(_ >= 0)
+          finalRows(name) = r.copy(median = BenchStats.median(pool),
+            min = pool.min, raw = r.raw ++ timed,
+            gcMsRuns = r.gcMsRuns ++ runsM.map(_._4), load = r.load ++ load2,
+            tSec = r.tSec ++ runsM.map(_._5))
+          rewindowed(name) = obj(Seq(
+            "sec" -> r3(BenchStats.median(pool)).toString,
+            "min" -> r3(pool.min).toString,
+            "prior_sec" -> r3(r.median).toString,
+            "sched_at_rewindow_ms" -> r2(sRw).toString,
+            "rewindow_t" -> r2(warmT).toString))
+        }
+        flush(finalRows.values.toSeq, envSuspects, partial = true)
+        }
+      }
+    }
+    val healed3 = finalRows.values.toSeq
     canaries += ("cpu_end" -> cpuCanaryMs())
     val schedEnd = schedCanaryMs(sc)
     canaries += ("sched_end" -> schedEnd)
-    series += ((rowIdx, "end", schedEnd))
-    flush(healed2, envSuspects, partial = false)
-    val ok = healed2.filter(_.median >= 0)
-    val failed = healed2.filter(_.median < 0)
+    mark(rowIdx, "end", schedEnd)
+    host("steal_ticks_end") = hostStealTicks()
+    host("throttled_ms_end") = hostThrottledMs()
+    flush(healed3, envSuspects, partial = false)
+    val ok = healed3.filter(_.median >= 0)
+    val failed = healed3.filter(_.median < 0)
     val suspects = ok.filter(r => BenchStats.isSuspect(r.median, r.min))
     val total = r3(ok.map(_.median).sum)
     // stdout: short + complete beats long + truncated
@@ -882,7 +1145,7 @@ object Bench {
       ok.sortBy(-_.median).take(10).sortBy(_.name)
         .map(r => r.name -> r3(r.median).toString))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"suspect":${suspects.size},"env_suspect":${envSuspects.size},"degraded":${degraded.size},"capped":${capped.size},"recovered":${recovered.size},"capped_twice":${cappedTwice.size},"zombies":${zombies.size},"skipped":${skipped.size},"n":${healed2.size},"sf":"$sfDir","stat":"median_of_2_or_3","file":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"suspect":${suspects.size},"env_suspect":${envSuspects.size},"degraded":${degraded.size},"capped":${capped.size},"recovered":${recovered.size},"capped_twice":${cappedTwice.size},"rewindowed":${rewindowed.size},"zombies":${zombies.size},"skipped":${skipped.size},"n":${healed3.size},"sf":"$sfDir","stat":"median_of_2_or_3","file":"$outFile"}"""
     // silence shutdown logs, stop, THEN print: the line must be last
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()

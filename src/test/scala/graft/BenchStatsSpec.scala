@@ -185,4 +185,45 @@ class BenchStatsSpec extends AnyFunSuite {
     // can taint an otherwise flag-free sweep
     assert(!BenchStats.refAcceptable(partial = false, 0, 0, 0, 0, 0, zombies = 1))
   }
+
+  test("burstProbe: trips past max(0.5s, 3x committed median), never unreferenced") {
+    // the r14 gap this closes: q_date_funcs ran 169.9s against a
+    // 0.759s committed median with only a 25-row-stale sched stamp
+    assert(BenchStats.burstProbe(Some(0.759), 169.9))
+    // 3x bar — matches the env-guard's divergence threshold
+    assert(!BenchStats.burstProbe(Some(1.0), 2.9))
+    assert(BenchStats.burstProbe(Some(1.0), 3.1))
+    // 0.5s floor: sub-second walls swing on scheduling jitter alone
+    assert(!BenchStats.burstProbe(Some(0.05), 0.4))
+    assert(BenchStats.burstProbe(Some(0.05), 0.6))
+    // no committed reference / failed reference → never trips
+    assert(!BenchStats.burstProbe(None, 100.0))
+    assert(!BenchStats.burstProbe(Some(-1.0), 100.0))
+    // a failed run (-1) never trips
+    assert(!BenchStats.burstProbe(Some(1.0), -1.0))
+  }
+
+  test("selectDegradedRewindow: worst ratios first, >3x bar, bounded") {
+    val ref = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 0.1)
+    val rows = Seq(("a", 10.0), ("b", 4.0), ("c", 2.0), ("d", 0.9),
+      ("e", 50.0), ("f", -1.0))
+    // c is only 2x (below bar), e has no reference, f failed; order is
+    // by descending ratio: a 10x, d 9x, b 4x
+    assert(BenchStats.selectDegradedRewindow(rows, ref, 8) ==
+      Seq("a", "d", "b"))
+    // the budget takes the WORST ratios, not the first names
+    assert(BenchStats.selectDegradedRewindow(rows, ref, 2) == Seq("a", "d"))
+    // a zero/negative reference median never divides
+    assert(BenchStats.selectDegradedRewindow(
+      Seq(("x", 10.0)), Map("x" -> 0.0), 8).isEmpty)
+  }
+
+  test("combineWindows grows tSec alongside raw") {
+    val r = row("q", Seq(2.0, 1.0, 1.1, 0.9)).copy(
+      tSec = Seq(10.0, 12.0, 13.1, 14.2))
+    val m = BenchStats.combineWindows(r, Seq(1.0, 1.0), Seq(4L, 5L),
+      Seq(0.7, 0.8), Seq(100.0, 101.0))
+    assert(m.tSec == Seq(10.0, 12.0, 13.1, 14.2, 100.0, 101.0))
+    assert(m.raw.length == m.tSec.length)
+  }
 }

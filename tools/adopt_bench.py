@@ -163,7 +163,13 @@ def main():
 
     total = cand.get("value")
     ref_total = ref.get("value") if ref else None
-    print(f"candidate: {cand_path}  total={total}s  rows={len(cand.get('queries', {}))}")
+    # non-gating visibility: guard-trip probes (burst:/env: canary
+    # stamps) can exist in a snapshot whose medians/mins survived every
+    # gate (one bursty run out of 3); a reviewer should see them
+    # without opening the artifact
+    probes = cand.get("sched_probe_ms", {}) or {}
+    probe_note = f"  guard-trip probes={len(probes)}" if probes else ""
+    print(f"candidate: {cand_path}  total={total}s  rows={len(cand.get('queries', {}))}{probe_note}")
     print(f"reference: git:{ref_sha}  total={ref_total}s" if ref else "reference: NONE")
     if problems:
         print("NOT ADOPTABLE:")
