@@ -93,6 +93,18 @@ private[graft] object BenchStats {
   def burstProbe(refMedian: Option[Double], runSec: Double): Boolean =
     refMedian.exists(m => m > 0 && runSec > math.max(0.5, 3.0 * m))
 
+  /** Capped-row adjudication partition (r14 ADVICE): `capped` rows
+    * whose pooled stats stayed healthy — a kill during a post-sweep
+    * pass (heal / env re-window / degraded re-window) whose other
+    * windows still publish a valid median — need no retry and land in
+    * `capped_healthy`; before r15 they sat in `capped` with neither
+    * `recovered` nor `capped_twice` adjudication. `medians` maps row
+    * name → published median at artifact render time. */
+  def cappedHealthy(capped: Seq[String], recovered: Set[String],
+      cappedTwice: Set[String], medians: Map[String, Double]): Seq[String] =
+    capped.filter(n => !recovered.contains(n) && !cappedTwice.contains(n) &&
+      medians.get(n).exists(_ >= 0))
+
   /** Degraded-row rewindow selection (r14 verdict task 4): degraded
     * rows are medians-of-one measured past the blown budget — unlike
     * cap-killed rows they got no retry, so a taxed window published
@@ -629,16 +641,9 @@ object Bench {
     val series = canarySeries.map { case (i, tag, ms, steal) =>
       s"""{"i":$i,"tag":"$tag","sched_ms":${r2(ms)},"steal":$steal}"""
     }.mkString("[", ",", "]")
-    // a cap kill during a post-sweep pass (heal / env re-window /
-    // degraded re-window) on a row whose pooled stats stayed healthy
-    // (combineWindows drops -1 runs) lands in `capped` but needs no
-    // retry — before r15 such rows sat in `capped` with neither
-    // `recovered` nor `capped_twice` adjudication (r14 ADVICE), making
-    // the artifact note's "every capped row gets one retry" claim false
-    val recoveredNames = recovered.map(_._1).toSet
-    val byName = rows.map(r => r.name -> r).toMap
-    val cappedHealthy = capped.filter(n => !recoveredNames.contains(n) &&
-      !cappedTwice.contains(n) && byName.get(n).exists(_.median >= 0))
+    val cappedHealthy = BenchStats.cappedHealthy(capped,
+      recovered.map(_._1).toSet, cappedTwice.toSet,
+      rows.map(r => r.name -> r.median).toMap)
     val ok = rows.filter(_.median >= 0)
     val failed = rows.collect { case r if r.median < 0 => r.name }
     val total = r3(ok.map(_.median).sum)

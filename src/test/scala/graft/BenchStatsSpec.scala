@@ -218,6 +218,19 @@ class BenchStatsSpec extends AnyFunSuite {
       Seq(("x", 10.0)), Map("x" -> 0.0), 8).isEmpty)
   }
 
+  test("cappedHealthy: pass-window kills on healthy rows, nothing else") {
+    val meds = Map("a" -> 2.0, "b" -> -1.0, "c" -> 1.5, "d" -> 0.5)
+    // a: killed in a pass, pooled stats healthy → capped_healthy
+    // b: killed, still failed (retry errored or skip mode) → plain capped
+    // c: killed then cleanly retried → recovered, not healthy-tagged
+    // d: killed twice → capped_twice (median map value is irrelevant)
+    assert(BenchStats.cappedHealthy(Seq("a", "b", "c", "d"),
+      recovered = Set("c"), cappedTwice = Set("d"), medians = meds) == Seq("a"))
+    // a capped row absent from the rows map (should not happen, but a
+    // partial flush could) is never claimed healthy
+    assert(BenchStats.cappedHealthy(Seq("x"), Set.empty, Set.empty, meds).isEmpty)
+  }
+
   test("combineWindows grows tSec alongside raw") {
     val r = row("q", Seq(2.0, 1.0, 1.1, 0.9)).copy(
       tSec = Seq(10.0, 12.0, 13.1, 14.2))

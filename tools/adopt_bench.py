@@ -169,7 +169,15 @@ def main():
     # without opening the artifact
     probes = cand.get("sched_probe_ms", {}) or {}
     probe_note = f"  guard-trip probes={len(probes)}" if probes else ""
-    print(f"candidate: {cand_path}  total={total}s  rows={len(cand.get('queries', {}))}{probe_note}")
+    # host-steal delta across the sweep (USER_HZ ticks ≈ 10ms CPU
+    # each): the first live taxed window measured 96,933 ticks (~969
+    # CPU-seconds) against 176 in a clean replay — a reviewer should
+    # see the host-pressure axis next to the canary numbers
+    h = cand.get("host", {}) or {}
+    steal_note = ""
+    if h.get("steal_ticks_start", -1) >= 0 and h.get("steal_ticks_end", -1) >= 0:
+        steal_note = f"  steal={h['steal_ticks_end'] - h['steal_ticks_start']}t"
+    print(f"candidate: {cand_path}  total={total}s  rows={len(cand.get('queries', {}))}{probe_note}{steal_note}")
     print(f"reference: git:{ref_sha}  total={ref_total}s" if ref else "reference: NONE")
     if problems:
         print("NOT ADOPTABLE:")
