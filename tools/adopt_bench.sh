@@ -13,7 +13,42 @@
 set -u -o pipefail
 cd /root/repo
 K="${1:-3}"
+
+# 10s host-steal pre-probe (r15): a full sweep costs ~15-25 min; when
+# the host is actively stealing CPU the gate will reject anyway (the
+# three r15 taxed sweeps measured 65-70 steal-ticks/s suite-wide vs
+# ~3 t/s clean), so skip the attempt for the price of 10 seconds.
+# Steal only accrues when the guest WANTS cpu — an idle guest reads 0
+# on a fully contended host — so the probe spins all vCPUs while it
+# samples. Steal-clean does NOT imply adoptable (Firecracker
+# scheduling tax can be steal-invisible — see COVERAGE.md r13) — this
+# only short-circuits the obviously-stolen case. Threshold 150
+# ticks/10s (~5x clean, ~1/4 taxed); disable with
+# SPARK_GRAFT_ADOPT_NO_PROBE=1.
+steal_now() { awk '/^cpu /{print $9}' /proc/stat; }
+probe_steal() {
+  local s0 s1 pids=() n
+  n=$(nproc)
+  for _ in $(seq 1 "$n"); do
+    ( end=$((SECONDS + 11)); while [ $SECONDS -lt $end ]; do :; done ) &
+    pids+=($!)
+  done
+  s0=$(steal_now); sleep 10; s1=$(steal_now)
+  kill "${pids[@]}" 2>/dev/null
+  wait "${pids[@]}" 2>/dev/null
+  echo $((s1 - s0))
+}
+
 for i in $(seq 1 "$K"); do
+  if [ -z "${SPARK_GRAFT_ADOPT_NO_PROBE:-}" ]; then
+    d=$(probe_steal)
+    if [ "$d" -gt 150 ]; then
+      echo "[adopt] attempt $i/$K: host steal ${d} ticks/10s (>150) — window is stolen, skipping the sweep"
+      sleep 120
+      continue
+    fi
+    echo "[adopt] attempt $i/$K: steal probe ${d} ticks/10s — proceeding"
+  fi
   echo "[adopt] attempt $i/$K: full sweep..."
   # freshness guard: the gate must never run on a stale artifact — if
   # the bench fails to launch (e.g. no compiled classes), BENCH_LOCAL
