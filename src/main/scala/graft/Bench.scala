@@ -495,7 +495,7 @@ object Bench {
     * ACCEPTABLE as a reference (BenchStats.refAcceptable over its
     * contamination flags) and its pinned clean-window sched canary
     * (min of sched_start/sched_end; None for pre-canary snapshots). */
-  private def parseBenchSnapshot(json: String)
+  private[graft] def parseBenchSnapshot(json: String)
       : (Map[String, (Double, Double, Double)], Boolean, Option[Double]) = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val meds = root.path("queries")
@@ -610,7 +610,7 @@ object Bench {
     * the very end, left NOTHING — an interrupted sweep must still leave
     * a parseable, mostly-complete artifact for readers and for the next
     * run's readRefStats). */
-  private def artifactJson(rows: Seq[BenchRow], envSuspects: Seq[String],
+  private[graft] def artifactJson(rows: Seq[BenchRow], envSuspects: Seq[String],
       partial: Boolean, degraded: Seq[String], capped: Seq[String],
       skipped: Seq[String], refSource: String, suiteLoadStart: Double,
       budgetSec: Double, sfDir: String, scratch: String,

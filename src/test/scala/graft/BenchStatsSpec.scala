@@ -231,6 +231,41 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(BenchStats.cappedHealthy(Seq("x"), Set.empty, Set.empty, meds).isEmpty)
   }
 
+  test("artifact render → reference parse round-trip (format-drift guard)") {
+    // the reference chain (readRefStats / tools/adopt_bench.py) parses
+    // the same JSON artifactJson renders; a silent rename on either
+    // side would detach every cap and env-guard from its baseline.
+    // This is the only place the two private halves meet off-line.
+    def render(degraded: Seq[String]): String = Bench.artifactJson(
+      rows = Seq(
+        BenchRow("q_a", 2.0, 1.8, Seq(3.0, 2.0, 1.8), 1000000L, 500000L,
+          Seq(10L, 20L), Seq(0.5, 0.6), schedMs = 300.0,
+          tSec = Seq(5.0, 8.0, 10.0)),
+        BenchRow("q_b", 0.5, 0.4, Seq(0.9, 0.5, 0.4), 2000000L, 0L,
+          Seq(0L, 0L), Seq(0.5, 0.5), schedMs = 310.0,
+          tSec = Seq(12.0, 13.0, 13.6))),
+      envSuspects = Seq.empty, partial = false, degraded = degraded,
+      capped = Seq.empty, skipped = Seq.empty, refSource = "test",
+      suiteLoadStart = 1.0, budgetSec = 1500.0, sfDir = "/tmp/sf",
+      scratch = "tmpfs", canaries = Seq("cpu_start" -> 40.0,
+        "sched_start" -> 900.0, "cpu_end" -> 38.0, "sched_end" -> 350.0),
+      canarySeries = Seq((0, "start", 900.0, 100L), (0, "warm", 400.0, 101L)),
+      recovered = Seq.empty, cappedTwice = Seq.empty,
+      timedRunsPlan = Seq("q_a" -> 2, "q_b" -> 2), schedRefMs = 357.78,
+      streamingNames = Set.empty, rewindowed = Seq.empty,
+      schedProbe = Seq("q_a" -> 1200.5), host = Seq("steal_ticks_start" -> 7L))
+    val (stats, acceptable, sched) = Bench.parseBenchSnapshot(render(Seq.empty))
+    assert(acceptable, "a flag-free artifact must parse as an acceptable reference")
+    // (median, min, shuffle_write_mb) — mb() renders bytes/1e6 at 2dp
+    assert(stats("q_a") == ((2.0, 1.8, 1.0)))
+    assert(stats("q_b") == ((0.5, 0.4, 2.0)))
+    // sched_ref pins min(sched_start, sched_end)
+    assert(sched.contains(350.0))
+    // any non-empty guard list vetoes the snapshot as a baseline
+    val (_, flagged, _) = Bench.parseBenchSnapshot(render(Seq("q_b")))
+    assert(!flagged)
+  }
+
   test("combineWindows grows tSec alongside raw") {
     val r = row("q", Seq(2.0, 1.0, 1.1, 0.9)).copy(
       tSec = Seq(10.0, 12.0, 13.1, 14.2))
