@@ -431,10 +431,23 @@ object ScaleProbe {
     def loadavg1(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // cumulative host-steal ticks bracketing each probe (r15, the bench
+    // `host` field's sibling): guest loadavg cannot see host-level
+    // contention, but a probe under load accrues steal when the host
+    // schedules someone else — the r15 taxed windows measured 65-70
+    // ticks/s suite-wide against ~3 clean, so the delta adjudicates a
+    // slow probe wall without a paired rerun
+    def stealTicks(): Long =
+      try {
+        val f = Files.readString(Paths.get("/proc/stat")).linesIterator
+          .find(_.startsWith("cpu ")).getOrElse("").trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     val rows = toRun.map { name =>
       val q = SparkEntry.queries.getOrElse(name, extraProbes(name))
       peakTask.set(0L)
       val loadBefore = loadavg1()
+      val stealBefore = stealTicks()
       val t0 = System.nanoTime()
       // fail FAST and attributably when a gated probe reads a shard the
       // needEmbeddings/needEvents patterns skipped (ADVICE r12): the raw
@@ -456,20 +469,23 @@ object ScaleProbe {
         .collect() // 1 row — diagnostic main, not an operator
       val secs = (System.nanoTime() - t0) / 1e9
       val loadAfter = loadavg1()
+      val stealDelta =
+        if (stealBefore < 0) -1L
+        else math.max(-1L, stealTicks() - stealBefore)
       // real listener-bus flush: a straggling TaskEnd would otherwise be
       // credited to the NEXT probe after peakTask.set(0)
       org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       val peakMb = peakTask.get() / 1e6
       val shuffleMb = m.headOption.filterNot(_.isNullAt(0))
         .map(_.getLong(0) / 1e6).getOrElse(0.0)
-      println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB peak_task_mem=$peakMb%8.1f MB loadavg=$loadBefore%.2f->$loadAfter%.2f")
-      (name, secs, shuffleMb, peakMb, (loadBefore, loadAfter))
+      println(f"PROBE $name%-22s wall=$secs%8.1fs shuffle_written=$shuffleMb%10.1f MB peak_task_mem=$peakMb%8.1f MB loadavg=$loadBefore%.2f->$loadAfter%.2f steal=${stealDelta}t")
+      (name, secs, shuffleMb, peakMb, (loadBefore, loadAfter), stealDelta)
     }
-    if (onlyProbes.isDefined) rows.foreach { case (n, w, mb, pk, (lb, la)) =>
+    if (onlyProbes.isDefined) rows.foreach { case (n, w, mb, pk, (lb, la), st) =>
       def r1(v: Double): Double = math.rint(v * 10) / 10
       def r2(v: Double): Double = math.rint(v * 100) / 100
       mergeProbeRow(factor, if (diversified) s"${n}_diversified" else n,
-        s"""{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)},"loadavg":[${r2(lb)},${r2(la)}]}""")
+        s"""{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)},"loadavg":[${r2(lb)},${r2(la)}],"steal_ticks":$st}""")
     }
     // order-independent output checksum of the inverted index over this
     // shard — the reference value graft.SpillProbe compares its
@@ -1296,8 +1312,8 @@ object ScaleProbe {
     if (onlyProbes.isEmpty) {
       def r1(v: Double): Double = math.rint(v * 10) / 10
       def r2(v: Double): Double = math.rint(v * 100) / 100
-      val json = rows.map { case (n, w, mb, pk, (lb, la)) =>
-        s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)},"loadavg":[${r2(lb)},${r2(la)}]}"""
+      val json = rows.map { case (n, w, mb, pk, (lb, la), st) =>
+        s""""$n":{"wall_s":${r1(w)},"shuffle_mb":${r1(mb)},"peak_task_mem_mb":${r1(pk)},"loadavg":[${r2(lb)},${r2(la)}],"steal_ticks":$st}"""
       }.mkString(
         s"""{"factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
           (Seq(ivfPruning, incrBucketed, windowRange, windowRangePrefix,
