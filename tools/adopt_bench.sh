@@ -41,13 +41,25 @@ probe_steal() {
 
 for i in $(seq 1 "$K"); do
   if [ -z "${SPARK_GRAFT_ADOPT_NO_PROBE:-}" ]; then
+    # TWO clean probes 60s apart before spending a sweep: the host tax
+    # here oscillates on minute scales, and a single clean 10s probe
+    # twice granted a 15-min sweep that hit the tax minutes in (r15
+    # attempts 10/11: probes 87/71 ticks, sweeps then accrued
+    # 141k/121k ticks and were rejected on the series median)
     d=$(probe_steal)
     if [ "$d" -gt 150 ]; then
       echo "[adopt] attempt $i/$K: host steal ${d} ticks/10s (>150) — window is stolen, skipping the sweep"
       sleep 120
       continue
     fi
-    echo "[adopt] attempt $i/$K: steal probe ${d} ticks/10s — proceeding"
+    sleep 60
+    d2=$(probe_steal)
+    if [ "$d2" -gt 150 ]; then
+      echo "[adopt] attempt $i/$K: second steal probe ${d2} ticks/10s (first: $d) — oscillating window, skipping"
+      sleep 120
+      continue
+    fi
+    echo "[adopt] attempt $i/$K: steal probes ${d}/${d2} ticks/10s — proceeding"
   fi
   echo "[adopt] attempt $i/$K: full sweep..."
   # freshness guard: the gate must never run on a stale artifact — if
