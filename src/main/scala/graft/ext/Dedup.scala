@@ -235,15 +235,19 @@ object Dedup {
       val prop = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
         .groupBy(col("doc_a")).agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      // the moved flag rides the SAME frame as the new label (newLabel
+      // computed once, compared against the old before it is renamed):
+      // the convergence count then scans the checkpointed blocks
+      // instead of re-joining next against labels — one shuffle join
+      // less per round, identical labels and identical changed count
+      val newLabel = least(col("label"), coalesce(col("nbr_label"), col("label")))
+      val stepped = labels
         .join(prop.select(col("doc_a").as("doc_id"), col("nbr_label")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
-        .filter(col("label") =!= col("old_label")).count()
-      labels = next
+        .select(col("doc_id"), newLabel.as("new_label"),
+          (newLabel =!= col("label")).as("moved"))
+        .localCheckpoint(false)
+      changed = stepped.filter(col("moved")).count()
+      labels = stepped.select(col("doc_id"), col("new_label").as("label"))
       round += 1
     }
     // the cap is a runaway guard, not a tolerance: labels returned with
@@ -354,7 +358,7 @@ object Dedup {
       val cands = bandedS
         .join(bandedC.join(okC, Seq("band", "bkey")), Seq("band", "bkey"))
         .select(col("s_id"), col("c_id")).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: folds into first consumer (r15 A/B 0.92x)
       val par = s.sparkContext.defaultParallelism
       // semi-restrict BOTH shingle sides to documents that actually
       // appear in a candidate pair before any shingle array is shuffled:
@@ -439,15 +443,21 @@ object Dedup {
     // per-doc MinHash signature summary + LSH candidate/duplicate verdict
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sig = signatures(docs)
+      // sig has TWO consumers (banding candidates + the per-doc report
+      // columns) and would re-run the 64-slot minhash kernel for each —
+      // the dedup_minhash_calibration shared-scan precedent, applied here
+      val sig = signatures(docs).localCheckpoint(false)
       val cands = minhashCandidates(sig)
       // verification sides are a DEDICATED narrow frame derived straight
       // from the scan — reusing `sig` here would re-execute its
-      // (unneeded for verification) 64-slot minhash pass once per side
+      // (unneeded for verification) 64-slot minhash pass once per side;
+      // checkpointed because BOTH join sides consume it (without it the
+      // scan + regex shingling runs once per side)
       val shH = docs
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), shingles(col("text")).as("shv"))
         .filter(size(col("shv")) > 0)
+        .localCheckpoint(false)
       val shA = shH.select(col("doc_id").as("doc_a"), col("shv").as("sh_a"))
       val shB = shH.select(col("doc_id").as("doc_b"), col("shv").as("sh_b"))
       val verified = cands
@@ -579,9 +589,13 @@ object Dedup {
 
     // 64-bit SimHash fingerprints + Hamming-band near-dup flag
     "dedup_simhash" -> ((s, dir) => {
+      // fp has THREE consumers (both band sides + the final report
+      // join) — checkpoint the narrow (id, fp) frame so the simhash
+      // text pass runs once, not three times
       val fp = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), simhash(col("text")).as("fp"))
+        .localCheckpoint(false)
       // 4 bands of 16 bits: Hamming distance ≤3 guarantees a shared band
       val banded = fp.select(col("doc_id"), col("fp"),
         posexplode(transform(sequence(lit(0), lit(3)),

@@ -268,6 +268,9 @@ object Multimodal {
         .filter(size(col("tk")) > 0)
         .select(col("media_id"), col("n_bytes"),
           graft.functions.HashExpressions.simhash64(col("tk")).as("fp"))
+        // both banded join sides consume fp — checkpoint the narrow
+        // (id, bytes, fp) frame so the simhash payload pass runs once
+        .localCheckpoint(false)
       val banded = fp.select(col("media_id"), col("fp"), col("n_bytes"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("fp"), b * 16)
@@ -313,6 +316,11 @@ object Multimodal {
         .filter(size(col("tk")) > 0)
         .select(col("media_id"), col("n_bytes"),
           graft.functions.HashExpressions.simhash64(col("tk")).as("fp"))
+        // index AND probe sides consume fp — checkpoint the narrow
+        // (id, bytes, fp) frame so the simhash payload pass runs once
+        // (the r11 measurement note below priced a single extra pass
+        // at 2-3× this row's wall on the 100× shard)
+        .localCheckpoint(false)
       val mask32 = lit(0xFFFFFFFFL)
       // Fingerprints AND bytes ride the expansions on purpose — the
       // r10 verdict's task-3 slimming prescriptions were both tried

@@ -753,10 +753,15 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("text"))
       val base = docs.filter(col("doc_id") % 2 === 0)
       val shard = docs.filter(col("doc_id") % 2 =!= 0)
+      // gated (the Gopher gate's regex kernels) feeds the dedup chain
+      // AND its own stage census; survivors feeds the merge AND its
+      // census — checkpoint both so the gate runs once per sweep, not
+      // once per consumer (the bm25/basket multi-consumer rule)
       val gated = TextAnalysis.gopherFrame(shard)
         .filter(col("passes_gopher"))
         .select(col("doc_id"), col("lang"), col("text"),
           md5(col("text")).as("h"))
+        .localCheckpoint(false)
       val corpusH = base.select(md5(col("text")).as("h")).distinct()
       val marked = gated
         .join(corpusH.withColumn("dup", lit(true)), Seq("h"), "left")
@@ -765,6 +770,7 @@ object Pipeline {
           Window.partitionBy(col("h")).orderBy(col("doc_id"))))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("text"))
+        .localCheckpoint(false)
       val merged = base.unionAll(survivors)
       def g(df: DataFrame, c: String) =
         df.groupBy(col("lang")).agg(count(lit(1)).as(c))
@@ -1311,13 +1317,19 @@ object Pipeline {
           TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopEn)
             .cast("long").as("stops"))
         .filter(col("n_chars").between(50, 5000) && col("n_tok") >= 10)
-      // stage 2 — exact dedup: keep-first per normalized content hash
+      // stage 2 — exact dedup: keep-first per normalized content hash.
+      // exactKept feeds THREE consumers (both near-dup semi-join sides
+      // via `ids`, and the survivor anti-join) — without materialization
+      // each re-runs the scan + md5/token/stopword kernels + the dedup
+      // window (the 56-scan plan this stage chain used to produce);
+      // checkpointed it is a narrow survivor frame, ids + longs only
       val exactKept = gated
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("h")).orderBy(col("doc_id"))))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_tok"), col("stops"))
+        .localCheckpoint(false)
       // stage 3 — near-dup removal: banding corpus-wide, pairs
       // restricted to exact survivors, exact-Jaccard ≥ 0.7 verify,
       // keep-first (drop the larger id of each verified pair)
@@ -1331,6 +1343,8 @@ object Pipeline {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), Dedup.shingles(col("text")).as("shv"))
         .filter(size(col("shv")) > 0)
+        // both verify sides consume shH — one shingling pass, not two
+        .localCheckpoint(false)
       val nearDup = Dedup.minhashCandidates(sig) // doc_a < doc_b
         .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
@@ -1343,8 +1357,11 @@ object Pipeline {
       // stage 4 — decontamination: bench docs (doc_id % 50 = 0) never
       // enter the corpus; survivors sharing any word 8-gram with the
       // bench set are dropped (the broadcast semi-join of pipe_decontam)
+      // surv feeds the contamination probe AND the clean anti-join —
+      // checkpoint so the near-dup banding/verify chain above runs once
       val surv = exactKept.join(nearDup, Seq("doc_id"), "left_anti")
         .filter(col("doc_id") % 50 =!= 0)
+        .localCheckpoint(false)
       val benchGrams = docs.filter(col("doc_id") % 50 === 0)
         .select(explode(
           graft.functions.HashExpressions.word_shingles(col("text"), 8)).as("gram"))
@@ -1364,9 +1381,12 @@ object Pipeline {
         .filter(md5Bucket(col("doc_id").cast("string"), 100) < keep)
       // stage 6 — per-language token budget (pipe_token_budget's
       // two-phase bucket admission, budget 2000)
+      // d feeds the bucket-admission census AND the per-doc selection —
+      // checkpoint so the decontamination explode-join chain runs once
       val d = mixed
         .withColumn("score6", expr("(stops * 1000000) div greatest(n_tok, 1)"))
         .withColumn("bkt", expr("score6 div 1000"))
+        .localCheckpoint(false)
       val wBkt = Window.partitionBy(col("lang")).orderBy(col("bkt").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val admitted = d.groupBy(col("lang"), col("bkt"))

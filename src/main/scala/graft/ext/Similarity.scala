@@ -223,6 +223,10 @@ object Similarity {
     // 9-bucket multiprobe buys back; as the corpus grows, buckets fill
     // and both curves rise (the tuning decision this eval feeds).
     "ann_recall_eval" -> ((s, dir) => {
+      // truth joins against BOTH eval variants; measured (r15 paired
+      // A/B, 3 rounds): checkpointing it is a 1.25× LOSS — the two
+      // truth subtrees run as parallel stages of the one job and the
+      // RDD cut costs more than the duplicated 50-row-output pass
       val truth = bruteForceTopK(s, dir, qMax = 10, k = 5)
         .select(col("q_id"), col("vec_id"))
       def row(name: String, variant: DataFrame) =
@@ -427,16 +431,17 @@ object Similarity {
     // so the full composed pipeline hash-compares against DuckDB.
     "ann_ivf_pq" -> ((s, dir) => {
       val nProbe = 3
-      val (assigned, cents) = kmeansGrid(s, dir)
-      // query-side probe list from a direct cheap scan (re-deriving the
-      // 10 quantized queries from `assigned` would re-run the whole
-      // corpus clustering chain once more just to filter 10 rows)
-      val q = t(s, dir, "embeddings").filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * lit(1000) + lit(0.5)).cast("float"))
-            .as("s"))
-        .withColumn("ss", dot_f32(col("s"), col("s")))
+      val (assigned, cents, qv) = kmeansGridFull(s, dir)
+      // query-side probe list and PQ subvectors both derive from the
+      // clustering's ALREADY-CHECKPOINTED quantized corpus frame `qv`
+      // instead of re-scanning + re-quantizing the parquet (r15: two
+      // corpus scan jobs saved). Exactness: qv's s IS the 1e-3 grid
+      // quantization, its ss the same dot_f32; slicing a quantized
+      // vector equals quantizing the slice (elementwise grid map), so
+      // every downstream integer distance is bit-identical to the
+      // pqSub-from-scan formulation (oracle re-verified).
+      val q = qv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("s"), col("ss"))
       val probes = broadcast(toLocal(s, q
         .crossJoin(broadcast(cents))
         .withColumn("__d", pqD2h(col("ss"), col("s"), col("c"), col("cc")))
@@ -448,7 +453,13 @@ object Similarity {
         .select(col("vec_id"), col("k"))
         .join(probes, Seq("k"))
         .select(col("q_id"), col("vec_id"))
-      val sub = pqSub(s, dir)
+      val subDim = 16
+      val sub = qv
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(3))).as("m"), col("s"))
+        .select(col("vec_id"), col("m"),
+          slice(col("s"), col("m") * subDim + 1, lit(subDim)).as("s"))
+        .withColumn("ss", dot_f32(col("s"), col("s")))
       val cbB = pqCodebooks(s, sub)
       val qd = pqQueryAdc(s, sub, cbB).withColumnRenamed("q_id", "qq")
       pqRankAdc(
@@ -517,25 +528,43 @@ object Similarity {
         .select(col("cid"), col("sid"),
           cosineWithNorms(col("ce"), col("se"), col("cn"), col("sn"))
             .as("psim")))
-      var sel = cand
-        .orderBy(col("rel").desc, col("vec_id")).limit(1)
-        .select(lit(1L).as("step"), col("vec_id"), col("rel").as("score"))
-      for (i <- 2 to 5) {
-        val ms = pairs
-          .join(sel.select(col("vec_id").as("sid")), "sid")
-          .groupBy(col("cid")).agg(max(col("psim")).as("maxsim"))
-        val next = cand
-          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
-          .join(ms, col("vec_id") === col("cid"))
-          // 0.3 as a LITERAL, not 1.0−0.7 (which is 0.30000000000000004
-          // in binary — the oracle parses "0.3" and would diverge)
-          .select(lit(i.toLong).as("step"), col("vec_id"),
-            (lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
-              .as("score"))
-          .orderBy(col("score").desc, col("vec_id")).limit(1)
-        sel = sel.unionByName(next)
+      // the K−1 greedy steps run on the DRIVER over the two frames
+      // already local above (same O(K) contract): the unrolled-frame
+      // formulation re-planned and re-ran every prior step per union
+      // branch — ~40 scheduled jobs of 12-row joins, pure plan/schedule
+      // overhead at any scale. Scores are the SAME doubles: rel/psim
+      // come from the Spark-computed frames, the step score is the
+      // identical IEEE expression 0.7*rel − 0.3*maxsim (0.3 as a
+      // literal, not 1.0−0.7 = 0.30000000000000004 — the oracle parses
+      // "0.3"), max over psim is order-immune, ties break on vec_id,
+      // and the final round(·,5) is applied by Spark on the result
+      // frame exactly as before.
+      val candL = cand.select(col("vec_id"), col("rel")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val psim = pairs.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      if (candL.nonEmpty) {
+        val first = candL.minBy { case (id, rel) => (-rel, id) }
+        sel += ((1L, first._1, first._2))
       }
-      sel.select(col("step"), col("vec_id"), round(col("score"), 5).as("score"))
+      for (i <- 2 to 5 if sel.nonEmpty) {
+        val chosen = sel.map(_._2).toSet
+        val remaining = candL.filter(c => !chosen.contains(c._1))
+          .map { case (id, rel) =>
+            val maxsim = sel.map(st => psim((id, st._2))).max
+            (id, 0.7 * rel - 0.3 * maxsim)
+          }
+        // tiny-SF corpus can run out of candidates before step 5 — the
+        // frame formulation just unioned an empty frame; mirror that
+        if (remaining.nonEmpty) {
+          val next = remaining.minBy { case (id, score) => (-score, id) }
+          sel += ((i.toLong, next._1, next._2))
+        }
+      }
+      import s.implicits._
+      sel.toSeq.toDF("step", "vec_id", "score")
+        .select(col("step"), col("vec_id"), round(col("score"), 5).as("score"))
         .orderBy(col("step"))
     }),
 
@@ -554,7 +583,7 @@ object Similarity {
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .withColumn("nrm", l2norm(col("embedding")))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: folds into step-2 job (r15 A/B 0.86x)
       var sel = emb.filter(col("vec_id") === 0)
         .select(lit(1L).as("step"), col("vec_id"), lit(0.0).as("dist"),
           col("embedding").as("se"), col("nrm").as("sn"))
@@ -844,6 +873,10 @@ object Similarity {
           col("nrm").as("q_nrm"), col("code").as("qc")))
       val hw = Window.partitionBy(col("q_id"))
         .orderBy(col("hamming"), col("vec_id"))
+      // cand feeds both report variants and truth joins against each;
+      // measured (r15 paired A/B, 3 rounds): checkpointing either is a
+      // 1.2× LOSS here — the duplicated subtrees run as parallel
+      // stages of the one job, so the RDD cut buys nothing back
       val cand = emb.filter(col("vec_id") >= 10)
         .crossJoin(q)
         .withColumn("hamming", expr("CAST(bit_count(code ^ qc) AS BIGINT)"))
@@ -1264,7 +1297,17 @@ object Similarity {
     * assignment frame `(vec_id, k, s, d6)` AND the driver-local centroid
     * frame `(k, c, cc)` — the latter doubles as the IVF coarse quantizer
     * for [[ann_ivf_pq]]'s probe selection. */
-  private def kmeansGrid(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def kmeansGrid(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    kmeansGridFull(s, dir) match { case (a, c, _) => (a, c) }
+
+  /** [[kmeansGrid]] plus the checkpointed quantized-corpus frame
+    * `(vec_id, s, ss)` it is built over — ann_ivf_pq derives its probe
+    * queries and PQ subvectors from that frame instead of re-scanning
+    * and re-quantizing the parquet (r15: two corpus scan jobs saved;
+    * slicing a quantized vector equals quantizing the slice, since the
+    * grid map is elementwise). */
+  private def kmeansGridFull(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val K = 8
     def d2h(ss: Column, a: Column, b: Column, cc: Column): Column =
       ss - lit(2.0) * dot_f32(a, b) + cc
@@ -1306,7 +1349,7 @@ object Similarity {
             x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
         .withColumn("cc", dot_f32(col("c"), col("c"))))
     val cFinal = refine(assign(refine(assign(seeds))))
-    (assign(cFinal), cFinal)
+    (assign(cFinal), cFinal, qv)
   }
 
   private def kmeansAssignGrid(s: SparkSession, dir: String): DataFrame =

@@ -648,7 +648,9 @@ object TextAnalysis {
       val sz = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       val keep = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select(col("h"))
-      val pf = fp.join(keep, Seq("h"))
+      // both self-join sides consume pf — checkpoint so the df census
+      // join over fp runs once, not per side
+      val pf = fp.join(keep, Seq("h")).localCheckpoint(false)
       val pairs = pf.select(col("doc_id").as("doc_a"), col("h"))
         .join(pf.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
         .filter(col("doc_a") < col("doc_b"))
@@ -1255,15 +1257,24 @@ object TextAnalysis {
     // doc length is a PER-ROW expression (array size), not an
     // explode+groupBy — one corpus-wide aggregation less; only docs
     // with ≥1 token count (the explode-side definition of "document")
+    // dl feeds TWO consumers (the corpus stats and the per-doc score
+    // join) and hits feeds TWO more (df census + score chain) — without
+    // materialization each consumer re-runs the corpus tokenize/explode,
+    // the dominant cost of the whole ranker (the dedup_minhash_
+    // calibration shared-scan precedent). Both frames are narrow
+    // (ids + longs, never text), so the checkpoint stores KBs at this
+    // SF and stays doc-count-sized, not token-sized, at any corpus.
     val dl = d.select(col("doc_id"),
         size(filter(split(lower(col("text")), "[^a-z0-9]+"),
           x => length(x) > 0)).cast("long").as("dl"))
       .filter(col("dl") >= 1)
+      .localCheckpoint(false)
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val hits = toks(d)
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfr = hits.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("q_id"))

@@ -122,8 +122,11 @@ object Functions {
         .orderBy(col("id"))
     }),
 
+    // sort-first on the unique key (see q_date_funcs): the 22 derived
+    // string columns are computed once, after the narrow-key exchange
     "q_str_funcs" -> ((s, dir) =>
       t(s, dir, "part")
+        .orderBy(col("p_partkey"))
         .select(
           col("p_partkey"),
           upper(col("p_name")).as("up"),
@@ -146,11 +149,12 @@ object Functions {
           right(col("p_type"), lit(3)).as("r3"),
           col("p_name").startsWith("a").as("starts_a"),
           col("p_name").endsWith("e").as("ends_e"),
-          col("p_name").contains("or").as("has_or"))
-        .orderBy(col("p_partkey"))),
+          col("p_name").contains("or").as("has_or"))),
 
+    // sort-first on the unique key (see q_date_funcs)
     "q_math_funcs" -> ((s, dir) =>
       t(s, dir, "supplier")
+        .orderBy(col("s_suppkey"))
         .select(
           col("s_suppkey"),
           abs(col("s_acctbal")).as("a"),
@@ -173,14 +177,15 @@ object Functions {
           (col("s_suppkey") % 10).cast("long").as("m10"),
           pmod(col("s_suppkey"), lit(3)).cast("long").as("pm3"),
           greatest(col("s_acctbal"), lit(0.0)).as("g0"),
-          least(col("s_acctbal"), lit(0.0)).as("l0"))
-        .orderBy(col("s_suppkey"))),
+          least(col("s_acctbal"), lit(0.0)).as("l0"))),
 
     // math family round-out: factorial, gcd/lcm (custom expressions —
     // DataFusion has them, Spark doesn't), pi, isnan/nanvl, trunc
     "q_math_funcs2" -> ((s, dir) => {
       import graft.functions.HashExpressions.{num_gcd, num_lcm}
       t(s, dir, "supplier")
+        .filter(col("s_suppkey") > 0)
+        .orderBy(col("s_suppkey")) // sort-first (see q_date_funcs)
         .select(
           col("s_suppkey"),
           factorial((col("s_suppkey") % 10).cast("int")).as("fact"),
@@ -190,12 +195,18 @@ object Functions {
           isnan(lit(Double.NaN) * col("s_acctbal")).as("nan_chk"),
           nanvl(lit(Double.NaN), col("s_acctbal")).as("nv"),
           col("s_acctbal").cast("long").as("tr")) // toward-zero truncation
-        .filter(col("s_suppkey") > 0)
-        .orderBy(col("s_suppkey"))
     }),
 
+    // sort FIRST on the unique scan key, project AFTER (r15, guide
+    // §2.3/§2.4): a global orderBy above the projection makes the range
+    // exchange sample its child — the heavy expression chain executed
+    // twice — and ships every derived column through the exchange;
+    // sorted-then-projected, the exchange carries the 2 scan columns
+    // and the expressions run once, post-shuffle. Same rows, same
+    // unique-key order.
     "q_date_funcs" -> ((s, dir) =>
       t(s, dir, "orders")
+        .orderBy(col("o_orderkey"))
         .select(
           col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("y"),
@@ -211,9 +222,11 @@ object Functions {
           date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
           datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
             .cast("long").as("days_to_end"),
-          unix_timestamp(date_trunc("second", col("o_orderdate"))).as("epoch_s"))
-        .orderBy(col("o_orderkey"))),
+          unix_timestamp(date_trunc("second", col("o_orderdate"))).as("epoch_s"))),
 
+    // NOT sort-first: the o_orderkey < 3000 filter leaves ~2% of the
+    // table, so the double-sampled projection is already tiny — paired
+    // A/B measured the reorder at 1.10× (no win); HEAD shape kept
     "q_date_funcs2" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(

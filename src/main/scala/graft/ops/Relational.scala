@@ -105,6 +105,10 @@ object Relational {
     // CASE WHEN / arithmetic / cast / null handling
     "q_pred_case" -> ((s, dir) =>
       t(s, dir, "orders")
+        // sort-first on the unique key, project after: the range
+        // exchange then samples and ships only the scan columns, and
+        // the expression chain runs once post-shuffle (r15, guide §2.3)
+        .orderBy(col("o_orderkey"))
         .select(
           col("o_orderkey"),
           when(col("o_totalprice") > 200000, lit("big"))
@@ -114,8 +118,7 @@ object Relational {
           // rounding never sits on a half-way boundary (scale-2 does)
           round(col("o_totalprice") * lit(0.9) + lit(1), 4).as("adj"),
           col("o_orderkey").cast("string").as("key_str"),
-          (col("o_orderkey") % 7).cast("long").as("key_mod"))
-        .orderBy(col("o_orderkey"))),
+          (col("o_orderkey") % 7).cast("long").as("key_mod"))),
 
     // fact⋈fact shuffle join + broadcast dimension join
     "q_join_inner" -> ((s, dir) => {

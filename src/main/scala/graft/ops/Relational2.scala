@@ -673,12 +673,18 @@ object Relational2 {
     // grid: lift = c_xy·n / (c_x·c_y) as a BIGINT ratio (overflow at
     // ~10⁹ orders × dense counts → the documented DECIMAL swap).
     "q_basket_rules" -> ((s, dir) => {
+      // items has FOUR consumers (the order census, the per-brand
+      // counts, and both sides of the within-order self-join) — without
+      // materialization each re-runs the lineitem scan + broadcast join
+      // + distinct; checkpointed it is a (order, brand) frame, basket-
+      // mass-sized at any SF, and the self-join reads the same blocks
       val items = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
         .distinct()
+        .localCheckpoint(false)
       val nOrders = items.select(col("o")).distinct().count()
       val itemN = items.groupBy(col("b")).agg(count(lit(1)).as("c"))
       val pairs = items.join(
