@@ -268,6 +268,9 @@ object TextAnalysis {
             .otherwise(log(lit(0.5) / col("tot"))))
         .groupBy(col("doc_id"), col("lang"))
         .agg(round(avg(col("lp")) * 10000).cast("long").as("score_m4"))
+      // NOT checkpointed: scored's two consumers (quantile census +
+      // bucket join) run as parallel stages of the one job — a
+      // checkpoint here measured 1.03× (r15 paired A/B), no win
       val byLang = Window.partitionBy(col("lang"))
       val r = scored
         .withColumn("rn", row_number().over(
