@@ -443,21 +443,22 @@ object Dedup {
     // per-doc MinHash signature summary + LSH candidate/duplicate verdict
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // sig has TWO consumers (banding candidates + the per-doc report
-      // columns) and would re-run the 64-slot minhash kernel for each —
-      // the dedup_minhash_calibration shared-scan precedent, applied here
-      val sig = signatures(docs).localCheckpoint(false)
+      // NOT checkpointed (r15, measured at the 100× shard): sig/shH
+      // checkpoints looked neutral-to-positive at sf0.1 but regressed
+      // the shard's plan-determined shuffle 465→687/762 MB — the
+      // checkpoint's RDD scan drops the repartition exchange's
+      // partitioning metadata, so the verify joins re-shuffle the
+      // shingle arrays the exchange-reuse shape ships once. Full revert
+      // reproduces the committed 465.2 MB / 71 MB peak exactly.
+      val sig = signatures(docs)
       val cands = minhashCandidates(sig)
       // verification sides are a DEDICATED narrow frame derived straight
       // from the scan — reusing `sig` here would re-execute its
-      // (unneeded for verification) 64-slot minhash pass once per side;
-      // checkpointed because BOTH join sides consume it (without it the
-      // scan + regex shingling runs once per side)
+      // (unneeded for verification) 64-slot minhash pass once per side
       val shH = docs
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), shingles(col("text")).as("shv"))
         .filter(size(col("shv")) > 0)
-        .localCheckpoint(false)
       val shA = shH.select(col("doc_id").as("doc_a"), col("shv").as("sh_a"))
       val shB = shH.select(col("doc_id").as("doc_b"), col("shv").as("sh_b"))
       val verified = cands
