@@ -236,6 +236,12 @@ private[graft] object BenchStats {
     if (elapsedSec <= budgetSec) "full"
     else if (elapsedSec <= 2.0 * budgetSec) "degraded"
     else "skip"
+
+  /** Flag membership string for the stdout one-liner's per-row
+    * `queries_detail` (r15 verdict task 5): every adjudication list the
+    * row appears in, '+'-joined in the caller's order, "" when clean. */
+  def flagsOf(name: String, sets: Seq[(String, String => Boolean)]): String =
+    sets.collect { case (tag, in) if in(name) => tag }.mkString("+")
 }
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
@@ -1146,11 +1152,27 @@ object Bench {
     val suspects = ok.filter(r => BenchStats.isSuspect(r.median, r.min))
     val total = r3(ok.map(_.median).sum)
     // stdout: short + complete beats long + truncated
-    val top = obj(
-      ok.sortBy(-_.median).take(10).sortBy(_.name)
-        .map(r => r.name -> r3(r.median).toString))
+    val topRows = ok.sortBy(-_.median).take(10).sortBy(_.name)
+    val top = obj(topRows.map(r => r.name -> r3(r.median).toString))
+    // per-row adjudication for the top-10 (r15 verdict task 5): the
+    // one-line JSON used to carry only flag COUNTS, so a reader of the
+    // driver's stdout tail could not tell a steal burst (r15's 102.8s
+    // dedup_ngram_jaccard, min 1.7s, flagged) from a plan regression
+    // without BENCH_LOCAL internals. Additions-only: `queries` and
+    // every existing key keep their exact shape.
+    val flagSets: Seq[(String, String => Boolean)] = Seq(
+      "suspect" -> suspects.map(_.name).toSet,
+      "env_suspect" -> envSuspects.toSet,
+      "degraded" -> degraded.toSet, "capped" -> capped.toSet,
+      "recovered" -> recovered.keySet, "capped_twice" -> cappedTwice.toSet,
+      "rewindowed" -> rewindowed.keySet)
+    val detail = obj(topRows.map { r =>
+      val fl = BenchStats.flagsOf(r.name, flagSets)
+      r.name -> obj(Seq("median" -> r3(r.median).toString,
+        "min" -> r3(r.min).toString, "flagged" -> ("\"" + fl + "\"")))
+    })
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"failed":${failed.size},"suspect":${suspects.size},"env_suspect":${envSuspects.size},"degraded":${degraded.size},"capped":${capped.size},"recovered":${recovered.size},"capped_twice":${cappedTwice.size},"rewindowed":${rewindowed.size},"zombies":${zombies.size},"skipped":${skipped.size},"n":${healed3.size},"sf":"$sfDir","stat":"median_of_2_or_3","file":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_detail":$detail,"failed":${failed.size},"suspect":${suspects.size},"env_suspect":${envSuspects.size},"degraded":${degraded.size},"capped":${capped.size},"recovered":${recovered.size},"capped_twice":${cappedTwice.size},"rewindowed":${rewindowed.size},"zombies":${zombies.size},"skipped":${skipped.size},"n":${healed3.size},"sf":"$sfDir","stat":"median_of_2_or_3","file":"$outFile"}"""
     // silence shutdown logs, stop, THEN print: the line must be last
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()

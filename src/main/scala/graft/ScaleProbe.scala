@@ -167,6 +167,7 @@ object ScaleProbe {
         "text_source_similarity")(n))
     val needEvents = gatedNeeds(n => n.startsWith("q_events") ||
       n.startsWith("q_stream") || n.startsWith("q_sessionize"))
+    val needBaskets = gatedNeeds(n => n == "q_basket_rules")
 
     // _SUCCESS marker, not the directory: a generation run killed
     // mid-write must regenerate, not get probed as a complete shard
@@ -268,6 +269,26 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/events.parquet")
       println(f"generated ${factor}x events in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    // basket shard for q_basket_rules (r16 checkpoint-site census): the
+    // lineitem rows replicated over REMAPPED order keys — 100× more
+    // baskets at the SAME basket size (the per-group bound the query's
+    // self-join claims), narrowed to the two columns the query reads;
+    // `part` (the broadcast dim side) passes through verbatim.
+    if (needBaskets &&
+        !Files.exists(Paths.get(s"$out/lineitem.parquet/_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      val li = Engine.table(spark, base, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val reps = spark.range(factor).select(col("id").as("k"))
+      li.crossJoin(reps)
+        .select((col("l_orderkey") * factor + col("k")).as("l_orderkey"),
+          col("l_partkey"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      Engine.table(spark, base, "part")
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+      println(f"generated ${factor}x lineitem in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     val nDocs = Engine.table(spark, out, "documents").count()
     val nVecs = if (needEmbeddings)
       Engine.table(spark, out, "embeddings").count() else -1L
@@ -318,6 +339,10 @@ object ScaleProbe {
       // removal claim. (q_scd2/q_data_profile are absent: they read
       // orders/lineitem, and their plans are per-key windows / pruned
       // single-column aggregates with no corpus-growth axis here.)
+      // r16: simhash carries the r15 `fp` checkpoint (3 consumers) and
+      // basket_rules the r15 `items` checkpoint (4 consumers) — the
+      // 100×-shard shuffle census every r15 checkpoint site owes
+      "dedup_simhash", "q_basket_rules",
       "dedup_containment", "mm_shard_manifest", "text_dsir",
       "emb_standardize", "ann_range_search", "q_stream_topk",
       "text_ccnet_bucket", "emb_outliers", "pipe_dataset_diff",

@@ -174,6 +174,32 @@ object Engine {
   def eventTsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.unix_micros(c.cast("timestamp"))
 
+  /** Materialize a multi-consumer intermediate frame, picking the
+    * storage by deployment: `localCheckpoint` truncates lineage into
+    * EXECUTOR-LOCAL blocks — the right call on `local[*]` (zero extra
+    * I/O) but a failure mode on a real cluster, where losing one
+    * executor (or dynamic allocation reclaiming it) fails the job
+    * instead of recomputing. When a reliable checkpoint directory is
+    * configured (`sc.setCheckpointDir`, i.e. any cluster deployment
+    * that opts in), the same call sites get `Dataset.checkpoint` —
+    * blocks on the checkpoint filesystem, recomputable-by-reread under
+    * executor loss. One helper so the ~20 hot-path materialization
+    * sites carry no local-mode assumption (r15 verdict §3).
+    *
+    * `eager = false` folds materialization into the first consuming
+    * action (one job round less); `true` runs a dedicated job — the
+    * right choice for frames whose first consumer is itself iterated. */
+  def materialize(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
+  /** `df.materialize(eager)` syntax for [[materialize]] — the drop-in
+    * spelling at the former `.localCheckpoint(eager)` call sites. */
+  implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
+    def materialize(eager: Boolean): DataFrame = Engine.materialize(df, eager)
+  }
+
   // registerTestdata memo: session UUID → last-registered sfDir.
   // Registration re-reads 10 parquet footers and re-plans 10 views — at
   // ~1–4s it dominated the timed bodies of the view/EXPLAIN bench queries

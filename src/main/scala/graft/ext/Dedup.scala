@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
+import graft.engine.Engine.MaterializeOps
 
 /** Deduplication operators for training-data pipelines, designed for
   * 100 TB corpora:
@@ -226,9 +227,15 @@ object Dedup {
     val cand = minhashCandidates(sig)
     val edges = cand
       .union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
+      .materialize(true)
     var labels = sig.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+      .materialize(true)
+    // the frame whose blocks round r's count just stopped referencing
+    // (ADVICE r15): each round materializes a new corpus-sized frame and
+    // the previous round's blocks are dead the moment the new count
+    // returns — without the unpersist, executor storage grows O(rounds ×
+    // corpus). At most two rounds of blocks are ever alive.
+    var prevRound: DataFrame = labels
     var changed = 1L
     var round = 0
     while (changed > 0 && round < 20) {
@@ -245,11 +252,18 @@ object Dedup {
         .join(prop.select(col("doc_a").as("doc_id"), col("nbr_label")), Seq("doc_id"), "left")
         .select(col("doc_id"), newLabel.as("new_label"),
           (newLabel =!= col("label")).as("moved"))
-        .localCheckpoint(false)
+        .materialize(false)
       changed = stepped.filter(col("moved")).count()
+      // stepped is materialized; nothing references the previous
+      // round's blocks anymore (this round's join already ran)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistMaterialized(prevRound)
+      prevRound = stepped
       labels = stepped.select(col("doc_id"), col("new_label").as("label"))
       round += 1
     }
+    // the edge list is dead too once the loop exits: the returned labels
+    // frame reads only the final round's blocks
+    org.apache.spark.sql.graftbridge.Bridge.unpersistMaterialized(edges)
     // the cap is a runaway guard, not a tolerance: labels returned with
     // changed > 0 are NOT connected components, and downstream the
     // symptom would be an unexplained oracle hash mismatch (the oracle
@@ -358,7 +372,7 @@ object Dedup {
       val cands = bandedS
         .join(bandedC.join(okC, Seq("band", "bkey")), Seq("band", "bkey"))
         .select(col("s_id"), col("c_id")).distinct()
-        .localCheckpoint(false) // lazy: folds into first consumer (r15 A/B 0.92x)
+        .materialize(false) // lazy: folds into first consumer (r15 A/B 0.92x)
       val par = s.sparkContext.defaultParallelism
       // semi-restrict BOTH shingle sides to documents that actually
       // appear in a candidate pair before any shingle array is shuffled:
@@ -493,7 +507,7 @@ object Dedup {
     // BIGINT — no float anywhere near a bucket boundary); the report
     // doubles divide exact integers.
     "dedup_minhash_calibration" -> ((s, dir) => {
-      val sig = signatures(t(s, dir, "documents")).localCheckpoint(true)
+      val sig = signatures(t(s, dir, "documents")).materialize(true)
       val cands = minhashCandidates(sig)
       val sa = sig.select(col("doc_id").as("doc_a"),
         col("sig").as("sig_a"), col("sh").as("sh_a"))
@@ -596,7 +610,7 @@ object Dedup {
       val fp = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), simhash(col("text")).as("fp"))
-        .localCheckpoint(false)
+        .materialize(false)
       // 4 bands of 16 bits: Hamming distance ≤3 guarantees a shared band
       val banded = fp.select(col("doc_id"), col("fp"),
         posexplode(transform(sequence(lit(0), lit(3)),
@@ -700,7 +714,7 @@ object Dedup {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
         .withColumn("szb", (size(col("sh")).cast("long") / 16).cast("long"))
-        .localCheckpoint(true)
+        .materialize(true)
       val a = sample.select(col("doc_id").as("doc_a"), col("lang"),
         explode(array(col("szb") - 1, col("szb"), col("szb") + 1)).as("szb"),
         col("sh").as("sh_a"))
@@ -747,7 +761,7 @@ object Dedup {
         .select(col("doc_id"), xxhash64(col("gram")).as("g"))
       val df = ex.groupBy(col("g")).agg(count(lit(1)).as("__c"))
         .filter(col("__c") <= 64).select(col("g"))
-      val kept = ex.join(df, Seq("g")).localCheckpoint(true)
+      val kept = ex.join(df, Seq("g")).materialize(true)
       val sz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val pairs = kept.select(col("doc_id").as("doc_a"), col("g"))
         .join(kept.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))

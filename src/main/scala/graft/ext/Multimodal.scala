@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Engine
+import graft.engine.Engine.MaterializeOps
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed by a per-partition
@@ -270,7 +271,7 @@ object Multimodal {
           graft.functions.HashExpressions.simhash64(col("tk")).as("fp"))
         // both banded join sides consume fp — checkpoint the narrow
         // (id, bytes, fp) frame so the simhash payload pass runs once
-        .localCheckpoint(false)
+        .materialize(false)
       val banded = fp.select(col("media_id"), col("fp"), col("n_bytes"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("fp"), b * 16)
@@ -320,7 +321,7 @@ object Multimodal {
         // (id, bytes, fp) frame so the simhash payload pass runs once
         // (the r11 measurement note below priced a single extra pass
         // at 2-3× this row's wall on the 100× shard)
-        .localCheckpoint(false)
+        .materialize(false)
       val mask32 = lit(0xFFFFFFFFL)
       // Fingerprints AND bytes ride the expansions on purpose — the
       // r10 verdict's task-3 slimming prescriptions were both tried

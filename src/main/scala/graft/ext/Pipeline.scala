@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
+import graft.engine.Engine.MaterializeOps
 
 /** Training-data pipeline primitives beyond the reference's own surface:
   * deterministic split, sequence packing, and weighted mixture sampling —
@@ -212,7 +213,7 @@ object Pipeline {
           explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
             x => length(x) > 0)).as("w"))
       val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
+        .materialize(false)
       val tot = counts.agg(sum(col("c")).cast("double").as("tot"))
       val vocab = counts.orderBy(col("c").desc, col("w")).limit(vocabK)
       val scored = toks.join(broadcast(vocab), Seq("w"), "left")
@@ -337,7 +338,7 @@ object Pipeline {
           graft.functions.HashExpressions.word_shingles(col("text"), 8)).as("gram"))
         .select(gh8(col("gram")).as("gh"))
         .distinct()
-        .localCheckpoint(true)
+        .materialize(true)
       // deterministic: fixed-seed hashes, bit-OR merge is order-free
       val bf = bench.stat.bloomFilter("gh", math.max(bench.count(), 1024L), 0.01)
       val bfB = s.sparkContext.broadcast(bf)
@@ -761,7 +762,7 @@ object Pipeline {
         .filter(col("passes_gopher"))
         .select(col("doc_id"), col("lang"), col("text"),
           md5(col("text")).as("h"))
-        .localCheckpoint(false)
+        .materialize(false)
       val corpusH = base.select(md5(col("text")).as("h")).distinct()
       val marked = gated
         .join(corpusH.withColumn("dup", lit(true)), Seq("h"), "left")
@@ -770,7 +771,7 @@ object Pipeline {
           Window.partitionBy(col("h")).orderBy(col("doc_id"))))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("text"))
-        .localCheckpoint(false)
+        .materialize(false)
       val merged = base.unionAll(survivors)
       def g(df: DataFrame, c: String) =
         df.groupBy(col("lang")).agg(count(lit(1)).as(c))
@@ -1329,7 +1330,7 @@ object Pipeline {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_tok"), col("stops"))
-        .localCheckpoint(false)
+        .materialize(false)
       // stage 3 — near-dup removal: banding corpus-wide, pairs
       // restricted to exact survivors, exact-Jaccard ≥ 0.7 verify,
       // keep-first (drop the larger id of each verified pair)
@@ -1344,7 +1345,7 @@ object Pipeline {
         .select(col("doc_id"), Dedup.shingles(col("text")).as("shv"))
         .filter(size(col("shv")) > 0)
         // both verify sides consume shH — one shingling pass, not two
-        .localCheckpoint(false)
+        .materialize(false)
       val nearDup = Dedup.minhashCandidates(sig) // doc_a < doc_b
         .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
@@ -1361,7 +1362,7 @@ object Pipeline {
       // checkpoint so the near-dup banding/verify chain above runs once
       val surv = exactKept.join(nearDup, Seq("doc_id"), "left_anti")
         .filter(col("doc_id") % 50 =!= 0)
-        .localCheckpoint(false)
+        .materialize(false)
       val benchGrams = docs.filter(col("doc_id") % 50 === 0)
         .select(explode(
           graft.functions.HashExpressions.word_shingles(col("text"), 8)).as("gram"))
@@ -1386,7 +1387,7 @@ object Pipeline {
       val d = mixed
         .withColumn("score6", expr("(stops * 1000000) div greatest(n_tok, 1)"))
         .withColumn("bkt", expr("score6 div 1000"))
-        .localCheckpoint(false)
+        .materialize(false)
       val wBkt = Window.partitionBy(col("lang")).orderBy(col("bkt").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val admitted = d.groupBy(col("lang"), col("bkt"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
+import graft.engine.Engine.MaterializeOps
 
 /** Similarity search over an embedding column (`Array[Float]`, dim 64).
   *
@@ -305,7 +306,7 @@ object Similarity {
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .withColumn("nrm", l2norm(col("embedding")))
-        .localCheckpoint(true)
+        .materialize(true)
       // coarse centroids: deterministic seed (first C vectors) refined by
       // one Lloyd iteration — assign every vector to its nearest seed,
       // then average each cell (posexplode → (cell, dim) partial means →
@@ -412,9 +413,17 @@ object Similarity {
     // the 4-term ADC sum is a BIGINT sum.
     "ann_pq" -> ((s, dir) => {
       val sub = pqSub(s, dir)
-      val cbB = pqCodebooks(s, sub)
+      // ONE collect of the first-16 subvector rows serves both the
+      // codebook seeds (vec_id < 16) and the query ADC tables
+      // (vec_id < 10) — the seeds toLocal and queryAdc toLocal used to
+      // be two separate sequential driver job rounds (r16; the
+      // emb_mmr_rerank K-row-local precedent). Same integer-grid
+      // arithmetic, driver-side: d2hLocal replays dot_f32's
+      // left-to-right double accumulation over exact grid integers.
+      val subHead = pqHead16(sub)
+      val cbB = pqCodebooks(s, sub, pqSeedsFrom(s, subHead))
       pqRankAdc(
-        pqCodes(sub, cbB).join(pqQueryAdc(s, sub, cbB),
+        pqCodes(sub, cbB).join(pqQueryAdcLocal(s, subHead, cbB),
           col("m") === col("qm") && col("code") === col("cw")))
     }),
 
@@ -431,7 +440,7 @@ object Similarity {
     // so the full composed pipeline hash-compares against DuckDB.
     "ann_ivf_pq" -> ((s, dir) => {
       val nProbe = 3
-      val (assigned, cents, qv) = kmeansGridFull(s, dir)
+      val (assigned, cents, qv, head16) = kmeansGridFull(s, dir)
       // query-side probe list and PQ subvectors both derive from the
       // clustering's ALREADY-CHECKPOINTED quantized corpus frame `qv`
       // instead of re-scanning + re-quantizing the parquet (r15: two
@@ -440,15 +449,27 @@ object Similarity {
       // vector equals quantizing the slice (elementwise grid map), so
       // every downstream integer distance is bit-identical to the
       // pqSub-from-scan formulation (oracle re-verified).
-      val q = qv.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("s"), col("ss"))
-      val probes = broadcast(toLocal(s, q
-        .crossJoin(broadcast(cents))
-        .withColumn("__d", pqD2h(col("ss"), col("s"), col("c"), col("cc")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("__d"), col("k"))))
-        .filter(col("rn") <= nProbe)
-        .select(col("q_id"), col("k"))))
+      //
+      // r16 job-round collapse: probe selection, codebook seeds and the
+      // query ADC tables are all derived from frames ALREADY local —
+      // `head16` (the clustering's one collected head) and `cents` /
+      // `cbB` (LocalRelations) — so the three toLocal job rounds the
+      // r15 shape still paid (probes, codebook seeds, query ADC) are
+      // now driver arithmetic. d2hLocal replays dot_f32's left-to-right
+      // double accumulation; every operand is an exact 1e-3-grid
+      // integer, so each distance (and the rank order, ties on the
+      // lower id) is bit-identical to the distributed expression.
+      val headL = head16.map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      val centsL = cents.collect() // LocalRelation — driver-only, no job
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      import s.implicits._
+      val probes = broadcast(headL.filter(_._1 < 10).toSeq
+        .flatMap { case (qid, qs, qss) =>
+          centsL.map { case (k, c, cc) => (k, d2hLocal(qss, qs, c, cc)) }
+            .sortBy { case (k, d) => (d, k) }.take(nProbe)
+            .map { case (k, _) => (qid, k) }
+        }.toDF("q_id", "k"))
       val cand = assigned.filter(col("vec_id") >= 10)
         .select(col("vec_id"), col("k"))
         .join(probes, Seq("k"))
@@ -460,8 +481,16 @@ object Similarity {
         .select(col("vec_id"), col("m"),
           slice(col("s"), col("m") * subDim + 1, lit(subDim)).as("s"))
         .withColumn("ss", dot_f32(col("s"), col("s")))
-      val cbB = pqCodebooks(s, sub)
-      val qd = pqQueryAdc(s, sub, cbB).withColumnRenamed("q_id", "qq")
+      // local subvector head: slice-of-quantized = quantize-of-slice,
+      // so these rows equal sub.filter(vec_id < 16).collect() exactly
+      val subHead = headL.filter(_._1 < 16).flatMap { case (id, arr, _) =>
+        (0 until 4).map { m =>
+          val sl = java.util.Arrays.copyOfRange(arr, m * subDim, (m + 1) * subDim)
+          (id, m, sl, dotLocal(sl, sl))
+        }
+      }
+      val cbB = pqCodebooks(s, sub, pqSeedsFrom(s, subHead))
+      val qd = pqQueryAdcLocal(s, subHead, cbB).withColumnRenamed("q_id", "qq")
       pqRankAdc(
         cand.join(pqCodes(sub, cbB), Seq("vec_id"))
           .join(qd, col("m") === col("qm") && col("code") === col("cw") &&
@@ -543,6 +572,11 @@ object Similarity {
         .map(r => (r.getLong(0), r.getDouble(1)))
       val psim = pairs.collect()
         .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // NaN cannot reach the orderings here: rel/psim come from
+      // cosineWithNorms, whose zero-norm guard returns 0.0 (never 0/0),
+      // and the testdata embeddings carry no NaN components — so the
+      // Scala minBy tie-break and Spark's orderBy agree on every input
+      // either engine can produce (ADVICE r15)
       val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
       if (candL.nonEmpty) {
         val first = candL.minBy { case (id, rel) => (-rel, id) }
@@ -551,9 +585,17 @@ object Similarity {
       for (i <- 2 to 5 if sel.nonEmpty) {
         val chosen = sel.map(_._2).toSet
         val remaining = candL.filter(c => !chosen.contains(c._1))
-          .map { case (id, rel) =>
-            val maxsim = sel.map(st => psim((id, st._2))).max
-            (id, 0.7 * rel - 0.3 * maxsim)
+          .flatMap { case (id, rel) =>
+            // psim.get, not apply (ADVICE r15): a (candidate, selected)
+            // pair absent from psim drops the candidate for this step —
+            // mirroring the old inner-join formulation, which silently
+            // dropped such candidates instead of throwing. Total today
+            // by construction (pairs is the full off-diagonal cross
+            // product of cand), so behavior is unchanged on every
+            // reachable input.
+            val sims = sel.flatMap(st => psim.get((id, st._2)))
+            if (sims.size == sel.size) Some((id, 0.7 * rel - 0.3 * sims.max))
+            else None
           }
         // tiny-SF corpus can run out of candidates before step 5 — the
         // frame formulation just unioned an empty frame; mirror that
@@ -583,7 +625,7 @@ object Similarity {
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .withColumn("nrm", l2norm(col("embedding")))
-        .localCheckpoint(false) // lazy: folds into step-2 job (r15 A/B 0.86x)
+        .materialize(false) // lazy: folds into step-2 job (r15 A/B 0.86x)
       var sel = emb.filter(col("vec_id") === 0)
         .select(lit(1L).as("step"), col("vec_id"), lit(0.0).as("dist"),
           col("embedding").as("se"), col("nrm").as("sn"))
@@ -1120,7 +1162,7 @@ object Similarity {
     "dedup_semantic" -> ((s, dir) => {
       val assigned = kmeansAssignGrid(s, dir)
         .withColumn("ss", dot_f32(col("s"), col("s")).cast("long"))
-        .localCheckpoint(true) // 3 self-references below; Lloyd runs once
+        .materialize(true) // 3 self-references below; Lloyd runs once
       val a = assigned.select(col("k"), col("vec_id").as("id_a"),
         col("s").as("s_a"), col("ss").as("ss_a"))
       val b = assigned.select(col("k"), col("vec_id").as("id_b"),
@@ -1157,6 +1199,59 @@ object Similarity {
   private def pqD2h(ss: Column, a: Column, b: Column, cc: Column): Column =
     ss - lit(2.0) * dot_f32(a, b) + cc
 
+  /** Driver-side replica of [[dot_f32]] (left-to-right double
+    * accumulation over the common prefix): every operand on the PQ/IVF
+    * path is an exact 1e-3-grid integer, so the result is bit-identical
+    * to the distributed expression. */
+  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Driver-side replica of [[pqD2h]] over collected grid rows. */
+  private def d2hLocal(ss: Double, a: Array[Float], b: Array[Float],
+      cc: Double): Double = ss - 2.0 * dotLocal(a, b) + cc
+
+  /** The first-16 subvector rows (vec_id, m, s, ss), collected ONCE —
+    * one job that serves both the codebook seeds (vec_id < 16) and the
+    * query-side ADC tables (vec_id < 10), replacing two sequential
+    * driver job rounds (r16). */
+  private def pqHead16(sub: DataFrame): Array[(Long, Int, Array[Float], Double)] =
+    sub.filter(col("vec_id") < 16).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray, r.getDouble(3)))
+
+  /** Codebook seed relation (m, cw, c, cc) from the collected head —
+    * the same rows the old `sub.filter(vec_id < 16)` toLocal produced. */
+  private def pqSeedsFrom(s: SparkSession,
+      subHead: Array[(Long, Int, Array[Float], Double)]): DataFrame = {
+    import s.implicits._
+    broadcast(subHead.toSeq
+      .map { case (id, m, arr, ss) => (m, id, arr.toSeq, ss) }
+      .toDF("m", "cw", "c", "cc"))
+  }
+
+  /** ADC tables (q_id, qm, cw, d6) computed on the DRIVER from the
+    * collected query subvectors × the (already driver-local) codebooks:
+    * 10×4×16 exact integer distances — the old distributed formulation
+    * spent a full toLocal job round to produce the same 640 rows. */
+  private def pqQueryAdcLocal(s: SparkSession,
+      subHead: Array[(Long, Int, Array[Float], Double)],
+      cbB: DataFrame): DataFrame = {
+    val cbRows = cbB.collect() // LocalRelation — driver-only, no job
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray,
+        r.getDouble(3)))
+    import s.implicits._
+    broadcast(subHead.filter(_._1 < 10).toSeq
+      .flatMap { case (qid, m, arr, ss) =>
+        cbRows.filter(_._1 == m).map { case (cm, cw, c, cc) =>
+          (qid, cm, cw, d2hLocal(ss, arr, c, cc).toLong)
+        }
+      }.toDF("q_id", "qm", "cw", "d6"))
+  }
+
   /** (vec_id, m, s, ss): the m-th 16-dim subvector of every embedding,
     * grid-quantized — integers ≤ ~10³ are exact in float32, so the PQ
     * chain is hash-comparable end to end. Shared by ann_pq / ann_ivf_pq. */
@@ -1173,18 +1268,15 @@ object Similarity {
       // corpus×M frame with 3+ consumers per query (codebook seeds +
       // Lloyd assign, corpus codes, query ADC tables): materialize once
       // so the scan/explode/quantize chain never re-executes
-      .localCheckpoint(true)
+      .materialize(true)
   }
 
   /** Per-subspace codebooks (m, cw, c, cc): first-16 seeds + one Lloyd
     * step — centroid mean per (m, cw, dim) via BIGINT partial sums
     * (associative, order-immune), one double division, re-quantized to
     * the grid. Returned as a broadcast driver-local relation. */
-  private def pqCodebooks(s: SparkSession, sub: DataFrame): DataFrame = {
-    val nCw = 16
-    val seeds = broadcast(toLocal(s, sub.filter(col("vec_id") < nCw)
-      .select(col("m"), col("vec_id").as("cw"), col("s").as("c"),
-        col("ss").as("cc"))))
+  private def pqCodebooks(s: SparkSession, sub: DataFrame,
+      seeds: DataFrame): DataFrame = {
     val a0 = sub.join(seeds, Seq("m"))
       .withColumn("__d", pqD2h(col("ss"), col("s"), col("c"), col("cc")))
       .groupBy(col("vec_id"), col("m"))
@@ -1210,14 +1302,6 @@ object Similarity {
       .withColumn("__d", pqD2h(col("ss"), col("s"), col("c"), col("cc")))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("cw"), struct(col("__d"), col("cw"))).as("code"))
-
-  /** ADC tables (q_id, qm, cw, d6): query × codeword exact integer
-    * distances, broadcast driver-local. */
-  private def pqQueryAdc(s: SparkSession, sub: DataFrame, cbB: DataFrame): DataFrame =
-    broadcast(toLocal(s, sub.filter(col("vec_id") < 10)
-      .join(cbB, Seq("m"))
-      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("cw"),
-        pqD2h(col("ss"), col("s"), col("c"), col("cc")).cast("long").as("d6"))))
 
   /** Shared ADC tail: sum the 4 subspace distances per (query, vector),
     * rank, and round at the GRID's own scale (6), never coarser: adc6/1e6
@@ -1252,7 +1336,7 @@ object Similarity {
           .as("qv"))
         // two corpus consumers (sums + upper collects) — materialize
         // once, the round-9 multi-consumer-scan rule
-        .localCheckpoint(true)
+        .materialize(true)
       val sums = toLocal(s, emb
         .select(posexplode(col("qv")).as(Seq("i", "v")))
         .groupBy(col("i")).agg(sum(col("v")).as("sx"))
@@ -1298,7 +1382,7 @@ object Similarity {
     * frame `(k, c, cc)` — the latter doubles as the IVF coarse quantizer
     * for [[ann_ivf_pq]]'s probe selection. */
   private def kmeansGrid(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    kmeansGridFull(s, dir) match { case (a, c, _) => (a, c) }
+    kmeansGridFull(s, dir) match { case (a, c, _, _) => (a, c) }
 
   /** [[kmeansGrid]] plus the checkpointed quantized-corpus frame
     * `(vec_id, s, ss)` it is built over — ann_ivf_pq derives its probe
@@ -1307,7 +1391,7 @@ object Similarity {
     * slicing a quantized vector equals quantizing the slice, since the
     * grid map is elementwise). */
   private def kmeansGridFull(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, Array[org.apache.spark.sql.Row]) = {
     val K = 8
     def d2h(ss: Column, a: Column, b: Column, cc: Column): Column =
       ss - lit(2.0) * dot_f32(a, b) + cc
@@ -1319,12 +1403,20 @@ object Similarity {
       .withColumn("ss", dot_f32(col("s"), col("s")))
       // assign() runs 3× (+ the seed pick) over this corpus frame —
       // materialize the quantized scan once per invocation
-      .localCheckpoint(true)
-    // seeds: first K vectors (the deterministic IVF/PQ seeding rule);
-    // K-row frames become driver-local relations (toLocal) so each
-    // broadcast reference costs nothing and no checkpoint blocks leak
-    val seeds = toLocal(s, qv.filter(col("vec_id") < K)
-      .select(col("vec_id").as("k"), col("s").as("c"), col("ss").as("cc")))
+      .materialize(true)
+    // ONE collected head serves every K-bounded derivation (r16): the
+    // kmeans seeds (vec_id < K=8) here, and — for ann_ivf_pq — the
+    // probe queries (< 10) and PQ codebook seeds (< 16), which used to
+    // be three further sequential driver job rounds over the same rows.
+    // K-row frames become driver-local relations so each broadcast
+    // reference costs nothing and no checkpoint blocks leak.
+    val head16 = qv.filter(col("vec_id") < 16).collect()
+    val seeds = {
+      import s.implicits._
+      head16.filter(_.getLong(0) < K).toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .toDF("k", "c", "cc")
+    }
     // nearest centroid per vector: groupBy + min_by (map-side partial
     // agg; ties break toward the lower cluster id)
     def assign(cent: DataFrame): DataFrame =
@@ -1349,7 +1441,7 @@ object Similarity {
             x => floor(x.getField("mu") + lit(0.5)).cast("float")).as("c"))
         .withColumn("cc", dot_f32(col("c"), col("c"))))
     val cFinal = refine(assign(refine(assign(seeds))))
-    (assign(cFinal), cFinal, qv)
+    (assign(cFinal), cFinal, qv, head16)
   }
 
   private def kmeansAssignGrid(s: SparkSession, dir: String): DataFrame =

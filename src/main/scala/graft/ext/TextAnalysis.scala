@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
+import graft.engine.Engine.MaterializeOps
 
 /** Text-analysis operators for training-data curation: language ID
   * (stopword-density heuristic), quality scoring (length/punctuation/
@@ -223,7 +224,7 @@ object TextAnalysis {
       // re-scan the corpus — without it the plan read the parquet 3×
       // (plan-inspected): scoring, counts-for-tot, counts-for-vocab
       val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
+        .materialize(false)
       val tot = counts.agg(sum(col("c")).cast("double").as("tot"))
       val vocab = counts.orderBy(col("c").desc, col("w")).limit(vocabK)
       toks.join(broadcast(vocab), Seq("w"), "left")
@@ -258,7 +259,7 @@ object TextAnalysis {
           explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
             x => length(x) > 0)).as("w"))
       val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
+        .materialize(false)
       val tot = counts.agg(sum(col("c")).cast("double").as("tot"))
       val vocab = counts.orderBy(col("c").desc, col("w")).limit(vocabK)
       val scored = toks.join(broadcast(vocab), Seq("w"), "left")
@@ -355,9 +356,9 @@ object TextAnalysis {
       val uni = d.select(grams(1).as("w"))
       val bg = d.select(col("doc_id"), grams(2).as("b"))
       val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-        .localCheckpoint(false)
+        .materialize(false)
       val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
-        .localCheckpoint(false)
+        .materialize(false)
       val tot2 = c2.agg(sum(col("c2")).cast("double").as("tot"))
       val top2 = c2.orderBy(col("c2").desc, col("b")).limit(modelK)
       // attach C1 of each top bigram's first word → the broadcast model
@@ -647,13 +648,13 @@ object TextAnalysis {
         .select(col("doc_id"), explode(array_distinct(transform(col("sel"),
           x => graft.functions.HashExpressions.md5Prefix60(x.getField("h")))))
           .as("h"))
-        .localCheckpoint(false) // 3 consumers of one selection pass
+        .materialize(false) // 3 consumers of one selection pass
       val sz = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       val keep = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select(col("h"))
       // both self-join sides consume pf — checkpoint so the df census
       // join over fp runs once, not per side
-      val pf = fp.join(keep, Seq("h")).localCheckpoint(false)
+      val pf = fp.join(keep, Seq("h")).materialize(false)
       val pairs = pf.select(col("doc_id").as("doc_a"), col("h"))
         .join(pf.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
         .filter(col("doc_a") < col("doc_b"))
@@ -850,7 +851,7 @@ object TextAnalysis {
     // in frequency break on the raw [a-z0-9]+ word bytes, identical
     // binary order in both engines.
     "text_vocab_coverage" -> ((s, dir) => {
-      val wc = wordCounts(s, dir).localCheckpoint(false)
+      val wc = wordCounts(s, dir).materialize(false)
       val ranked = DistRank.rowNumber(s, wc,
         DistRank.countDescWordShard(col("wc"), col("w")),
         Seq(col("wc").desc, col("w")), "rn")
@@ -882,7 +883,7 @@ object TextAnalysis {
     // rounded at 4, the q_agg_regr precedent for cross-engine regr_*.
     "text_zipf_fit" -> ((s, dir) => {
       val ranked = DistRank.rowNumber(s,
-        wordCounts(s, dir).localCheckpoint(false),
+        wordCounts(s, dir).materialize(false),
         DistRank.countDescWordShard(col("wc"), col("w")),
         Seq(col("wc").desc, col("w")), "rank")
       ranked.agg(
@@ -960,7 +961,7 @@ object TextAnalysis {
           explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
             x => length(x) > 0)).as("w"))
         .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
-        .localCheckpoint(false) // vocab×langs-sized; 2 consumers
+        .materialize(false) // vocab×langs-sized; 2 consumers
       val top = topMergePair(
         wl.groupBy(col("w")).agg(sum(col("wc")).as("wc")), "mrg")
       wl.crossJoin(broadcast(top))
@@ -1271,13 +1272,13 @@ object TextAnalysis {
         size(filter(split(lower(col("text")), "[^a-z0-9]+"),
           x => length(x) > 0)).cast("long").as("dl"))
       .filter(col("dl") >= 1)
-      .localCheckpoint(false)
+      .materialize(false)
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val hits = toks(d)
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .materialize(false)
     val dfr = hits.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("q_id"))
@@ -1440,14 +1441,24 @@ object TextAnalysis {
       .select(col("wc"),
         concat(lit("~"), concat_ws("~", split(col("w"), "")), lit("~"))
           .as("seg"))
-      .localCheckpoint(true)
+      .materialize(true)
     val symsOf = "filter(split(seg, '~'), x -> length(x) > 0)"
     val massCol = sum(col("wc") * expr(s"size($symsOf)").cast("long"))
-    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val masses = scala.collection.mutable.ArrayBuffer[Long]()
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = cur
+      // the PREVIOUS round's token-mass census rides this round's
+      // pair-count job via observe() instead of being its own driver
+      // action (r16, guide §1.5 job rounds: 3 jobs/round → 2). Same
+      // expression over the same materialized frame — identical values;
+      // the observe node sits below the pair filter, so it sees every
+      // row of cur exactly as the standalone agg did.
+      val obs = if (out.nonEmpty) Some(org.apache.spark.sql.Observation())
+        else None
+      val scanned = obs.map(o => cur.observe(o, massCol.as("m"))).getOrElse(cur)
+      val top = scanned
         // sequence(1, 0) runs BACKWARD (the text_collocations rule) —
         // fully-merged single-symbol words must not reach the zip
         .filter(expr(s"size($symsOf) >= 2"))
@@ -1458,19 +1469,30 @@ object TextAnalysis {
         .groupBy(col("pr")).agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("pr")).limit(1)
         .collect() // 1-row argmax — the toLocal K-row contract
+      // AQE's empty-relation propagation removes the CollectMetrics
+      // node when the pair frame comes up empty (the exhausted-vocab
+      // path: every word fully merged), so the observed metric can be
+      // legitimately ABSENT — reproduce the census with the standalone
+      // agg over the same frame (one extra job, exhaustion round only;
+      // same expression, same frame, identical value)
+      obs.foreach(o => masses += o.get.get("m").map(_.asInstanceOf[Long])
+        .getOrElse(cur.agg(massCol.as("m")).collect()(0).getLong(0)))
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
         val Array(a, b) = pair.split(" ")
         cur = cur.withColumn("seg",
             expr(s"replace(seg, '~$a~$b~', '~$a$b~')"))
-          .localCheckpoint(true)
-        val mass = cur.agg(massCol.as("m")).collect()(0).getLong(0)
-        out += ((r.toLong, pair, top(0).getLong(1), mass))
+          .materialize(true)
+        out += ((r.toLong, pair, top(0).getLong(1)))
         r += 1
       }
     }
-    out.toSeq
+    // the FINAL merge's mass has no later pair-count job to ride — one
+    // standalone census (the only one left of the former rounds×1)
+    if (out.size > masses.size)
+      masses += cur.agg(massCol.as("m")).collect()(0).getLong(0)
+    out.toSeq.zip(masses.toSeq).map { case ((rd, p, n), m) => (rd, p, n, m) }
   }
 
   private def wordCounts(s: SparkSession, dir: String): DataFrame =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
+import graft.engine.Engine.MaterializeOps
 
 /** SURVEY §2 inventory, continued: value-window functions, RANGE frames,
   * distinct set ops + ALL variants, null-semantics predicates, try_cast,
@@ -684,7 +685,7 @@ object Relational2 {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
         .distinct()
-        .localCheckpoint(false)
+        .materialize(false)
       val nOrders = items.select(col("o")).distinct().count()
       val itemN = items.groupBy(col("b")).agg(count(lit(1)).as("c"))
       val pairs = items.join(

@@ -78,10 +78,17 @@ object JoinStream {
   }
 
   /** File wiring over the events table: clicks × purchases, 24 h
-    * attribution window. Two independent sources over the same parquet
-    * (each side advances its own watermark). */
+    * attribution window. ONE source, self-joined (r16): the sides used
+    * to be two independent FileStreamSources over the same parquet, so
+    * every micro-batch paid the directory listing, offset bookkeeping
+    * and batch-file read twice. A streaming self-join is supported and
+    * semantically identical here — each side still advances its own
+    * watermark column (click_ts / purchase_ts; the per-node watermarks
+    * and the min-policy global watermark are unchanged because both
+    * sources always read the same files at the same offsets), and the
+    * oracle hash pins the output. */
   def attributed(spark: SparkSession, dir: String): DataFrame = {
-    def src = spark.readStream
+    val src = spark.readStream
       .schema(EventsStream.eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)

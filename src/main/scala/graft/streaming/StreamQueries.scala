@@ -618,7 +618,15 @@ object StreamQueries {
       val sentinel = sentinelEvents(s, dir,
         Seq(-1L -> "click", -2L -> "purchase"))
       val rd = Replay.eventsDir(s, dir, 3, Some(sentinel), "outer-sentinels")
-      def src = replaySrc(s, rd)
+      // ONE source, self-joined (r16): `def src` built two independent
+      // FileStreamSources over the same replay dir, so every micro-batch
+      // listed the dir, logged offsets and read the batch file twice.
+      // One source feeds both filter branches; each side's own watermark
+      // column and the min-policy global watermark are unchanged (both
+      // sources always read identical files at identical offsets), so
+      // what is late and when closures fire is byte-identical — the
+      // oracle hash is the gate.
+      val src = replaySrc(s, rd)
         .withColumn("ts", graft.engine.Engine.eventTs(col("ts")))
       val joined = JoinStream.attributionOuter(
         src.filter(col("event_type") === "click"),

@@ -13,4 +13,11 @@ object ListenerBridge {
     try sc.listenerBus.waitUntilEmpty()
     catch { case _: java.util.concurrent.TimeoutException => () }
   // timeout → at worst the old behavior (bounded undercount), never a hang
+
+  /** Test-only: clear a previously set checkpoint dir so the shared
+    * test session's Engine.materialize spec can exercise the reliable-
+    * checkpoint branch without leaving every later spec on it (there is
+    * no public unset API; `checkpointDir` is private[spark]). */
+  def clearCheckpointDir(sc: SparkContext): Unit =
+    sc.checkpointDir = None
 }

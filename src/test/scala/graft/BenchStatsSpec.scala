@@ -274,4 +274,18 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(m.tSec == Seq(10.0, 12.0, 13.1, 14.2, 100.0, 101.0))
     assert(m.raw.length == m.tSec.length)
   }
+
+  test("flagsOf joins every matching adjudication list in caller order (r16 queries_detail)") {
+    val sets: Seq[(String, String => Boolean)] = Seq(
+      "suspect" -> Set("q_a", "q_b"),
+      "env_suspect" -> Set("q_b"),
+      "degraded" -> Set("q_c"),
+      "recovered" -> Set("q_b"))
+    assert(BenchStats.flagsOf("q_a", sets) == "suspect")
+    // multi-membership joins with '+' in the caller's (stable) order
+    assert(BenchStats.flagsOf("q_b", sets) == "suspect+env_suspect+recovered")
+    assert(BenchStats.flagsOf("q_c", sets) == "degraded")
+    // a clean row renders as the empty string, not a missing key
+    assert(BenchStats.flagsOf("q_clean", sets) == "")
+  }
 }
